@@ -1,0 +1,400 @@
+"""Reusable temporal operator kit (SURVEY.md §2.6, §7.1 item 3).
+
+Every operator here is a pure DataFrame→DataFrame function built from native
+window/join primitives — no Python UDFs — so Catalyst can push filters through
+them and whole-stage codegen applies.
+
+Scale notes (100 TB):
+- ``asof_join`` uses the union-tag + ordered-window strategy: ONE shuffle on
+  ``(by, time)`` instead of the naive range-join (which explodes to
+  |left|x|right| candidate pairs per key). With ``by`` keys the sort
+  distributes; without keys, pre-partition the time axis (chunk column) and
+  apply per-chunk with overlap.
+- ``sessionize`` is the classic gap-flag + running-sum pattern: one window sort,
+  no self-join.
+- ``interval_filter`` broadcasts the (tiny) interval table — the maintenance
+  interval set in the reference is a handful of rows
+  (`social_behaviour_detection.py:790,848-853`).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "sessionize",
+    "interval_filter",
+    "resample_ticks",
+    "ffill",
+    "bfill",
+    "rolling_mean",
+    "gap_fill_bounded",
+    "state_changes",
+    "dedup_keep_first",
+    "top1_per_group",
+    "mode_per_group",
+]
+
+_L, _R = 1, 0  # union tags: right rows sort "around" left rows at equal time
+
+
+def _as_list(x: str | Sequence[str] | None) -> list[str]:
+    if x is None:
+        return []
+    if isinstance(x, str):
+        return [x]
+    return list(x)
+
+
+def _seconds(df: DataFrame, col: str) -> Column:
+    """Order column as double seconds; timestamp_ntz needs a 2-step cast."""
+    if dict(df.dtypes)[col].startswith("timestamp"):
+        return F.col(col).cast("timestamp").cast("double")
+    return F.col(col).cast("double")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "time",
+    by: str | Sequence[str] | None = None,
+    tolerance: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+) -> DataFrame:
+    """As-of join: attach to each left row the temporally closest right row.
+
+    Semantics follow ``pd.merge_asof`` as used by the reference
+    (`generate_composite_quadrant_videos.py:112-118` nearest ±9ms; step3
+    notebook nearest ±1ms): inclusive match, unmatched left rows kept with
+    nulls, ``tolerance`` in SECONDS (float) limits |Δt|.
+
+    direction: 'backward' (right.on <= left.on), 'forward' (>=), 'nearest'.
+
+    Implementation: union-tag + ordered window (single shuffle). Right value
+    columns that collide with left column names get ``suffix``.
+    """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction {direction!r}")
+    by = _as_list(by)
+    val_cols = [c for c in right.columns if c != on and c not in by]
+    out_names = {c: (c + suffix if c in left.columns else c) for c in val_cols}
+
+    on_sec = _seconds(left, on)
+
+    lhs = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(_L).alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in val_cols],
+        F.lit(None).cast("double").alias("__r_on"),
+    )
+    rhs = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
+        *[F.col(c) for c in by],
+        F.col(on),
+        F.lit(_R).alias("__tag"),
+        *[F.col(c).alias("__r_" + c) for c in val_cols],
+        _seconds(right, on).alias("__r_on"),
+    ).select(*lhs.columns)  # align column order for union
+    u = lhs.unionByName(rhs)
+
+    need_bwd = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+    picked: dict[str, Column] = {}
+
+    if need_bwd:
+        # right rows at equal time sort BEFORE left rows → inclusive backward
+        wb = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__tag").asc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        bwd = {c: F.last("__r_" + c, ignorenulls=True).over(wb) for c in val_cols}
+        bwd_on = F.last("__r_on", ignorenulls=True).over(wb)
+    if need_fwd:
+        # right rows at equal time sort AFTER left rows → inclusive forward
+        wf = (
+            W.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("__tag").desc())
+            .rowsBetween(0, W.unboundedFollowing)
+        )
+        fwd = {c: F.first("__r_" + c, ignorenulls=True).over(wf) for c in val_cols}
+        fwd_on = F.first("__r_on", ignorenulls=True).over(wf)
+
+    if direction == "backward":
+        delta = on_sec - bwd_on
+        ok = bwd_on.isNotNull() & ((delta <= tolerance) if tolerance is not None else F.lit(True))
+        picked = {c: F.when(ok, bwd[c]) for c in val_cols}
+    elif direction == "forward":
+        delta = fwd_on - on_sec
+        ok = fwd_on.isNotNull() & ((delta <= tolerance) if tolerance is not None else F.lit(True))
+        picked = {c: F.when(ok, fwd[c]) for c in val_cols}
+    else:  # nearest: pick min |Δt| among the two candidates, ties → backward
+        d_b = on_sec - bwd_on
+        d_f = fwd_on - on_sec
+        tol_ok_b = (d_b <= tolerance) if tolerance is not None else F.lit(True)
+        tol_ok_f = (d_f <= tolerance) if tolerance is not None else F.lit(True)
+        b_valid = bwd_on.isNotNull() & tol_ok_b
+        f_valid = fwd_on.isNotNull() & tol_ok_f
+        use_b = b_valid & (~f_valid | (d_b <= d_f))
+        picked = {
+            c: F.when(use_b, bwd[c]).when(f_valid, fwd[c]) for c in val_cols
+        }
+
+    res = u.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__tag"),
+        *[picked[c].alias(out_names[c]) for c in val_cols],
+    )
+    return res.where(F.col("__tag") == _L).drop("__tag")
+
+
+def sessionize(
+    df: DataFrame,
+    order_col: str,
+    gap: float,
+    partition_by: str | Sequence[str] | None = None,
+    session_col: str = "session_id",
+    min_size: int | None = None,
+) -> DataFrame:
+    """Gap-based sessionization (SURVEY W4; reference
+    `social_behaviour_detection.py:267-273,620-625`).
+
+    Rows whose ``order_col`` delta from the previous row exceeds ``gap`` start a
+    new session. ``order_col`` may be numeric (frame ids, gap in same units) or
+    a timestamp (gap in seconds). ``min_size`` drops sessions with fewer rows
+    (reference: "keep sessions with > min frames" — strictly greater).
+    """
+    pb = _as_list(partition_by)
+    ord_val = _seconds(df, order_col)
+    w = W.partitionBy(*pb).orderBy(order_col)
+    new_flag = F.when(
+        (ord_val - F.lag(ord_val).over(w)).isNull() | ((ord_val - F.lag(ord_val).over(w)) > gap),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    out = df.withColumn(
+        session_col,
+        F.sum(new_flag).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    if min_size is not None:
+        cnt = F.count(F.lit(1)).over(W.partitionBy(*pb, session_col))
+        out = out.withColumn("__sess_n", cnt).where(F.col("__sess_n") > min_size).drop("__sess_n")
+    return out
+
+
+def interval_filter(
+    df: DataFrame,
+    intervals: DataFrame,
+    time_col: str = "time",
+    start_col: str = "start",
+    end_col: str = "end",
+    mode: str = "semi",
+) -> DataFrame:
+    """Point-in-interval filter (SURVEY J3): keep rows inside (semi) or outside
+    (anti) any ``[start, end]`` interval. The interval table is broadcast —
+    it is tiny (maintenance windows, reference
+    `social_behaviour_detection.py:857-878`)."""
+    if mode not in ("semi", "anti"):
+        raise ValueError(f"bad mode {mode!r}")
+    cond = (F.col(time_col) >= F.col(start_col)) & (F.col(time_col) <= F.col(end_col))
+    return df.join(F.broadcast(intervals), cond, "left_" + mode)
+
+
+def resample_ticks(
+    spark_df: DataFrame,
+    start: str | Column,
+    end: str | Column,
+    interval_micros: int,
+    tick_col: str = "tick",
+) -> DataFrame:
+    """Build an expected tick grid (SURVEY W7; reference
+    `combine_pose_id_chunk.py:309-314`): timestamps from start to end at a fixed
+    microsecond period, as a DataFrame with one ``tick`` column.
+
+    Uses integer microsecond arithmetic (not float freq strings) to avoid the
+    reference's 19.999981 ms float-drift problem (SURVEY §7.2 risk 5).
+    """
+    spark = spark_df.sparkSession
+    s = F.lit(start).cast("timestamp") if isinstance(start, str) else start
+    e = F.lit(end).cast("timestamp") if isinstance(end, str) else end
+    row = spark.range(1).select(
+        F.sequence(
+            (s.cast("double") * 1_000_000).cast("long"),
+            (e.cast("double") * 1_000_000).cast("long"),
+            F.lit(interval_micros),
+        ).alias("us")
+    )
+    return row.select(F.explode("us").alias("us")).select(
+        F.timestamp_micros(F.col("us")).alias(tick_col)
+    )
+
+
+def ffill(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    order_col: str = "time",
+    partition_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Forward-fill nulls (SURVEY W3; reference `social_behaviour_detection.py:565`)."""
+    pb = _as_list(partition_by)
+    w = W.partitionBy(*pb).orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    out = df
+    for c in _as_list(cols):
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def bfill(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    order_col: str = "time",
+    partition_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Backward-fill nulls."""
+    pb = _as_list(partition_by)
+    w = W.partitionBy(*pb).orderBy(order_col).rowsBetween(0, W.unboundedFollowing)
+    out = df
+    for c in _as_list(cols):
+        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
+    return out
+
+
+def rolling_mean(
+    df: DataFrame,
+    col: str,
+    out_col: str,
+    order_col: str = "time",
+    partition_by: str | Sequence[str] | None = None,
+    before: int = 5,
+    after: int = 4,
+    mode: str = "zero_pad",
+) -> DataFrame:
+    """Centered running average (SURVEY M7).
+
+    ``mode='zero_pad'`` replicates ``np.convolve(x, ones(n)/n, 'same')`` exactly
+    (reference `social_behaviour_detection.py:600-601`): edge windows divide by
+    the FULL window size n (zeros padded), not the number of present rows.
+    ``mode='mean'`` is the cleaner mean-of-present-rows variant.
+    """
+    pb = _as_list(partition_by)
+    w = W.partitionBy(*pb).orderBy(order_col).rowsBetween(-before, after)
+    n = before + after + 1
+    if mode == "zero_pad":
+        expr = F.sum(col).over(w) / F.lit(n)
+    elif mode == "mean":
+        expr = F.avg(col).over(w)
+    else:
+        raise ValueError(f"bad mode {mode!r}")
+    return df.withColumn(out_col, expr)
+
+
+def gap_fill_bounded(
+    df: DataFrame,
+    col: str,
+    order_col: str = "time",
+    partition_by: str | Sequence[str] | None = None,
+    fill_any_max: float | None = 0.1,
+    fill_equal_max: float | None = 15.0,
+    flag_col: str | None = None,
+) -> DataFrame:
+    """Bounded gap-fill with flank-equality (SURVEY W6; reference
+    `generate_composite_quadrant_videos.py:129-157`).
+
+    Null runs in ``col`` are filled with the previous non-null value when:
+    - the surrounding non-null timestamps are <= ``fill_any_max`` seconds apart
+      (reference: always fill <= 100 ms), OR
+    - they are <= ``fill_equal_max`` seconds apart AND the flanking values are
+      EQUAL (reference: fill <= 15 s iff flanking cameras equal, else raise).
+
+    Longer / unequal-flank runs stay null; pass ``flag_col`` to get a boolean
+    marking those rows (the caller decides whether to raise, mirroring the
+    reference's hard failure)."""
+    pb = _as_list(partition_by)
+    wb = W.partitionBy(*pb).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    wf = W.partitionBy(*pb).orderBy(order_col).rowsBetween(1, W.unboundedFollowing)
+    t = _seconds(df, order_col)
+    prev_v = F.last(col, ignorenulls=True).over(wb)
+    next_v = F.first(col, ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(F.col(col).isNotNull(), t), ignorenulls=True).over(wb)
+    next_t = F.first(F.when(F.col(col).isNotNull(), t), ignorenulls=True).over(wf)
+    run_span = next_t - prev_t
+    fillable = F.lit(False)
+    if fill_any_max is not None:
+        fillable = fillable | (run_span <= fill_any_max)
+    if fill_equal_max is not None:
+        fillable = fillable | ((run_span <= fill_equal_max) & (prev_v == next_v))
+    fillable = fillable & prev_v.isNotNull() & next_v.isNotNull()
+    is_null = F.col(col).isNull()
+    out = df.withColumn(col, F.when(is_null & fillable, prev_v).otherwise(F.col(col)))
+    if flag_col is not None:
+        out = out.withColumn(flag_col, is_null & ~F.coalesce(fillable, F.lit(False)))
+    return out
+
+
+def state_changes(
+    df: DataFrame,
+    col: str,
+    order_col: str = "time",
+    partition_by: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Keep only rows where ``col`` differs from the previous row (SURVEY W5;
+    reference `social_behaviour_detection.py:831` ``state.ne(state.shift())``)."""
+    pb = _as_list(partition_by)
+    w = W.partitionBy(*pb).orderBy(order_col)
+    prev = F.lag(col).over(w)
+    return (
+        df.withColumn("__prev", prev)
+        .where(F.col("__prev").isNull() | (F.col(col) != F.col("__prev")))
+        .drop("__prev")
+    )
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Deterministic dedup: first row per key by ``order_col`` (SURVEY P6;
+    reference `~index.duplicated(keep='first')`)."""
+    ks = _as_list(keys)
+    w = W.partitionBy(*ks).orderBy(order_col, *tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def top1_per_group(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    order_by: Column | Sequence[Column],
+) -> DataFrame:
+    """argmin/argmax per group via row_number (SURVEY W12)."""
+    ks = _as_list(keys)
+    obs = [order_by] if isinstance(order_by, Column) else list(order_by)
+    w = W.partitionBy(*ks).orderBy(*obs)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def mode_per_group(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    value_col: str,
+    out_col: str = "mode",
+) -> DataFrame:
+    """Most frequent value per group, ties broken by smallest value (SURVEY A6;
+    reference quadrant tie-breaking `generate_composite_quadrant_videos.py:319-325`)."""
+    ks = _as_list(keys)
+    counted = df.groupBy(*ks, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w = W.partitionBy(*ks).orderBy(F.col("__cnt").desc(), F.col(value_col).asc())
+    return (
+        counted.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(*ks, F.col(value_col).alias(out_col))
+    )

@@ -1,0 +1,182 @@
+"""Temporal operator kit vs pandas oracles (SURVEY §5: differential tests)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.operators import temporal as Tm
+
+
+def _ts(sec):
+    return pd.Timestamp("2024-01-01") + pd.to_timedelta(sec, unit="s")
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+class TestAsofJoin:
+    def _frames(self, spark, rng, n_left=200, n_right=80):
+        lt = np.sort(rng.uniform(0, 100, n_left))
+        rt = np.sort(rng.uniform(0, 100, n_right))
+        left = pd.DataFrame({"time": [_ts(t) for t in lt], "lv": np.arange(n_left)})
+        right = pd.DataFrame({"time": [_ts(t) for t in rt], "rv": np.arange(n_right) * 10.0})
+        return left, right, spark.createDataFrame(left), spark.createDataFrame(right)
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    @pytest.mark.parametrize("tolerance", [None, 0.5])
+    def test_matches_pandas_merge_asof(self, spark, rng, direction, tolerance):
+        lpd, rpd, lsp, rsp = self._frames(spark, rng)
+        got = (
+            Tm.asof_join(lsp, rsp, on="time", tolerance=tolerance, direction=direction)
+            .orderBy("lv")
+            .toPandas()
+        )
+        tol = pd.Timedelta(seconds=tolerance) if tolerance else None
+        exp = pd.merge_asof(lpd, rpd, on="time", direction=direction, tolerance=tol)
+        assert len(got) == len(exp)
+        pd.testing.assert_series_equal(
+            got["rv"].reset_index(drop=True), exp["rv"].reset_index(drop=True), check_names=False
+        )
+
+    def test_by_keys(self, spark, rng):
+        lt = np.sort(rng.uniform(0, 50, 120))
+        rt = np.sort(rng.uniform(0, 50, 60))
+        left = pd.DataFrame(
+            {"time": [_ts(t) for t in lt], "k": rng.integers(0, 3, 120), "lv": np.arange(120)}
+        )
+        right = pd.DataFrame(
+            {"time": [_ts(t) for t in rt], "k": rng.integers(0, 3, 60), "rv": np.arange(60) * 1.0}
+        )
+        got = (
+            Tm.asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="time",
+                by="k",
+                direction="backward",
+            )
+            .orderBy("lv")
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            left.sort_values("time"), right.sort_values("time"), on="time", by="k"
+        ).sort_values("lv")
+        pd.testing.assert_series_equal(
+            got["rv"].reset_index(drop=True), exp["rv"].reset_index(drop=True), check_names=False
+        )
+
+    def test_name_collision_suffix(self, spark, rng):
+        _, _, lsp, rsp = self._frames(spark, rng, 10, 5)
+        rsp2 = rsp.withColumnRenamed("rv", "lv")
+        out = Tm.asof_join(lsp, rsp2, on="time")
+        assert "lv_right" in out.columns and "lv" in out.columns
+
+
+class TestSessionize:
+    def test_frame_gap_sessions(self, spark):
+        # gaps > 20 split; sessions with <= 3 rows dropped (reference gap 20 / min 15 shape)
+        frames = [0, 1, 2, 3, 50, 51, 100, 101, 102, 103, 104]
+        df = spark.createDataFrame(pd.DataFrame({"frame_id": frames}))
+        out = Tm.sessionize(df, "frame_id", gap=20, min_size=3).toPandas()
+        sessions = out.groupby("session_id")["frame_id"].agg(["min", "max", "count"])
+        assert len(sessions) == 2  # [0..3] and [100..104]; [50,51] dropped
+        assert set(sessions["count"]) == {4, 5}
+
+    def test_no_intra_session_gap_property(self, spark, rng):
+        vals = np.unique(rng.integers(0, 1000, 300))
+        df = spark.createDataFrame(pd.DataFrame({"frame_id": [int(v) for v in vals]}))
+        out = Tm.sessionize(df, "frame_id", gap=10).toPandas().sort_values("frame_id")
+        for _, grp in out.groupby("session_id"):
+            assert grp["frame_id"].diff().dropna().max() <= 10 if len(grp) > 1 else True
+        # consecutive sessions separated by > gap
+        bounds = out.groupby("session_id")["frame_id"].agg(["min", "max"]).sort_values("min")
+        gaps = bounds["min"].values[1:] - bounds["max"].values[:-1]
+        assert (gaps > 10).all()
+
+    def test_timestamp_gap(self, spark):
+        times = [_ts(s) for s in [0, 0.02, 0.04, 5.0, 5.02]]
+        df = spark.createDataFrame(pd.DataFrame({"time": times}))
+        out = Tm.sessionize(df, "time", gap=1.0).toPandas()
+        assert out["session_id"].nunique() == 2
+
+
+class TestIntervalFilter:
+    def test_semi_and_anti(self, spark):
+        data = pd.DataFrame({"time": [_ts(s) for s in range(10)], "v": range(10)})
+        iv = pd.DataFrame({"start": [_ts(2), _ts(7)], "end": [_ts(4), _ts(8)]})
+        df, ivdf = spark.createDataFrame(data), spark.createDataFrame(iv)
+        inside = Tm.interval_filter(df, ivdf, mode="semi").toPandas()["v"].tolist()
+        outside = Tm.interval_filter(df, ivdf, mode="anti").toPandas()["v"].tolist()
+        assert sorted(inside) == [2, 3, 4, 7, 8]
+        assert sorted(outside) == [0, 1, 5, 6, 9]
+
+
+class TestFills:
+    def test_ffill_matches_pandas(self, spark, rng):
+        v = rng.uniform(0, 1, 50)
+        v[rng.random(50) < 0.4] = np.nan
+        df = pd.DataFrame({"time": [_ts(i) for i in range(50)], "v": v})
+        got = Tm.ffill(spark.createDataFrame(df), "v", "time").orderBy("time").toPandas()
+        exp = df["v"].ffill()
+        np.testing.assert_allclose(got["v"].values, exp.values)
+
+    def test_rolling_mean_zero_pad_matches_convolve(self, spark, rng):
+        v = rng.uniform(0, 10, 40)
+        df = pd.DataFrame({"time": [_ts(i) for i in range(40)], "v": v})
+        got = (
+            Tm.rolling_mean(spark.createDataFrame(df), "v", "sm", "time", before=5, after=4)
+            .orderBy("time")
+            .toPandas()
+        )
+        exp = np.convolve(v, np.ones(10) / 10, mode="same")
+        np.testing.assert_allclose(got["sm"].values, exp, rtol=1e-9)
+
+    def test_gap_fill_bounded(self, spark):
+        # run of 2 nulls flanked by equal values within 15s → filled;
+        # run flanked by different values and > fill_any span → left null
+        t = [_ts(s) for s in [0, 1, 2, 3, 4, 20, 21, 22]]
+        v = ["A", None, None, "A", "B", None, None, "C"]
+        df = spark.createDataFrame(pd.DataFrame({"time": t, "v": v}))
+        out = (
+            Tm.gap_fill_bounded(df, "v", "time", fill_any_max=0.1, fill_equal_max=15.0, flag_col="bad")
+            .orderBy("time")
+            .toPandas()
+        )
+        assert out["v"].tolist() == ["A", "A", "A", "A", "B", None, None, "C"]
+        assert out["bad"].tolist() == [False, False, False, False, False, True, True, False]
+
+
+class TestMisc:
+    def test_state_changes(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"time": [_ts(i) for i in range(6)], "s": ["E", "E", "M", "M", "E", "E"]}
+            )
+        )
+        out = Tm.state_changes(df, "s", "time").orderBy("time").toPandas()
+        assert out["s"].tolist() == ["E", "M", "E"]
+
+    def test_dedup_keep_first(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"k": [1, 1, 2], "t": [5, 3, 1], "v": ["a", "b", "c"]})
+        )
+        out = Tm.dedup_keep_first(df, "k", "t").orderBy("k").toPandas()
+        assert out["v"].tolist() == ["b", "c"]
+
+    def test_mode_per_group(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame({"g": [1, 1, 1, 2, 2], "v": ["x", "x", "y", "z", "w"]})
+        )
+        out = Tm.mode_per_group(df, "g", "v").orderBy("g").toPandas()
+        assert out["mode"].tolist() == ["x", "w"]  # tie in g=2 → smallest value
+
+    def test_resample_ticks(self, spark):
+        base = spark.range(1)
+        out = Tm.resample_ticks(base, "2024-01-01 00:00:00", "2024-01-01 00:00:01", 20_000)
+        ticks = out.toPandas()["tick"]
+        assert len(ticks) == 51  # inclusive 1s span at 20ms
+        deltas = ticks.diff().dropna().dt.total_seconds().unique()
+        np.testing.assert_allclose(deltas, [0.02])
