@@ -1,10 +1,10 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry/queries/oracle_sql for the PySpark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is implemented Spark-first in
+``aeon_sleap_processing_spark`` (see SURVEY.md §2 operator tags in docstrings);
+each ``oracle_sql()`` entry is the same computation in DuckDB SQL over the
+pre-registered views. Column names and rounding match exactly on both sides so
+the driver's order-insensitive value-hash comparison is deterministic.
 """
 
 from __future__ import annotations
@@ -13,26 +13,552 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aeon_sleap_processing_spark.operators import similarity as sim
+from aeon_sleap_processing_spark.operators import text as tx
+from aeon_sleap_processing_spark.plans import events_plans as ep
+from aeon_sleap_processing_spark.plans import relational as rel
+from aeon_sleap_processing_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+_MD5L = "(('0x' || substr(md5({s}), 1, 8))::UBIGINT)::BIGINT"
+_WORDS = r"string_split_regex(trim(text), '\s+')"
+_STOPS = "('the','and','with','of','to','a','in','is')"
+
+
+def _md5l(s: str) -> str:
+    return _MD5L.format(s=s)
+
+
+def _shingles_sql(k: int) -> str:
+    return (
+        f"[array_to_string(words[i:i+{k - 1}], ' ') "
+        f"FOR i IN generate_series(1, greatest(len(words)-{k - 1}, 0))]"
+    )
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"SUM(((h >> {b}) & 1) * 2 - 1) AS s{b}" for b in range(bits)
+    )
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id, unnest({_WORDS}) AS word FROM documents
+        ),
+        h AS (SELECT doc_id, {_md5l('word')} AS h FROM w),
+        b AS (SELECT doc_id, {sums} FROM h GROUP BY doc_id)
+        SELECT doc_id, ({combine})::BIGINT AS simhash FROM b
+    """
+
+
+def _minhash_sig_cte(num_perm: int = 8, k: int = 3) -> str:
+    mh = ", ".join(
+        "list_min(list_transform(shingles, sg -> "
+        + _md5l(f"'{j}|' || sg")
+        + f")) AS mh{j}"
+        for j in range(num_perm)
+    )
+    return f"""
+        t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        s AS (SELECT doc_id, {_shingles_sql(k)} AS shingles FROM t),
+        sig AS (SELECT doc_id, {mh} FROM s)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Spark-side wrappers for text/similarity (plans modules cover the rest)
+# ---------------------------------------------------------------------------
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.text_stats(load_table(spark, "documents", sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.lang_id(load_table(spark, "documents", sf_dir))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.doc_fingerprint(load_table(spark, "documents", sf_dir), k=5)
+
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+def _q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.minhash_signature(load_table(spark, "documents", sf_dir), num_perm=8, shingle_k=3)
+
+
+def _q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = tx.minhash_signature(load_table(spark, "documents", sf_dir), num_perm=8, shingle_k=3)
+    return tx.lsh_buckets(sigs, num_perm=8, band_size=2)
+
+
+def _q_jaccard_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.jaccard_top_pairs(load_table(spark, "documents", sf_dir), shingle_k=3, top_n=20)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.simhash(load_table(spark, "documents", sf_dir), bits=32)
+
+
+def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    return sim.knn_bruteforce(emb, queries, k=5)
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # seeded hyperplanes; approximate → no SQL oracle (rows-only check)
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((6, 64)).tolist()
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    return sim.knn_lsh(emb, queries, planes, k=5)
+
+
+def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_stats(load_table(spark, "embeddings", sf_dir))
+
+
+def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column plumbing (multimodal pattern): byte length + digest."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+        F.hex(F.encode(F.substring("text", 1, 8), "UTF-8")).alias("head_hex"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: as-of join of the events stream to the orders table plus
+    per-user rollup — the reference's core align-streams-on-time pattern (J2)."""
+    return ep.q_asof_join(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational core (SURVEY §2.2–§2.4) -------------------------
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier": rel.q5_local_supplier_volume,
+        "q_market_segment_stats": rel.q_market_segment_stats,
+        "q_order_priority_check": rel.q_order_priority_check,
+        "q_top_customers": rel.q_top_customers,
+        "q_part_type_stats": rel.q_part_type_stats,
+        "q_nation_orders": rel.q_nation_orders,
+        "q_customer_order_rank": rel.q_customer_order_rank,
+        "q_lineitem_dedup": rel.q_lineitem_dedup,
+        # --- temporal/window (SURVEY §2.6) ------------------------------
+        "q_sessionize": ep.q_sessionize,
+        "q_asof_join": ep.q_asof_join,
+        "q_interval_filter": ep.q_interval_filter,
+        "q_lag_rate": ep.q_lag_rate,
+        "q_ffill": ep.q_ffill,
+        "q_rolling_mean": ep.q_rolling_mean,
+        "q_state_transitions": ep.q_state_transitions,
+        "q_hourly_rollup": ep.q_hourly_rollup,
+        "q_histogram_2d": ep.q_histogram_2d,
+        "q_mode_event_type": ep.q_mode_event_type,
+        "q_json_props": ep.q_json_props,
+        "q_dedup_first": ep.q_dedup_first,
+        "q_sampling": ep.q_sampling,
+        # --- text analysis / dedup (training-data pipeline) -------------
+        "q_text_stats": _q_text_stats,
+        "q_lang_id": _q_lang_id,
+        "q_doc_fingerprint": _q_doc_fingerprint,
+        "q_exact_dedup": _q_exact_dedup,
+        "q_minhash_signature": _q_minhash_signature,
+        "q_lsh_buckets": _q_lsh_buckets,
+        "q_jaccard_top_pairs": _q_jaccard_top_pairs,
+        "q_simhash": _q_simhash,
+        # --- similarity search / multimodal -----------------------------
+        "q_knn_bruteforce": _q_knn_bruteforce,
+        "q_knn_lsh": _q_knn_lsh,
+        "q_embedding_stats": _q_embedding_stats,
+        "q_binary_meta": _q_binary_meta,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, l_orderkey ASC
+            LIMIT 10
+        """,
+        "q5_local_supplier": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name
+        """,
+        "q_market_segment_stats": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_acctbal,
+                   round(min(c_acctbal), 2) AS min_acctbal,
+                   round(max(c_acctbal), 2) AS max_acctbal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "q_order_priority_check": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1996-06-01'
+              )
+            GROUP BY o_orderpriority
+        """,
+        "q_top_customers": """
+            SELECT c_custkey, c_name,
+                   round(sum(o_totalprice), 2) AS total_spent,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_name
+            ORDER BY total_spent DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q_part_type_stats": """
+            SELECT p_type, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price,
+                   round(avg(p_size), 4) AS avg_size
+            FROM part GROUP BY p_type
+        """,
+        "q_nation_orders": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_value
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_customer_order_rank": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ) AS rnk
+              FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "q_lineitem_dedup": """
+            SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey, l_partkey
+                ORDER BY l_linenumber, l_quantity, l_extendedprice, l_returnflag
+              ) AS rn FROM lineitem
+            ) WHERE rn = 1
+            GROUP BY l_returnflag
+        """,
+        "q_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 1800
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id, ts, value,
+                sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                )::BIGINT AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   round(sum(value), 4) AS session_value
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "q_asof_join": """
+            WITH od AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey
+                ) AS rn FROM orders
+              ) WHERE rn = 1
+            )
+            SELECT user_id, count(*) AS n_events,
+                   count(o_orderkey) AS n_matched,
+                   count(DISTINCT o_orderkey) AS n_distinct_orders,
+                   round(sum(o_totalprice), 2) AS sum_matched_price
+            FROM events e
+            ASOF LEFT JOIN od o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            GROUP BY user_id
+        """,
+        "q_interval_filter": """
+            WITH iv AS (
+              SELECT DISTINCT date_trunc('hour', ts) AS ivs,
+                     date_trunc('hour', ts) + INTERVAL 1 HOUR AS ive
+              FROM events WHERE event_type = 'error'
+            )
+            SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events e
+            WHERE EXISTS (SELECT 1 FROM iv WHERE e.ts >= iv.ivs AND e.ts <= iv.ive)
+            GROUP BY event_type
+        """,
+        "q_lag_rate": """
+            WITH d AS (
+              SELECT user_id,
+                     value - lag(value) OVER w AS dv,
+                     (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 AS dt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_steps, round(avg(dv / dt), 6) AS avg_rate
+            FROM d WHERE dv IS NOT NULL GROUP BY user_id
+        """,
+        "q_ffill": """
+            WITH f AS (
+              SELECT user_id,
+                last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS last_purchase
+              FROM events
+            )
+            SELECT user_id, count(last_purchase) AS n_filled,
+                   round(sum(last_purchase), 4) AS sum_filled
+            FROM f GROUP BY user_id
+        """,
+        "q_rolling_mean": """
+            WITH r AS (
+              SELECT user_id,
+                avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS sm
+              FROM events
+            )
+            SELECT user_id, round(avg(sm), 6) AS avg_smoothed,
+                   round(max(sm), 6) AS max_smoothed
+            FROM r GROUP BY user_id
+        """,
+        "q_state_transitions": """
+            WITH t AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type, count(*) AS n_transitions
+            FROM t
+            WHERE prev_type IS NOT NULL AND prev_type <> event_type
+            GROUP BY prev_type, event_type
+        """,
+        "q_hourly_rollup": """
+            SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY date_trunc('hour', ts)
+        """,
+        "q_histogram_2d": """
+            SELECT least(floor(value / 10.0), 9)::INT AS value_bin,
+                   extract(hour FROM ts)::INT AS hour_of_day,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        """,
+        "q_mode_event_type": """
+            SELECT user_id, event_type AS top_type, cnt AS n FROM (
+              SELECT user_id, event_type, count(*) AS cnt,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC
+                     ) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   count(json_extract_string(props, '$.k')) AS n,
+                   sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                   round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+            FROM events GROUP BY event_type
+        """,
+        "q_dedup_first": """
+            SELECT event_type, count(*) AS n_first,
+                   round(sum(value), 4) AS sum_first_value
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id
+              ) AS rn FROM events
+            ) WHERE rn = 1
+            GROUP BY event_type
+        """,
+        "q_sampling": f"""
+            SELECT event_type, count(*) AS n_sampled, round(sum(value), 4) AS sum_value
+            FROM events
+            WHERE (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::UBIGINT)::BIGINT % 10 = 0
+            GROUP BY event_type
+        """,
+        "q_text_stats": f"""
+            WITH t AS (SELECT doc_id, text, {_WORDS} AS words FROM documents)
+            SELECT doc_id,
+              len(words) AS n_tokens,
+              length(text) AS n_chars,
+              round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                    / length(text), 6) AS punct_ratio,
+              round(len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE
+                    / len(words), 6) AS stop_ratio,
+              round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                    / len(words), 6) AS avg_token_len,
+              round(0.4 * least(1.0, len(words)::DOUBLE / 100.0)
+                    + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text))
+                    + 0.3 * (len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE / len(words)),
+                    6) AS quality_score
+            FROM t
+        """,
+        "q_lang_id": """
+            WITH t AS (SELECT doc_id, lang, text,
+                              string_split_regex(trim(text), '\\s+') AS words
+                       FROM documents),
+            s AS (
+              SELECT doc_id, lang,
+                length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk,
+                len(list_filter(words, w -> w IN ('und','der','nicht','das','ist'))) AS s_de,
+                len(list_filter(words, w -> w IN ('the','and','with','of','is'))) AS s_en,
+                len(list_filter(words, w -> w IN ('y','para','como','los','que'))) AS s_es,
+                len(list_filter(words, w -> w IN ('et','dans','pour','les','une'))) AS s_fr
+              FROM t
+            )
+            SELECT doc_id, lang AS true_lang,
+              CASE WHEN cjk > 0 THEN 'zh'
+                   WHEN s_de >= greatest(s_en, s_es, s_fr) THEN 'de'
+                   WHEN s_en >= greatest(s_es, s_fr) THEN 'en'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang
+            FROM s
+        """,
+        "q_doc_fingerprint": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            s AS (SELECT doc_id, {_shingles_sql(5)} AS shingles FROM t)
+            SELECT doc_id,
+                   list_min(list_transform(shingles, sg -> {_md5l("sg")})) AS fingerprint
+            FROM s
+        """,
+        "q_exact_dedup": """
+            SELECT min(doc_id) AS doc_id, md5(lower(trim(text))) AS text_hash,
+                   count(*) AS n_copies
+            FROM documents GROUP BY md5(lower(trim(text)))
+        """,
+        "q_minhash_signature": f"""
+            WITH {_minhash_sig_cte(8, 3)}
+            SELECT * FROM sig
+        """,
+        "q_lsh_buckets": f"""
+            WITH {_minhash_sig_cte(8, 3)},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS band_hash FROM sig
+              UNION ALL
+              SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+              UNION ALL
+              SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+            )
+            SELECT band, band_hash, count(*) AS n_docs,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM bands GROUP BY band, band_hash HAVING count(*) >= 2
+        """,
+        "q_jaccard_top_pairs": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            sh AS (
+              SELECT doc_id AS doc,
+                     unnest(list_distinct({_shingles_sql(3)})) AS shingle
+              FROM t
+            ),
+            sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+            inter AS (
+              SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+              GROUP BY a.doc, b.doc
+            )
+            SELECT doc_a, doc_b,
+                   round(n_inter::DOUBLE / (sa.n + sb.n - n_inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc = doc_a
+            JOIN sizes sb ON sb.doc = doc_b
+            ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+            LIMIT 20
+        """,
+        "q_simhash": _simhash_sql(32),
+        "q_knn_bruteforce": """
+            WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+            sims AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     round(list_inner_product(q.v, c.v)
+                           / (sqrt(list_inner_product(q.v, q.v))
+                              * sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
+              FROM q JOIN c ON q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, cosine, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+              ) AS rank FROM sims
+            ) WHERE rank <= 5
+        """,
+        "q_embedding_stats": """
+            SELECT label, count(*) AS n_vectors,
+                   round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+            FROM embeddings GROUP BY label
+        """,
+        "q_binary_meta": """
+            SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS digest,
+                   hex(substr(text, 1, 8)::BLOB) AS head_hex
+            FROM documents
+        """,
+    }

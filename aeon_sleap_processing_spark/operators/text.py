@@ -1,0 +1,294 @@
+"""Text-analysis + dedup operators over a documents table (100 TB pipeline kit).
+
+All hashing is md5-based (available and bit-identical in Spark and DuckDB) so
+every operator has an exact SQL oracle. The LLM-data-pipeline surface:
+
+- ``text_stats``        — token count, punct/stopword ratios, quality score
+- ``lang_id``           — n-gram/marker-word heuristic language ID
+- ``doc_fingerprint``   — min-hash-of-shingles document fingerprint
+- ``exact_dedup``       — normalized-text hash dedup, keep lowest doc_id
+- ``minhash_signature`` — k-permutation MinHash over word shingles
+- ``lsh_buckets``       — banded LSH buckets (near-dup candidate discovery)
+- ``jaccard_top_pairs`` — exact n-gram Jaccard via inverted-index self-join
+- ``simhash``           — 32-bit SimHash from per-word hashes
+
+Scale notes: everything is expressed as explode → hash → groupBy/join — all
+shuffle-parallel by doc_id or shingle. The jaccard self-join is the classic
+inverted-index pattern: pairs are generated per shingle (bounded by shingle
+frequency), never a cartesian product. At 100 TB you'd additionally cap hot
+shingles (drop shingles with document frequency > threshold) — exposed via
+``max_shingle_df``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from .util import ensure_min_parallelism
+
+__all__ = [
+    "tokenize",
+    "md5_long",
+    "text_stats",
+    "lang_id",
+    "doc_fingerprint",
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_buckets",
+    "jaccard_top_pairs",
+    "simhash",
+]
+
+EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
+LANG_MARKERS = {
+    "de": ("und", "der", "nicht", "das", "ist"),
+    "en": ("the", "and", "with", "of", "is"),
+    "es": ("y", "para", "como", "los", "que"),
+    "fr": ("et", "dans", "pour", "les", "une"),
+}
+CJK_RANGE = "一-鿿"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokenization — identical to the oracle's string_split_regex."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def md5_long(col: Column) -> Column:
+    """Deterministic 32-bit hash as long: first 8 hex chars of md5.
+
+    Chosen over xxhash64/crc32 because md5 is bit-identical in DuckDB, letting
+    every hash-based operator have an exact SQL oracle."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def _word_in(words: Column, vocab: tuple[str, ...]) -> Column:
+    def pred(w: Column) -> Column:
+        c = F.lit(False)
+        for v in vocab:
+            c = c | (w == v)
+        return c
+
+    return F.size(F.filter(words, pred))
+
+
+def _shingles(words: Column, k: int) -> Column:
+    """Overlapping k-word shingles joined by spaces; empty when < k words."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(
+        n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics (token count, punctuation/stopword ratios,
+    composite quality score). Pure column expressions — whole-stage codegen."""
+    words = tokenize(F.col(text_col))
+    n_tokens = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    punct_count = F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+    punct_ratio = punct_count.cast("double") / n_chars
+    stop_ratio = _word_in(words, EN_STOPWORDS).cast("double") / n_tokens
+    tok_len_sum = F.aggregate(
+        F.transform(words, F.length), F.lit(0), lambda acc, x: acc + x
+    )
+    quality = (
+        F.lit(0.4) * F.least(F.lit(1.0), n_tokens.cast("double") / 100.0)
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * stop_ratio
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(tok_len_sum.cast("double") / n_tokens, 6).alias("avg_token_len"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Marker-word language ID with CJK-codepoint shortcut; deterministic
+    alphabetical tie-break (de < en < es < fr)."""
+    words = tokenize(F.col(text_col))
+    cjk = F.length(F.regexp_replace(F.col(text_col), f"[^{CJK_RANGE}]", ""))
+    s = {lang: _word_in(words, mk) for lang, mk in LANG_MARKERS.items()}
+    pred = (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(s["de"] >= F.greatest(s["en"], s["es"], s["fr"]), F.lit("de"))
+        .when(s["en"] >= F.greatest(s["es"], s["fr"]), F.lit("en"))
+        .when(s["es"] >= s["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return docs.select(F.col(id_col), F.col("lang").alias("true_lang"), pred.alias("pred_lang"))
+
+
+def doc_fingerprint(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 5
+) -> DataFrame:
+    """Rolling-hash document fingerprint: min hash over k-word shingles."""
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    # explode → hash → groupBy-min: the per-shingle hash runs inside
+    # whole-stage codegen (array lambdas would be interpreted, ~10x slower)
+    rows = base.select(
+        F.col(id_col), F.explode(_shingles(tokenize(F.col(text_col)), k)).alias("__sg")
+    )
+    return rows.groupBy(id_col).agg(F.min(md5_long(F.col("__sg"))).alias("fingerprint"))
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup on normalized text hash; representative = lowest doc_id.
+
+    Returns one row per distinct text: (doc_id, text_hash, n_copies)."""
+    h = F.md5(F.lower(F.trim(F.col(text_col))))
+    hashed = docs.select(F.col(id_col), h.alias("text_hash"))
+    w = W.partitionBy("text_hash").orderBy(id_col)
+    return (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_copies", F.count(F.lit(1)).over(W.partitionBy("text_hash")))
+        .where(F.col("rn") == 1)
+        .select(id_col, "text_hash", "n_copies")
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature: num_perm independent salted min-hashes over k-word
+    shingles. Stays array-side (no explode) — one narrow projection, no shuffle."""
+    # explode → num_perm codegen'd hash exprs → one map-side-combinable
+    # groupBy with num_perm MIN aggregates. Array-lambda minhashing would run
+    # interpreted (no whole-stage codegen) — ~10x slower per shingle.
+    # Caveat: documents with fewer than shingle_k words produce no rows and
+    # drop out (the SQL oracle's list_min returns a NULL row instead).
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    rows = base.select(
+        F.col(id_col), F.explode(_shingles(tokenize(F.col(text_col)), shingle_k)).alias("__sg")
+    )
+    aggs = [
+        F.min(md5_long(F.concat(F.lit(f"{j}|"), F.col("__sg")))).alias(f"mh{j}")
+        for j in range(num_perm)
+    ]
+    return rows.groupBy(id_col).agg(*aggs)
+
+
+def lsh_buckets(
+    sigs: DataFrame, id_col: str = "doc_id", num_perm: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Banded LSH over a MinHash signature: docs sharing a band-hash are
+    near-dup candidates. Returns buckets with >= 2 docs:
+    (band, band_hash, n_docs, min_doc, max_doc)."""
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col(f"mh{b * band_size + i}").cast("string")
+                            for i in range(band_size)
+                        ],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    return (
+        exploded.groupBy("band", "band_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("min_doc"),
+            F.max(id_col).alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def jaccard_top_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    top_n: int = 20,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index self-join.
+
+    Candidate pairs come only from shared shingles (never cartesian);
+    ``max_shingle_df`` drops hot shingles, the standard scale cap."""
+    sh = ensure_min_parallelism(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(_shingles(tokenize(F.col(text_col)), shingle_k))).alias(
+            "shingle"
+        ),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.orderBy(F.col("jaccard").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()).limit(
+        top_n
+    )
+
+
+def simhash(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """SimHash: per-word hashes vote ±1 on each bit; sign of each bit-sum forms
+    the signature. explode → 1 hash → groupBy with ``bits`` conditional sums —
+    a single map-side-combinable aggregation."""
+    words = ensure_min_parallelism(docs.select(id_col, text_col), id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+    ).withColumn("h", md5_long(F.col("word")))
+    sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = words.groupBy(id_col).agg(*sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))

@@ -1,0 +1,229 @@
+"""Temporal/window query surface over the ``events`` stream table.
+
+These re-express the reference's window/sequence operator inventory (SURVEY
+§2.6) on the driver's generic events table so each has a DuckDB oracle:
+sessionization (W4), as-of join (J2/W11), interval filter (J3), lag/diff (W2),
+forward-fill (W3), rolling mean (M7), state-change detection (W5), time
+truncation (M10), 2-D histogram (A7), mode (A6), JSON access (M14).
+
+All are single-shuffle window plans partitioned by ``user_id`` — at 100 TB the
+user key distributes the sort; no global ordering is ever required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..operators.temporal import asof_join, interval_filter, sessionize
+from ..sources.catalog import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization per user (30 min gap), session summary rows."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "ts", gap=1800.0, partition_by="user_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J2): each event ← most recent order of the same user at or
+    before the event time; per-user rollup of the matches."""
+    ev = _events(spark, sf_dir).withColumnRenamed("ts", "etime")
+    od = load_table(spark, "orders", sf_dir).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("etime"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    # dedupe equal-timestamp orders per user so the as-of pick is deterministic
+    wd = W.partitionBy("user_id", "etime").orderBy("o_orderkey")
+    od = od.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1).drop("rn")
+    j = asof_join(ev, od, on="etime", by="user_id", direction="backward")
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("o_orderkey").alias("n_matched"),
+        F.countDistinct("o_orderkey").alias("n_distinct_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_matched_price"),
+    )
+
+
+def q_interval_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval semi-join filter (J3, the maintenance-exclusion pattern):
+    keep events inside ±1 h of any error event's hour, count per type."""
+    ev = _events(spark, sf_dir)
+    intervals = (
+        ev.where(F.col("event_type") == "error")
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("start"),
+            (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 1 HOUR")).alias("end"),
+        )
+        .distinct()
+    )
+    kept = interval_filter(ev, intervals, time_col="ts", mode="semi")
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_lag_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag/diff → rate (W2/M6, the speed pattern): per-user mean of
+    Δvalue/Δt over consecutive events."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dv = F.col("value") - F.lag("value").over(w)
+    dt = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    return (
+        ev.withColumn("rate", dv / dt)
+        .where(F.col("rate").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(F.avg("rate"), 6).alias("avg_rate"),
+        )
+    )
+
+
+def q_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (W3): carry the last purchase value forward per user,
+    then sum it over all events."""
+    ev = _events(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    filled = F.last(purchase_val, ignorenulls=True).over(w)
+    return (
+        ev.withColumn("last_purchase", filled)
+        .groupBy("user_id")
+        .agg(
+            F.count("last_purchase").alias("n_filled"),
+            F.round(F.sum("last_purchase"), 4).alias("sum_filled"),
+        )
+    )
+
+
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling mean (M7) per user over 5 rows, rolled up."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return (
+        ev.withColumn("sm", F.avg("value").over(w))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.avg("sm"), 6).alias("avg_smoothed"),
+            F.round(F.max("sm"), 6).alias("max_smoothed"),
+        )
+    )
+
+
+def q_state_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-change detection (W5): count event_type transitions per user."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        ev.withColumn("prev_type", prev)
+        .where(F.col("prev_type").isNotNull() & (F.col("prev_type") != F.col("event_type")))
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
+def q_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time truncation + agg (M10/A2): hourly event counts and value sums."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (A7, the binned_statistic_2d pattern): value decile ×
+    hour-of-day counts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("value_bin", F.least(F.floor(F.col("value") / 10.0), F.lit(9)).cast("int"))
+        .withColumn("hour_of_day", F.hour("ts"))
+        .groupBy("value_bin", "hour_of_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode per group with deterministic tie-break (A6)."""
+    ev = _events(spark, sf_dir)
+    counted = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("cnt").alias("n"))
+    )
+
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field access (M14): extract props.k, aggregate per event_type."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+    )
+
+
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first dedup (P6): first event per (user, type), rolled up per type."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_first"),
+            F.round(F.sum("value"), 4).alias("sum_first_value"),
+        )
+    )
+
+
+def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (P11): hash-based 10% per event_type.
+
+    Uses md5-derived selection (not Spark's RNG sampler) so the oracle can
+    reproduce the exact same subset."""
+    ev = _events(spark, sf_dir)
+    bucket = F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 4), 16, 10).cast(
+        "long"
+    )
+    return (
+        ev.where(bucket % 10 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,198 @@
+"""Generic relational query surface over the TPC-H-ish star schema (TESTDATA.md).
+
+The reference's analyses are bespoke pipelines, but the engine must expose a
+general DataFrame/SQL surface (SURVEY §0 consequence, §2.4 note). These plans
+exercise hash aggregation, multi-way joins, semi joins, window top-k — all
+native Catalyst; broadcast hints are applied where a dimension side is
+guaranteed small (region/nation/supplier scale with SF but stay tiny).
+
+Every computed column is aliased to match the DuckDB oracle SQL in
+``__spark_entry__.py``; float aggregates are rounded to fixed decimals so the
+driver's value-hash comparison is immune to summation-order ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: big scan + hash agg, fully pushdown-friendly."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-heavy top-k: customer ⋈ orders ⋈ lineitem, revenue top-10."""
+    cust = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with two broadcast dims, agg by nation."""
+    region = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, "nation", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_market_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    return cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_acctbal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_acctbal"),
+    )
+
+
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS → left-semi join, count per priority."""
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late_items = (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_shipdate") > F.lit("1996-06-01").cast("timestamp"))
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(late_items, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue top-20 customers with deterministic tie-break."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "total_spent", "n_orders")
+        .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(F.avg("p_size"), 4).alias("avg_size"),
+    )
+
+
+def q_nation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer ⋈ nation rollup — dim joins broadcast."""
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        )
+    )
+
+
+def q_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-k per group (SURVEY W12 generalized): top-3 orders per customer."""
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+    )
+
+
+def q_lineitem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (SURVEY P6): first lineitem per (orderkey, partkey) by
+    linenumber, then stable rollup."""
+    li = load_table(spark, "lineitem", sf_dir)
+    # full tiebreak: the data contains duplicate (orderkey, partkey, linenumber)
+    # rows with different payloads
+    w = W.partitionBy("l_orderkey", "l_partkey").orderBy(
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

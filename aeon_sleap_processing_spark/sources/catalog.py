@@ -43,8 +43,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     for c in _nanos_ts_columns(path):
-        # integer ns → µs truncation; the driver's data is ms-granular so exact
-        df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        # integer ns → µs truncation. MUST be integer division: ns epochs exceed
+        # 2^53, so a double divide would round the low microsecond digit.
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     # normalize TIMESTAMP_NTZ → TIMESTAMP (identity under UTC session tz) so all
     # tables share one timestamp type and casts/unions behave uniformly
     for c, dt in df.dtypes:

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark: run the engine's query surface at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_seconds", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is executed to completion (collect) after a session warm-up; the
+JVM/session start-up cost is excluded, matching how a long-lived cluster runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    import __spark_entry__ as entry_mod
+    from aeon_sleap_processing_spark.session import get_spark
+    from aeon_sleap_processing_spark.sources.catalog import TESTDATA_TABLES, load_table
+
+    spark = get_spark(app_name="aeon-spark-bench")
+
+    # warm-up: JVM codepaths + file footers, not counted
+    for t in TESTDATA_TABLES:
+        load_table(spark, t, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry_mod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

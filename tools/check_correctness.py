@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Local replica of the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and the matching ``oracle_sql()`` in
+DuckDB at sf0.01, compares row count, column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted, values normalized).
+
+Usage: python tools/check_correctness.py [query ...] [--sf-dir DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            s = pd.to_datetime(s)
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.round(9)
+        elif s.dtype == object:
+            df[c] = s.astype(str)
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.9g").encode()
+    ).hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entry_mod
+    from aeon_sleap_processing_spark.session import get_spark
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = args.names or list(qs)
+
+    spark = get_spark(app_name="check-correctness", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    n_pass = n_fail = n_weak = 0
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, args.sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "WEAK" if len(sdf) >= 0 else "FAIL"
+            print(f"{status} {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            ns, no = normalize(sdf), normalize(odf)
+            if value_hash(ns) != value_hash(no):
+                diff_cols = [
+                    c for c in ns.columns if not ns[c].equals(no[c])
+                ]
+                problems.append(f"value-hash mismatch in cols {diff_cols}")
+                mask = pd.Series(False, index=ns.index)
+                for c in diff_cols:
+                    mask |= ns[c] != no[c]
+                ex = pd.concat(
+                    [ns[mask].head(3).add_suffix("_spark"), no[mask].head(3).add_suffix("_oracle")],
+                    axis=1,
+                )
+                print(ex.to_string())
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
