@@ -23,6 +23,35 @@ import numpy as np
 __all__ = ["greedy_identity_scan", "hungarian_assign"]
 
 
+def _lsa(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """linear_sum_assignment: scipy if present, else exact permutation search
+    (valid for the small matrices this engine produces; guards size)."""
+    try:
+        from scipy.optimize import linear_sum_assignment
+
+        return linear_sum_assignment(cost)
+    except ImportError:
+        pass
+    from itertools import permutations
+
+    n_r, n_c = cost.shape
+    transposed = n_r > n_c
+    c = cost.T if transposed else cost
+    n, m = c.shape  # n <= m
+    if n > 9:
+        raise RuntimeError("scipy unavailable and matrix too large for brute force")
+    best, best_cols = np.inf, None
+    for cols in permutations(range(m), n):
+        tot = c[np.arange(n), cols].sum()
+        if tot < best:
+            best, best_cols = tot, cols
+    rows = np.arange(n)
+    cols = np.asarray(best_cols)
+    if transposed:
+        return cols, rows
+    return rows, cols
+
+
 def greedy_identity_scan(
     c0: np.ndarray, c1: np.ndarray, count_votes: bool = True
 ) -> tuple[list[int], np.ndarray]:
@@ -77,9 +106,11 @@ def hungarian_assign(
     ``feasible`` masks allowed (row, col) pairs; infeasible pairs get +inf
     cost, and assignments landing on them are dropped (mirrors the
     reference's feasibility reduction, `combine_pose_id_chunk.py:107-119`).
-    """
-    from scipy.optimize import linear_sum_assignment
 
+    Uses scipy's ``linear_sum_assignment`` when available, else an exact
+    brute-force permutation search — matrices here are at most a few mice
+    wide, so n! is tiny.
+    """
     c = cost.astype(float).copy()
     if feasible is not None:
         c[~feasible] = np.inf
@@ -90,7 +121,7 @@ def hungarian_assign(
     if sub.size == 0:
         return []
     sub[~np.isfinite(sub)] = 1e12
-    ri, ci = linear_sum_assignment(sub)
+    ri, ci = _lsa(sub)
     rows = np.where(valid_rows)[0]
     cols = np.where(valid_cols)[0]
     out = []

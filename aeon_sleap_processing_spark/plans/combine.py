@@ -1,0 +1,244 @@
+"""Pose+ID combine pipeline, Spark-first (reference
+`pose_id_combine/step2_combining_SLEAP_predictions/combine_pose_id_chunk.py`).
+
+Reference shape (SURVEY §3.2): per 1-hour chunk, build an expected tick grid
+(period 1/fps, tolerance 1/(4·fps)), slice every stream per tick, build a
+cost matrix (−identity_likelihood, feasible iff nearest-anchor distance ≤
+40 px), solve Hungarian assignment, infer the single missing pairing, then
+left-join the updates back onto the full-pose stream.
+
+Spark shape — three ideas replace the reference's machinery:
+
+1. **Tick quantization instead of per-tick window slicing**: tolerance is a
+   quarter period, so windows never overlap — each row's tick is just
+   ``round((t − start)·fps)`` kept iff |t − tick_time| ≤ tol. O(1) per row,
+   no grid join, no 180k-iteration loop.
+2. **One tall union** of the three streams (full pose / top ID / projected
+   quadrant ID) tagged by source, so a single ``groupBy`` feeds the kernel.
+3. **Per-minute ``applyInPandas``** (the reference's joblib fan-out becomes
+   Spark partitioning): each group runs the per-tick assignment loop in
+   NumPy/SciPy. ~60 groups per chunk × thousands of chunks = full cluster
+   parallelism at 100 TB.
+
+Homography projection (SURVEY M8) is a closed-form column expression with the
+3×3 matrix inlined as literals — no UDF, stays in codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.kinematics import homography_project
+from ..operators.kernels import hungarian_assign
+
+__all__ = ["combine_pose_id", "project_quadrants", "chunk_bounds"]
+
+
+def chunk_bounds(start: pd.Timestamp, fps: float) -> tuple[pd.Timestamp, pd.Timestamp, float]:
+    """1-hour chunk window + tolerance (reference `:239-241`):
+    end = start + 1h − (1/fps − tol), tol = (1/fps)/4."""
+    tol = (1.0 / fps) / 4.0
+    end = start + pd.Timedelta(hours=1) - pd.Timedelta(seconds=1.0 / fps - tol)
+    return start, end, tol
+
+
+def project_quadrants(
+    quad_streams: dict[str, DataFrame], homographies: dict[str, "np.ndarray"]
+) -> DataFrame:
+    """Project each quadrant ID stream to top-camera coordinates and union
+    (reference `:261-274`). Keeps only anchor parts."""
+    parts = []
+    for camera, df in quad_streams.items():
+        H = [[float(v) for v in row] for row in homographies[camera]]
+        px, py = homography_project(F.col("x").cast("double"), F.col("y").cast("double"), H)
+        parts.append(
+            df.withColumn("camera", F.lit(camera))
+            .withColumn("x_top", px)
+            .withColumn("y_top", py)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.where(F.col("part").contains("anchor"))
+
+
+_UPDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("time", T.TimestampType()),
+        T.StructField("skeleton_identifier", T.StringType()),
+        T.StructField("matched_identity", T.StringType()),
+        T.StructField(
+            "matched_identity_likelihood", T.MapType(T.StringType(), T.DoubleType())
+        ),
+    ]
+)
+
+
+def combine_pose_id(
+    top_pose: DataFrame,
+    top_id: DataFrame,
+    quad_id: DataFrame,
+    start: pd.Timestamp,
+    end: pd.Timestamp,
+    fps: float = 50.0,
+    tolerance: float | None = None,
+    max_distance: float = 40.0,
+) -> DataFrame:
+    """Assign identities to full-pose skeletons; returns the register-222
+    combined stream (pose schema, identity/likelihood overwritten, unmatched
+    rows dropped — reference `:185-196,319`).
+
+    ``quad_id`` must already be projected (``project_quadrants``); ``top_id``
+    and ``quad_id`` carry anchor rows with ``identity_likelihood`` maps.
+    """
+    tol = tolerance if tolerance is not None else (1.0 / fps) / 4.0
+    period_us = round(1_000_000 / fps)
+    n_ticks = math.floor((end - start).total_seconds() * fps) + 1
+    start_us = int(start.value // 1000)
+
+    # global candidate-identity set (reference `:148`: whole-chunk top-ID ids)
+    unique_ids = sorted(
+        r["identity"]
+        for r in top_id.select("identity").where(F.col("identity").isNotNull()).distinct().collect()
+    )
+
+    def with_tick(df: DataFrame) -> DataFrame:
+        t_us = F.unix_micros("time")
+        tick = F.round((t_us - F.lit(start_us)) / F.lit(period_us)).cast("long")
+        tick_us = F.lit(start_us) + tick * F.lit(period_us)
+        ok = (
+            (tick >= 0)
+            & (tick < n_ticks)
+            & (F.abs(t_us - tick_us) <= F.lit(int(tol * 1_000_000)))
+        )
+        return df.withColumn("tick", tick).where(ok)
+
+    def tall(df: DataFrame, src: str, x_col: str, y_col: str) -> DataFrame:
+        return with_tick(df).select(
+            "tick",
+            "time",
+            F.lit(src).alias("src"),
+            F.col("identity"),
+            F.col("identity_likelihood"),
+            F.col("part"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
+
+    u = (
+        tall(top_pose, "pose", "x", "y")
+        .unionByName(tall(top_id.where(F.col("part").contains("anchor")), "topid", "x", "y"))
+        .unionByName(tall(quad_id, "quad", "x_top", "y_top"))
+        .withColumn("minute", (F.col("tick") * F.lit(period_us) / F.lit(60_000_000)).cast("long"))
+    )
+
+    kernel = _make_assign_kernel(unique_ids, max_distance)
+    updates = u.groupBy("minute").applyInPandas(kernel, _UPDATE_SCHEMA)
+
+    # left equi-join updates onto the full-pose stream on (time, identity)
+    # (SURVEY J1: the update side is small relative to poses — AQE picks the
+    # strategy; null-safe equality mirrors pandas' NaN-key matching)
+    joined = top_pose.join(
+        updates,
+        (top_pose["time"] == updates["time"])
+        & (top_pose["identity"].eqNullSafe(updates["skeleton_identifier"])),
+        "left",
+    ).drop(updates["time"])
+    # In the reference, pre-combine identities are float track indices and the
+    # final `isinstance(x, float)` drop (`:319`) keeps exactly the matched
+    # rows; expressed directly as a match filter here.
+    return (
+        joined.where(F.col("matched_identity").isNotNull())
+        .withColumn("identity", F.col("matched_identity"))
+        .withColumn("identity_likelihood", F.col("matched_identity_likelihood"))
+        .drop("skeleton_identifier", "matched_identity", "matched_identity_likelihood")
+    )
+
+
+def _make_assign_kernel(unique_ids: list[str], max_distance: float):
+    """Per-minute kernel: loop this minute's ticks, replicate the reference's
+    per-tick matching (`combine_pose_id_chunk.py:35-143`) with NumPy/SciPy."""
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        out_rows: list[dict] = []
+        for tick, g in pdf.groupby("tick"):
+            pose_window = g[g.src == "pose"]
+            if pose_window.empty:
+                continue
+            uts = pose_window.time.unique()
+            pose_ts = uts[0]
+            pose_anchors = pose_window[pose_window.part.str.contains("anchor")]
+            if pose_anchors.empty:
+                raise ValueError(f"No anchor points found for tick {tick}.")
+            pose_coords = pose_anchors[["x", "y"]].to_numpy(dtype=float)
+
+            id_window = g[g.src == "quad"]
+            if id_window.empty:
+                id_window = g[g.src == "topid"]
+            if id_window.empty:
+                continue
+
+            id_coords = id_window[["x", "y"]].to_numpy(dtype=float)
+            ids_here = id_window["identity"].unique().tolist()
+            cost = np.full((len(pose_coords), len(ids_here)), np.inf)
+            cand = np.empty(cost.shape, dtype=object)
+            for j in range(len(id_coords)):
+                dists = np.sqrt(np.sum((pose_coords - id_coords[j]) ** 2, axis=1))
+                if dists.min() > max_distance:
+                    continue
+                r = int(dists.argmin())
+                c = ids_here.index(id_window.iloc[j]["identity"])
+                lik_map = id_window.iloc[j]["identity_likelihood"] or {}
+                lik = lik_map.get(id_window.iloc[j]["identity"], float("nan"))
+                cost_val = -lik
+                if cost_val < cost[r, c]:
+                    cost[r, c] = cost_val
+                    cand[r, c] = id_window.iloc[j]
+            if np.all(np.isinf(cost)):
+                continue
+
+            assigned_ids: set = set()
+            assigned_poses: set = set()
+            for r, c in hungarian_assign(cost):
+                pose_row = pose_anchors.iloc[r]
+                id_row = cand[r, c]
+                assigned_ids.add(id_row["identity"])
+                assigned_poses.add(pose_row["identity"])
+                out_rows.append(
+                    {
+                        "time": pose_ts,
+                        "skeleton_identifier": pose_row["identity"],
+                        "matched_identity": id_row["identity"],
+                        "matched_identity_likelihood": dict(id_row["identity_likelihood"] or {}),
+                    }
+                )
+            # single-missing-pairing inference (reference `:137-141`)
+            missing = set(unique_ids) - assigned_ids
+            unassigned = set(pose_anchors["identity"]) - assigned_poses
+            if len(missing) == 1 and len(unassigned) == 1:
+                out_rows.append(
+                    {
+                        "time": pose_ts,
+                        "skeleton_identifier": next(iter(unassigned)),
+                        "matched_identity": next(iter(missing)),
+                        "matched_identity_likelihood": {u: float("nan") for u in unique_ids},
+                    }
+                )
+        if not out_rows:
+            return pd.DataFrame(
+                {
+                    "time": pd.Series([], dtype="datetime64[ns]"),
+                    "skeleton_identifier": pd.Series([], dtype="object"),
+                    "matched_identity": pd.Series([], dtype="object"),
+                    "matched_identity_likelihood": pd.Series([], dtype="object"),
+                }
+            )
+        return pd.DataFrame(out_rows)
+
+    return kernel

@@ -1,0 +1,125 @@
+"""HARP codec round-trip, chunk store pruning, and streaming watch tests."""
+
+import time
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.sources.chunked import (
+    list_chunks,
+    load_chunked,
+    write_chunked,
+)
+from aeon_sleap_processing_spark.sources.harp import (
+    decode_harp_bytes,
+    encode_harp_messages,
+    read_harp,
+)
+from aeon_sleap_processing_spark.streaming.watch import watch_chunk_store
+
+T0 = pd.Timestamp("2024-03-01 10:00:00")
+
+
+class TestHarpCodec:
+    def test_round_trip(self, tmp_path, spark):
+        times = pd.Series([T0 + pd.Timedelta(milliseconds=20 * i) for i in range(5)])
+        payloads = [np.array([i, i + 0.5, 0.9], dtype="<f4").tobytes() for i in range(5)]
+        raw = encode_harp_messages(times, payloads, address=222)
+        dec = decode_harp_bytes(raw)
+        assert len(dec) == 5
+        assert (dec.address == 222).all()
+        assert (dec.msg_type == 2).all()
+        np.testing.assert_allclose(dec.vector.iloc[2], [2.0, 2.5, 0.9])
+        # timestamps at 32 µs resolution
+        deltas = (dec.time - times).abs()
+        assert (deltas <= pd.Timedelta(microseconds=32)).all()
+
+        # distributed read path
+        p = tmp_path / "CameraTop_222_2024-03-01T10-00-00.bin"
+        p.write_bytes(raw)
+        df = read_harp(spark, str(tmp_path)).toPandas()
+        assert len(df) == 5
+        assert (df.address == 222).all()
+
+    def test_truncated_tail_ignored(self):
+        times = pd.Series([T0])
+        raw = encode_harp_messages(times, [b"\x00\x00\x00\x00"], address=200)
+        dec = decode_harp_bytes(raw + b"\x02\x10\x01")  # truncated junk tail
+        assert len(dec) == 1
+
+
+class TestChunkStore:
+    @pytest.fixture(scope="class")
+    def store(self, tmp_path_factory, spark):
+        root = str(tmp_path_factory.mktemp("store"))
+        pdf = pd.DataFrame(
+            {
+                "time": [T0 + pd.Timedelta(minutes=m) for m in range(0, 180, 10)],
+                "x": np.arange(18, dtype=float),
+            }
+        )
+        write_chunked(spark.createDataFrame(pdf), root, "CameraTop", 200)
+        return root
+
+    def test_pruned_load(self, spark, store):
+        df = load_chunked(
+            spark, store, 200, "CameraTop",
+            start=T0 + pd.Timedelta(minutes=60), end=T0 + pd.Timedelta(minutes=119),
+        )
+        got = df.toPandas()
+        assert len(got) == 6  # minutes 60..110
+        # partition pruning visible in the physical plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "chunk" in plan
+
+    def test_list_chunks(self, spark, store):
+        chunks = list_chunks(spark, store, 200, "CameraTop")
+        assert chunks == [
+            "2024-03-01T10-00-00",
+            "2024-03-01T11-00-00",
+            "2024-03-01T12-00-00",
+        ]
+
+    def test_idempotent_rewrite(self, spark, store):
+        # dynamic overwrite of one chunk leaves the others intact
+        pdf = pd.DataFrame({"time": [T0 + pd.Timedelta(minutes=5)], "x": [99.0]})
+        write_chunked(spark.createDataFrame(pdf), store, "CameraTop", 200)
+        got = load_chunked(spark, store, 200, "CameraTop").toPandas()
+        assert len(got) == 1 + 12  # chunk 10:00 replaced (1 row), 11:00+12:00 intact
+        assert 99.0 in set(got.x)
+
+
+class TestStreamingWatch:
+    def test_available_now_processes_new_chunks(self, tmp_path, spark):
+        root = str(tmp_path / "stream_store")
+        ckpt = str(tmp_path / "ckpt")
+        pdf1 = pd.DataFrame({"time": [T0], "x": [1.0]})
+        write_chunked(spark.createDataFrame(pdf1), root, "CameraTop", 200)
+
+        seen: list[int] = []
+
+        def on_batch(df, batch_id):
+            seen.append(df.count())
+
+        schema = "time timestamp, x double, stream int, camera string, chunk string"
+        from pyspark.sql.types import _parse_datatype_string
+
+        q = watch_chunk_store(
+            spark, root, _parse_datatype_string(schema), on_batch, ckpt,
+            register=200, camera="CameraTop",
+        )
+        q.awaitTermination(60)
+        assert sum(seen) == 1
+
+        # a new chunk lands; a second availableNow pass picks up ONLY the new file
+        pdf2 = pd.DataFrame({"time": [T0 + pd.Timedelta(hours=5)], "x": [2.0]})
+        write_chunked(spark.createDataFrame(pdf2), root, "CameraTop", 200, mode="append")
+        seen.clear()
+        q2 = watch_chunk_store(
+            spark, root, _parse_datatype_string(schema), on_batch, ckpt,
+            register=200, camera="CameraTop",
+        )
+        q2.awaitTermination(60)
+        assert sum(seen) == 1  # checkpoint = durable processed-set

@@ -1,0 +1,83 @@
+"""Multimodal binary-column operators: sniffing, decode plumbing, sampling."""
+
+import struct
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.operators.multimodal import (
+    decode_image_features,
+    media_meta_column,
+    sample_frames,
+    sniff_media_meta,
+)
+
+
+def _png(w, h):
+    return b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", w, h) + b"\x00" * 8
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 8
+
+
+def _jpeg(w, h):
+    # SOI + APP0 stub + SOF0 with dims
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof = b"\xff\xc0" + struct.pack(">H", 8) + b"\x08" + struct.pack(">HH", h, w) + b"\x01"
+    return b"\xff\xd8" + app0 + sof + b"\x00" * 4
+
+
+class TestSniffing:
+    @pytest.mark.parametrize(
+        "blob,fmt,w,h",
+        [
+            (_png(640, 480), "png", 640, 480),
+            (_gif(32, 16), "gif", 32, 16),
+            (_jpeg(1440, 1080), "jpeg", 1440, 1080),
+            (b"RIFF\x00\x00\x00\x00WAVEfmt ", "wav", None, None),
+            (b"garbage", "unknown", None, None),
+        ],
+    )
+    def test_formats(self, blob, fmt, w, h):
+        f, gw, gh, n = sniff_media_meta(blob)
+        assert (f, gw, gh) == (fmt, w, h)
+        assert n == len(blob)
+
+    def test_media_meta_column(self, spark):
+        pdf = pd.DataFrame({"id": [1, 2], "blob": [_png(10, 20), _gif(5, 6)]})
+        out = media_meta_column(spark.createDataFrame(pdf), "blob").toPandas()
+        metas = {r.id: r.media_meta for r in out.itertuples()}
+        assert metas[1]["format"] == "png" and metas[1]["width"] == 10
+        assert metas[2]["format"] == "gif" and metas[2]["height"] == 6
+
+
+class TestDecodePlumbing:
+    def test_fake_decode_deterministic(self, spark):
+        pdf = pd.DataFrame({"doc_id": [1, 2, 3], "blob": [b"aaa", b"bbb", b"aaa"]})
+        df = spark.createDataFrame(pdf)
+        out1 = decode_image_features(df, "doc_id", "blob").toPandas().sort_values("id")
+        out2 = decode_image_features(df, "doc_id", "blob").toPandas().sort_values("id")
+        assert len(out1) == 3
+        assert all(len(f) == 16 for f in out1.feature)
+        # deterministic: same bytes → same features across runs and rows
+        assert list(out1.feature.iloc[0]) == list(out1.feature.iloc[2])
+        assert list(out1.mean_luma) == list(out2.mean_luma)
+
+
+class TestFrameSampling:
+    def test_every_n(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "time": [pd.Timestamp("2024-01-01") + pd.Timedelta(milliseconds=20 * i) for i in range(100)],
+                "camera": "CameraTop",
+                "_frame": range(100),
+                "_path": "chunk.avi",
+            }
+        )
+        vi = spark.createDataFrame(pdf)
+        assert sample_frames(vi, every_n=10).count() == 10
+        assert sample_frames(vi, per_second=5, fps=50).count() == 10
+        with pytest.raises(ValueError):
+            sample_frames(vi)
