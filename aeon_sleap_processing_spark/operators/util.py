@@ -2,9 +2,30 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
 
-__all__ = ["ensure_min_parallelism"]
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+__all__ = ["ensure_min_parallelism", "sample_n_per_bin"]
+
+
+def sample_n_per_bin(
+    df: DataFrame,
+    bin_col: str | Sequence[str],
+    n: int,
+    salt: str = "0",
+) -> DataFrame:
+    """Deterministic stratified sampling: up to ``n`` rows per bin (SURVEY
+    P11; the reference's ``groupby('bin').sample(n)``, step3 notebook).
+
+    Rows are ranked by a salted hash of their content instead of an RNG so
+    the sample is reproducible across runs/engines; one window shuffle on the
+    bin key."""
+    bins = [bin_col] if isinstance(bin_col, str) else list(bin_col)
+    h = F.md5(F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in df.columns]))
+    w = W.partitionBy(*bins).orderBy(h)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") <= n).drop("__rn")
 
 
 def ensure_min_parallelism(df: DataFrame, *cols: str) -> DataFrame:

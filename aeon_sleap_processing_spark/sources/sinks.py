@@ -1,0 +1,144 @@
+"""Output sinks (SURVEY K1/K3/K5/K6) and auxiliary sources (S4/S6).
+
+- ``write_events_csv`` — event tables → one CSV per period (K1), with the
+  reference's exact output column names (`detect_fights.py:132`:
+  ``duration (seconds)``).
+- ``write_empty_marker`` — records "processing ran, no data" (K3); the chunk
+  store's dynamic overwrite already gives K4 idempotency.
+- ``export_event_videos`` — K5: per-event video export is executor-side
+  OpenCV in the reference; stubbed here (no cv2 in this environment) with the
+  real driver loop + frame-manifest slicing so the plumbing is testable.
+- ``merge_model_configs`` — K6 driver-side JSON config merge
+  (`combine_pose_id_chunk.py:291-307`).
+- ``load_metadata`` — S4 nested-config scan → python dict (broadcast by use).
+- ``read_jdbc`` — S6: the DataJoint/MySQL join-project-restrict source as a
+  thin ``spark.read.jdbc`` wrapper (no database in this environment; the
+  query pushdown shape is what matters).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "write_events_csv",
+    "write_empty_marker",
+    "export_event_videos",
+    "merge_model_configs",
+    "load_metadata",
+    "read_jdbc",
+]
+
+# engine-internal → reference CSV header names (`social_behaviour_detection.py:733-757`)
+_REFERENCE_EVENT_COLUMNS = {"duration_seconds": "duration (seconds)"}
+
+
+def write_events_csv(events: DataFrame, path: str, reference_names: bool = True) -> None:
+    """Event table → a single CSV with header (K1). ``coalesce(1)`` is correct
+    here: event tables are tiny (rows = detected events, not frames)."""
+    out = events
+    if reference_names:
+        for ours, theirs in _REFERENCE_EVENT_COLUMNS.items():
+            if ours in out.columns:
+                out = out.withColumnRenamed(ours, theirs)
+    out.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_empty_marker(path: str, name: str = "_EMPTY") -> str:
+    """0-byte marker recording that processing ran and found no data (K3,
+    `combine_pose_id_chunk.py:284-288`)."""
+    os.makedirs(path, exist_ok=True)
+    marker = os.path.join(path, name)
+    with open(marker, "wb"):
+        pass
+    return marker
+
+
+def export_event_videos(
+    events: DataFrame,
+    video_index: DataFrame,
+    save_dir: str,
+    padding_seconds: float = 1.0,
+    video_name_prefix: str = "",
+) -> list[tuple[str, int]]:
+    """K5: per event, slice the frame manifest to [start−pad, end+pad] and
+    export a clip. Frame selection is a real DataFrame range join; the actual
+    AVI encode requires OpenCV and raises NotImplementedError here (the
+    reference runs `aeon.io.video.export` at the same point).
+
+    Returns [(clip_name, n_frames)] for the manifest slices.
+    """
+    rows = events.select("start_timestamp", "end_timestamp").collect()
+    out = []
+    for r in rows:
+        start = r["start_timestamp"]
+        end = r["end_timestamp"]
+        sliced = video_index.where(
+            (F.col("time") >= F.lit(start) - F.expr(f"INTERVAL {padding_seconds} SECONDS"))
+            & (F.col("time") <= F.lit(end) + F.expr(f"INTERVAL {padding_seconds} SECONDS"))
+        )
+        n = sliced.count()
+        name = f"{video_name_prefix}{start.strftime('%Y-%m-%d_%H-%M-%S')}.avi"
+        out.append((name, n))
+        try:
+            import cv2  # noqa: F401
+        except ImportError:
+            continue  # STUB: encode unavailable without OpenCV
+        raise NotImplementedError("OpenCV export path not implemented in this environment")
+    return out
+
+
+def merge_model_configs(pose_config: dict, id_config: dict) -> dict:
+    """K6: graft the pose model's anchor_part/part_names into the ID model's
+    top-down head config (`combine_pose_id_chunk.py:298-305`)."""
+    combined = json.loads(json.dumps(id_config))  # deep copy
+    confmaps = combined["model"]["heads"]["multi_class_topdown"]["confmaps"]
+    centered = pose_config["model"]["heads"]["centered_instance"]
+    confmaps["anchor_part"] = centered["anchor_part"]
+    confmaps["part_names"] = centered["part_names"]
+    return combined
+
+
+def load_metadata(spark: SparkSession, path: str) -> dict:
+    """S4: nested per-epoch config → one python dict (multiLine JSON scan;
+    single row, broadcast by closure wherever used)."""
+    df = spark.read.option("multiLine", True).json(path)
+    row = df.first()
+    return row.asDict(recursive=True) if row is not None else {}
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    query: str,
+    user: str | None = None,
+    password: str | None = None,
+    partition_column: str | None = None,
+    num_partitions: int | None = None,
+    lower_bound=None,
+    upper_bound=None,
+) -> DataFrame:
+    """S6: relational source with the DataJoint join-project-restrict pushed
+    into the database as a subquery; optional range partitioning for parallel
+    reads at scale."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("query", query)
+    )
+    if user:
+        reader = reader.option("user", user)
+    if password:
+        reader = reader.option("password", password)
+    if partition_column:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", num_partitions or 8)
+            .option("lowerBound", lower_bound)
+            .option("upperBound", upper_bound)
+        )
+    return reader.load()

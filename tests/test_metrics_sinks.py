@@ -1,0 +1,115 @@
+"""Eval metrics, sinks, stratified sampling."""
+
+import glob
+
+import pandas as pd
+import pytest
+
+from aeon_sleap_processing_spark.functions.metrics import (
+    composite_metric,
+    detection_metrics,
+    id_accuracy,
+)
+from aeon_sleap_processing_spark.operators.util import sample_n_per_bin
+from aeon_sleap_processing_spark.sources.sinks import (
+    export_event_videos,
+    merge_model_configs,
+    write_empty_marker,
+    write_events_csv,
+)
+
+T0 = pd.Timestamp("2024-01-01 00:00:00")
+
+
+class TestMetrics:
+    def test_detection_metrics(self, spark):
+        # frames: (gt, pr) = (2,2) x3, (2,1), (1,2)
+        df = spark.createDataFrame(
+            pd.DataFrame({"gt_count": [2, 2, 2, 2, 1], "pr_count": [2, 2, 2, 1, 2]})
+        )
+        m = detection_metrics(df, max_instances=2).toPandas().iloc[0]
+        assert (m.tp, m.fp, m.fn, m.tn) == (8, 1, 1, 0)
+        assert m.precision == pytest.approx(8 / 9)
+        assert m.recall == pytest.approx(8 / 9)
+        assert m.f1 == pytest.approx(8 / 9)
+        assert m.invalid_frames == 0
+
+    def test_id_accuracy_and_composite(self, spark):
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"gt_identity": ["A", "A", "B", "B"], "pr_identity": ["A", "B", "B", "B"]}
+            )
+        )
+        m = id_accuracy(df).toPandas().iloc[0]
+        assert m.id_accuracy == pytest.approx(0.75)
+        assert composite_metric(1.0, 0.75) == pytest.approx(2 * 0.75 / 1.75)
+        assert composite_metric(0.0, 0.0) == 0.0
+
+
+class TestSinks:
+    def test_events_csv_reference_names(self, spark, tmp_path):
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "start_timestamp": [T0],
+                    "end_timestamp": [T0 + pd.Timedelta(seconds=2)],
+                    "duration_seconds": [2.0],
+                    "fight_end_x": [1.0],
+                    "fight_end_y": [2.0],
+                }
+            )
+        )
+        out = str(tmp_path / "fights_csv")
+        write_events_csv(ev, out)
+        csv = glob.glob(f"{out}/*.csv")[0]
+        header = open(csv).readline().strip()
+        assert "duration (seconds)" in header
+
+    def test_empty_marker(self, tmp_path):
+        marker = write_empty_marker(str(tmp_path / "out"))
+        import os
+
+        assert os.path.exists(marker) and os.path.getsize(marker) == 0
+
+    def test_export_event_videos_stub(self, spark):
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {"start_timestamp": [T0 + pd.Timedelta(seconds=1)], "end_timestamp": [T0 + pd.Timedelta(seconds=2)]}
+            )
+        )
+        vi = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "time": [T0 + pd.Timedelta(milliseconds=100 * i) for i in range(50)],
+                    "camera": "CameraTop",
+                    "_frame": range(50),
+                    "_path": "c.avi",
+                }
+            )
+        )
+        clips = export_event_videos(ev, vi, "/tmp/unused", padding_seconds=0.5)
+        assert len(clips) == 1
+        name, n_frames = clips[0]
+        # [0.5s, 2.5s] at 10 fps manifest = 21 frames
+        assert n_frames == 21
+        assert name.endswith(".avi")
+
+    def test_merge_model_configs(self):
+        pose = {"model": {"heads": {"centered_instance": {"anchor_part": "spine2", "part_names": ["a", "b"]}}}}
+        idc = {"model": {"heads": {"multi_class_topdown": {"confmaps": {"anchor_part": None, "part_names": None}}}}}
+        merged = merge_model_configs(pose, idc)
+        cm = merged["model"]["heads"]["multi_class_topdown"]["confmaps"]
+        assert cm["anchor_part"] == "spine2" and cm["part_names"] == ["a", "b"]
+        assert idc["model"]["heads"]["multi_class_topdown"]["confmaps"]["anchor_part"] is None
+
+
+class TestStratifiedSample:
+    def test_sample_n_per_bin(self, spark):
+        pdf = pd.DataFrame({"bin": [0] * 10 + [1] * 3 + [2] * 7, "v": range(20)})
+        df = spark.createDataFrame(pdf)
+        out = sample_n_per_bin(df, "bin", 5).toPandas()
+        counts = out.groupby("bin").size().to_dict()
+        assert counts == {0: 5, 1: 3, 2: 5}
+        # deterministic across invocations
+        out2 = sample_n_per_bin(df, "bin", 5).toPandas()
+        assert sorted(out.v) == sorted(out2.v)
