@@ -57,10 +57,15 @@ def _simhash_sql(bits: int = 32) -> str:
 
 
 def _minhash_sig_cte(num_perm: int = 8, k: int = 3) -> str:
+    # mirror of operators/text.py minhash_signature: each md5 gives four
+    # independent 32-bit slices; slab s>0 is salted with '{s}|'
+    n_slabs = (num_perm + 3) // 4
+    hexcat = " || ".join(
+        f"md5('{s}|' || sg)" if s else "md5(sg)" for s in range(n_slabs)
+    )
     mh = ", ".join(
-        "list_min(list_transform(shingles, sg -> "
-        + _md5l(f"'{j}|' || sg")
-        + f")) AS mh{j}"
+        f"list_min(list_transform(shingles, sg -> "
+        f"(('0x' || substr({hexcat}, {j * 8 + 1}, 8))::UBIGINT)::BIGINT)) AS mh{j}"
         for j in range(num_perm)
     )
     return f"""

@@ -165,17 +165,28 @@ def minhash_signature(
 ) -> DataFrame:
     """MinHash signature: num_perm independent salted min-hashes over k-word
     shingles. Stays array-side (no explode) — one narrow projection, no shuffle."""
-    # explode → num_perm codegen'd hash exprs → one map-side-combinable
-    # groupBy with num_perm MIN aggregates. Array-lambda minhashing would run
-    # interpreted (no whole-stage codegen) — ~10x slower per shingle.
+    # explode → codegen'd hashes → one map-side-combinable groupBy with
+    # num_perm MIN aggregates. Array-lambda minhashing would run interpreted
+    # (no whole-stage codegen) — ~10x slower per shingle. Each md5 yields four
+    # independent 32-bit slices, so num_perm permutations cost only
+    # ceil(num_perm/4) md5 calls per shingle (salted by slab index).
     # Caveat: documents with fewer than shingle_k words produce no rows and
     # drop out (the SQL oracle's list_min returns a NULL row instead).
     base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
     rows = base.select(
         F.col(id_col), F.explode(_shingles(tokenize(F.col(text_col)), shingle_k)).alias("__sg")
     )
+    n_slabs = (num_perm + 3) // 4
+    hexcat = F.concat(
+        *[
+            F.md5(F.concat(F.lit(f"{s}|"), F.col("__sg")) if s else F.col("__sg"))
+            for s in range(n_slabs)
+        ]
+    )
     aggs = [
-        F.min(md5_long(F.concat(F.lit(f"{j}|"), F.col("__sg")))).alias(f"mh{j}")
+        F.min(
+            F.conv(F.substring(hexcat, j * 8 + 1, 8), 16, 10).cast("long")
+        ).alias(f"mh{j}")
         for j in range(num_perm)
     ]
     return rows.groupBy(id_col).agg(*aggs)
