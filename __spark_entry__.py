@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_nation_orders": rel.q_nation_orders,
         "q_customer_order_rank": rel.q_customer_order_rank,
         "q_lineitem_dedup": rel.q_lineitem_dedup,
+        "q_set_ops": rel.q_set_ops,
+        "q_rollup_revenue": rel.q_rollup_revenue,
         # --- temporal/window (SURVEY §2.6) ------------------------------
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
@@ -308,6 +310,25 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn FROM lineitem
             ) WHERE rn = 1
             GROUP BY l_returnflag
+        """,
+        "q_set_ops": """
+            WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+            sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier),
+            labeled AS (
+              SELECT nk, 'both' AS category FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+              UNION ALL
+              SELECT nk, 'customers_only' FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+              UNION ALL
+              SELECT nk, 'either' FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+            )
+            SELECT category, count(*) AS n_nations, sum(nk)::BIGINT AS sum_keys
+            FROM labeled GROUP BY category
+        """,
+        "q_rollup_revenue": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
         "q_sessionize": """
             WITH flagged AS (

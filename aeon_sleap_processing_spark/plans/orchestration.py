@@ -1,0 +1,111 @@
+"""Period planning + edge-safe periodized detection (SURVEY §3.3, §4).
+
+The reference fans detection out as one SLURM task per ≤24 h period, split at
+a boundary hour (`detect_fights_all_epochs.py:96-168`), and documents the
+resulting defect: "period splitting cuts continuous videos … you could miss
+events on the edges" (`social_behavior_detection/README.md` step 3).
+
+This planner fixes that: each period's detection WINDOW is extended by an
+overlap on both sides, while the period keeps a disjoint OWNERSHIP range —
+an event is emitted by exactly the period whose ownership range contains its
+start timestamp. With overlap ≥ (max event duration + max frame gap), every
+edge event is fully visible to its owning period and emitted exactly once.
+
+Period fan-out is Spark-native: periods are rows; detection per period runs
+as independent jobs (driver loop here; at cluster scale each period's
+pipeline is itself fully distributed, so the loop is over coarse work units
+exactly like the reference's SLURM array — minus the lost edge events).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Period", "plan_periods", "run_periodized"]
+
+
+@dataclass(frozen=True)
+class Period:
+    window_start: pd.Timestamp  # detection window (overlapped)
+    window_end: pd.Timestamp
+    own_start: pd.Timestamp  # disjoint ownership range for event starts
+    own_end: pd.Timestamp
+
+
+def plan_periods(
+    start: pd.Timestamp,
+    end: pd.Timestamp,
+    period: pd.Timedelta = pd.Timedelta(hours=24),
+    overlap: pd.Timedelta = pd.Timedelta(minutes=5),
+    boundary_hour: int | None = None,
+) -> list[Period]:
+    """Split [start, end] into ownership-disjoint periods with overlapped
+    detection windows. ``boundary_hour`` aligns cuts to a daily hour (the
+    reference's behavior); otherwise cuts every ``period`` from ``start``."""
+    start, end = pd.Timestamp(start), pd.Timestamp(end)
+    cuts = [start]
+    if boundary_hour is not None:
+        first_cut = start.normalize() + pd.Timedelta(hours=boundary_hour)
+        while first_cut <= start:
+            first_cut += pd.Timedelta(hours=24)
+        c = first_cut
+        while c < end:
+            cuts.append(c)
+            c += pd.Timedelta(hours=24)
+    else:
+        c = start + period
+        while c < end:
+            cuts.append(c)
+            c += period
+    cuts.append(end)
+    out = []
+    for a, b in zip(cuts[:-1], cuts[1:]):
+        out.append(
+            Period(
+                window_start=max(start, a - overlap),
+                window_end=min(end, b + overlap),
+                own_start=a,
+                own_end=b,
+            )
+        )
+    return out
+
+
+def run_periodized(
+    detect,
+    periods: list[Period],
+    start_col: str = "start_timestamp",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Run ``detect(window_start, window_end) -> events DataFrame`` per period
+    and keep each event exactly once: the period whose ownership range
+    contains the event's start emits it.
+
+    Ownership ranges partition the time axis, so no cross-period dedup shuffle
+    is needed — the filter alone guarantees exactly-once emission.
+
+    ``on_error='skip'`` tolerates periods whose detector raises (e.g. an empty
+    window violating the 2-identity invariant); the reference's equivalent is
+    a failed SLURM task + email (`detect_fights_all_epochs.py:226-236`) —
+    here skipped periods simply contribute no events."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"bad on_error {on_error!r}")
+    result: DataFrame | None = None
+    for p in periods:
+        try:
+            detected = detect(p.window_start, p.window_end)
+        except Exception:
+            if on_error == "skip":
+                continue
+            raise
+        ev = detected.where(
+            (F.col(start_col) >= F.lit(p.own_start))
+            & (F.col(start_col) < F.lit(p.own_end) if p.own_end != periods[-1].own_end
+               else F.col(start_col) <= F.lit(p.own_end))
+        )
+        result = ev if result is None else result.unionByName(ev)
+    return result

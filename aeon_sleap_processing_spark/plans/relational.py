@@ -178,6 +178,41 @@ def q_customer_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY §2.7): nations with customers vs with suppliers —
+    UNION / INTERSECT / EXCEPT rolled into one labeled result."""
+    cust_n = (
+        load_table(spark, "customer", sf_dir).select(F.col("c_nationkey").alias("nk")).distinct()
+    )
+    supp_n = (
+        load_table(spark, "supplier", sf_dir).select(F.col("s_nationkey").alias("nk")).distinct()
+    )
+    both = cust_n.intersect(supp_n).withColumn("category", F.lit("both"))
+    cust_only = cust_n.exceptAll(supp_n).withColumn("category", F.lit("customers_only"))
+    either = cust_n.union(supp_n).distinct().withColumn("category", F.lit("either"))
+    return (
+        both.unionByName(cust_only)
+        .unionByName(either)
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.sum("nk").alias("sum_keys"))
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (SURVEY §2.4 note: free in Spark, absent in the
+    reference) over (returnflag, linestatus)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 def q_lineitem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup (SURVEY P6): first lineitem per (orderkey, partkey) by
     linenumber, then stable rollup."""

@@ -19,3 +19,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+# module-level handle for hypothesis tests (function-scoped fixtures interact
+# badly with @given; the session is shared anyway)
+@pytest.fixture(scope="session")
+def spark_global():
+    return get_spark(app_name="aeon-spark-tests", shuffle_partitions=8)

@@ -1,0 +1,82 @@
+"""Edge-safe periodized detection: events spanning a period boundary are
+found exactly once (the reference loses these — SURVEY §4)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.plans.fights import detect_fights
+from aeon_sleap_processing_spark.plans.orchestration import plan_periods, run_periodized
+from tests.fixture_pose import FPS, T0, fight_blob, fight_pose
+
+
+class TestPlanPeriods:
+    def test_simple_split(self):
+        ps = plan_periods(
+            pd.Timestamp("2024-01-01"),
+            pd.Timestamp("2024-01-01 00:00:30"),
+            period=pd.Timedelta(seconds=10),
+            overlap=pd.Timedelta(seconds=2),
+        )
+        assert len(ps) == 3
+        assert ps[0].own_start == pd.Timestamp("2024-01-01")
+        assert ps[1].window_start == pd.Timestamp("2024-01-01 00:00:08")
+        assert ps[1].window_end == pd.Timestamp("2024-01-01 00:00:22")
+        # ownership ranges are disjoint and cover everything
+        for a, b in zip(ps[:-1], ps[1:]):
+            assert a.own_end == b.own_start
+
+    def test_boundary_hour(self):
+        ps = plan_periods(
+            pd.Timestamp("2024-01-01 08:00"),
+            pd.Timestamp("2024-01-03 08:00"),
+            boundary_hour=12,
+            overlap=pd.Timedelta(minutes=5),
+        )
+        assert [p.own_start.hour for p in ps] == [8, 12, 12]
+        assert ps[1].own_start == pd.Timestamp("2024-01-01 12:00")
+
+
+class TestPeriodizedDetection:
+    def test_boundary_event_detected_exactly_once(self, spark):
+        pose_pdf = fight_pose()
+        blob_pdf = fight_blob()
+        pose = spark.createDataFrame(pose_pdf)
+        blob = spark.createDataFrame(blob_pdf)
+
+        def detect(ws, we):
+            p = pose.where((F.col("time") >= F.lit(ws)) & (F.col("time") < F.lit(we)))
+            b = blob.where((F.col("time") >= F.lit(ws)) & (F.col("time") < F.lit(we)))
+            return detect_fights(p, b, FPS)
+
+        # full-range truth: one event [0, 6.4s]
+        truth = detect(T0, T0 + pd.Timedelta(seconds=10)).toPandas()
+        assert len(truth) == 1
+
+        # 4 s periods: the event genuinely crosses the 4 s boundary; 8 s
+        # overlap ensures the owning period sees the whole event
+        periods = plan_periods(
+            T0,
+            T0 + pd.Timedelta(seconds=10),
+            period=pd.Timedelta(seconds=4),
+            overlap=pd.Timedelta(seconds=8),
+        )
+        assert len(periods) == 3
+        got = run_periodized(detect, periods, on_error="skip").toPandas()
+        assert len(got) == 1, f"boundary event must be emitted exactly once:\n{got}"
+        assert got.start_timestamp.iloc[0] == truth.start_timestamp.iloc[0]
+        assert got.end_timestamp.iloc[0] == truth.end_timestamp.iloc[0]
+
+        # without overlap (the reference's behavior) the event is truncated —
+        # the defect the overlap planner exists to fix
+        bare = plan_periods(
+            T0,
+            T0 + pd.Timedelta(seconds=10),
+            period=pd.Timedelta(seconds=4),
+            overlap=pd.Timedelta(0),
+        )
+        got0 = run_periodized(detect, bare, on_error="skip").toPandas()
+        assert len(got0) == 0 or (
+            got0.start_timestamp.iloc[0] != truth.start_timestamp.iloc[0]
+            or got0.end_timestamp.iloc[0] != truth.end_timestamp.iloc[0]
+        )
