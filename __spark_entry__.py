@@ -119,15 +119,44 @@ def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_bruteforce(emb, queries, k=5)
 
 
-def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # seeded hyperplanes; approximate → no SQL oracle (rows-only check)
+def _lsh_planes() -> list[list[float]]:
     import numpy as np
 
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((6, 64)).tolist()
+    return np.random.default_rng(42).standard_normal((6, 64)).tolist()
+
+
+def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    return sim.knn_lsh(emb, queries, planes, k=5)
+    return sim.knn_lsh(emb, queries, _lsh_planes(), k=5)
+
+
+def _knn_lsh_sql() -> str:
+    """Oracle for the hyperplane-LSH ANN: identical seeded planes as SQL
+    literals, identical bucket/rerank logic."""
+    planes = _lsh_planes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM c),
+        q AS (SELECT * FROM b WHERE vec_id < 10),
+        sims AS (
+          SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+                 round(list_inner_product(q.v, c2.v)
+                       / (sqrt(list_inner_product(q.v, q.v))
+                          * sqrt(list_inner_product(c2.v, c2.v))), 6) AS cosine
+          FROM q JOIN b c2 ON q.bucket = c2.bucket AND q.vec_id <> c2.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+          ) AS rank FROM sims
+        ) WHERE rank <= 5
+    """
 
 
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q_simhash": _simhash_sql(32),
+        "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_bruteforce": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
