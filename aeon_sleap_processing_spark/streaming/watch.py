@@ -24,7 +24,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["watch_chunk_store"]
+__all__ = ["watch_chunk_store", "stream_sessionize"]
+
+
+def stream_sessionize(
+    stream: DataFrame,
+    time_col: str = "time",
+    gap: str = "30 minutes",
+    partition_by: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming gap-sessionization (SURVEY T3): the batch ``sessionize``
+    operator's event-time twin via ``session_window`` + watermark.
+
+    Sessions close when the watermark passes their gap; late rows within the
+    watermark merge into their session (the reference's batch loop re-derives
+    everything instead). Returns (keys, session_start, session_end, n_events)."""
+    keys = [F.col(partition_by)] if partition_by else []
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(*keys, F.session_window(F.col(time_col), gap).alias("session"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *([partition_by] if partition_by else []),
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )
 
 
 def watch_chunk_store(
