@@ -7,7 +7,47 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_min_parallelism", "sample_n_per_bin"]
+__all__ = ["ensure_min_parallelism", "sample_n_per_bin", "salted_agg"]
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: str | Sequence[str],
+    aggs: dict[str, str],
+    buckets: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation for skewed keys.
+
+    A hot key (one user with 90% of events) turns a plain groupBy into a
+    single straggler task. Phase 1 aggregates on (keys, salt) — the hot key
+    spreads over ``buckets`` tasks with map-side combine — phase 2 merges the
+    partials per key. Only algebraic aggregates are supported:
+    ``aggs`` maps column → 'sum' | 'count' | 'min' | 'max'.
+
+    (AQE's skew handling covers joins; skewed *aggregations* still benefit
+    from explicit salting when a key dominates a partition.)
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    salt = (F.crc32(F.concat_ws("|", *[F.col(c).cast("string") for c in df.columns])) % buckets)
+    phase1_aggs, phase2_aggs = [], []
+    for col, how in aggs.items():
+        partial = f"__p_{col}_{how}"
+        if how == "count":
+            phase1_aggs.append(F.count(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(f"{col}_{how}"))
+        elif how == "sum":
+            phase1_aggs.append(F.sum(col).alias(partial))
+            phase2_aggs.append(F.sum(partial).alias(f"{col}_{how}"))
+        elif how == "min":
+            phase1_aggs.append(F.min(col).alias(partial))
+            phase2_aggs.append(F.min(partial).alias(f"{col}_{how}"))
+        elif how == "max":
+            phase1_aggs.append(F.max(col).alias(partial))
+            phase2_aggs.append(F.max(partial).alias(f"{col}_{how}"))
+        else:
+            raise ValueError(f"unsupported aggregate {how!r}")
+    partials = df.withColumn("__salt", salt).groupBy(*ks, "__salt").agg(*phase1_aggs)
+    return partials.groupBy(*ks).agg(*phase2_aggs)
 
 
 def sample_n_per_bin(

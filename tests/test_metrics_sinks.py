@@ -113,3 +113,37 @@ class TestStratifiedSample:
         # deterministic across invocations
         out2 = sample_n_per_bin(df, "bin", 5).toPandas()
         assert sorted(out.v) == sorted(out2.v)
+
+
+class TestSaltedAgg:
+    def test_matches_direct_groupby_on_skewed_data(self, spark):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.util import salted_agg
+
+        rng = np.random.default_rng(3)
+        # one hot key with 90% of rows
+        keys = np.where(rng.random(20_000) < 0.9, 7, rng.integers(0, 50, 20_000))
+        pdf = pd.DataFrame({"k": keys, "v": rng.normal(0, 1, 20_000)})
+        df = spark.createDataFrame(pdf)
+        got = (
+            salted_agg(df, "k", {"v": "sum", "k": "count"}, buckets=16)
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exp = (
+            pdf.groupby("k").agg(v_sum=("v", "sum"), k_count=("k", "count")).reset_index()
+        )
+        assert len(got) == len(exp)
+        np.testing.assert_allclose(
+            got.v_sum.values, exp.v_sum.values, rtol=1e-9
+        )
+        assert (got.k_count.values == exp.k_count.values).all()
+
+    def test_bad_aggregate_rejected(self, spark):
+        from aeon_sleap_processing_spark.operators.util import salted_agg
+
+        df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_agg(df, "k", {"v": "median"})
