@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mode_event_type": ep.q_mode_event_type,
         "q_json_props": ep.q_json_props,
         "q_dedup_first": ep.q_dedup_first,
+        "q_resample_asof": ep.q_resample_asof,
         "q_sampling": ep.q_sampling,
         # --- text analysis / dedup (training-data pipeline) -------------
         "q_text_stats": _q_text_stats,
@@ -492,6 +493,24 @@ def oracle_sql() -> dict[str, str]:
               ) AS rn FROM events
             ) WHERE rn = 1
             GROUP BY event_type
+        """,
+        "q_resample_asof": """
+            WITH ticks AS (
+              SELECT unnest(generate_series(
+                TIMESTAMP '2024-01-01 00:00:00',
+                TIMESTAMP '2024-01-30 23:59:00',
+                INTERVAL 1 MINUTE)) AS tick
+            ),
+            j AS (
+              SELECT t.tick,
+                     CASE WHEN t.tick - e.ts <= INTERVAL 2 MINUTE
+                          THEN e.value END AS value
+              FROM ticks t ASOF LEFT JOIN events e ON t.tick >= e.ts
+            )
+            SELECT date_trunc('day', tick) AS day,
+                   count(value) AS n_matched,
+                   round(sum(value), 4) AS sum_value
+            FROM j GROUP BY date_trunc('day', tick)
         """,
         "q_sampling": f"""
             SELECT event_type, count(*) AS n_sampled, round(sum(value), 4) AS sum_value

@@ -210,6 +210,27 @@ def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-grid resample + backward as-of (W7+J2, the reference's expected-
+    tick alignment): minute grid over January, nearest event at or before
+    each tick within a 2-minute tolerance, rolled up per day."""
+    from ..operators.temporal import resample_ticks
+
+    ev = _events(spark, sf_dir).select(F.col("ts").alias("time"), "value")
+    ticks = resample_ticks(
+        ev, "2024-01-01 00:00:00", "2024-01-30 23:59:00", 60_000_000, tick_col="time"
+    )
+    j = asof_join(ticks, ev, on="time", direction="backward", tolerance=120.0)
+    return (
+        j.withColumn("day", F.date_trunc("day", F.col("time")))
+        .groupBy("day")
+        .agg(
+            F.count("value").alias("n_matched"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
 def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling (P11): hash-based 10% per event_type.
 
