@@ -102,6 +102,19 @@ def asof_join(
     ).select(*lhs.columns)  # align column order for union
     u = lhs.unionByName(rhs)
 
+    # pack the right row's on-value and ALL value columns into one struct:
+    # the ignorenulls window fill then picks the nearest right ROW atomically.
+    # (Filling value columns individually would skip legitimate NULL values
+    # and reach back to an older — possibly out-of-tolerance — right row.)
+    pack = F.when(
+        F.col("__tag") == _R,
+        F.struct(
+            F.col("__r_on").alias("__on"),
+            *[F.col("__r_" + c).alias(c) for c in val_cols],
+        ),
+    )
+    u = u.withColumn("__r_pack", pack)
+
     need_bwd = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
     picked: dict[str, Column] = {}
@@ -113,8 +126,9 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__tag").asc())
             .rowsBetween(W.unboundedPreceding, 0)
         )
-        bwd = {c: F.last("__r_" + c, ignorenulls=True).over(wb) for c in val_cols}
-        bwd_on = F.last("__r_on", ignorenulls=True).over(wb)
+        bwd_pack = F.last("__r_pack", ignorenulls=True).over(wb)
+        bwd = {c: bwd_pack[c] for c in val_cols}
+        bwd_on = bwd_pack["__on"]
     if need_fwd:
         # right rows at equal time sort AFTER left rows → inclusive forward
         wf = (
@@ -122,8 +136,9 @@ def asof_join(
             .orderBy(F.col(on).asc(), F.col("__tag").desc())
             .rowsBetween(0, W.unboundedFollowing)
         )
-        fwd = {c: F.first("__r_" + c, ignorenulls=True).over(wf) for c in val_cols}
-        fwd_on = F.first("__r_on", ignorenulls=True).over(wf)
+        fwd_pack = F.first("__r_pack", ignorenulls=True).over(wf)
+        fwd = {c: fwd_pack[c] for c in val_cols}
+        fwd_on = fwd_pack["__on"]
 
     if direction == "backward":
         delta = on_sec - bwd_on
@@ -387,14 +402,19 @@ def mode_per_group(
     keys: str | Sequence[str],
     value_col: str,
     out_col: str = "mode",
+    count_col: str | None = None,
 ) -> DataFrame:
     """Most frequent value per group, ties broken by smallest value (SURVEY A6;
-    reference quadrant tie-breaking `generate_composite_quadrant_videos.py:319-325`)."""
+    reference quadrant tie-breaking `generate_composite_quadrant_videos.py:319-325`).
+    ``count_col`` additionally emits the winning value's frequency."""
     ks = _as_list(keys)
     counted = df.groupBy(*ks, value_col).agg(F.count(F.lit(1)).alias("__cnt"))
     w = W.partitionBy(*ks).orderBy(F.col("__cnt").desc(), F.col(value_col).asc())
+    out_cols = [*ks, F.col(value_col).alias(out_col)]
+    if count_col is not None:
+        out_cols.append(F.col("__cnt").alias(count_col))
     return (
         counted.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(*ks, F.col(value_col).alias(out_col))
+        .select(*out_cols)
     )

@@ -217,8 +217,11 @@ def _make_assign_kernel(unique_ids: list[str], max_distance: float):
                     continue
                 r = int(dists.argmin())
                 c = ids_here.index(id_ids[j])
-                lik_map = id_liks[j] or {}
-                cost_val = -lik_map.get(id_ids[j], float("nan"))
+                # direct key indexing: a likelihood map missing its own
+                # identity is malformed data and must fail loudly (the
+                # reference indexes the same way, `:95`); a NaN cost here
+                # would silently drop the candidate instead
+                cost_val = -(id_liks[j] or {})[id_ids[j]]
                 if cost_val < cost[r, c]:
                     cost[r, c] = cost_val
                     cand[r, c] = j

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..operators.temporal import asof_join, interval_filter, sessionize
+from ..operators.temporal import (
+    asof_join,
+    dedup_keep_first,
+    interval_filter,
+    mode_per_group,
+    sessionize,
+)
 from ..sources.catalog import load_table
 
 
@@ -46,8 +52,7 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
     )
     # dedupe equal-timestamp orders per user so the as-of pick is deterministic
-    wd = W.partitionBy("user_id", "etime").orderBy("o_orderkey")
-    od = od.withColumn("rn", F.row_number().over(wd)).where(F.col("rn") == 1).drop("rn")
+    od = dedup_keep_first(od, ["user_id", "etime"], "o_orderkey")
     j = asof_join(ev, od, on="etime", by="user_id", direction="backward")
     return j.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -171,13 +176,7 @@ def q_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode per group with deterministic tie-break (A6)."""
     ev = _events(spark, sf_dir)
-    counted = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
-    w = W.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type").asc())
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("top_type"), F.col("cnt").alias("n"))
-    )
+    return mode_per_group(ev, "user_id", "event_type", out_col="top_type", count_col="n")
 
 
 def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,15 +197,10 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep-first dedup (P6): first event per (user, type), rolled up per type."""
     ev = _events(spark, sf_dir)
-    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_first"),
-            F.round(F.sum("value"), 4).alias("sum_first_value"),
-        )
+    first = dedup_keep_first(ev, ["user_id", "event_type"], "ts", tiebreak=["event_id"])
+    return first.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_first"),
+        F.round(F.sum("value"), 4).alias("sum_first_value"),
     )
 
 

@@ -64,14 +64,21 @@ def export_event_videos(
     save_dir: str,
     padding_seconds: float = 1.0,
     video_name_prefix: str = "",
+    encode: bool = False,
 ) -> list[tuple[str, int]]:
     """K5: per event, slice the frame manifest to [start−pad, end+pad] and
-    export a clip. Frame selection is a real DataFrame range join; the actual
-    AVI encode requires OpenCV and raises NotImplementedError here (the
-    reference runs `aeon.io.video.export` at the same point).
+    (optionally) export a clip. Frame selection is a real DataFrame range
+    query; the AVI encode itself (the reference's `aeon.io.video.export`)
+    requires OpenCV and is not implemented — pass ``encode=True`` to get the
+    explicit NotImplementedError instead of the manifest-only result.
 
     Returns [(clip_name, n_frames)] for the manifest slices.
     """
+    if encode:
+        raise NotImplementedError(
+            "AVI encode requires OpenCV (unavailable here); manifest slicing "
+            "works with encode=False"
+        )
     rows = events.select("start_timestamp", "end_timestamp").collect()
     out = []
     for r in rows:
@@ -84,11 +91,6 @@ def export_event_videos(
         n = sliced.count()
         name = f"{video_name_prefix}{start.strftime('%Y-%m-%d_%H-%M-%S')}.avi"
         out.append((name, n))
-        try:
-            import cv2  # noqa: F401
-        except ImportError:
-            continue  # STUB: encode unavailable without OpenCV
-        raise NotImplementedError("OpenCV export path not implemented in this environment")
     return out
 
 

@@ -180,3 +180,41 @@ class TestMisc:
         assert len(ticks) == 51  # inclusive 1s span at 20ms
         deltas = ticks.diff().dropna().dt.total_seconds().unique()
         np.testing.assert_allclose(deltas, [0.02])
+
+
+class TestAsofNullValues:
+    def test_null_value_in_nearest_row_not_skipped(self, spark):
+        """A matched right row with a NULL value column must yield NULL —
+        not reach back to an older (out-of-tolerance) right row."""
+        left = pd.DataFrame({"time": [_ts(3.0)], "lv": [0]})
+        right = pd.DataFrame({"time": [_ts(1.0), _ts(2.0)], "rv": [5.0, np.nan]})
+        got = (
+            Tm.asof_join(
+                spark.createDataFrame(left),
+                spark.createDataFrame(right),
+                on="time",
+                direction="backward",
+                tolerance=1.5,
+            )
+            .toPandas()
+        )
+        exp = pd.merge_asof(
+            left, right, on="time", direction="backward",
+            tolerance=pd.Timedelta(seconds=1.5),
+        )
+        # pandas matches the t=2.0 row whose value is NaN
+        assert np.isnan(exp.rv.iloc[0])
+        assert pd.isna(got.rv.iloc[0])
+
+    def test_multiple_value_columns_same_row(self, spark, rng):
+        """All value columns must come from the SAME matched right row."""
+        left = pd.DataFrame({"time": [_ts(10.0)], "lv": [0]})
+        right = pd.DataFrame(
+            {"time": [_ts(5.0), _ts(9.0)], "a": [1.0, np.nan], "b": [np.nan, 2.0]}
+        )
+        got = Tm.asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right), on="time"
+        ).toPandas()
+        # nearest row (t=9.0) has a=NaN, b=2.0 — no mixing with the t=5.0 row
+        assert pd.isna(got.a.iloc[0])
+        assert got.b.iloc[0] == 2.0
