@@ -61,8 +61,11 @@ def load_chunked(
 ) -> DataFrame:
     """Chunk-pruned time-range scan (SURVEY S1): partition filters on
     (stream, camera, chunk) + a pushed-down range predicate on time."""
-    df = spark.read.parquet(root).where(
-        (F.col("stream") == register) & (F.col("camera") == camera)
+    # scope the scan to the stream/camera DIRECTORIES: streams have different
+    # schemas (pose vs env-state vs blob), so schema inference must see only
+    # the requested stream's files; pruning happens at the listing level
+    df = spark.read.option("basePath", root).parquet(
+        f"{root}/stream={register}/camera={camera}"
     )
     if start is not None:
         start = pd.Timestamp(start)
@@ -80,9 +83,8 @@ def list_chunks(
 ) -> list[str]:
     """Chunk discovery (SURVEY S3): distinct chunk partition values, pruned
     by stream/camera when given — a metadata-only listing query."""
-    df = spark.read.parquet(root)
-    if register is not None:
-        df = df.where(F.col("stream") == register)
-    if camera is not None:
-        df = df.where(F.col("camera") == camera)
+    path = f"{root}/stream={register if register is not None else '*'}"
+    path += f"/camera={camera if camera is not None else '*'}"
+    df = spark.read.option("basePath", root).parquet(path)
+    # partition columns only — safe even when the glob spans mixed schemas
     return sorted(r["chunk"] for r in df.select("chunk").distinct().collect())

@@ -1,0 +1,75 @@
+"""Reference-shaped API facade over the chunk store."""
+
+import json
+
+import pandas as pd
+import pytest
+
+from aeon_sleap_processing_spark import api
+from aeon_sleap_processing_spark.sources.chunked import write_chunked
+from tests.fixture_pose import FPS, IDS, METADATA, T0, tube_test_pose
+
+
+@pytest.fixture(scope="module")
+def store(tmp_path_factory, spark):
+    root = str(tmp_path_factory.mktemp("aeon_root"))
+    write_chunked(spark.createDataFrame(tube_test_pose()), root, "CameraTop", 222)
+    env = pd.DataFrame(
+        {
+            "time": [T0, T0 + pd.Timedelta(minutes=4)],
+            "state": ["Experiment", "Maintenance"],
+        }
+    )
+    write_chunked(
+        spark.createDataFrame(env), root, "Environment", api.ENV_STATE_REGISTER
+    )
+    meta = dict(METADATA)
+    meta["Devices"] = {
+        **METADATA["Devices"],
+        "CameraTop": {"TriggerFrequency": "HighFrequency"},
+        "VideoController": {"HighFrequency": "50"},
+    }
+    with open(f"{root}/metadata.json", "w") as f:
+        json.dump(meta, f)
+    return root
+
+
+class TestReferenceApi:
+    def test_detect_tube_tests_reference_signature(self, spark, store):
+        events = api.detect_tube_tests(
+            store,
+            "2024-01-01 00:00:00",
+            "2024-01-01 00:05:00",
+            spark=spark,
+        ).toPandas()
+        assert len(events) == 1
+        assert events.winner_identity.iloc[0] == IDS[0]
+
+    def test_fps_resolved_from_metadata_chain(self, spark, store):
+        from aeon_sleap_processing_spark.sources.sinks import load_metadata
+
+        meta = load_metadata(spark, f"{store}/metadata.json")
+        assert api._fps_from_metadata(meta) == 50.0
+        assert api._fps_from_metadata({"fps": 25}) == 25.0
+        assert api._fps_from_metadata({}) == 50.0
+
+    def test_gen_vids_warns_and_continues(self, spark, store):
+        with pytest.warns(UserWarning, match="gen_vids"):
+            events = api.detect_tube_tests(
+                store,
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:05:00",
+                video_config={"gen_vids": True},
+                spark=spark,
+            ).toPandas()
+        assert len(events) == 1
+
+    def test_bad_parameter_still_rejected(self, spark, store):
+        with pytest.raises(ValueError, match="Invalid parameter key"):
+            api.detect_tube_tests(
+                store,
+                "2024-01-01 00:00:00",
+                "2024-01-01 00:05:00",
+                parameters={"nope": 1},
+                spark=spark,
+            )
