@@ -113,6 +113,40 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.simhash(load_table(spark, "documents", sf_dir), bits=32)
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeon_sleap_processing_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(load_table(spark, "documents", sf_dir))
+
+
+def _dedup_clusters_sql() -> str:
+    """Oracle: same MinHash/LSH pairs, components via recursive reachability
+    (min label over everything that can reach the node)."""
+    return f"""
+        WITH RECURSIVE {_minhash_sig_cte(8, 3)},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach(node, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS doc_id, min(comp) AS cluster,
+               (min(comp) = node) AS is_representative
+        FROM reach GROUP BY node
+    """
+
+
 def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
@@ -226,6 +260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_buckets": _q_lsh_buckets,
         "q_jaccard_top_pairs": _q_jaccard_top_pairs,
         "q_simhash": _q_simhash,
+        "q_dedup_clusters": _q_dedup_clusters,
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
@@ -609,6 +644,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q_simhash": _simhash_sql(32),
+        "q_dedup_clusters": _dedup_clusters_sql(),
         "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_bruteforce": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1,0 +1,147 @@
+"""Connected components for near-duplicate clustering.
+
+The last mile of large-scale dedup: LSH/Jaccard candidate PAIRS must become
+CLUSTERS (one canonical document per group of transitively-linked near-dups).
+That's connected components over the similarity graph.
+
+Implemented with the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14 —
+the standard scalable formulation): each iteration is two self-contained
+DataFrame rounds (groupBy min-neighbor + conditional edge rewrite) that
+monotonically hang every node off its component's minimum id. Converges in
+O(log n) rounds; each round is shuffle-on-node-id only — no driver-side
+graph state, no assumption the graph fits anywhere.
+
+``dedup_clusters`` composes the full pipeline: MinHash → LSH buckets →
+candidate pairs → components → one representative per cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["connected_components", "dedup_clusters"]
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """edges (undirected, any orientation) → (node, component) with component
+    = min node id in the component.
+
+    Alternating star contractions; iterates until the edge set is stable
+    (every node points directly at its component minimum). Each star
+    references the edge set four times, so WITHOUT lineage truncation the
+    logical plan grows 16x per iteration and Catalyst analysis time explodes
+    combinatorially — every iteration therefore ends in an eager
+    localCheckpoint (constant-size plans, and the convergence-check count is
+    free against the materialized result).
+    """
+    spark = edges.sparkSession
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # neighbors in both directions; connect every strictly-larger
+        # neighbor to the minimum of N(u) ∪ {u}
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        joined = sym.join(m, "u")
+        return (
+            joined.where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient edges small←large, connect all smaller-or-equal neighbors
+        # (and u itself) to the minimum
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mn"))
+        joined = oriented.join(m, "u")
+        out = joined.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+            joined.select(F.col("u"), F.col("mn").alias("v"))
+        )
+        return out.where(F.col("u") != F.col("v")).distinct()
+
+    e = e.localCheckpoint(eager=True)
+    prev_count = e.count()
+    for _ in range(max_iterations):
+        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        # converged when every edge already points at the component minimum:
+        # large_star+small_star is then a no-op (same edge set)
+        n2 = e2.count()
+        if n2 == prev_count and e2.exceptAll(e).limit(1).count() == 0:
+            e = e2
+            break
+        e, prev_count = e2, n2
+    comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    # singletons of the original edge set resolve to themselves implicitly;
+    # nodes that ended as component minima appear only on the v side
+    minima = comp.select(F.col("component").alias("node")).distinct().join(
+        comp.select("node"), "node", "left_anti"
+    ).withColumn("component", F.col("node"))
+    return comp.unionByName(minima)
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Full near-dup clustering: MinHash → banded LSH candidate pairs →
+    connected components → (doc_id, cluster, is_representative).
+
+    Representative = minimum doc id per cluster; docs sharing no bucket are
+    their own singleton clusters."""
+    from .text import lsh_buckets, minhash_signature
+
+    sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k)
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh{b * band_size + i}").cast("string") for i in range(band_size)],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    memb = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = memb.alias("a"), memb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("src"), F.col(f"b.{id_col}").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    out = docs.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    out = out.withColumn("cluster", F.coalesce("component", F.col(id_col))).drop("component")
+    return out.withColumn("is_representative", F.col(id_col) == F.col("cluster"))

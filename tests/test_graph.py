@@ -1,0 +1,61 @@
+"""Connected components + end-to-end near-dup clustering."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.operators.graph import connected_components, dedup_clusters
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
+
+
+class TestConnectedComponents:
+    def _components(self, spark, pairs):
+        out = connected_components(_edges(spark, pairs)).toPandas()
+        return {int(r.node): int(r.component) for r in out.itertuples()}
+
+    def test_chain(self, spark):
+        comp = self._components(spark, [(1, 2), (2, 3), (3, 4)])
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_two_components_and_cycle(self, spark):
+        comp = self._components(
+            spark, [(5, 6), (6, 7), (7, 5), (20, 21), (21, 22)]
+        )
+        assert {comp[5], comp[6], comp[7]} == {5}
+        assert {comp[20], comp[21], comp[22]} == {20}
+
+    def test_long_path_converges(self, spark):
+        n = 64
+        comp = self._components(spark, [(i, i + 1) for i in range(n)])
+        assert set(comp.values()) == {0}
+        assert len(comp) == n + 1
+
+    def test_reversed_and_duplicate_edges(self, spark):
+        comp = self._components(spark, [(2, 1), (1, 2), (3, 2), (2, 3)])
+        assert comp == {1: 1, 2: 1, 3: 1}
+
+
+class TestDedupClusters:
+    def test_planted_duplicates_cluster_together(self, spark):
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        other = "completely different words about spark engines and parquet columns here"
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [base, base, other, base + " extra"],
+                }
+            )
+        )
+        out = dedup_clusters(docs).toPandas().set_index("doc_id")
+        # exact duplicates 1,2 share all shingles → same cluster, rep = 1
+        assert out.loc[1].cluster == out.loc[2].cluster == 1
+        assert bool(out.loc[1].is_representative)
+        assert not bool(out.loc[2].is_representative)
+        # doc 3 is its own singleton cluster
+        assert out.loc[3].cluster == 3 and bool(out.loc[3].is_representative)
+        # doc 4 shares most shingles with 1/2 → lands in their cluster
+        assert out.loc[4].cluster == 1
