@@ -193,6 +193,35 @@ def _knn_lsh_sql() -> str:
     """
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs; threshold 0.25 sits at ~p95 of the
+    synthetic vectors' in-bucket cosine distribution (random 64-dim vectors
+    are near-orthogonal), giving a non-trivial deterministic pair set."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim.embedding_near_dups(emb, _lsh_planes(), threshold=0.25)
+
+
+def _embedding_neardup_sql() -> str:
+    planes = _lsh_planes()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM c)
+        SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+               round(list_inner_product(a.v, b2.v)
+                     / (sqrt(list_inner_product(a.v, a.v))
+                        * sqrt(list_inner_product(b2.v, b2.v))), 6) AS cosine
+        FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        WHERE round(list_inner_product(a.v, b2.v)
+                    / (sqrt(list_inner_product(a.v, a.v))
+                       * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.25
+    """
+
+
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_stats(load_table(spark, "embeddings", sf_dir))
 
@@ -264,6 +293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
+        "q_embedding_neardup": _q_embedding_neardup,
         "q_embedding_stats": _q_embedding_stats,
         "q_binary_meta": _q_binary_meta,
     }
@@ -646,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": _simhash_sql(32),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_knn_lsh": _knn_lsh_sql(),
+        "q_embedding_neardup": _embedding_neardup_sql(),
         "q_knn_bruteforce": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),

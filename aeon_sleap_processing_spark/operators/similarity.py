@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim", "knn_bruteforce", "knn_lsh", "embedding_stats"]
+__all__ = [
+    "cosine_sim",
+    "knn_bruteforce",
+    "knn_lsh",
+    "embedding_near_dups",
+    "embedding_stats",
+]
 
 
 def _dvec(col: Column) -> Column:
@@ -118,6 +124,42 @@ def knn_lsh(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the vector analog of MinHash
+    dedup): candidate pairs come from shared sign-LSH buckets (never an
+    all-pairs product), then exact cosine filters at ``threshold``.
+
+    Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
+    deterministic cross-engine comparison."""
+
+    def bucket(vec: Column) -> Column:
+        bits = None
+        for i, hp in enumerate(hyperplanes):
+            d = _dot(_dvec(vec), F.array(*[F.lit(float(v)) for v in hp]))
+            bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        return bits.cast("int")
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= threshold)
 
 
 def embedding_stats(

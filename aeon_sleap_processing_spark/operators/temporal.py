@@ -57,6 +57,19 @@ def _seconds(df: DataFrame, col: str) -> Column:
     return F.col(col).cast("double")
 
 
+def _is_ts(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes)[col].startswith("timestamp")
+
+
+def _asof_axis(df: DataFrame, col: str, is_ts: bool) -> Column:
+    """As-of order column in an EXACT domain: integer µs for timestamps
+    (double seconds at epoch ~1.7e9 only resolve ~2.4e-7 s, so µs deltas at
+    the tolerance boundary get corrupted), double for numeric columns."""
+    if is_ts:
+        return F.unix_micros(F.col(col).cast("timestamp"))
+    return F.col(col).cast("double")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -84,13 +97,17 @@ def asof_join(
     val_cols = [c for c in right.columns if c != on and c not in by]
     out_names = {c: (c + suffix if c in left.columns else c) for c in val_cols}
 
-    on_sec = _seconds(left, on)
+    is_ts = _is_ts(left, on)
+    on_sec = _asof_axis(left, on, is_ts)
+    # tolerance in the same exact domain as the axis (integer µs for timestamps)
+    tol = None if tolerance is None else (int(round(tolerance * 1e6)) if is_ts else tolerance)
+    axis_type = "long" if is_ts else "double"
 
     lhs = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(_L).alias("__tag"),
         *[F.lit(None).cast(right.schema[c].dataType).alias("__r_" + c) for c in val_cols],
-        F.lit(None).cast("double").alias("__r_on"),
+        F.lit(None).cast(axis_type).alias("__r_on"),
     )
     rhs = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns if c not in by and c != on],
@@ -98,7 +115,7 @@ def asof_join(
         F.col(on),
         F.lit(_R).alias("__tag"),
         *[F.col(c).alias("__r_" + c) for c in val_cols],
-        _seconds(right, on).alias("__r_on"),
+        _asof_axis(right, on, is_ts).alias("__r_on"),
     ).select(*lhs.columns)  # align column order for union
     u = lhs.unionByName(rhs)
 
@@ -142,17 +159,17 @@ def asof_join(
 
     if direction == "backward":
         delta = on_sec - bwd_on
-        ok = bwd_on.isNotNull() & ((delta <= tolerance) if tolerance is not None else F.lit(True))
+        ok = bwd_on.isNotNull() & ((delta <= tol) if tol is not None else F.lit(True))
         picked = {c: F.when(ok, bwd[c]) for c in val_cols}
     elif direction == "forward":
         delta = fwd_on - on_sec
-        ok = fwd_on.isNotNull() & ((delta <= tolerance) if tolerance is not None else F.lit(True))
+        ok = fwd_on.isNotNull() & ((delta <= tol) if tol is not None else F.lit(True))
         picked = {c: F.when(ok, fwd[c]) for c in val_cols}
     else:  # nearest: pick min |Δt| among the two candidates, ties → backward
         d_b = on_sec - bwd_on
         d_f = fwd_on - on_sec
-        tol_ok_b = (d_b <= tolerance) if tolerance is not None else F.lit(True)
-        tol_ok_f = (d_f <= tolerance) if tolerance is not None else F.lit(True)
+        tol_ok_b = (d_b <= tol) if tol is not None else F.lit(True)
+        tol_ok_f = (d_f <= tol) if tol is not None else F.lit(True)
         b_valid = bwd_on.isNotNull() & tol_ok_b
         f_valid = fwd_on.isNotNull() & tol_ok_f
         use_b = b_valid & (~f_valid | (d_b <= d_f))
