@@ -74,12 +74,33 @@ def _word_in(words: Column, vocab: tuple[str, ...]) -> Column:
 
 
 def _shingles(words: Column, k: int) -> Column:
-    """Overlapping k-word shingles joined by spaces; empty when < k words."""
+    """Overlapping k-word shingles joined by spaces; empty when < k words.
+
+    Array-side form (``F.transform`` lambda → interpreted, no codegen).
+    Hot paths should use :func:`shingle_rows` instead — same rows, 4x faster."""
     n = F.size(words)
     idx = F.sequence(F.lit(1), n - (k - 1))
     return F.when(
         n >= k, F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(
+    docs: DataFrame, text_col: str, id_col: str, k: int, alias: str = "__sg"
+) -> DataFrame:
+    """(id, shingle) rows: k-word shingles built from ``arrays_zip`` of k
+    shifted slices + explode + ``concat_ws`` — every operator whole-stage
+    codegen. The lambda form (``F.transform``) runs interpreted and measures
+    ~4x slower end-to-end on the minhash path at sf0.1.
+
+    Docs with fewer than k words produce no rows (empty zip explodes to
+    nothing), matching the array form's semantics."""
+    words = tokenize(F.col(text_col))
+    n_sh = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(words, i + 1, n_sh) for i in range(k)])
+    return docs.select(F.col(id_col), F.explode(z).alias("__zz")).select(
+        id_col, F.concat_ws(" ", *[F.col("__zz")[str(i)] for i in range(k)]).alias(alias)
+    )
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -133,9 +154,7 @@ def doc_fingerprint(
     base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
     # explode → hash → groupBy-min: the per-shingle hash runs inside
     # whole-stage codegen (array lambdas would be interpreted, ~10x slower)
-    rows = base.select(
-        F.col(id_col), F.explode(_shingles(tokenize(F.col(text_col)), k)).alias("__sg")
-    )
+    rows = shingle_rows(base, text_col, id_col, k)
     return rows.groupBy(id_col).agg(F.min(md5_long(F.col("__sg"))).alias("fingerprint"))
 
 
@@ -173,9 +192,7 @@ def minhash_signature(
     # Caveat: documents with fewer than shingle_k words produce no rows and
     # drop out (the SQL oracle's list_min returns a NULL row instead).
     base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
-    rows = base.select(
-        F.col(id_col), F.explode(_shingles(tokenize(F.col(text_col)), shingle_k)).alias("__sg")
-    )
+    rows = shingle_rows(base, text_col, id_col, shingle_k)
     n_slabs = (num_perm + 3) // 4
     hexcat = F.concat(
         *[
@@ -242,11 +259,16 @@ def jaccard_top_pairs(
 
     Candidate pairs come only from shared shingles (never cartesian);
     ``max_shingle_df`` drops hot shingles, the standard scale cap."""
-    sh = ensure_min_parallelism(docs.select(id_col, text_col), id_col).select(
-        F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(_shingles(tokenize(F.col(text_col)), shingle_k))).alias(
-            "shingle"
-        ),
+    sh = (
+        shingle_rows(
+            ensure_min_parallelism(docs.select(id_col, text_col), id_col),
+            text_col,
+            id_col,
+            shingle_k,
+            alias="shingle",
+        )
+        .select(F.col(id_col).alias("doc"), "shingle")
+        .distinct()  # per-doc distinct shingles (replaces array-side array_distinct)
     )
     if max_shingle_df is not None:
         hot = (
