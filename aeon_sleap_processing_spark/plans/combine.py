@@ -119,22 +119,36 @@ def combine_pose_id(
         )
         return df.withColumn("tick", tick).where(ok)
 
-    def tall(df: DataFrame, src: str, x_col: str, y_col: str) -> DataFrame:
+    def tall(df: DataFrame, src: str, x_col: str, y_col: str, with_lik: bool) -> DataFrame:
+        # the kernel reads likelihood maps only from ID rows; shipping the
+        # map<string,double> for 2.88M pose rows through Arrow dominates the
+        # kernel's input cost, so pose rows carry NULL instead
+        lik = (
+            F.col("identity_likelihood")
+            if with_lik
+            else F.lit(None).cast("map<string,double>").alias("identity_likelihood")
+        )
         return with_tick(df).select(
             "tick",
             "time",
             F.lit(src).alias("src"),
             F.col("identity"),
-            F.col("identity_likelihood"),
-            F.col("part"),
+            lik.alias("identity_likelihood"),
             F.col(x_col).cast("double").alias("x"),
             F.col(y_col).cast("double").alias("y"),
         )
 
+    # Every stream enters the kernel anchor-only: the matcher uses only anchor
+    # coordinates (reference `:60,78-80`), so non-anchor pose rows (7/8 of the
+    # stream) never reach Python. Deviation: a malformed tick whose frames
+    # carry no anchor part is skipped like an empty tick instead of raising
+    # (the reference raises "No anchor points found").
     u = (
-        tall(top_pose, "pose", "x", "y")
-        .unionByName(tall(top_id.where(F.col("part").contains("anchor")), "topid", "x", "y"))
-        .unionByName(tall(quad_id, "quad", "x_top", "y_top"))
+        tall(top_pose.where(F.col("part").contains("anchor")), "pose", "x", "y", False)
+        .unionByName(
+            tall(top_id.where(F.col("part").contains("anchor")), "topid", "x", "y", True)
+        )
+        .unionByName(tall(quad_id, "quad", "x_top", "y_top", True))
         .withColumn("minute", (F.col("tick") * F.lit(period_us) / F.lit(60_000_000)).cast("long"))
     )
 
@@ -174,7 +188,6 @@ def _make_assign_kernel(unique_ids: list[str], max_distance: float):
         tick = pdf["tick"].to_numpy()[order]
         src = pdf["src"].to_numpy()[order]
         ident = pdf["identity"].to_numpy()[order]
-        is_anchor = pdf["part"].str.contains("anchor").fillna(False).to_numpy()[order]
         xs = pdf["x"].to_numpy(dtype=float)[order]
         ys = pdf["y"].to_numpy(dtype=float)[order]
         liks = pdf["identity_likelihood"].to_numpy()[order]
@@ -186,15 +199,13 @@ def _make_assign_kernel(unique_ids: list[str], max_distance: float):
         for k, t in enumerate(uniq_ticks):
             sl = slice(bounds[k], bounds[k + 1])
             s_src = src[sl]
+            # all rows are anchor rows (filtered plan-side before the union)
             pose_mask = s_src == "pose"
             if not pose_mask.any():
                 continue
             pose_ts = times[sl][pose_mask][0]
-            anchor_mask = pose_mask & is_anchor[sl]
-            if not anchor_mask.any():
-                raise ValueError(f"No anchor points found for tick {t}.")
-            pose_ids = ident[sl][anchor_mask]
-            pose_coords = np.column_stack([xs[sl][anchor_mask], ys[sl][anchor_mask]])
+            pose_ids = ident[sl][pose_mask]
+            pose_coords = np.column_stack([xs[sl][pose_mask], ys[sl][pose_mask]])
 
             id_mask = s_src == "quad"
             if not id_mask.any():
