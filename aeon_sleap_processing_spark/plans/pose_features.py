@@ -56,19 +56,34 @@ def build_frame_grid(pose: DataFrame, fps: float, parts: list[str]) -> FrameGrid
     """
     spark = pose.sparkSession
 
-    # driver-side scalars: 2-row identity table + min/max bounds (cheap
-    # column-pruned agg passes; never a row collect)
+    # driver-side scalars in ONE job: per-identity first-seen (null identity
+    # included as its own group so the global min_time is still over ALL
+    # rows), plus the part-filtered max time for the frame count. Three
+    # separate actions here previously re-scanned the pose input three times.
     id_rows = (
-        pose.where(F.col("identity").isNotNull())
-        .groupBy("identity")
-        .agg(F.min("time").alias("first_seen"))
-        .orderBy("first_seen", "identity")
+        pose.groupBy("identity")
+        .agg(
+            F.min("time").alias("first_seen"),
+            F.max(F.when(F.col("part").isin(parts), F.col("time"))).alias("last_part_time"),
+        )
         .collect()
     )
-    identities = [r["identity"] for r in id_rows]
+    identities = [
+        r["identity"]
+        for r in sorted(
+            (r for r in id_rows if r["identity"] is not None),
+            key=lambda r: (r["first_seen"], r["identity"]),
+        )
+    ]
     if len(identities) != 2:
         raise ValueError("There should be exactly 2 unique identities in the data.")
-    min_time = pose.agg(F.min("time")).first()[0]
+    min_time = min(r["first_seen"] for r in id_rows)
+    max_part_time = max(
+        (r["last_part_time"] for r in id_rows if r["last_part_time"] is not None),
+        default=None,
+    )
+    if max_part_time is None:
+        raise ValueError(f"No pose rows for parts {parts}.")
 
     code = (
         F.when(F.col("identity") == identities[0], F.lit(0))
@@ -88,7 +103,14 @@ def build_frame_grid(pose: DataFrame, fps: float, parts: list[str]) -> FrameGrid
         )
     )
 
-    num_frames = int(norm.agg(F.max("frame_id")).first()[0]) + 1
+    # frame_index is monotone in t, so the max frame id comes from the max
+    # part-filtered time — replicated driver-side with the exact arithmetic
+    # of frame_index (per-timestamp double cast THEN subtract, banker's round)
+    import pandas as pd
+
+    lo_s = (pd.Timestamp(min_time).value // 1000) / 1e6
+    hi_s = (pd.Timestamp(max_part_time).value // 1000) / 1e6
+    num_frames = int(round((hi_s - lo_s) * fps)) + 1
 
     aggs: list[Column] = [F.min("time").alias("frame_ts")]
     for m in (0, 1):
@@ -102,7 +124,18 @@ def build_frame_grid(pose: DataFrame, fps: float, parts: list[str]) -> FrameGrid
     wide = norm.groupBy("frame_id").agg(*aggs)
 
     grid = spark.range(num_frames).select(F.col("id").alias("frame_id"))
-    frames = grid.join(wide, "frame_id", "left")
+    # Materialize the pivot ONCE and truncate lineage (eager localCheckpoint):
+    # 1. every detection pipeline references the grid from several subtrees
+    #    (candidate sessionization AND the event join-back), and Spark does
+    #    not dedupe common subplans — un-materialized, the 17-agg shuffle
+    #    re-executes once per subtree;
+    # 2. the classic DataFrame API re-analyzes the full logical tree on every
+    #    transformation, so the downstream feature/session/join builders pay
+    #    seconds of driver-side analysis against the deep pivot plan; after
+    #    truncation they analyze against a flat in-memory scan.
+    # Per-chunk bounded (num_frames rows, ~20 cols; a 24 h period ≈ 4.3 M
+    # rows ≈ 0.7 GB) — sized for one executor at the reference's geometry.
+    frames = grid.join(wide, "frame_id", "left").localCheckpoint(eager=True)
     return FrameGrid(
         frames=frames,
         identities=identities,
