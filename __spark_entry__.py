@@ -147,10 +147,15 @@ def _dedup_clusters_sql() -> str:
     """
 
 
+# testdata embeddings are 64-dim; a known dim lets the similarity operators
+# unroll their dot products into codegen'd arithmetic (no interpreted lambdas)
+_EMB_DIM = 64
+
+
 def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    return sim.knn_bruteforce(emb, queries, k=5)
+    return sim.knn_bruteforce(emb, queries, k=5, dim=_EMB_DIM)
 
 
 def _lsh_planes() -> list[list[float]]:
@@ -159,31 +164,42 @@ def _lsh_planes() -> list[list[float]]:
     return np.random.default_rng(42).standard_normal((6, 64)).tolist()
 
 
+_LSH_TABLES = 2  # 6 planes -> 2 tables x 3 planes (OR-amplified recall)
+
+
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    return sim.knn_lsh(emb, queries, _lsh_planes(), k=5)
+    return sim.knn_lsh(emb, queries, _lsh_planes(), k=5, dim=_EMB_DIM, n_tables=_LSH_TABLES)
 
 
 def _knn_lsh_sql() -> str:
-    """Oracle for the hyperplane-LSH ANN: identical seeded planes as SQL
-    literals, identical bucket/rerank logic."""
+    """Oracle for the multi-table hyperplane-LSH ANN: identical seeded planes
+    as SQL literals, one bucket column per table, OR-collision join with
+    DISTINCT dedup, identical exact re-rank."""
     planes = _lsh_planes()
-    bucket_terms = " + ".join(
-        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(planes)
-    )
+    per = (len(planes) + _LSH_TABLES - 1) // _LSH_TABLES
+    cols, exprs = [], []
+    for t in range(_LSH_TABLES):
+        group = planes[t * per : (t + 1) * per]
+        terms = " + ".join(
+            f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(group)
+        )
+        cols.append(f"t{t}")
+        exprs.append(f"{terms} AS t{t}")
+    collide = " OR ".join(f"q.{c} = c2.{c}" for c in cols)
     return f"""
         WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM c),
+        b AS (SELECT vec_id, v, {", ".join(exprs)} FROM c),
         q AS (SELECT * FROM b WHERE vec_id < 10),
         sims AS (
-          SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+          SELECT DISTINCT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
                  round(list_inner_product(q.v, c2.v)
                        / (sqrt(list_inner_product(q.v, q.v))
                           * sqrt(list_inner_product(c2.v, c2.v))), 6) AS cosine
-          FROM q JOIN b c2 ON q.bucket = c2.bucket AND q.vec_id <> c2.vec_id
+          FROM q JOIN b c2 ON ({collide}) AND q.vec_id <> c2.vec_id
         )
         SELECT query_id, neighbor_id, cosine, rank FROM (
           SELECT *, row_number() OVER (
@@ -198,7 +214,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic vectors' in-bucket cosine distribution (random 64-dim vectors
     are near-orthogonal), giving a non-trivial deterministic pair set."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return sim.embedding_near_dups(emb, _lsh_planes(), threshold=0.25)
+    return sim.embedding_near_dups(emb, _lsh_planes(), threshold=0.25, dim=_EMB_DIM)
 
 
 def _embedding_neardup_sql() -> str:
@@ -223,7 +239,7 @@ def _embedding_neardup_sql() -> str:
 
 
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.embedding_stats(load_table(spark, "embeddings", sf_dir))
+    return sim.embedding_stats(load_table(spark, "embeddings", sf_dir), dim=_EMB_DIM)
 
 
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

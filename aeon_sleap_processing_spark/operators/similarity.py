@@ -9,9 +9,10 @@
   cost ~ bucket collision count, not |corpus| x |queries|.
 - ``embedding_stats`` — per-label norm/count rollup.
 
-Dot products run JVM-side via zip_with + aggregate (no Python UDF). Elements
-are cast to double BEFORE multiply so results are bit-comparable with the
-DuckDB oracle's DOUBLE[] math.
+Dot products run JVM-side (no Python UDF); with a known dimension they are
+unrolled into plain column arithmetic (whole-stage codegen — higher-order
+array lambdas run interpreted). Elements are cast to double BEFORE multiply
+so results are bit-comparable with the DuckDB oracle's DOUBLE[] math.
 """
 
 from __future__ import annotations
@@ -32,17 +33,43 @@ def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """JVM-side dot product. With ``dim`` known, unrolled into plain column
+    arithmetic — stays in whole-stage codegen. Without it, zip_with/aggregate
+    higher-order lambdas, which run interpreted (~3x slower end-to-end on the
+    near-dup query at sf0.1). Both sum left-to-right in element order, so the
+    float results are bit-identical."""
+    if dim is not None:
+        out = None
+        for i in range(dim):
+            term = a[i].cast("double") * b[i].cast("double")
+            out = term if out is None else out + term
+        return out
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm(a: Column) -> Column:
-    return F.sqrt(_dot(a, a))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    return F.sqrt(_dot(a, a, dim))
 
 
-def cosine_sim(a: Column, b: Column) -> Column:
-    a, b = _dvec(a), _dvec(b)
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        a, b = _dvec(a), _dvec(b)
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+
+
+def _sign_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign of <vec, hyperplane_i>. Hyperplanes
+    are driver-side constants, so the dots are always unrolled literals."""
+    bits = None
+    for i, hp in enumerate(hyperplanes):
+        d = None
+        for j, v in enumerate(hp):
+            term = vec[j].cast("double") * F.lit(float(v))
+            d = term if d is None else d + term
+        bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits = bit if bits is None else bits + bit
+    return bits.cast("int")
 
 
 def knn_bruteforce(
@@ -51,6 +78,7 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -65,7 +93,7 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+            F.round(cosine_sim(F.col("__qvec"), F.col("__cvec"), dim), 6).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -83,40 +111,53 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane (sign) LSH.
+    """Approximate top-k via random-hyperplane (sign) LSH with OR-amplification.
 
     ``hyperplanes`` is a driver-side list of unit vectors (generate once,
-    seeded). Each vector maps to an integer bucket = sign bits against the
-    hyperplanes. Candidates = bucket equi-join; exact cosine re-rank inside.
+    seeded), split into ``n_tables`` contiguous groups: each group is one
+    hash table (bucket = sign bits against its planes); a candidate pair is
+    anything colliding in ANY table (1-(1-p^b)^L recall — more tables raise
+    recall, more planes per table cut candidates). Candidates = (table,
+    bucket) equi-join, dedup, exact cosine re-rank.
     Recall < 1.0 by construction — tested against knn_bruteforce."""
+    if n_tables < 1 or n_tables > len(hyperplanes):
+        raise ValueError(f"n_tables must be in [1, {len(hyperplanes)}]")
+    per = (len(hyperplanes) + n_tables - 1) // n_tables
+    groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
 
-    def bucket(vec: Column) -> Column:
-        bits = None
-        for i, hp in enumerate(hyperplanes):
-            d = _dot(_dvec(vec), F.array(*[F.lit(float(v)) for v in hp]))
-            bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        return bits.cast("int")
+    def memberships(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), _sign_bucket(vec, g).alias("h"))
+                for t, g in enumerate(groups)
+            ]
+        )
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        bucket(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(memberships(F.col(vec_col))).alias("tb"),
+    ).select("neighbor_id", "__cvec", F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
-        bucket(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(memberships(F.col(vec_col))).alias("tb"),
+    ).select("query_id", "__qvec", F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
     sims = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["t", "h"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+            F.round(cosine_sim(F.col("__qvec"), F.col("__cvec"), dim), 6).alias("cosine"),
         )
+        # a pair colliding in several tables appears once per table: dedup on
+        # the pair key (cheap scalar shuffle; cosines are identical)
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -132,6 +173,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of MinHash
     dedup): candidate pairs come from shared sign-LSH buckets (never an
@@ -139,17 +181,10 @@ def embedding_near_dups(
 
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
-
-    def bucket(vec: Column) -> Column:
-        bits = None
-        for i, hp in enumerate(hyperplanes):
-            d = _dot(_dvec(vec), F.array(*[F.lit(float(v)) for v in hp]))
-            bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        return bits.cast("int")
-
     c = corpus.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), bucket(F.col(vec_col)).alias("bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _sign_bucket(F.col(vec_col), hyperplanes).alias("bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
     pairs = a.join(
@@ -157,17 +192,18 @@ def embedding_near_dups(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        F.round(cosine_sim(F.col("a.v"), F.col("b.v"), dim), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
 
 
 def embedding_stats(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None
 ) -> DataFrame:
     """Per-label count + mean L2 norm (rounded for oracle comparison)."""
+    nrm = _norm(F.col(vec_col), dim) if dim is not None else _norm(_dvec(F.col(vec_col)))
     return (
-        corpus.select(F.col("label"), _norm(_dvec(F.col(vec_col))).alias("nrm"))
+        corpus.select(F.col("label"), nrm.alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

@@ -1,0 +1,92 @@
+"""Similarity-search operator tests (SURVEY: training-data-pipeline ops).
+
+Covers what the DuckDB oracles can't: LSH recall against the exact
+bruteforce baseline, bit-equality of the unrolled vs lambda dot paths, and
+planted near-duplicate recovery.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.operators import similarity as S
+from aeon_sleap_processing_spark.sources import load_table
+
+DIM = 64
+
+
+def _planes(n: int, rng) -> list[list[float]]:
+    return rng.standard_normal((n, DIM)).tolist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).cache()
+
+
+def test_unrolled_dot_matches_lambda(spark, emb):
+    """dim-unrolled cosine must be bit-identical to the zip_with/aggregate
+    path (same multiply/sum order)."""
+    pairs = (
+        emb.alias("a")
+        .join(emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
+        .select(
+            S.cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("lam"),
+            S.cosine_sim(F.col("a.embedding"), F.col("b.embedding"), DIM).alias("unr"),
+        )
+    )
+    assert pairs.where(~F.col("lam").eqNullSafe(F.col("unr"))).count() == 0
+
+
+def test_knn_lsh_recall_vs_bruteforce(spark, emb):
+    """OR-amplified sign-LSH must recover most of the exact top-5 sets.
+
+    Exact top-5 neighbors of random 64-dim vectors sit at ~65-70deg, so a
+    single plane agrees with p ~ 0.6; 6 tables x 3 planes gives theoretical
+    recall 1-(1-p^3)^6 ~ 0.75-0.8."""
+    rng = np.random.default_rng(42)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = S.knn_bruteforce(emb, queries, k=5, dim=DIM).toPandas()
+    approx = S.knn_lsh(emb, queries, _planes(18, rng), k=5, dim=DIM, n_tables=6).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"LSH recall {recall:.2f} below floor"
+    # every approx neighbor must carry the EXACT cosine (re-rank is exact)
+    m = approx.merge(exact, on=["query_id", "neighbor_id"], suffixes=("_a", "_e"))
+    assert (m.cosine_a == m.cosine_e).all()
+
+
+def test_knn_lsh_amplification_knobs(spark, emb):
+    """More planes per table -> fewer candidates; more tables -> recall can
+    only grow (the two scale knobs the 100 TB path depends on)."""
+    rng = np.random.default_rng(7)
+    queries = emb.where(F.col("vec_id") < 20)
+    few = S.knn_lsh(emb, queries, _planes(2, rng), k=5, dim=DIM).count()
+    many = S.knn_lsh(emb, queries, _planes(8, rng), k=5, dim=DIM).count()
+    assert many <= few
+    planes = _planes(8, rng)
+    one = S.knn_lsh(emb, queries, planes[:4], k=5, dim=DIM).toPandas()
+    two = S.knn_lsh(emb, queries, planes, k=5, dim=DIM, n_tables=2).toPandas()
+    # table 0 of `two` IS `one`'s table, so every 1-table candidate set is a
+    # subset; top-5 can only improve or stay
+    assert len(two) >= len(one)
+
+
+def test_embedding_near_dups_finds_planted_duplicate(spark, emb):
+    """A vector plus a tiny perturbation of itself must surface as a
+    near-dup pair regardless of bucket layout (identical signs)."""
+    rng = np.random.default_rng(3)
+    base = emb.limit(50).toPandas()
+    v = np.array(base.embedding.iloc[0], dtype="float32")
+    dup = (v + 1e-4 * rng.standard_normal(DIM).astype("float32")).tolist()
+    pdf = pd.concat(
+        [base[["vec_id", "embedding"]], pd.DataFrame({"vec_id": [99999], "embedding": [dup]})],
+        ignore_index=True,
+    )
+    df = spark.createDataFrame(pdf)
+    out = S.embedding_near_dups(df, _planes(6, rng), threshold=0.99, dim=DIM).toPandas()
+    planted = out[(out.id_a == int(base.vec_id.iloc[0])) & (out.id_b == 99999)]
+    assert len(planted) == 1
+    assert planted.cosine.iloc[0] > 0.999
