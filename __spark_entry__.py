@@ -147,15 +147,10 @@ def _dedup_clusters_sql() -> str:
     """
 
 
-# testdata embeddings are 64-dim; a known dim lets the similarity operators
-# unroll their dot products into codegen'd arithmetic (no interpreted lambdas)
-_EMB_DIM = 64
-
-
 def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    return sim.knn_bruteforce(emb, queries, k=5, dim=_EMB_DIM)
+    return sim.knn_bruteforce(emb, queries, k=5)
 
 
 def _lsh_planes() -> list[list[float]]:
@@ -170,7 +165,7 @@ _LSH_TABLES = 2  # 6 planes -> 2 tables x 3 planes (OR-amplified recall)
 def _q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    return sim.knn_lsh(emb, queries, _lsh_planes(), k=5, dim=_EMB_DIM, n_tables=_LSH_TABLES)
+    return sim.knn_lsh(emb, queries, _lsh_planes(), k=5, n_tables=_LSH_TABLES)
 
 
 def _knn_lsh_sql() -> str:
@@ -214,7 +209,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthetic vectors' in-bucket cosine distribution (random 64-dim vectors
     are near-orthogonal), giving a non-trivial deterministic pair set."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return sim.embedding_near_dups(emb, _lsh_planes(), threshold=0.25, dim=_EMB_DIM)
+    return sim.embedding_near_dups(emb, _lsh_planes(), threshold=0.25)
 
 
 def _embedding_neardup_sql() -> str:
@@ -239,7 +234,7 @@ def _embedding_neardup_sql() -> str:
 
 
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.embedding_stats(load_table(spark, "embeddings", sf_dir), dim=_EMB_DIM)
+    return sim.embedding_stats(load_table(spark, "embeddings", sf_dir))
 
 
 def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:

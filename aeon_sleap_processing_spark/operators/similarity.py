@@ -9,19 +9,27 @@
   cost ~ bucket collision count, not |corpus| x |queries|.
 - ``embedding_stats`` — per-label norm/count rollup.
 
-Dot products run JVM-side (no Python UDF); with a known dimension they are
-unrolled into plain column arithmetic (whole-stage codegen — higher-order
-array lambdas run interpreted). Elements are cast to double BEFORE multiply
-so results are bit-comparable with the DuckDB oracle's DOUBLE[] math.
+Vector math runs in Arrow-vectorized pandas UDF kernels (numpy), NOT column
+expressions: a 64-dim dot product unrolled into column arithmetic exceeds
+Janino's 64 KB method limit, so whole-stage codegen FAILS (slow retried
+compile + interpreted fallback, measured seconds per query), and the
+zip_with/aggregate lambda form is interpreted per element. The kernels
+accumulate strictly left-to-right over dimensions in float64 — bit-identical
+to both column forms and to the DuckDB oracle's DOUBLE[] math — while doing
+~1e4 rows per vectorized numpy op.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "cosine_sim",
+    "cosine_kernel",
     "knn_bruteforce",
     "knn_lsh",
     "embedding_near_dups",
@@ -33,43 +41,107 @@ def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """JVM-side dot product. With ``dim`` known, unrolled into plain column
-    arithmetic — stays in whole-stage codegen. Without it, zip_with/aggregate
-    higher-order lambdas, which run interpreted (~3x slower end-to-end on the
-    near-dup query at sf0.1). Both sum left-to-right in element order, so the
-    float results are bit-identical."""
-    if dim is not None:
-        out = None
-        for i in range(dim):
-            term = a[i].cast("double") * b[i].cast("double")
-            out = term if out is None else out + term
-        return out
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Pure-column cosine (zip_with/aggregate). Interpreted per element —
+    reference semantics / small inputs; hot paths use :func:`cosine_kernel`
+    (bit-identical, tested)."""
+    a, b = _dvec(a), _dvec(b)
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, t: acc + t)
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
-    return F.sqrt(_dot(a, a, dim))
+def _stack(s: pd.Series) -> np.ndarray:
+    """Series of float32 vectors → (n, dim) float64 matrix (exact widening)."""
+    return np.stack(s.to_numpy()).astype(np.float64)
 
 
-def cosine_sim(a: Column, b: Column, dim: int | None = None) -> Column:
-    if dim is None:
-        a, b = _dvec(a), _dvec(b)
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+def _dot_ltr(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Row-wise dot accumulated left-to-right over dimensions — the same
+    float64 operation order as the column forms and DuckDB list_inner_product,
+    so results are bit-identical (np.dot/einsum pairwise-sum and would not
+    be)."""
+    acc = a[:, 0] * b[:, 0]
+    for j in range(1, a.shape[1]):
+        acc = acc + a[:, j] * b[:, j]
+    return acc
 
 
-def _sign_bucket(vec: Column, hyperplanes: list[list[float]]) -> Column:
-    """Sign-LSH bucket id: bit i = sign of <vec, hyperplane_i>. Hyperplanes
-    are driver-side constants, so the dots are always unrolled literals."""
-    bits = None
-    for i, hp in enumerate(hyperplanes):
-        d = None
-        for j, v in enumerate(hp):
-            term = vec[j].cast("double") * F.lit(float(v))
-            d = term if d is None else d + term
-        bit = F.when(d > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits = bit if bits is None else bits + bit
-    return bits.cast("int")
+# pandas_udf needs an active SparkSession to resolve its DDL return type, so
+# the kernels are built lazily (first use), not at import
+_KERNELS: dict[str, object] = {}
+
+
+def _cosine_kernel():
+    if "cos" not in _KERNELS:
+
+        @pandas_udf("double")
+        def k(a: pd.Series, b: pd.Series) -> pd.Series:
+            if len(a) == 0:
+                return pd.Series([], dtype="float64")
+            av, bv = _stack(a), _stack(b)
+            cos = _dot_ltr(av, bv) / (np.sqrt(_dot_ltr(av, av)) * np.sqrt(_dot_ltr(bv, bv)))
+            return pd.Series(cos)
+
+        _KERNELS["cos"] = k
+    return _KERNELS["cos"]
+
+
+def cosine_kernel(a: Column, b: Column) -> Column:
+    """Arrow/numpy cosine — bit-identical to :func:`cosine_sim` (tested)."""
+    return _cosine_kernel()(a, b)
+
+
+def _norm_kernel(a: Column) -> Column:
+    if "norm" not in _KERNELS:
+
+        @pandas_udf("double")
+        def k(v: pd.Series) -> pd.Series:
+            if len(v) == 0:
+                return pd.Series([], dtype="float64")
+            vm = _stack(v)
+            return pd.Series(np.sqrt(_dot_ltr(vm, vm)))
+
+        _KERNELS["norm"] = k
+    return _KERNELS["norm"](a)
+
+
+def _bucket_udf(groups: list[list[list[float]]]):
+    """array<float> vector → array<int> of sign-LSH bucket ids, one per hash
+    table. Bit i of table t's bucket = sign of <vec, plane_{t,i}>; dots are
+    accumulated left-to-right in float64 (bit-compatible with the SQL
+    oracle's list_inner_product > 0)."""
+    planes = np.array([p for g in groups for p in g], dtype=np.float64)  # (L, dim)
+    sizes = [len(g) for g in groups]
+    weights = np.concatenate([1 << np.arange(s, dtype=np.int64) for s in sizes])
+    starts = np.cumsum([0] + sizes)
+
+    @pandas_udf("array<int>")
+    def k(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        vm = _stack(v)  # (n, dim)
+        acc = vm[:, 0:1] * planes[None, :, 0].reshape(1, -1)
+        for j in range(1, vm.shape[1]):
+            acc = acc + vm[:, j : j + 1] * planes[None, :, j].reshape(1, -1)
+        bits = (acc > 0.0).astype(np.int64) * weights[None, :]  # (n, L)
+        out = np.stack(
+            [bits[:, starts[t] : starts[t + 1]].sum(axis=1) for t in range(len(sizes))], axis=1
+        ).astype(np.int32)
+        return pd.Series(list(out))
+
+    return k
+
+
+def _topk(sims: DataFrame, k: int) -> DataFrame:
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
 
 
 def knn_bruteforce(
@@ -78,30 +150,20 @@ def knn_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Queries are broadcast (small side); ranking uses the ROUNDED similarity
-    plus id tie-break so results are deterministic across engines."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+    Queries are broadcast (small side); the corpus side never shuffles until
+    the per-query top-k. Ranking uses the ROUNDED similarity plus id
+    tie-break so results are deterministic across engines."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
-    sims = (
-        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_sim(F.col("__qvec"), F.col("__cvec"), dim), 6).alias("cosine"),
-        )
+    sims = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(sims, k)
 
 
 def knn_lsh(
@@ -111,7 +173,6 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    dim: int | None = None,
     n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane (sign) LSH with OR-amplification.
@@ -127,44 +188,31 @@ def knn_lsh(
         raise ValueError(f"n_tables must be in [1, {len(hyperplanes)}]")
     per = (len(hyperplanes) + n_tables - 1) // n_tables
     groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
+    bucket = _bucket_udf(groups)
 
-    def memberships(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), _sign_bucket(vec, g).alias("h"))
-                for t, g in enumerate(groups)
-            ]
+    def membered(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.col(vec_col).alias(out_vec),
+            F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
         )
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        F.explode(memberships(F.col(vec_col))).alias("tb"),
-    ).select("neighbor_id", "__cvec", F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(memberships(F.col(vec_col))).alias("tb"),
-    ).select("query_id", "__qvec", F.col("tb.t").alias("t"), F.col("tb.h").alias("h"))
+    c = membered(corpus, "neighbor_id", "__cvec")
+    q = membered(queries, "query_id", "__qvec")
     sims = (
         c.join(F.broadcast(q), ["t", "h"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_sim(F.col("__qvec"), F.col("__cvec"), dim), 6).alias("cosine"),
+            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
         )
         # a pair colliding in several tables appears once per table: dedup on
         # the pair key (cheap scalar shuffle; cosines are identical)
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(sims, k)
 
 
 def embedding_near_dups(
@@ -173,7 +221,6 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of MinHash
     dedup): candidate pairs come from shared sign-LSH buckets (never an
@@ -181,10 +228,11 @@ def embedding_near_dups(
 
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
+    bucket = _bucket_udf([hyperplanes])
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        _sign_bucket(F.col(vec_col), hyperplanes).alias("bucket"),
+        F.element_at(bucket(F.col(vec_col)), 1).alias("bucket"),
     )
     a, b = c.alias("a"), c.alias("b")
     pairs = a.join(
@@ -192,18 +240,15 @@ def embedding_near_dups(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("b.id").alias("id_b"),
-        F.round(cosine_sim(F.col("a.v"), F.col("b.v"), dim), 6).alias("cosine"),
+        F.round(cosine_kernel(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
 
 
-def embedding_stats(
-    corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding", dim: int | None = None
-) -> DataFrame:
+def embedding_stats(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-label count + mean L2 norm (rounded for oracle comparison)."""
-    nrm = _norm(F.col(vec_col), dim) if dim is not None else _norm(_dvec(F.col(vec_col)))
     return (
-        corpus.select(F.col("label"), nrm.alias("nrm"))
+        corpus.select(F.col("label"), _norm_kernel(F.col(vec_col)).alias("nrm"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

@@ -25,18 +25,18 @@ def emb(spark, sf_dir):
     return load_table(spark, "embeddings", sf_dir).cache()
 
 
-def test_unrolled_dot_matches_lambda(spark, emb):
-    """dim-unrolled cosine must be bit-identical to the zip_with/aggregate
-    path (same multiply/sum order)."""
+def test_numpy_kernel_matches_lambda(spark, emb):
+    """The Arrow/numpy cosine kernel must be bit-identical to the pure-column
+    zip_with/aggregate path (same float64 multiply/sum order)."""
     pairs = (
         emb.alias("a")
         .join(emb.alias("b"), F.col("a.vec_id") + 1 == F.col("b.vec_id"))
         .select(
             S.cosine_sim(F.col("a.embedding"), F.col("b.embedding")).alias("lam"),
-            S.cosine_sim(F.col("a.embedding"), F.col("b.embedding"), DIM).alias("unr"),
+            S.cosine_kernel(F.col("a.embedding"), F.col("b.embedding")).alias("ker"),
         )
     )
-    assert pairs.where(~F.col("lam").eqNullSafe(F.col("unr"))).count() == 0
+    assert pairs.where(~F.col("lam").eqNullSafe(F.col("ker"))).count() == 0
 
 
 def test_knn_lsh_recall_vs_bruteforce(spark, emb):
@@ -47,8 +47,8 @@ def test_knn_lsh_recall_vs_bruteforce(spark, emb):
     recall 1-(1-p^3)^6 ~ 0.75-0.8."""
     rng = np.random.default_rng(42)
     queries = emb.where(F.col("vec_id") < 20)
-    exact = S.knn_bruteforce(emb, queries, k=5, dim=DIM).toPandas()
-    approx = S.knn_lsh(emb, queries, _planes(18, rng), k=5, dim=DIM, n_tables=6).toPandas()
+    exact = S.knn_bruteforce(emb, queries, k=5).toPandas()
+    approx = S.knn_lsh(emb, queries, _planes(18, rng), k=5, n_tables=6).toPandas()
     e = set(zip(exact.query_id, exact.neighbor_id))
     a = set(zip(approx.query_id, approx.neighbor_id))
     recall = len(e & a) / len(e)
@@ -63,12 +63,12 @@ def test_knn_lsh_amplification_knobs(spark, emb):
     only grow (the two scale knobs the 100 TB path depends on)."""
     rng = np.random.default_rng(7)
     queries = emb.where(F.col("vec_id") < 20)
-    few = S.knn_lsh(emb, queries, _planes(2, rng), k=5, dim=DIM).count()
-    many = S.knn_lsh(emb, queries, _planes(8, rng), k=5, dim=DIM).count()
+    few = S.knn_lsh(emb, queries, _planes(2, rng), k=5).count()
+    many = S.knn_lsh(emb, queries, _planes(8, rng), k=5).count()
     assert many <= few
     planes = _planes(8, rng)
-    one = S.knn_lsh(emb, queries, planes[:4], k=5, dim=DIM).toPandas()
-    two = S.knn_lsh(emb, queries, planes, k=5, dim=DIM, n_tables=2).toPandas()
+    one = S.knn_lsh(emb, queries, planes[:4], k=5).toPandas()
+    two = S.knn_lsh(emb, queries, planes, k=5, n_tables=2).toPandas()
     # table 0 of `two` IS `one`'s table, so every 1-table candidate set is a
     # subset; top-5 can only improve or stay
     assert len(two) >= len(one)
@@ -86,7 +86,7 @@ def test_embedding_near_dups_finds_planted_duplicate(spark, emb):
         ignore_index=True,
     )
     df = spark.createDataFrame(pdf)
-    out = S.embedding_near_dups(df, _planes(6, rng), threshold=0.99, dim=DIM).toPandas()
+    out = S.embedding_near_dups(df, _planes(6, rng), threshold=0.99).toPandas()
     planted = out[(out.id_a == int(base.vec_id.iloc[0])) & (out.id_b == 99999)]
     assert len(planted) == 1
     assert planted.cosine.iloc[0] > 0.999
