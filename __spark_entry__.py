@@ -204,6 +204,54 @@ def _knn_lsh_sql() -> str:
     """
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 4
+
+
+def _ivf_cents() -> list[list[float]]:
+    return sim.ivf_centroids(_IVF_CELLS, 64, seed=7)
+
+
+def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    return sim.knn_ivf(emb, queries, _ivf_cents(), k=5, nprobe=_IVF_NPROBE)
+
+
+def _knn_ivf_sql() -> str:
+    """Oracle for the IVF ANN: identical unit-norm centroid literals; cell =
+    argmax inner product (ties to smaller cid), queries probe the top-nprobe
+    cells, exact cosine re-rank within probed cells."""
+    cents = _ivf_cents()
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])" for cid, cv in enumerate(cents)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent(cid, cv) AS (VALUES {values}),
+        ranked AS (
+          SELECT vec_id, v, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY list_inner_product(v, cv) DESC, cid ASC
+          ) AS rn
+          FROM c CROSS JOIN cent
+        ),
+        cells AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+        probes AS (SELECT vec_id, v, cid FROM ranked WHERE rn <= {_IVF_NPROBE} AND vec_id < 10),
+        sims AS (
+          SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
+                 round(list_inner_product(p.v, cl.v)
+                       / (sqrt(list_inner_product(p.v, p.v))
+                          * sqrt(list_inner_product(cl.v, cl.v))), 6) AS cosine
+          FROM probes p JOIN cells cl ON cl.cid = p.cid AND cl.vec_id <> p.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+          ) AS rank FROM sims
+        ) WHERE rank <= 5
+    """
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs; threshold 0.25 sits at ~p95 of the
     synthetic vectors' in-bucket cosine distribution (random 64-dim vectors
@@ -304,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
+        "q_knn_ivf": _q_knn_ivf,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_embedding_stats": _q_embedding_stats,
         "q_binary_meta": _q_binary_meta,
@@ -687,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": _simhash_sql(32),
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_knn_lsh": _knn_lsh_sql(),
+        "q_knn_ivf": _knn_ivf_sql(),
         "q_embedding_neardup": _embedding_neardup_sql(),
         "q_knn_bruteforce": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

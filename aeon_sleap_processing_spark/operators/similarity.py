@@ -32,6 +32,8 @@ __all__ = [
     "cosine_kernel",
     "knn_bruteforce",
     "knn_lsh",
+    "knn_ivf",
+    "ivf_centroids",
     "embedding_near_dups",
     "embedding_stats",
 ]
@@ -211,6 +213,87 @@ def knn_lsh(
         # the pair key (cheap scalar shuffle; cosines are identical)
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
+    )
+    return _topk(sims, k)
+
+
+def ivf_centroids(n_cells: int, dim: int, seed: int = 0) -> list[list[float]]:
+    """Seeded unit-norm coarse-quantizer centroids (driver-side constants).
+
+    Random centroids give IVF's cost structure without a training pass — and,
+    being pure literals, let the DuckDB oracle embed the identical values. A
+    real deployment would fit them with ``pyspark.ml.clustering.KMeans`` on a
+    corpus sample and pass the fitted centers here; the search path is
+    unchanged."""
+    c = np.random.default_rng(seed).standard_normal((n_cells, dim))
+    c /= np.sqrt((c**2).sum(axis=1, keepdims=True))
+    return c.tolist()
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """vector → the ``nprobe`` centroid ids with the highest inner product
+    (unit centroids ⇒ cosine order). Scores accumulate left-to-right over
+    dimensions in float64 — bit-identical to the oracle's
+    ``list_inner_product``; ties break toward the smaller cid in both."""
+    c = np.asarray(centroids, dtype=np.float64)  # (K, dim)
+
+    @pandas_udf("array<int>")
+    def k(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        vm = _stack(v)  # (n, dim)
+        acc = vm[:, 0:1] * c[None, :, 0]
+        for j in range(1, vm.shape[1]):
+            acc = acc + vm[:, j : j + 1] * c[None, :, j]
+        # stable argsort on -score: ties keep ascending-cid order
+        order = np.argsort(-acc, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return k
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) coarse quantization.
+
+    Every corpus vector lives in exactly ONE cell (argmax inner product
+    against unit-norm ``centroids``); each query probes its ``nprobe``
+    closest cells and exact-re-ranks only those cells' members. Unlike LSH
+    the partitioning is data-adaptive once centroids are trained, candidate
+    count scales as nprobe/n_cells of the corpus, and the cell id doubles as
+    the physical partition key at 100 TB (cluster-by-cell layout → a probe
+    touches nprobe partitions). Pairs can't duplicate across probes (cells
+    are disjoint), so there is no dedup shuffle before the re-rank."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
+    c_arr = np.asarray(centroids, dtype=np.float64)
+    cell1 = _probe_udf(c_arr, 1)
+    cellN = _probe_udf(c_arr, nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.element_at(cell1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(cellN(F.col(vec_col))).alias("cell"),
+    )
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+        )
     )
     return _topk(sims, k)
 

@@ -74,6 +74,29 @@ def test_knn_lsh_amplification_knobs(spark, emb):
     assert len(two) >= len(one)
 
 
+def test_knn_ivf_recall_and_disjoint_cells(spark, emb):
+    """IVF candidates come from disjoint cells (no pair dedup needed), probing
+    more cells must raise recall monotonically toward exact."""
+    cents = S.ivf_centroids(16, DIM, seed=7)
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = S.knn_bruteforce(emb, queries, k=5).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+
+    prev = -1.0
+    recalls = []
+    for nprobe in (1, 4, 16):
+        approx = S.knn_ivf(emb, queries, cents, k=5, nprobe=nprobe).toPandas()
+        # disjoint cells: a (query, neighbor) candidate can never duplicate
+        assert not approx.duplicated(["query_id", "neighbor_id"]).any()
+        a = set(zip(approx.query_id, approx.neighbor_id))
+        recall = len(e & a) / len(e)
+        assert recall >= prev
+        prev = recall
+        recalls.append(recall)
+    # probing ALL cells is exhaustive search — must equal bruteforce
+    assert recalls[-1] == 1.0
+
+
 def test_embedding_near_dups_finds_planted_duplicate(spark, emb):
     """A vector plus a tiny perturbation of itself must surface as a
     near-dup pair regardless of bucket layout (identical signs)."""
