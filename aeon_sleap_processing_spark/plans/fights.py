@@ -105,9 +105,13 @@ def detect_fights(
     fps: float,
     parameters: dict | None = None,
     skeleton: dict | None = None,
+    grid: FrameGrid | None = None,
 ) -> DataFrame:
     """pose (long, maintenance-filtered) + blob position stream → fight events
-    (start_timestamp, end_timestamp, duration_seconds, fight_end_x/y)."""
+    (start_timestamp, end_timestamp, duration_seconds, fight_end_x/y).
+
+    ``grid`` reuses a prebuilt frame grid — only valid when built with THIS
+    skeleton's part list (see ``detect_tube_tests``)."""
     p = _validate(parameters, FIGHT_PARAMS, "parameter")
     sk = _validate(skeleton, FIGHT_SKELETON, "skeleton")
     parts = [
@@ -115,7 +119,8 @@ def detect_fights(
         sk["upper_spine"], sk["centroid"], sk["lower_spine"], sk["tail_base"],
     ]
 
-    grid = build_frame_grid(pose, fps, parts)
+    if grid is None:
+        grid = build_frame_grid(pose, fps, parts)
     fr = grid.frames
     cent = sk["centroid"]
 

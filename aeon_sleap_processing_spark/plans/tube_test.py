@@ -74,14 +74,22 @@ def detect_tube_tests(
     metadata: dict,
     parameters: dict | None = None,
     skeleton: dict | None = None,
+    grid: FrameGrid | None = None,
 ) -> DataFrame:
     """pose (long, maintenance-filtered) → tube-test events
-    (start_timestamp, end_timestamp, winner_identity)."""
+    (start_timestamp, end_timestamp, winner_identity).
+
+    ``grid`` lets callers running several detectors over one period reuse a
+    prebuilt frame grid (the dominant per-pipeline cost) — only valid when it
+    was built with THIS skeleton's part list: frame_ts and the frame count
+    are derived from part-filtered rows, so a different part set changes
+    reference semantics."""
     p = _validate(parameters, TUBE_TEST_PARAMS, "parameter")
     sk = _validate(skeleton, TUBE_TEST_SKELETON, "skeleton")
     parts = [sk["nose"], sk["head"], sk["centroid"], sk["tail_base"]]
 
-    grid = build_frame_grid(pose, fps, parts)
+    if grid is None:
+        grid = build_frame_grid(pose, fps, parts)
     frames = tube_test_features(grid, sk, metadata, p)
 
     # sessionize candidate frames: gap > max_frame_gap splits, keep sessions

@@ -86,6 +86,24 @@ def gen_pose(n_frames: int, parts: list[str], rng) -> pd.DataFrame:
     return pdf.drop(columns=["frame"])
 
 
+def stage(pdf: pd.DataFrame, root: str, name: str, spark):
+    """Write a generated frame to parquet and read it back — pipelines are
+    timed against the engine's real scan path (production inputs are parquet
+    chunk stores), not driver-side `createDataFrame` re-serialization, which
+    measured 2-7x slower per scan at this geometry. µs timestamps keep Spark's
+    TimestampType (the session reads TIMESTAMP(NANOS) as long for the
+    testdata tables)."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(root, f"{name}.parquet")
+    pdf.to_parquet(path, index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    df = spark.read.parquet(path)
+    for c, dt in df.dtypes:
+        if dt == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=int, default=60)
@@ -114,8 +132,13 @@ def main() -> None:
     )
     gen_s = time.time() - t_gen0
 
-    pose = spark.createDataFrame(pose_pdf).repartition(32).cache()
-    blob = spark.createDataFrame(blob_pdf).cache()
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="aeon_bench_")
+    t_stage0 = time.time()
+    pose = stage(pose_pdf, stage_dir, "pose", spark)
+    blob = stage(blob_pdf, stage_dir, "blob", spark)
+    stage_s = time.time() - t_stage0
     n_rows = pose.count()
     blob.count()
 
@@ -152,11 +175,11 @@ def main() -> None:
         )
     anchor_pdf = pd.concat(anchor_rows, ignore_index=True)
     lik = F.create_map(F.lit(IDS[0]), F.lit(0.9), F.lit(IDS[1]), F.lit(0.1))
-    top_pose = (
-        pose.unionByName(spark.createDataFrame(anchor_pdf))
-        .withColumn("identity_likelihood", F.lit(None).cast("map<string,double>"))
+    anchor_df = stage(anchor_pdf, stage_dir, "anchor", spark)
+    top_pose = pose.unionByName(anchor_df).withColumn(
+        "identity_likelihood", F.lit(None).cast("map<string,double>")
     )
-    anchors = spark.createDataFrame(anchor_pdf).withColumn("identity_likelihood", lik)
+    anchors = anchor_df.withColumn("identity_likelihood", lik)
     quad = anchors.limit(0).withColumn("x_top", F.col("x")).withColumn("y_top", F.col("y"))
     start, end, _ = chunk_bounds(T0, FPS)
     t0 = time.time()
@@ -169,6 +192,7 @@ def main() -> None:
                 "n_frames": n_frames,
                 "pose_rows": n_rows,
                 "gen_seconds": round(gen_s, 1),
+                "stage_seconds": round(stage_s, 1),
                 "events": {"tube_tests": n_tt, "fights": n_f, "combined_rows": n_c},
                 **res,
             }
