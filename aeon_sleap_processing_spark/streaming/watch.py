@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["watch_chunk_store", "stream_sessionize"]
+__all__ = ["watch_chunk_store", "stream_sessionize", "stream_sessionize_stateful"]
 
 
 def stream_sessionize(
@@ -51,6 +51,94 @@ def stream_sessionize(
             F.col("session.end").alias("session_end"),
             "n_events",
         )
+    )
+
+
+def stream_sessionize_stateful(
+    stream: DataFrame,
+    time_col: str = "time",
+    gap: float = 1800.0,
+    partition_by: str = "user_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Data-driven gap sessions as a CUSTOM stateful streaming operator
+    (SURVEY §2.9 / T3 — `applyInPandasWithState`).
+
+    ``session_window`` (see :func:`stream_sessionize`) covers the
+    fixed-gap-in-event-time case; this operator is the template for session
+    semantics Spark can't express built-in (the reference's detection
+    pipelines sessionize on FRAME-ID gaps and filter sessions by content).
+    Per key it keeps one open session (start, last, count) in the state
+    store — durable across micro-batches AND restarts via the checkpoint:
+
+    - a row landing within ``gap`` seconds of the open session extends it;
+    - a row landing beyond the gap CLOSES the open session (emitted) and
+      opens a new one;
+    - when the event-time watermark passes ``last + gap`` the open session
+      times out and is emitted (the streaming analog of "no more rows can
+      join this session", guaranteed by the watermark contract).
+
+    Emits closed sessions only (append mode):
+    (``partition_by``, session_start, session_end, n_events).
+    """
+    import pandas as pd  # local: executors resolve by name
+
+    key_type = stream.schema[partition_by].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(partition_by, key_type),
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    gap_us = int(gap * 1_000_000)
+
+    def fn(key, pdfs, state):
+        def to_row(start_us: int, last_us: int, n: int) -> dict:
+            return {
+                partition_by: key[0],
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us, unit="us"),
+                "n_events": n,
+            }
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([to_row(start_us, last_us, n)])
+            return
+
+        batches = [pdf[time_col] for pdf in pdfs]
+        t = pd.concat(batches).sort_values()
+        us = (t.astype("int64") // 1000).to_numpy()
+        start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        closed: list[dict] = []
+        for v in us:
+            if last_us is None:
+                start_us, last_us, n = int(v), int(v), 1
+            elif v - last_us > gap_us:
+                closed.append(to_row(start_us, last_us, n))
+                start_us, last_us, n = int(v), int(v), 1
+            else:
+                last_us, n = int(v), n + 1
+        state.update((start_us, last_us, n))
+        # close the open session once no on-time row can still extend it
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(partition_by)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", "EventTimeTimeout")
     )
 
 

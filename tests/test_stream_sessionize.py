@@ -4,7 +4,10 @@ import time
 
 import pandas as pd
 
-from aeon_sleap_processing_spark.streaming.watch import stream_sessionize
+from aeon_sleap_processing_spark.streaming.watch import (
+    stream_sessionize,
+    stream_sessionize_stateful,
+)
 
 T0 = pd.Timestamp("2024-05-01 00:00:00")
 
@@ -47,3 +50,72 @@ class TestStreamSessionize:
         assert u7.session_start.iloc[0] == T0
         # session end = last event + gap (session_window semantics)
         assert u7.session_end.iloc[0] == T0 + pd.Timedelta(minutes=35)
+
+
+class TestStreamSessionizeStateful:
+    """Custom stateful operator (applyInPandasWithState): closed-session
+    emission, state carried across micro-batches AND restarts (same
+    checkpoint), watermark-timeout closing the final open session."""
+
+    def _run(self, spark, src, ckpt):
+        stream = spark.readStream.schema("time timestamp, user_id long").parquet(src)
+        sessions = stream_sessionize_stateful(
+            stream, gap=1800.0, partition_by="user_id", watermark="0 seconds"
+        )
+        rows: list = []
+        q = (
+            sessions.writeStream.foreachBatch(lambda df, _bid: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return pd.DataFrame([r.asDict() for r in rows]) if rows else pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+
+    def test_state_survives_restart_and_timeout_closes(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+
+        def drop(rows, part):
+            pdf = pd.DataFrame(
+                {"time": [T0 + pd.Timedelta(minutes=m) for m, _ in rows],
+                 "user_id": [u for _, u in rows]}
+            )
+            spark.createDataFrame(pdf).write.parquet(f"{src}/batch={part}")
+
+        # run 1: user 7 opens a session (2 events); user 8 opens one — no
+        # session can close yet (no gap exceeded, watermark behind timeouts)
+        drop([(0, 7), (5, 7), (3, 8)], 1)
+        got1 = self._run(spark, src, ckpt)
+        assert len(got1) == 0
+
+        # run 2 (restart from checkpoint): user 7's new rows sit > 30 min past
+        # the state carried over -> the run-1 session closes with BOTH its
+        # rows, proving state survived the restart. User 8 got no new data,
+        # but the watermark advanced past its last + gap, so the trailing
+        # no-data micro-batch fires its event-time timeout and emits it too.
+        drop([(90, 7), (92, 7)], 2)
+        got2 = self._run(spark, src, ckpt)
+        u7 = got2[got2.user_id == 7]
+        assert len(u7) == 1
+        assert u7.n_events.iloc[0] == 2
+        assert u7.session_start.iloc[0] == T0
+        assert u7.session_end.iloc[0] == T0 + pd.Timedelta(minutes=5)
+        u8 = got2[got2.user_id == 8]
+        assert len(u8) == 1
+        assert u8.n_events.iloc[0] == 1
+        assert u8.session_start.iloc[0] == T0 + pd.Timedelta(minutes=3)
+
+        # run 3: an unrelated user pushes the watermark past user 7's OPEN
+        # session (last 92' + 30' = 122') -> it times out on the restarted
+        # query and emits
+        drop([(130, 9)], 3)
+        got3 = self._run(spark, src, ckpt)
+        u7b = got3[got3.user_id == 7]
+        assert len(u7b) == 1
+        assert u7b.n_events.iloc[0] == 2
+        assert u7b.session_start.iloc[0] == T0 + pd.Timedelta(minutes=90)
+        assert u7b.session_end.iloc[0] == T0 + pd.Timedelta(minutes=92)
