@@ -74,17 +74,29 @@ def connected_components(
         )
         return out.where(F.col("u") != F.col("v")).distinct()
 
+    def fingerprint(df: DataFrame) -> tuple:
+        # one shuffle-free job over the materialized checkpoint: count plus an
+        # order-insensitive 64-bit checksum. Equal fingerprints ⇒ identical
+        # edge sets (collision odds ~2^-64 per iteration); the previous
+        # exceptAll check cost two extra shuffles per iteration.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sig"),
+        ).first()
+        return (row["n"], row["sig"])
+
     e = e.localCheckpoint(eager=True)
-    prev_count = e.count()
+    prev = fingerprint(e)
     for _ in range(max_iterations):
         e2 = small_star(large_star(e)).localCheckpoint(eager=True)
         # converged when every edge already points at the component minimum:
         # large_star+small_star is then a no-op (same edge set)
-        n2 = e2.count()
-        if n2 == prev_count and e2.exceptAll(e).limit(1).count() == 0:
-            e = e2
+        cur = fingerprint(e2)
+        e = e2
+        if cur == prev:
             break
-        e, prev_count = e2, n2
+        prev = cur
     comp = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
     # singletons of the original edge set resolve to themselves implicitly;
     # nodes that ended as component minima appear only on the v side

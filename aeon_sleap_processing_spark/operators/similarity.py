@@ -56,8 +56,16 @@ def cosine_sim(a: Column, b: Column) -> Column:
 
 
 def _stack(s: pd.Series) -> np.ndarray:
-    """Series of float32 vectors → (n, dim) float64 matrix (exact widening)."""
-    return np.stack(s.to_numpy()).astype(np.float64)
+    """Series of float32 vectors → (n, dim) float64 matrix (exact widening).
+    Null vectors (routine in a 100 TB corpus) become NaN rows — they flow
+    through the math as NaN and surface as SQL NULL after the Arrow
+    round-trip, matching what the pure-column forms produce."""
+    vals = s.to_numpy()
+    if any(v is None for v in vals):
+        dim = next((len(v) for v in vals if v is not None), 1)
+        fill = np.full(dim, np.nan, dtype=np.float64)
+        vals = np.array([fill if v is None else v for v in vals], dtype=object)
+    return np.stack(vals).astype(np.float64)
 
 
 def _dot_ltr(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -74,6 +74,23 @@ def test_knn_lsh_amplification_knobs(spark, emb):
     assert len(two) >= len(one)
 
 
+def test_null_vectors_yield_null_cosine(spark):
+    """Null embeddings (routine in a large corpus) must flow to SQL NULL in
+    the numpy kernel, matching the pure-column form — not crash the batch."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [0.5, -1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = df.select(
+        S.cosine_kernel(F.col("embedding"), F.col("embedding")).alias("k"),
+        S.cosine_sim(F.col("embedding"), F.col("embedding")).alias("c"),
+    ).collect()
+    for r in out:
+        assert (r.k is None) == (r.c is None)
+        if r.k is not None:
+            assert r.k == r.c
+
+
 def test_knn_ivf_recall_and_disjoint_cells(spark, emb):
     """IVF candidates come from disjoint cells (no pair dedup needed), probing
     more cells must raise recall monotonically toward exact."""
