@@ -7,7 +7,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-__all__ = ["ensure_min_parallelism", "sample_n_per_bin", "salted_agg"]
+__all__ = ["ensure_min_parallelism", "sample_n_per_bin", "salted_agg", "salted_join"]
 
 
 def salted_agg(
@@ -48,6 +48,40 @@ def salted_agg(
             raise ValueError(f"unsupported aggregate {how!r}")
     partials = df.withColumn("__salt", salt).groupBy(*ks, "__salt").agg(*phase1_aggs)
     return partials.groupBy(*ks).agg(*phase2_aggs)
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | Sequence[str],
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the big side, replicate the small side.
+
+    A hot join key concentrates one shuffle partition onto one task; AQE's
+    skew-join splitting handles sort-merge plans at runtime, but an explicit
+    salt is the deterministic fix when the skew is known (and works for any
+    join strategy). The big side gets a content-hash salt in [0, buckets);
+    the small side is replicated once per bucket (size × buckets — keep it
+    the DIMENSION side); the join key becomes (keys…, salt), so the hot key
+    spreads over ``buckets`` tasks.
+
+    Semantics preserved for ``inner`` and ``left`` (each big row joins
+    exactly one replica). Right/outer would duplicate unmatched small rows
+    per bucket — rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join preserves semantics only for inner/left, got {how!r}")
+    ks = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.crc32(F.concat_ws("|", *[F.col(c).cast("string") for c in big.columns])),
+        F.lit(buckets),
+    ).cast("int")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return b.join(s, ks + ["__salt"], how).drop("__salt")
 
 
 def sample_n_per_bin(

@@ -147,3 +147,36 @@ class TestSaltedAgg:
         df = spark.createDataFrame(pd.DataFrame({"k": [1], "v": [1.0]}))
         with pytest.raises(ValueError, match="unsupported"):
             salted_agg(df, "k", {"v": "median"})
+
+
+class TestSaltedJoin:
+    def test_matches_plain_join_and_spreads_hot_key(self, spark):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.util import salted_join
+
+        rng = np.random.default_rng(5)
+        keys = np.where(rng.random(20_000) < 0.9, 7, rng.integers(0, 50, 20_000))
+        big = spark.createDataFrame(
+            pd.DataFrame({"k": keys, "v": np.arange(20_000)})
+        )
+        small = spark.createDataFrame(
+            pd.DataFrame({"k": range(50), "name": [f"dim{i}" for i in range(50)]})
+        )
+        got = salted_join(big, small, "k", buckets=8).toPandas()
+        exp = big.join(small, "k").toPandas()
+        assert len(got) == len(exp)
+        assert sorted(zip(got.k, got.v, got.name)) == sorted(zip(exp.k, exp.v, exp.name))
+
+        # left join keeps unmatched big rows exactly once
+        small_partial = spark.createDataFrame(
+            pd.DataFrame({"k": [7], "name": ["hot"]})
+        )
+        left = salted_join(big, small_partial, "k", buckets=8, how="left").toPandas()
+        assert len(left) == 20_000
+        assert left.name.isna().sum() == (keys != 7).sum()
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="inner/left"):
+            salted_join(big, small, "k", how="right")
