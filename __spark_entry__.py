@@ -315,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_shipping_priority": rel.q3_shipping_priority,
         "q5_local_supplier": rel.q5_local_supplier_volume,
+        "q10_returned_items": rel.q10_returned_items,
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        "q19_discount_revenue": rel.q19_discount_revenue,
         "q_market_segment_stats": rel.q_market_segment_stats,
         "q_order_priority_check": rel.q_order_priority_check,
         "q_top_customers": rel.q_top_customers,
@@ -402,6 +405,38 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1998-01-01'
             GROUP BY n_name
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, c_acctbal, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                         l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-07-01'
+              AND l_shipdate < TIMESTAMP '1996-08-01'
+        """,
+        "q19_discount_revenue": """
+            SELECT count(*)::BIGINT AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 21)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
         "q_market_segment_stats": """
             SELECT c_mktsegment,
