@@ -84,6 +84,10 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, "documents", sf_dir))
 
 
+def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_count(load_table(spark, "documents", sf_dir))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.lang_id(load_table(spark, "documents", sf_dir))
 
@@ -344,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sampling": ep.q_sampling,
         # --- text analysis / dedup (training-data pipeline) -------------
         "q_text_stats": _q_text_stats,
+        "q_token_count": _q_token_count,
         "q_lang_id": _q_lang_id,
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_exact_dedup": _q_exact_dedup,
@@ -694,6 +699,20 @@ def oracle_sql() -> dict[str, str]:
                     + 0.3 * (len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE / len(words)),
                     6) AS quality_score
             FROM t
+        """,
+        "q_token_count": f"""
+            WITH p AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'),
+                                 x -> regexp_matches(x, '\\S')) AS pieces
+              FROM documents
+            )
+            SELECT doc_id,
+                   len({_WORDS}) AS ws_tokens,
+                   len(pieces) AS bpe_tokens,
+                   round(length(text)::DOUBLE / greatest(len(pieces), 1), 4)
+                     AS chars_per_token
+            FROM p
         """,
         "q_lang_id": """
             WITH t AS (SELECT doc_id, lang, text,

@@ -29,6 +29,8 @@ from .util import ensure_min_parallelism
 
 __all__ = [
     "tokenize",
+    "token_count",
+    "BPE_SPLIT_PATTERN",
     "md5_long",
     "text_stats",
     "lang_id",
@@ -53,6 +55,29 @@ CJK_RANGE = "一-鿿"
 def tokenize(text: Column) -> Column:
     """Whitespace tokenization — identical to the oracle's string_split_regex."""
     return F.split(F.trim(text), r"\s+")
+
+
+# GPT-2-style pre-tokenizer approximation: contraction suffixes, space-glued
+# letter runs, digit runs, punctuation runs, residual whitespace. ASCII-only
+# classes so Java (Spark) and RE2 (DuckDB) regex engines count identically.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting both ways a data pipeline needs it: whitespace words
+    (cheap size estimate) and BPE-ish pre-tokenizer segments (the quantity a
+    subword tokenizer's budget actually tracks). Pure regexp expressions —
+    whole-stage codegen, no UDF."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), 0)
+    non_ws = F.filter(pieces, lambda p: p.rlike(r"\S"))
+    return docs.select(
+        F.col(id_col),
+        F.size(tokenize(F.col(text_col))).alias("ws_tokens"),
+        F.size(non_ws).alias("bpe_tokens"),
+        F.round(
+            F.length(F.col(text_col)).cast("double") / F.greatest(F.size(non_ws), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
 
 
 def md5_long(col: Column) -> Column:
