@@ -116,19 +116,34 @@ def stream_sessionize_stateful(
             yield pd.DataFrame([to_row(start_us, last_us, n)])
             return
 
+        import numpy as np
+
         batches = [pdf[time_col] for pdf in pdfs]
         t = pd.concat(batches).sort_values()
         us = (t.astype("int64") // 1000).to_numpy()
         start_us, last_us, n = state.get if state.exists else (None, None, 0)
+        if len(us) == 0:  # spurious invocation: keep state, re-arm timeout
+            if last_us is not None:
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+            return
         closed: list[dict] = []
-        for v in us:
-            if last_us is None:
-                start_us, last_us, n = int(v), int(v), 1
-            elif v - last_us > gap_us:
-                closed.append(to_row(start_us, last_us, n))
-                start_us, last_us, n = int(v), int(v), 1
+        # vectorized run split: session boundaries where the sorted gap
+        # exceeds the threshold (no per-row python)
+        brk = np.nonzero(np.diff(us) > gap_us)[0] + 1
+        starts = np.concatenate(([0], brk))
+        ends = np.concatenate((brk, [len(us)]))
+        for k, (i, j) in enumerate(zip(starts, ends)):
+            s, e, cnt = int(us[i]), int(us[j - 1]), int(j - i)
+            if k == 0 and last_us is not None:
+                if s - last_us <= gap_us:  # first run extends the open session
+                    s, cnt = start_us, cnt + n
+                else:
+                    closed.append(to_row(start_us, last_us, n))
+            if j < len(us):  # every run but the last closes here
+                closed.append(to_row(s, e, cnt))
             else:
-                last_us, n = int(v), n + 1
+                start_us, last_us, n = s, e, cnt
         state.update((start_us, last_us, n))
         # close the open session once no on-time row can still extend it
         state.setTimeoutTimestamp((last_us + gap_us) // 1000)
