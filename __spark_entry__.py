@@ -56,7 +56,7 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-def _minhash_sig_cte(num_perm: int = 8, k: int = 3) -> str:
+def _minhash_sig_cte(num_perm: int = 8, k: int = 3, src: str = "documents") -> str:
     # mirror of operators/text.py minhash_signature: each md5 gives four
     # independent 32-bit slices; slab s>0 is salted with '{s}|'
     n_slabs = (num_perm + 3) // 4
@@ -69,7 +69,7 @@ def _minhash_sig_cte(num_perm: int = 8, k: int = 3) -> str:
         for j in range(num_perm)
     )
     return f"""
-        t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        t AS (SELECT doc_id, {_WORDS} AS words FROM {src}),
         s AS (SELECT doc_id, {_shingles_sql(k)} AS shingles FROM t),
         sig AS (SELECT doc_id, {mh} FROM s)
     """
@@ -123,6 +123,12 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, "documents", sf_dir))
 
 
+def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from aeon_sleap_processing_spark.operators.graph import curate_corpus
+
+    return curate_corpus(load_table(spark, "documents", sf_dir))
+
+
 def _dedup_clusters_sql() -> str:
     """Oracle: same MinHash/LSH pairs, components via recursive reachability
     (min label over everything that can reach the node)."""
@@ -148,6 +154,49 @@ def _dedup_clusters_sql() -> str:
         SELECT node AS doc_id, min(comp) AS cluster,
                (min(comp) = node) AS is_representative
         FROM reach GROUP BY node
+    """
+
+
+def _curate_corpus_sql() -> str:
+    """Oracle for the composed curation funnel: quality CTE -> filtered docs
+    -> same MinHash/LSH/reachability clustering as q_dedup_clusters -> reps
+    -> md5 hash sample -> join quality back."""
+    quality = f"""
+        round(0.4 * least(1.0, len(words)::DOUBLE / 100.0)
+              + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text))
+              + 0.3 * (len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE / len(words)), 6)
+    """
+    return f"""
+        WITH RECURSIVE
+        tq AS (SELECT doc_id, text, {_WORDS} AS words FROM documents),
+        q AS (SELECT doc_id, text, {quality} AS quality_score FROM tq),
+        docs_f AS (SELECT doc_id, text FROM q WHERE quality_score >= 0.55),
+        {_minhash_sig_cte(8, 3, src="docs_f")},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach(node, comp) AS (
+          SELECT doc_id, doc_id FROM docs_f
+          UNION
+          SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        clusters AS (SELECT node AS doc_id, min(comp) AS cluster FROM reach GROUP BY node),
+        reps AS (SELECT doc_id, cluster FROM clusters WHERE cluster = doc_id),
+        samp AS (
+          SELECT doc_id, cluster FROM reps
+          WHERE {_md5l("doc_id::VARCHAR")} % 100 < 80
+        )
+        SELECT s.doc_id, q.quality_score, s.cluster
+        FROM samp s JOIN q ON s.doc_id = q.doc_id
     """
 
 
@@ -357,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_top_pairs": _q_jaccard_top_pairs,
         "q_simhash": _q_simhash,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_curate_corpus": _q_curate_corpus,
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
@@ -789,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_simhash": _simhash_sql(32),
         "q_dedup_clusters": _dedup_clusters_sql(),
+        "q_curate_corpus": _curate_corpus_sql(),
         "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_ivf": _knn_ivf_sql(),
         "q_embedding_neardup": _embedding_neardup_sql(),

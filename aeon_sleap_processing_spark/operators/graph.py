@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "curate_corpus"]
 
 
 def connected_components(
@@ -157,3 +157,40 @@ def dedup_clusters(
     )
     out = out.withColumn("cluster", F.coalesce("component", F.col(id_col))).drop("component")
     return out.withColumn("is_representative", F.col(id_col) == F.col("cluster"))
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.55,
+    sample_keep_pct: int = 80,
+    num_perm: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The full training-data curation funnel as ONE composed plan:
+    quality filter → near-dup clustering → representatives only →
+    deterministic hash sample.
+
+    Each stage is the already-verified operator (``text_stats`` quality,
+    ``dedup_clusters``, md5 sampling), chained the way a corpus pipeline
+    runs them: filter FIRST (cheapest, prunes the dedup input), cluster on
+    survivors, keep one representative per near-dup cluster, then sample to
+    the target budget. Deterministic end to end — no RNG, so reruns and the
+    SQL oracle agree row-for-row.
+
+    Returns (doc_id, quality_score, cluster).
+    """
+    from .text import md5_long, text_stats
+
+    stats = text_stats(docs, text_col, id_col).select(id_col, "quality_score")
+    good = docs.join(
+        stats.where(F.col("quality_score") >= min_quality), id_col
+    )
+    clusters = dedup_clusters(good, text_col, id_col, num_perm, band_size, shingle_k)
+    reps = clusters.where(F.col("is_representative")).select(id_col, "cluster")
+    sampled = reps.where(
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(100)) < sample_keep_pct
+    )
+    return sampled.join(stats, id_col).select(id_col, "quality_score", "cluster")
