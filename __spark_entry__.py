@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lineitem_dedup": rel.q_lineitem_dedup,
         "q_set_ops": rel.q_set_ops,
         "q_rollup_revenue": rel.q_rollup_revenue,
+        "q_cube_orders": rel.q_cube_orders,
         # --- temporal/window (SURVEY §2.6) ------------------------------
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
@@ -545,6 +546,13 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rnk
               FROM orders
             ) WHERE rnk <= 3
+        """,
+        "q_cube_orders": """
+            SELECT o_orderpriority, o_orderstatus,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders
+            GROUP BY CUBE (o_orderpriority, o_orderstatus)
         """,
         "q_lineitem_dedup": """
             SELECT l_returnflag, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty

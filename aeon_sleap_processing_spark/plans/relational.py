@@ -305,3 +305,17 @@ def q19_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
     )
+
+
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (priority, status) — all four aggregation
+    granularities in one shuffle (SURVEY §2.4 note: the reference has no
+    grouping sets; Spark gives them natively)."""
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
