@@ -38,6 +38,47 @@ class TestConnectedComponents:
         assert comp == {1: 1, 2: 1, 3: 1}
 
 
+class TestConnectedComponentsProperty:
+    def test_random_graphs_match_union_find(self, spark):
+        """Alternating-star CC must agree with a pure-python union-find oracle
+        on random graphs of varying density (incl. self-loops and dups)."""
+        import numpy as np
+
+        for seed, n_nodes, n_edges in [(0, 30, 15), (1, 40, 60), (2, 25, 5), (3, 50, 120)]:
+            rng = np.random.default_rng(seed)
+            pairs = [
+                (int(a), int(b))
+                for a, b in zip(
+                    rng.integers(0, n_nodes, n_edges), rng.integers(0, n_nodes, n_edges)
+                )
+            ]
+            parent = list(range(n_nodes))
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for a, b in pairs:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            # expected: every touched node -> min node id of its component
+            touched = sorted({x for p in pairs for x in p if p[0] != p[1]})
+            roots: dict[int, int] = {}
+            expected = {}
+            for x in touched:
+                r = find(x)
+                roots.setdefault(r, min(y for y in touched if find(y) == r))
+                expected[x] = roots[r]
+            got = {
+                int(r.node): int(r.component)
+                for r in connected_components(_edges(spark, pairs)).toPandas().itertuples()
+            }
+            assert got == expected, f"seed={seed}"
+
+
 class TestDedupClusters:
     def test_planted_duplicates_cluster_together(self, spark):
         base = "the quick brown fox jumps over the lazy dog again and again today"
