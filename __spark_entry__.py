@@ -117,6 +117,16 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.simhash(load_table(spark, "documents", sf_dir), bits=32)
 
 
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming <= 12: synthetic docs are mostly
+    unrelated (hamming ~16 = random), so a loose threshold yields a
+    non-trivial deterministic pair set while the 8-band pigeonhole bound
+    (exhaustive to hamming 7) leaves a documented recall gap above it."""
+    return tx.simhash_pairs(
+        load_table(spark, "documents", sf_dir), bits=32, n_bands=8, max_hamming=12
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aeon_sleap_processing_spark.operators.graph import dedup_clusters
 
@@ -406,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lsh_buckets": _q_lsh_buckets,
         "q_jaccard_top_pairs": _q_jaccard_top_pairs,
         "q_simhash": _q_simhash,
+        "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_curate_corpus": _q_curate_corpus,
         # --- similarity search / multimodal -----------------------------
@@ -846,6 +857,19 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 20
         """,
         "q_simhash": _simhash_sql(32),
+        "q_simhash_pairs": f"""
+            WITH sigs AS ({_simhash_sql(32)}),
+            memb AS (
+              SELECT doc_id, simhash, g.band,
+                     (simhash >> (g.band * 4)) & 15 AS bv
+              FROM sigs, generate_series(0, 7) g(band)
+            )
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM memb a JOIN memb b
+              ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+        """,
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_curate_corpus": _curate_corpus_sql(),
         "q_knn_lsh": _knn_lsh_sql(),

@@ -40,6 +40,7 @@ __all__ = [
     "lsh_buckets",
     "jaccard_top_pairs",
     "simhash",
+    "simhash_pairs",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -350,3 +351,56 @@ def simhash(
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         sig = term if sig is None else sig + term
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: band the signature into ``n_bands`` bit
+    slices — two docs within hamming distance < n_bands must share at least
+    one identical band (pigeonhole), so candidates come from a band-value
+    equi-join, then the exact ``bit_count(xor)`` hamming filter keeps pairs
+    at ``max_hamming`` or less. The standard scale path for SimHash dedup:
+    shuffle is bounded by band-collision counts, never |docs|².
+
+    Guarantee: exhaustive for max_hamming <= n_bands - 1 (here 3 <= 3);
+    larger distances would need more bands."""
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(docs, text_col, id_col, bits)
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    memb = sig.select(id_col, "simhash", F.explode(bands).alias("bb")).select(
+        id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv")
+    )
+    a, b = memb.alias("a"), memb.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
