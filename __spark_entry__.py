@@ -118,12 +118,12 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs at hamming <= 12: synthetic docs are mostly
-    unrelated (hamming ~16 = random), so a loose threshold yields a
-    non-trivial deterministic pair set while the 8-band pigeonhole bound
-    (exhaustive to hamming 7) leaves a documented recall gap above it."""
+    """SimHash near-dup pairs at hamming <= 3 with 4 bands x 8 bits:
+    EXHAUSTIVE by pigeonhole (3 < 4 bands) and 256 buckets per band keep
+    collision groups small. The synthetic docs share template words, so the
+    threshold yields a non-trivial pair set (~0.6% of all pairs)."""
     return tx.simhash_pairs(
-        load_table(spark, "documents", sf_dir), bits=32, n_bands=8, max_hamming=12
+        load_table(spark, "documents", sf_dir), bits=32, n_bands=4, max_hamming=3
     )
 
 
@@ -861,14 +861,14 @@ def oracle_sql() -> dict[str, str]:
             WITH sigs AS ({_simhash_sql(32)}),
             memb AS (
               SELECT doc_id, simhash, g.band,
-                     (simhash >> (g.band * 4)) & 15 AS bv
-              FROM sigs, generate_series(0, 7) g(band)
+                     (simhash >> (g.band * 8)) & 255 AS bv
+              FROM sigs, generate_series(0, 3) g(band)
             )
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM memb a JOIN memb b
               ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
-            WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "q_dedup_clusters": _dedup_clusters_sql(),
         "q_curate_corpus": _curate_corpus_sql(),
