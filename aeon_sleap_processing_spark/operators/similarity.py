@@ -34,6 +34,7 @@ __all__ = [
     "knn_lsh",
     "knn_ivf",
     "ivf_centroids",
+    "ivf_fit_centroids",
     "embedding_near_dups",
     "embedding_stats",
 ]
@@ -236,6 +237,30 @@ def ivf_centroids(n_cells: int, dim: int, seed: int = 0) -> list[list[float]]:
     c = np.random.default_rng(seed).standard_normal((n_cells, dim))
     c /= np.sqrt((c**2).sum(axis=1, keepdims=True))
     return c.tolist()
+
+
+def ivf_fit_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train the IVF coarse quantizer with ``pyspark.ml`` KMeans and return
+    unit-normalized centers for :func:`knn_ivf` (distributed training — the
+    real-deployment path the seeded :func:`ivf_centroids` stands in for).
+    Training cost is one MLlib job; the search path is unchanged."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(feats)
+    c = np.array([np.asarray(ctr, dtype=np.float64) for ctr in model.clusterCenters()])
+    norms = np.sqrt((c**2).sum(axis=1, keepdims=True))
+    norms[norms == 0] = 1.0
+    return (c / norms).tolist()
 
 
 def _probe_udf(centroids: np.ndarray, nprobe: int):

@@ -114,6 +114,21 @@ def test_knn_ivf_recall_and_disjoint_cells(spark, emb):
     assert recalls[-1] == 1.0
 
 
+def test_knn_ivf_with_kmeans_trained_centroids(spark, emb):
+    """The real-deployment path: pyspark.ml KMeans trains the coarse
+    quantizer; search semantics (disjoint cells, exhaustive at
+    nprobe=n_cells) hold for fitted centers exactly as for seeded ones."""
+    cents = S.ivf_fit_centroids(emb, n_cells=8, seed=1, max_iter=5)
+    assert len(cents) == 8 and len(cents[0]) == DIM
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = S.knn_bruteforce(emb, queries, k=5).toPandas()
+    full = S.knn_ivf(emb, queries, cents, k=5, nprobe=8).toPandas()
+    assert not full.duplicated(["query_id", "neighbor_id"]).any()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(full.query_id, full.neighbor_id))
+    assert a == e  # probing every cell is exhaustive search
+
+
 def test_embedding_near_dups_finds_planted_duplicate(spark, emb):
     """A vector plus a tiny perturbation of itself must surface as a
     near-dup pair regardless of bucket layout (identical signs)."""
