@@ -50,11 +50,15 @@ def _as_list(x: str | Sequence[str] | None) -> list[str]:
     return list(x)
 
 
-def _seconds(df: DataFrame, col: str) -> Column:
-    """Order column as double seconds; timestamp_ntz needs a 2-step cast."""
+def _axis_scale(df: DataFrame, col: str) -> tuple[Column, int]:
+    """Exact order axis + per-second scale. Timestamps → integer µs (double-cast
+    endpoints only resolve ~2.4e-7 s at 2024 epochs, so a delta landing exactly
+    on a seconds threshold can flip vs exact epoch-µs arithmetic); numeric
+    columns → double with scale 1. Second-denominated thresholds must be
+    multiplied by the returned scale before comparing against axis deltas."""
     if dict(df.dtypes)[col].startswith("timestamp"):
-        return F.col(col).cast("timestamp").cast("double")
-    return F.col(col).cast("double")
+        return F.unix_micros(F.col(col).cast("timestamp")), 1_000_000
+    return F.col(col).cast("double"), 1
 
 
 def _is_ts(df: DataFrame, col: str) -> bool:
@@ -202,12 +206,11 @@ def sessionize(
     (reference: "keep sessions with > min frames" — strictly greater).
     """
     pb = _as_list(partition_by)
-    ord_val = _seconds(df, order_col)
+    ord_val, scale = _axis_scale(df, order_col)
+    gap_t = int(round(gap * scale)) if scale != 1 else gap
     w = W.partitionBy(*pb).orderBy(order_col)
-    new_flag = F.when(
-        (ord_val - F.lag(ord_val).over(w)).isNull() | ((ord_val - F.lag(ord_val).over(w)) > gap),
-        F.lit(1),
-    ).otherwise(F.lit(0))
+    delta = ord_val - F.lag(ord_val).over(w)
+    new_flag = F.when(delta.isNull() | (delta > gap_t), F.lit(1)).otherwise(F.lit(0))
     out = df.withColumn(
         session_col,
         F.sum(new_flag).over(w.rowsBetween(W.unboundedPreceding, 0)),
@@ -348,7 +351,7 @@ def gap_fill_bounded(
     pb = _as_list(partition_by)
     wb = W.partitionBy(*pb).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
     wf = W.partitionBy(*pb).orderBy(order_col).rowsBetween(1, W.unboundedFollowing)
-    t = _seconds(df, order_col)
+    t, scale = _axis_scale(df, order_col)
     prev_v = F.last(col, ignorenulls=True).over(wb)
     next_v = F.first(col, ignorenulls=True).over(wf)
     prev_t = F.last(F.when(F.col(col).isNotNull(), t), ignorenulls=True).over(wb)
@@ -356,9 +359,9 @@ def gap_fill_bounded(
     run_span = next_t - prev_t
     fillable = F.lit(False)
     if fill_any_max is not None:
-        fillable = fillable | (run_span <= fill_any_max)
+        fillable = fillable | (run_span <= fill_any_max * scale)
     if fill_equal_max is not None:
-        fillable = fillable | ((run_span <= fill_equal_max) & (prev_v == next_v))
+        fillable = fillable | ((run_span <= fill_equal_max * scale) & (prev_v == next_v))
     fillable = fillable & prev_v.isNotNull() & next_v.isNotNull()
     is_null = F.col(col).isNull()
     out = df.withColumn(col, F.when(is_null & fillable, prev_v).otherwise(F.col(col)))

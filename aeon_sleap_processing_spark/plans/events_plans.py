@@ -87,7 +87,10 @@ def q_lag_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     dv = F.col("value") - F.lag("value").over(w)
-    dt = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    # exact integer µs delta divided ONCE — double-cast endpoints (ulp ~2.4e-7 s
+    # at 2024 epochs) can flip a 6-decimal rounding boundary vs the oracle
+    ts_us = F.unix_micros(F.col("ts"))
+    dt = (ts_us - F.lag(ts_us).over(w)) / F.lit(1e6)
     return (
         ev.withColumn("rate", dv / dt)
         .where(F.col("rate").isNotNull())

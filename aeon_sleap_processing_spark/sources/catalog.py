@@ -41,8 +41,14 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     path = f"{sf_dir}/{name}.parquet"
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # The caller's session may not have this set (the external driver builds
+        # a plain SparkSession); it is runtime-settable and required to read
+        # parquet TIMESTAMP(NANOS) columns at all.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_ts_columns(path):
+    for c in nanos_cols:
         # integer ns → µs truncation. MUST be integer division: ns epochs exceed
         # 2^53, so a double divide would round the low microsecond digit.
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))

@@ -23,9 +23,11 @@ times = st.lists(
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(lt=times, rt=times, tol=st.floats(min_value=0.01, max_value=10))
 def test_asof_nearest_properties(spark_global, lt, rt, tol):
-    # quantize to Spark's µs timestamp resolution before dedup
+    # quantize to Spark's µs timestamp resolution before dedup; the tolerance
+    # is quantized by asof_join itself, so mirror it here too
     lt = sorted({round(t * 1e6) / 1e6 for t in lt})
     rt = sorted({round(t * 1e6) / 1e6 for t in rt})
+    tol = round(tol * 1e6) / 1e6
     left = pd.DataFrame({"time": [_ts(t) for t in lt], "lsec": lt})
     right = pd.DataFrame({"time": [_ts(t) for t in rt], "rsec": rt})
     got = (
