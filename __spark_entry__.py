@@ -17,6 +17,7 @@ from aeon_sleap_processing_spark.operators import similarity as sim
 from aeon_sleap_processing_spark.operators import text as tx
 from aeon_sleap_processing_spark.plans import events_plans as ep
 from aeon_sleap_processing_spark.plans import relational as rel
+from aeon_sleap_processing_spark.plans import relational2 as rel2
 from aeon_sleap_processing_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -210,6 +211,10 @@ def _curate_corpus_sql() -> str:
     """
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tfidf_top_terms(load_table(spark, "documents", sf_dir), top_k=3)
+
+
 def _q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
@@ -391,6 +396,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_set_ops": rel.q_set_ops,
         "q_rollup_revenue": rel.q_rollup_revenue,
         "q_cube_orders": rel.q_cube_orders,
+        # --- round 2: subquery/outer-join/window/stat shapes -------------
+        "q7_nation_volume": rel2.q7_nation_volume,
+        "q13_order_distribution": rel2.q13_order_distribution,
+        "q17_small_qty_orders": rel2.q17_small_qty_orders,
+        "q18_large_volume_orders": rel2.q18_large_volume_orders,
+        "q_idle_customers": rel2.q_idle_customers,
+        "q_semi_anti_parts": rel2.q_semi_anti_parts,
+        "q_rank_suite": rel2.q_rank_suite,
+        "q_range_frame": rel2.q_range_frame,
+        "q_lead_gap": rel2.q_lead_gap,
+        "q_nth_order_value": rel2.q_nth_order_value,
+        "q_grouping_sets": rel2.q_grouping_sets,
+        "q_pivot_status": rel2.q_pivot_status,
+        "q_unpivot_part": rel2.q_unpivot_part,
+        "q_percentiles": rel2.q_percentiles,
+        "q_stats_suite": rel2.q_stats_suite,
+        "q_approx_validated": rel2.q_approx_validated,
+        "q_date_breakdown": rel2.q_date_breakdown,
+        "q_string_funcs": rel2.q_string_funcs,
+        "q_skew_salted_agg": rel2.q_skew_salted_agg,
+        "q_tfidf": _q_tfidf,
         # --- temporal/window (SURVEY §2.6) ------------------------------
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
@@ -593,6 +619,239 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::INT AS l_year, count(*) AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+        """,
+        "q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "q17_small_qty_orders": """
+            WITH thr AS (
+              SELECT l_partkey AS pk, 0.5 * avg(l_quantity) AS qty_thr
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT count(*) AS n_items,
+                   round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN thr ON l_partkey = pk
+            WHERE p_brand = 'Brand#1' AND l_quantity < qty_thr
+        """,
+        "q18_large_volume_orders": """
+            WITH big AS (
+              SELECT l_orderkey, sum(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 240
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS price,
+                   round(total_qty, 2) AS total_qty
+            FROM orders
+            JOIN big ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "q_idle_customers": """
+            SELECT n_name, count(*) AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (
+                SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1997-01-01'
+                  AND o_orderdate < TIMESTAMP '1998-01-01'
+              )
+            GROUP BY n_name
+        """,
+        "q_semi_anti_parts": """
+            SELECT p_brand, count(*) AS n_parts,
+                   round(avg(p_retailprice), 4) AS avg_price
+            FROM part
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_partkey = p_partkey
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_partkey = p_partkey AND l_returnflag = 'R'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+              )
+            GROUP BY p_brand
+        """,
+        "q_rank_suite": """
+            SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+                   rnk, drnk, prnk, cume, quartile
+            FROM (
+              SELECT c_mktsegment, c_custkey, c_acctbal,
+                     rank() OVER w AS rnk,
+                     dense_rank() OVER w AS drnk,
+                     round(percent_rank() OVER w, 6) AS prnk,
+                     round(cume_dist() OVER w, 6) AS cume,
+                     ntile(4) OVER w AS quartile
+              FROM customer
+              WINDOW w AS (
+                PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC
+              )
+            ) WHERE rnk <= 5
+        """,
+        "q_range_frame": """
+            SELECT o_custkey, o_orderkey,
+                   count(*) OVER w AS n_recent,
+                   round(sum(o_totalprice) OVER w, 2) AS recent_total
+            FROM orders
+            WINDOW w AS (
+              PARTITION BY o_custkey ORDER BY o_orderdate
+              RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW
+            )
+        """,
+        "q_lead_gap": """
+            WITH g AS (
+              SELECT o_custkey,
+                     (epoch_us(lead(o_orderdate) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      )) - epoch_us(o_orderdate)) / 86400000000.0 AS gap_days
+              FROM orders
+            )
+            SELECT c_mktsegment, count(*) AS n_gaps,
+                   round(avg(gap_days), 4) AS avg_gap_days,
+                   round(max(gap_days), 4) AS max_gap_days
+            FROM g JOIN customer ON o_custkey = c_custkey
+            WHERE gap_days IS NOT NULL
+            GROUP BY c_mktsegment
+        """,
+        "q_nth_order_value": """
+            SELECT o_custkey, round(fp, 2) AS first_price,
+                   round(sp, 2) AS second_price, round(lp, 2) AS last_price,
+                   n_orders
+            FROM (
+              SELECT o_custkey,
+                     first_value(o_totalprice) OVER wf AS fp,
+                     nth_value(o_totalprice, 2) OVER wf AS sp,
+                     last_value(o_totalprice) OVER wf AS lp,
+                     count(*) OVER wf AS n_orders,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ) AS rn
+              FROM orders
+              WINDOW wf AS (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+              )
+            ) WHERE rn = 1
+        """,
+        "q_grouping_sets": """
+            SELECT coalesce(l_returnflag, 'ALL') AS rf,
+                   coalesce(l_linestatus, 'ALL') AS ls,
+                   count(*) AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS (
+              (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)
+            )
+        """,
+        "q_pivot_status": """
+            SELECT o_orderpriority,
+                   count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+                   count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+                   count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_unpivot_part": """
+            WITH long AS (
+              SELECT p_partkey, 'p_size' AS metric, p_size::DOUBLE AS val FROM part
+              UNION ALL
+              SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+            )
+            SELECT metric, count(*) AS n, round(sum(val), 2) AS total,
+                   round(avg(val), 4) AS mean_val
+            FROM long GROUP BY metric
+        """,
+        "q_percentiles": """
+            SELECT c_mktsegment,
+                   round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+                   round(quantile_cont(c_acctbal, 0.5), 4) AS median,
+                   round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+                   count(*) AS n
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "q_stats_suite": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(stddev_samp(l_quantity), 4) AS sd_qty,
+                   round(var_pop(l_quantity), 4) AS var_qty,
+                   round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(covar_pop(l_quantity, l_extendedprice), 2) AS cov_qty_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_approx_validated": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users_exact,
+                   TRUE AS acd_ok,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   TRUE AS p50_ok
+            FROM events GROUP BY event_type
+        """,
+        "q_date_breakdown": """
+            SELECT year(o_orderdate)::INT AS yr,
+                   quarter(o_orderdate)::INT AS qtr,
+                   month(o_orderdate)::INT AS mon,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   count(*) FILTER (WHERE dayofweek(o_orderdate) IN (0, 6)) AS n_weekend
+            FROM orders GROUP BY 1, 2, 3
+        """,
+        "q_string_funcs": """
+            SELECT p_partkey,
+                   upper(p_type) AS type_upper,
+                   length(p_name)::INT AS name_len,
+                   split_part(p_name, ' ', 1) AS first_word,
+                   levenshtein(p_brand, 'Brand#3')::INT AS lev_to_b3,
+                   lpad(p_size::VARCHAR, 4, '0') AS size_padded,
+                   regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+                   concat_ws('-', p_brand, p_type) AS brand_type
+            FROM part
+        """,
+        "q_skew_salted_agg": """
+            SELECT l_returnflag, count(*) AS n_rows,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(max(l_extendedprice), 2) AS max_price
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_tfidf": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS word FROM t),
+            tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY doc_id, word),
+            dfq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word),
+            n AS (SELECT count(*) AS n_docs FROM documents)
+            SELECT doc_id, word, tfidf, rank FROM (
+              SELECT tf.doc_id, tf.word,
+                     round(tf.tf * ln(n.n_docs::DOUBLE / dfq.df), 6) AS tfidf,
+                     row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY round(tf.tf * ln(n.n_docs::DOUBLE / dfq.df), 6) DESC,
+                                tf.word ASC
+                     ) AS rank
+              FROM tf JOIN dfq ON tf.word = dfq.word CROSS JOIN n
+            ) WHERE rank <= 3
         """,
         "q_sessionize": """
             WITH flagged AS (

@@ -41,6 +41,7 @@ __all__ = [
     "jaccard_top_pairs",
     "simhash",
     "simhash_pairs",
+    "tfidf_top_terms",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -403,4 +404,39 @@ def simhash_pairs(
         )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: ``score = tf · ln(N/df)``.
+
+    Shapes: explode → two map-side-combinable aggregations (tf per (doc,word),
+    df per word) → broadcast scalar N → window top-k. At 100 TB the word
+    dimension (df) is the small side of the join after aggregation, so it
+    broadcasts; the (doc, word) tf table never re-shuffles (top-k window
+    partitions by the same doc key the tf aggregation produced). The ranking
+    orders by the ROUNDED score so cross-engine ulp drift in ln() cannot flip
+    the tie-break."""
+    words = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("word")
+    )
+    tf = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct(id_col).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.round(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    w = W.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("word").asc())
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "word", "tfidf", "rank")
     )
