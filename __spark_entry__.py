@@ -211,6 +211,29 @@ def _curate_corpus_sql() -> str:
     """
 
 
+def _ewma_sql() -> str:
+    """Oracle for q_ewma: identical weight literals (repr of the same Python
+    floats) added in the same left-to-right order as the Spark expression."""
+    num_terms, den_terms = [], []
+    for j, wt in enumerate(ep.EWMA_WEIGHTS):
+        x = "value" if j == 0 else f"lag(value, {j}) OVER w"
+        num_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {wt!r} * ({x}) ELSE 0.0 END")
+        den_terms.append(f"CASE WHEN {x} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    return f"""
+        WITH e AS (
+          SELECT user_id, ({num}) / ({den}) AS ewma
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, count(*) AS n_events,
+               round(avg(ewma), 6) AS avg_ewma,
+               round(max(ewma), 6) AS max_ewma
+        FROM e GROUP BY user_id
+    """
+
+
 def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(load_table(spark, "documents", sf_dir), top_k=3)
 
@@ -432,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_first": ep.q_dedup_first,
         "q_resample_asof": ep.q_resample_asof,
         "q_sampling": ep.q_sampling,
+        "q_funnel": ep.q_funnel,
+        "q_ewma": ep.q_ewma,
+        "q_hopping_window": ep.q_hopping_window,
         # --- text analysis / dedup (training-data pipeline) -------------
         "q_text_stats": _q_text_stats,
         "q_token_count": _q_token_count,
@@ -1010,6 +1036,35 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE (('0x' || substr(md5(event_id::VARCHAR), 1, 4))::UBIGINT)::BIGINT % 10 = 0
             GROUP BY event_type
+        """,
+        "q_funnel": """
+            WITH b AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us,
+                     min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS np
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_views,
+                   count(CASE WHEN np - us <= 3600000000 THEN 1 END) AS n_converted,
+                   round(count(CASE WHEN np - us <= 3600000000 THEN 1 END)::DOUBLE
+                         / count(*), 6) AS conv_rate
+            FROM b WHERE event_type = 'view' GROUP BY user_id
+        """,
+        "q_ewma": _ewma_sql(),
+        "q_hopping_window": """
+            WITH k(k) AS (VALUES (0), (1), (2), (3)),
+            b AS (
+              SELECT make_timestamp(
+                       ((epoch_us(ts) // 900000000) - k.k) * 900000000
+                     ) AS window_start,
+                     value, user_id
+              FROM events CROSS JOIN k
+            )
+            SELECT window_start, count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   count(DISTINCT user_id) AS n_users
+            FROM b GROUP BY window_start
         """,
         "q_text_stats": f"""
             WITH t AS (SELECT doc_id, text, {_WORDS} AS words FROM documents)

@@ -245,3 +245,94 @@ def q_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/funnel detection (streaming CEP pattern, batch form): per
+    user, the share of 'view' events followed by a 'purchase' within 1 hour.
+
+    Single ordered window per user — the classic next-matching-event lookup
+    via a reversed min over following rows; no self-join, so no |views| x
+    |purchases| blowup per user at scale."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    next_purchase = F.min(F.when(F.col("event_type") == "purchase", us)).over(w)
+    converted = F.when(
+        next_purchase.isNotNull() & ((next_purchase - us) <= 3_600_000_000),
+        F.lit(1),
+    )
+    return (
+        ev.withColumn("us", us)
+        .withColumn("conv", converted)
+        .where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("conv").alias("n_converted"),
+            F.round(F.count("conv").cast("double") / F.count(F.lit(1)), 6).alias(
+                "conv_rate"
+            ),
+        )
+    )
+
+
+# EWMA weights: exact float literals shared verbatim with the SQL oracle so
+# both engines add bit-identical terms in the same left-to-right order.
+EWMA_ALPHA = 0.3
+EWMA_HORIZON = 10
+EWMA_WEIGHTS = [(1.0 - EWMA_ALPHA) ** j for j in range(EWMA_HORIZON)]
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon exponentially-weighted moving average (pandas
+    ``ewm(adjust=True)`` semantics truncated at 10 lags): per-user EWMA of
+    value, rolled up. Ten unrolled lag terms stay inside whole-stage codegen —
+    no recursion, no UDF."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j, wt in enumerate(EWMA_WEIGHTS):
+        x = F.col("value") if j == 0 else F.lag("value", j).over(w)
+        num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return (
+        ev.withColumn("ewma", num / den)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("ewma"), 6).alias("avg_ewma"),
+            F.round(F.max("ewma"), 6).alias("max_ewma"),
+        )
+    )
+
+
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping/sliding window aggregation (1 h windows every 15 min): each
+    event explodes into exactly 4 window memberships via integer-µs grid
+    arithmetic — the batch twin of streaming ``window(ts, '1 hour',
+    '15 minutes')``, with a deterministic explicit formulation the SQL oracle
+    reproduces."""
+    ev = _events(spark, sf_dir)
+    slide = 900_000_000  # 15 min in µs
+    k = F.explode(F.array(*[F.lit(i) for i in range(4)]))
+    return (
+        ev.withColumn("us", F.unix_micros(F.col("ts")))
+        .withColumn("base", F.expr(f"us div {slide}"))  # exact integer division
+        .withColumn("k", k)
+        .withColumn(
+            "window_start",
+            F.timestamp_micros((F.col("base") - F.col("k")) * F.lit(slide)),
+        )
+        .groupBy("window_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

@@ -375,12 +375,21 @@ def q_approx_validated(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_count_distinct / approx_percentile under the strict gate instead
     of a weaker rows-only check."""
     ev = load_table(spark, "events", sf_dir)
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users_exact"),
+    # Distinct-count aggs in the same Aggregate as percentile aggs force an
+    # EXPAND of every input row per distinct column + a sort-based aggregate
+    # over the inflated set (~25x slower at sf0.1). Split: pre-distinct the
+    # (type, user) pairs for the count side, percentiles on the raw scan,
+    # broadcast-join the two 5-row results.
+    pairs = ev.select("event_type", "user_id").distinct()
+    dcnt = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users_exact"),
         F.approx_count_distinct("user_id").alias("acd"),
+    )
+    pct = ev.groupBy("event_type").agg(
         F.percentile("value", F.lit(0.5)).alias("p50_exact"),
         F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
     )
+    agg = dcnt.join(pct, "event_type")
     return agg.select(
         "event_type",
         "n_users_exact",

@@ -138,3 +138,30 @@ class TestTfidf:
         got = tfidf_top_terms(docs, top_k=3).toPandas().sort_values(["doc_id", "rank"])
         for _, grp in got.groupby("doc_id"):
             assert (grp.tfidf.diff().dropna() <= 1e-12).all()
+
+
+class TestStreamingFlavored:
+    def test_funnel_rates_bounded(self, spark, sf_dir):
+        from aeon_sleap_processing_spark.plans import events_plans as ep
+
+        got = ep.q_funnel(spark, sf_dir).toPandas()
+        assert (got.n_converted <= got.n_views).all()
+        assert ((got.conv_rate >= 0) & (got.conv_rate <= 1)).all()
+
+    def test_ewma_one_row_per_user(self, spark, sf_dir):
+        from aeon_sleap_processing_spark.plans import events_plans as ep
+
+        got = ep.q_ewma(spark, sf_dir).toPandas()
+        ev = load_table(spark, "events", sf_dir)
+        assert len(got) == ev.select("user_id").distinct().count()
+        assert got.avg_ewma.notna().all()
+
+    def test_hopping_window_explodes_4x(self, spark, sf_dir):
+        from aeon_sleap_processing_spark.plans import events_plans as ep
+
+        got = ep.q_hopping_window(spark, sf_dir).toPandas()
+        n_events = load_table(spark, "events", sf_dir).count()
+        assert got.n_events.sum() == 4 * n_events
+        # window starts sit on the 15-minute grid
+        assert (got.window_start.dt.minute % 15 == 0).all()
+        assert (got.window_start.dt.second == 0).all()
