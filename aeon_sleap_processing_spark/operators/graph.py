@@ -24,22 +24,69 @@ from pyspark.sql import functions as F
 __all__ = ["connected_components", "dedup_clusters", "curate_corpus"]
 
 
+def _cc_union_find(spark, edge_rows, id_type) -> DataFrame:
+    """Driver-local union-find over collected (u, v) rows; output is
+    bit-identical to the distributed path: one (node, component=min-id) row
+    per node appearing in the edge set."""
+    import pyspark.sql.types as T
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edge_rows:
+        u, v = row["u"], row["v"]
+        for n in (u, v):
+            if n not in parent:
+                parent[n] = n
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    out = [(n, comp_min[find(n)]) for n in parent]
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """edges (undirected, any orientation) → (node, component) with component
     = min node id in the component.
 
-    Alternating star contractions; iterates until the edge set is stable
-    (every node points directly at its component minimum). Each star
-    references the edge set four times, so WITHOUT lineage truncation the
-    logical plan grows 16x per iteration and Catalyst analysis time explodes
-    combinatorially — every iteration therefore ends in an eager
-    localCheckpoint (constant-size plans, and the convergence-check count is
-    free against the materialized result).
+    Adaptive strategy (the AQE principle applied to an iterative algorithm):
+    the deduped edge set is counted once, and when it fits comfortably on the
+    driver (≤ ``driver_threshold`` edges, ~MBs) components are solved with a
+    local union-find in one collect — candidate-pair graphs from banded LSH
+    are usually tiny relative to the corpus, and a 5-iteration distributed
+    loop on a few thousand edges is pure scheduling overhead. Above the
+    threshold the scalable alternating large-star/small-star algorithm
+    (Kiveris et al., SoCC'14) runs: O(log n) rounds of shuffle-on-node-id
+    DataFrame ops, no driver-side graph state. Both paths produce identical
+    (node, component=min-id) output; set ``driver_threshold=0`` to force the
+    distributed path.
+
+    Each star references the edge set four times, so WITHOUT lineage
+    truncation the logical plan grows 16x per iteration and Catalyst analysis
+    time explodes combinatorially — every iteration therefore ends in an
+    eager localCheckpoint (constant-size plans, and the convergence-check
+    count is free against the materialized result).
     """
     spark = edges.sparkSession
     e = (
@@ -47,6 +94,13 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
+
+    if driver_threshold:
+        # limit(threshold+1) bounds the probe: never counts — or collects —
+        # more than threshold+1 rows even on a huge graph
+        probe = e.limit(driver_threshold + 1).collect()
+        if len(probe) <= driver_threshold:
+            return _cc_union_find(spark, probe, e.schema["u"].dataType)
 
     def large_star(e: DataFrame) -> DataFrame:
         # neighbors in both directions; connect every strictly-larger

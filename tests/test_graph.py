@@ -11,10 +11,21 @@ def _edges(spark, pairs):
     return spark.createDataFrame(pd.DataFrame(pairs, columns=["src", "dst"]))
 
 
+THRESHOLDS = [100_000, 0]  # driver union-find fast path AND distributed stars
+
+
 class TestConnectedComponents:
-    def _components(self, spark, pairs):
-        out = connected_components(_edges(spark, pairs)).toPandas()
+    def _components(self, spark, pairs, driver_threshold=100_000):
+        out = connected_components(
+            _edges(spark, pairs), driver_threshold=driver_threshold
+        ).toPandas()
         return {int(r.node): int(r.component) for r in out.itertuples()}
+
+    @pytest.mark.parametrize("thr", THRESHOLDS)
+    def test_both_paths_agree(self, spark, thr):
+        pairs = [(1, 2), (2, 3), (9, 8), (4, 4), (3, 1)]
+        comp = self._components(spark, pairs, driver_threshold=thr)
+        assert comp == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8}
 
     def test_chain(self, spark):
         comp = self._components(spark, [(1, 2), (2, 3), (3, 4)])
@@ -39,9 +50,11 @@ class TestConnectedComponents:
 
 
 class TestConnectedComponentsProperty:
-    def test_random_graphs_match_union_find(self, spark):
-        """Alternating-star CC must agree with a pure-python union-find oracle
-        on random graphs of varying density (incl. self-loops and dups)."""
+    @pytest.mark.parametrize("thr", THRESHOLDS)
+    def test_random_graphs_match_union_find(self, spark, thr):
+        """Both CC paths (driver union-find and alternating stars) must agree
+        with a pure-python union-find oracle on random graphs of varying
+        density (incl. self-loops and dups)."""
         import numpy as np
 
         for seed, n_nodes, n_edges in [(0, 30, 15), (1, 40, 60), (2, 25, 5), (3, 50, 120)]:
@@ -74,7 +87,11 @@ class TestConnectedComponentsProperty:
                 expected[x] = roots[r]
             got = {
                 int(r.node): int(r.component)
-                for r in connected_components(_edges(spark, pairs)).toPandas().itertuples()
+                for r in connected_components(
+                    _edges(spark, pairs), driver_threshold=thr
+                )
+                .toPandas()
+                .itertuples()
             }
             assert got == expected, f"seed={seed}"
 
