@@ -18,6 +18,7 @@ from aeon_sleap_processing_spark.operators import text as tx
 from aeon_sleap_processing_spark.plans import events_plans as ep
 from aeon_sleap_processing_spark.plans import relational as rel
 from aeon_sleap_processing_spark.plans import relational2 as rel2
+from aeon_sleap_processing_spark.plans import relational3 as rel3
 from aeon_sleap_processing_spark.sources.catalog import load_table
 
 # ---------------------------------------------------------------------------
@@ -400,6 +401,52 @@ def entry(spark: SparkSession) -> DataFrame:
     return ep.q_asof_join(spark, "/root/testdata/sf0.001")
 
 
+def _kmeans_step_sql() -> str:
+    """Oracle for the Lloyd-assignment statistic: identical centroid literals,
+    cell = argmax inner product (ties to smaller cid), cosine to the assigned
+    centroid, per-cell count + mean."""
+    cents = _ivf_cents()
+    values = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])" for cid, cv in enumerate(cents)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cent(cid, cv) AS (VALUES {values}),
+        ranked AS (
+          SELECT vec_id, v, cid, cv, row_number() OVER (
+            PARTITION BY vec_id ORDER BY list_inner_product(v, cv) DESC, cid ASC
+          ) AS rn
+          FROM c CROSS JOIN cent
+        ),
+        a AS (
+          SELECT cid,
+                 round(list_inner_product(v, cv)
+                       / (sqrt(list_inner_product(v, v))
+                          * sqrt(list_inner_product(cv, cv))), 6) AS cos
+          FROM ranked WHERE rn = 1
+        )
+        SELECT cid, count(*) AS n_vectors, round(avg(cos), 6) AS avg_cos
+        FROM a GROUP BY 1
+    """
+
+
+def _q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.char_ngram_profile(load_table(spark, "documents", sf_dir), n=3, top=5)
+
+
+def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality_buckets(load_table(spark, "documents", sf_dir))
+
+
+def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.length_percentiles(load_table(spark, "documents", sf_dir))
+
+
+def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim.kmeans_assign_stats(emb, _ivf_cents())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- relational core (SURVEY §2.2–§2.4) -------------------------
@@ -440,6 +487,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_string_funcs": rel2.q_string_funcs,
         "q_skew_salted_agg": rel2.q_skew_salted_agg,
         "q_tfidf": _q_tfidf,
+        # --- round 3: remaining TPC-H shapes + percentile/grid/share -----
+        "q8_market_share": rel3.q8_market_share,
+        "q15_top_supplier": rel3.q15_top_supplier,
+        "q_top3_parts_per_brand": rel3.q_top3_parts_per_brand,
+        "q_percentile_acctbal": rel3.q_percentile_acctbal,
+        "q_cumulative_share": rel3.q_cumulative_share,
+        "q_exists_correlated": rel3.q_exists_correlated,
+        "q_price_histogram": rel3.q_price_histogram,
+        "q_status_grid": rel3.q_status_grid,
         # --- temporal/window (SURVEY §2.6) ------------------------------
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
@@ -458,6 +514,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
         "q_hopping_window": ep.q_hopping_window,
+        "q_time_weighted_avg": ep.q_time_weighted_avg,
+        "q_cohort_retention": ep.q_cohort_retention,
+        "q_zscore_outliers": ep.q_zscore_outliers,
+        "q_run_length": ep.q_run_length,
+        "q_asof_nearest": ep.q_asof_nearest,
+        "q_session_hist": ep.q_session_hist,
         # --- text analysis / dedup (training-data pipeline) -------------
         "q_text_stats": _q_text_stats,
         "q_token_count": _q_token_count,
@@ -471,6 +533,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
         "q_curate_corpus": _q_curate_corpus,
+        "q_char_ngram_profile": _q_char_ngram_profile,
+        "q_quality_buckets": _q_quality_buckets,
+        "q_length_percentiles": _q_length_percentiles,
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
@@ -478,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": _q_embedding_neardup,
         "q_embedding_stats": _q_embedding_stats,
         "q_binary_meta": _q_binary_meta,
+        "q_kmeans_step": _q_kmeans_step,
     }
 
 
@@ -1215,4 +1281,284 @@ def oracle_sql() -> dict[str, str]:
                    hex(substr(text, 1, 8)::BLOB) AS head_hex
             FROM documents
         """,
+        # --- round 3 -----------------------------------------------------
+        "q8_market_share": """
+            SELECT year(o_orderdate) AS o_year,
+                   round(sum((CASE WHEN n2.n_name = 'NATION_1'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0.0 END)::DECIMAL(18,4))::DOUBLE
+                         / sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4))::DOUBLE,
+                         6) AS mkt_share,
+                   round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)), 2)::DOUBLE
+                     AS total_volume
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            WHERE r_name = 'REGION_0'
+            GROUP BY 1
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q_top3_parts_per_brand": """
+            WITH pp AS (
+              SELECT p_brand, p_partkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              GROUP BY 1, 2
+            )
+            SELECT p_brand, p_partkey, revenue, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY p_brand ORDER BY revenue DESC, p_partkey ASC
+              ) AS rank FROM pp
+            ) WHERE rank <= 3
+        """,
+        "q_percentile_acctbal": """
+            SELECT c_mktsegment,
+                   count(*) AS n_customers,
+                   round(quantile_cont(c_acctbal, 0.5), 4) AS median_bal,
+                   round(quantile_cont(c_acctbal, 0.9), 4) AS p90_bal,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY 1
+        """,
+        "q_cumulative_share": """
+            WITH m AS (
+              SELECT n_name, date_trunc('month', o_orderdate) AS month,
+                     sum((l_extendedprice * (1 - l_discount))::DECIMAL(18,4)) AS rev_dec
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2
+            )
+            SELECT n_name, month,
+                   round(rev_dec, 2)::DOUBLE AS rev,
+                   round(sum(rev_dec) OVER (PARTITION BY n_name ORDER BY month
+                                            ROWS UNBOUNDED PRECEDING)::DOUBLE
+                         / sum(rev_dec) OVER (PARTITION BY n_name)::DOUBLE, 6) AS cum_share
+            FROM m
+        """,
+        "q_exists_correlated": """
+            WITH na AS (
+              SELECT c_nationkey AS nk, avg(c_acctbal) AS avg_bal
+              FROM customer GROUP BY 1
+            )
+            SELECT n_name, count(*) AS n_rich_active,
+                   round(sum(c_acctbal), 2) AS sum_bal
+            FROM customer
+            JOIN na ON c_nationkey = nk
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > avg_bal
+              AND EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+            GROUP BY 1
+        """,
+        "q_price_histogram": """
+            SELECT floor(o_totalprice / 20000.0)::BIGINT AS bucket,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS sum_price,
+                   round(avg(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY 1
+        """,
+        "q_status_grid": """
+            WITH grid AS (
+              SELECT r_name, status
+              FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+            ),
+            obs AS (
+              SELECT r.r_name AS g_region, o_orderstatus AS g_status, count(*) AS cnt
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region r ON n_regionkey = r.r_regionkey
+              GROUP BY 1, 2
+            )
+            SELECT g.r_name, g.status, coalesce(cnt, 0)::BIGINT AS n_orders
+            FROM grid g LEFT JOIN obs
+              ON g.r_name = g_region AND g.status = g_status
+        """,
+        "q_time_weighted_avg": """
+            WITH d AS (
+              SELECT user_id, value,
+                     (lead(epoch_us(ts)) OVER w - epoch_us(ts)) / 1000000.0 AS dt
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_held,
+                   round(sum(value * dt) / sum(dt), 6) AS twa_value
+            FROM d WHERE dt IS NOT NULL GROUP BY user_id
+        """,
+        "q_cohort_retention": """
+            WITH weekly AS (
+              SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+            ),
+            coh AS (
+              SELECT user_id, min(week) AS cohort_week FROM weekly GROUP BY 1
+            )
+            SELECT cohort_week,
+                   ((epoch_us(week) - epoch_us(cohort_week)) / 604800000000.0)::BIGINT
+                     AS week_offset,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM weekly w JOIN coh USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "q_zscore_outliers": """
+            WITH st AS (
+              SELECT user_id AS uid, avg(value) AS mu, stddev_samp(value) AS sigma
+              FROM events GROUP BY 1
+            )
+            SELECT event_type, count(*) AS n_outliers,
+                   count(DISTINCT user_id) AS n_users
+            FROM events JOIN st ON user_id = uid
+            WHERE abs(value - mu) / sigma > 2.0
+            GROUP BY 1
+        """,
+        "q_run_length": """
+            WITH c AS (
+              SELECT user_id, event_type, ts, event_id,
+                CASE WHEN lag(event_type) OVER w IS NULL
+                       OR lag(event_type) OVER w <> event_type
+                     THEN 1 ELSE 0 END AS chg
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            r AS (
+              SELECT user_id, event_type,
+                sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+              FROM c
+            ),
+            runs AS (
+              SELECT user_id, event_type, run_id, count(*) AS run_len
+              FROM r GROUP BY 1, 2, 3
+            )
+            SELECT event_type, count(*) AS n_runs,
+                   round(avg(run_len), 6) AS avg_run_len,
+                   max(run_len) AS max_run_len
+            FROM runs GROUP BY 1
+        """,
+        "q_asof_nearest": """
+            WITH err AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'error'
+            ),
+            pur AS (
+              SELECT user_id, ts, value AS purchase_value,
+                     row_number() OVER (
+                       PARTITION BY user_id, ts ORDER BY value
+                     ) AS rn
+              FROM events WHERE event_type = 'purchase'
+            ),
+            purd AS (SELECT user_id, ts, purchase_value FROM pur WHERE rn = 1),
+            cand AS (
+              SELECT e.user_id, e.event_id, p.purchase_value,
+                     abs(epoch_us(e.ts) - epoch_us(p.ts)) AS adist,
+                     epoch_us(p.ts) AS pts
+              FROM err e JOIN purd p ON e.user_id = p.user_id
+              WHERE abs(epoch_us(e.ts) - epoch_us(p.ts)) <= 3600000000
+            ),
+            best AS (
+              SELECT user_id, event_id, purchase_value,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_id ORDER BY adist ASC, pts ASC
+                     ) AS rn
+              FROM cand
+            )
+            SELECT e.user_id, count(*) AS n_errors,
+                   count(b.purchase_value) AS n_matched,
+                   round(sum(b.purchase_value), 4) AS sum_matched_value
+            FROM err e LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON e.user_id = b.user_id AND e.event_id = b.event_id
+            GROUP BY 1
+        """,
+        "q_session_hist": """
+            WITH flagged AS (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER w IS NULL
+                       OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1000000.0 > 1800
+                     THEN 1 ELSE 0 END AS new_sess,
+                ts
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sess AS (
+              SELECT user_id,
+                sum(new_sess) OVER (
+                  PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+                )::BIGINT AS session_id
+              FROM flagged
+            ),
+            sizes AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY 1, 2
+            )
+            SELECT n_events, count(*) AS n_sessions FROM sizes GROUP BY 1
+        """,
+        "q_char_ngram_profile": """
+            WITH t AS (SELECT lang, lower(text) AS t FROM documents),
+            g AS (
+              SELECT lang,
+                     unnest([substr(t, i, 3) FOR i IN generate_series(1, len(t) - 2)])
+                       AS ngram
+              FROM t WHERE len(t) >= 3
+            ),
+            f AS (
+              SELECT lang, ngram, count(*) AS n
+              FROM g WHERE NOT regexp_matches(ngram, '\\s')
+              GROUP BY 1, 2
+            )
+            SELECT lang, ngram, n, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, ngram ASC
+              ) AS rank FROM f
+            ) WHERE rank <= 5
+        """,
+        "q_quality_buckets": f"""
+            WITH t AS (
+              SELECT doc_id, source, text, {_WORDS} AS words FROM documents
+            ),
+            q AS (
+              SELECT doc_id, source, len(words) AS n_tokens,
+                round(0.4 * least(1.0, len(words)::DOUBLE / 100.0)
+                      + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE
+                               / length(text))
+                      + 0.3 * (len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE
+                               / len(words)),
+                      6) AS quality_score
+              FROM t
+            )
+            SELECT source,
+                   CASE WHEN quality_score >= 0.7 THEN 'high'
+                        WHEN quality_score >= 0.5 THEN 'medium'
+                        ELSE 'low' END AS bucket,
+                   count(*) AS n_docs,
+                   round(sum(quality_score::DECIMAL(18,6))::DOUBLE / count(*), 6)
+                     AS avg_quality,
+                   round(avg(n_tokens), 4) AS avg_tokens
+            FROM q GROUP BY 1, 2
+        """,
+        "q_length_percentiles": """
+            SELECT lang, count(*) AS n_docs,
+                   round(quantile_cont(n_chars, 0.5), 4) AS median_len,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90_len,
+                   min(n_chars) AS min_len,
+                   max(n_chars) AS max_len
+            FROM documents GROUP BY 1
+        """,
+        "q_kmeans_step": _kmeans_step_sql(),
     }

@@ -37,6 +37,7 @@ __all__ = [
     "ivf_fit_centroids",
     "embedding_near_dups",
     "embedding_stats",
+    "kmeans_assign_stats",
 ]
 
 
@@ -369,5 +370,43 @@ def embedding_stats(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "e
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        )
+    )
+
+
+def kmeans_assign_stats(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd assignment step against fixed centroids: every vector goes to
+    its argmax-inner-product cell (ties to the smaller cid, matching
+    :func:`knn_ivf`), summarized per cell as (count, mean cosine to centroid).
+
+    This is the convergence-monitoring statistic of distributed k-means — and
+    the cell histogram IS the IVF partition-size audit at 100 TB (a skewed
+    cell means a skewed physical partition under cluster-by-cell layout).
+    One Arrow-kernel projection + one map-side-combinable groupBy; the
+    centroid table is a broadcast literal."""
+    c_arr = np.asarray(centroids, dtype=np.float64)
+    cell1 = _probe_udf(c_arr, 1)
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(
+        [(cid, [float(x) for x in cv]) for cid, cv in enumerate(centroids)],
+        "cid int, centroid array<double>",
+    )
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.element_at(cell1(F.col(vec_col)), 1).alias("cid"),
+    )
+    return (
+        assigned.join(F.broadcast(cent), "cid")
+        .select("cid", F.round(cosine_kernel(F.col("__v"), F.col("centroid")), 6).alias("cos"))
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("cos"), 6).alias("avg_cos"),
         )
     )

@@ -42,6 +42,9 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "tfidf_top_terms",
+    "char_ngram_profile",
+    "quality_buckets",
+    "length_percentiles",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -439,4 +442,91 @@ def tfidf_top_terms(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
         .select(id_col, "word", "tfidf", "rank")
+    )
+
+
+def char_ngram_profile(
+    docs: DataFrame,
+    n: int = 3,
+    top: int = 5,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language top character n-grams — the frequency profile behind
+    statistical language ID (the scalable form of :func:`lang_id`'s marker
+    lists). Whitespace-bearing grams are dropped.
+
+    Plan shape: explode positions → substr → two-level count → per-lang top-k.
+    The gram extraction is pure codegen (explode of a ``sequence`` + substr,
+    never an interpreted array lambda) and the count is map-side combinable on
+    (lang, ngram); only the tiny counted table hits the ranking window."""
+    base = docs.select(
+        F.col(lang_col).alias("lang"), F.lower(F.col(text_col)).alias("__t")
+    )
+    # guard: sequence(1, len-2) would DESCEND for len < n (Spark auto-steps -1)
+    positions = F.when(
+        F.length("__t") >= n, F.sequence(F.lit(1), F.length("__t") - (n - 1))
+    )
+    grams = (
+        base.select("lang", "__t", F.explode(positions).alias("__i"))
+        .select("lang", F.col("__t").substr(F.col("__i"), F.lit(n)).alias("ngram"))
+        .where(~F.col("ngram").rlike(r"\s"))
+    )
+    counted = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("ngram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top)
+        .select("lang", "ngram", "n", "rank")
+    )
+
+
+def quality_buckets(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Corpus quality partitioning: bucket documents by the composite
+    :func:`text_stats` quality score (low < 0.5 <= medium < 0.7 <= high) and
+    summarize per source — the keep/review/drop split of a training-data
+    curation pass. Buckets compare the ROUNDED score so the cut is exact
+    cross-engine."""
+    stats = text_stats(docs, text_col=text_col, id_col=id_col)
+    bucket = (
+        F.when(F.col("quality_score") >= 0.7, F.lit("high"))
+        .when(F.col("quality_score") >= 0.5, F.lit("medium"))
+        .otherwise(F.lit("low"))
+    )
+    return (
+        stats.join(docs.select(id_col, group_col), id_col)
+        .withColumn("bucket", bucket)
+        .groupBy(group_col, "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            # decimal sum of the (already 6-decimal) scores: exact and
+            # order-independent, so the 6-decimal mean can't flip on a
+            # partial-sum boundary (observed: 0.4312965)
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_quality"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def length_percentiles(
+    docs: DataFrame, len_col: str = "n_chars", group_col: str = "lang"
+) -> DataFrame:
+    """Exact interpolated length percentiles per group (corpus length-
+    distribution audit). Spark ``percentile`` and DuckDB ``quantile_cont``
+    share linear interpolation."""
+    return docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr(f"percentile({len_col}, 0.5)"), 4).alias("median_len"),
+        F.round(F.expr(f"percentile({len_col}, 0.9)"), 4).alias("p90_len"),
+        F.min(len_col).alias("min_len"),
+        F.max(len_col).alias("max_len"),
     )

@@ -312,6 +312,125 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (the irregular-sampling mean): each value is
+    weighted by its holding time until the next event of the same user; the
+    user's last event carries no weight. Weights are exact integer µs deltas
+    divided once, so both engines form identical terms."""
+    ev = _events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dt = (F.lead(us).over(w) - us) / F.lit(1e6)
+    return (
+        ev.withColumn("dt", dt)
+        .where(F.col("dt").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_held"),
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twa_value"),
+        )
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (the classic training-corpus freshness /user-activity
+    matrix): users grouped by first-event week, counted as active in each
+    later week; one row per (cohort_week, week_offset).
+
+    Two shuffles total: the per-user min (map-side combinable) and the final
+    distinct-count — the user×week dedup rides the same exchange."""
+    ev = _events(spark, sf_dir)
+    first_w = W.partitionBy("user_id")
+    weekly = (
+        ev.withColumn("week", F.date_trunc("week", F.col("ts")))
+        .withColumn("cohort_week", F.min("week").over(first_w))
+        .select("user_id", "cohort_week", "week")
+        .distinct()
+    )
+    day_us = 86_400_000_000
+    offset = (
+        (F.unix_micros(F.col("week")) - F.unix_micros(F.col("cohort_week")))
+        / F.lit(7 * day_us)
+    ).cast("long")
+    return (
+        weekly.withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier detection (anomaly flagging): events whose
+    value deviates >2 sample standard deviations from the user's mean,
+    counted per event type."""
+    ev = _events(spark, sf_dir)
+    stats = ev.groupBy(F.col("user_id").alias("uid")).agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.abs(F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(stats, F.col("user_id") == F.col("uid"))
+        .where(z > 2.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_outliers"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding (W5 aggregate form): consecutive same-type runs
+    per user, summarized per event_type — run id = running count of type
+    changes, the standard two-window RLE."""
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).isNull()
+        | (F.lag("event_type").over(w) != F.col("event_type")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = (
+        ev.withColumn("chg", chg)
+        .withColumn("run_id", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "event_type", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.round(F.avg("run_len"), 6).alias("avg_run_len"),
+        F.max("run_len").alias("max_run_len"),
+    )
+
+
+def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join with tolerance (J2 'nearest', the
+    reference's ±9 ms frame alignment shape): each error event ← the nearest
+    purchase of the same user within ±1 h, ties to the earlier side; per-user
+    rollup of matched values."""
+    ev = _events(spark, sf_dir)
+    err = ev.where(F.col("event_type") == "error").select("user_id", "ts", "event_id")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    pur = dedup_keep_first(pur, ["user_id", "ts"], "purchase_value")
+    j = asof_join(err, pur, on="ts", by="user_id", direction="nearest", tolerance=3600.0)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count("purchase_value").alias("n_matched"),
+        F.round(F.sum("purchase_value"), 4).alias("sum_matched_value"),
+    )
+
+
+def q_session_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-size distribution: sessionize (30 min gap) then histogram the
+    per-session event counts — the count-of-counts shape over W4 output."""
+    ev = _events(spark, sf_dir)
+    s = sessionize(ev, "ts", gap=1800.0, partition_by="user_id")
+    sizes = s.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return sizes.groupBy("n_events").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
 def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping/sliding window aggregation (1 h windows every 15 min): each
     event explodes into exactly 4 window memberships via integer-µs grid

@@ -145,3 +145,31 @@ def test_embedding_near_dups_finds_planted_duplicate(spark, emb):
     planted = out[(out.id_a == int(base.vec_id.iloc[0])) & (out.id_b == 99999)]
     assert len(planted) == 1
     assert planted.cosine.iloc[0] > 0.999
+
+
+class TestKmeansAssignStats:
+    def test_partition_of_corpus_and_numpy_parity(self, spark, sf_dir):
+        import numpy as np
+        from aeon_sleap_processing_spark.operators.similarity import (
+            ivf_centroids,
+            kmeans_assign_stats,
+        )
+        from aeon_sleap_processing_spark.sources import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir)
+        cents = ivf_centroids(8, 64, seed=7)
+        got = kmeans_assign_stats(emb, cents).toPandas()
+        pdf = emb.toPandas()
+        v = np.stack(pdf.embedding.map(np.asarray).values).astype(np.float64)
+        c = np.asarray(cents)
+        cells = np.argmax(v @ c.T, axis=1)  # ties impossible w/ random floats
+        counts = {int(k): int(n) for k, n in zip(*np.unique(cells, return_counts=True))}
+        assert {int(r.cid): int(r.n_vectors) for r in got.itertuples()} == counts
+        assert got.n_vectors.sum() == len(pdf)  # every vector in exactly one cell
+        cos = (v * c[cells]).sum(1) / (
+            np.linalg.norm(v, axis=1) * np.linalg.norm(c[cells], axis=1)
+        )
+        for cid in counts:
+            expect = round(np.round(cos[cells == cid], 6).mean(), 6)
+            gotv = float(got.set_index("cid").loc[cid, "avg_cos"])
+            assert abs(gotv - expect) < 2e-6

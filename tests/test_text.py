@@ -44,3 +44,68 @@ class TestSimhashPairs:
         planted = out[(out.id_a == 1) & (out.id_b == 2)]
         assert len(planted) == 1
         assert planted.hamming.iloc[0] <= 7
+
+
+class TestCharNgramProfile:
+    def test_counts_match_python(self, spark):
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.text import char_ngram_profile
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    "lang": ["en", "en", "fr"],
+                    "text": ["Abcabc", "bca", "xy"],  # "xy" shorter than n → no grams
+                }
+            )
+        )
+        got = char_ngram_profile(docs, n=3, top=5).toPandas()
+        en = {(r.ngram, r.n) for r in got[got.lang == "en"].itertuples()}
+        # lowercased: abcabc → abc,bca,cab,abc ; bca → bca
+        assert en == {("abc", 2), ("bca", 2), ("cab", 1)}
+        assert got[got.lang == "fr"].empty
+
+    def test_whitespace_grams_dropped_and_rank_tiebreak(self, spark):
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.text import char_ngram_profile
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "lang": ["en"], "text": ["ab ab"]})
+        )
+        got = char_ngram_profile(docs, n=3, top=5).toPandas()
+        assert got.empty  # every trigram of "ab ab" spans the space
+
+
+class TestQualityBuckets:
+    def test_bucket_boundaries_on_rounded_score(self, spark, sf_dir):
+        from aeon_sleap_processing_spark.operators.text import quality_buckets, text_stats
+        from aeon_sleap_processing_spark.sources import load_table
+
+        docs = load_table(spark, "documents", sf_dir)
+        got = quality_buckets(docs).toPandas()
+        stats = text_stats(docs).toPandas()
+        srcs = docs.select("doc_id", "source").toPandas()
+        merged = stats.merge(srcs, on="doc_id")
+        merged["bucket"] = merged.quality_score.map(
+            lambda q: "high" if q >= 0.7 else ("medium" if q >= 0.5 else "low")
+        )
+        expect = merged.groupby(["source", "bucket"]).size().to_dict()
+        assert {(r.source, r.bucket): r.n_docs for r in got.itertuples()} == expect
+        assert got.n_docs.sum() == len(merged)
+
+
+class TestLengthPercentiles:
+    def test_matches_numpy_linear_interpolation(self, spark, sf_dir):
+        import numpy as np
+        from aeon_sleap_processing_spark.operators.text import length_percentiles
+        from aeon_sleap_processing_spark.sources import load_table
+
+        docs = load_table(spark, "documents", sf_dir)
+        got = length_percentiles(docs).toPandas().set_index("lang")
+        pdf = docs.select("lang", "n_chars").toPandas()
+        for lang, grp in pdf.groupby("lang"):
+            med = np.percentile(grp.n_chars, 50, method="linear")
+            p90 = np.percentile(grp.n_chars, 90, method="linear")
+            assert abs(got.loc[lang, "median_len"] - round(med, 4)) < 1e-9
+            assert abs(got.loc[lang, "p90_len"] - round(p90, 4)) < 1e-9
