@@ -227,8 +227,10 @@ def q_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
+        # observed is a |regions|x|statuses| aggregate (tiny) — broadcast it
+        # so the grid join never sort-merges
         grid.join(
-            observed,
+            F.broadcast(observed),
             (F.col("r_name") == F.col("g_region")) & (F.col("status") == F.col("g_status")),
             "left",
         )

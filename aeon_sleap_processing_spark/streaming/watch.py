@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["watch_chunk_store", "stream_sessionize", "stream_sessionize_stateful"]
+__all__ = ["watch_chunk_store", "stream_sessionize", "stream_sessionize_stateful", "stream_windowed_agg"]
 
 
 def stream_sessionize(
@@ -190,3 +190,40 @@ def watch_chunk_store(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+def stream_windowed_agg(
+    stream: DataFrame,
+    time_col: str = "time",
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "1 hour",
+    partition_by: str | None = None,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming tumbling/hopping window aggregation (SURVEY §2.8 T3, the
+    fixed-window twin of ``q_hopping_window``'s batch µs-grid form):
+    ``window(time, window, slide)`` + watermark; emits count (+ sum of
+    ``value_col``) per window once the watermark passes its end.
+
+    At scale the window spec is the shuffle key — state is bounded by
+    (watermark / slide) open windows per key, and late rows beyond the
+    watermark are dropped (the reference's batch loop instead reprocesses
+    whole chunks, `combine_pose_id_automated.py:149-185`)."""
+    keys = [F.col(partition_by)] if partition_by else []
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    w = F.window(F.col(time_col), window, slide) if slide else F.window(F.col(time_col), window)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(*keys, w.alias("win"))
+        .agg(*aggs)
+        .select(
+            *([partition_by] if partition_by else []),
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "n_events",
+            *(["sum_value"] if value_col is not None else []),
+        )
+    )

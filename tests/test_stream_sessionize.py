@@ -119,3 +119,50 @@ class TestStreamSessionizeStateful:
         assert u7b.n_events.iloc[0] == 2
         assert u7b.session_start.iloc[0] == T0 + pd.Timedelta(minutes=90)
         assert u7b.session_end.iloc[0] == T0 + pd.Timedelta(minutes=92)
+
+
+class TestStreamWindowedAgg:
+    def test_hopping_counts_match_batch(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.streaming.watch import stream_windowed_agg
+
+        src = str(tmp_path / "win_src")
+        times = [T0 + pd.Timedelta(minutes=m) for m in (0, 10, 20, 40, 70)]
+        pdf = pd.DataFrame({"time": times, "value": [1.0, 2.0, 3.0, 4.0, 5.0]})
+        spark.createDataFrame(pdf).write.parquet(src)
+
+        stream = spark.readStream.schema("time timestamp, value double").parquet(src)
+        agg = stream_windowed_agg(
+            stream, window="1 hour", slide="30 minutes",
+            watermark="0 seconds", value_col="value",
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_out")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = (
+            spark.sql("SELECT * FROM win_out")
+            .toPandas()
+            .sort_values("window_start")
+            .reset_index(drop=True)
+        )
+        # batch twin: explicit membership per 1h/30min hopping grid
+        import collections
+
+        expect = collections.Counter()
+        sums = collections.Counter()
+        for t, v in zip(times, pdf.value):
+            base = int(t.timestamp()) // 1800
+            for k in range(2):  # 1h window / 30min slide = 2 memberships
+                ws = (base - k) * 1800
+                expect[ws] += 1
+                sums[ws] += v
+        assert {
+            int(r.window_start.timestamp()): r.n_events for r in got.itertuples()
+        } == dict(expect)
+        assert {
+            int(r.window_start.timestamp()): r.sum_value for r in got.itertuples()
+        } == dict(sums)
