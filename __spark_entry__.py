@@ -434,6 +434,52 @@ def _q_char_ngram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.char_ngram_profile(load_table(spark, "documents", sf_dir), n=3, top=5)
 
 
+def _q_minhash_est_vs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.minhash_est_vs_exact(
+        load_table(spark, "documents", sf_dir), num_perm=8, band_size=2, shingle_k=3
+    )
+
+
+def _minhash_est_vs_exact_sql() -> str:
+    """Oracle: identical LSH candidate pairs; estimate = matching-permutation
+    fraction; exact = distinct-shingle-list Jaccard via list_intersect."""
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)" for j in range(8)
+    )
+    return f"""
+        WITH {_minhash_sig_cte(8, 3)},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        est AS (
+          SELECT id_a, id_b, ({matches}) / 8.0 AS est_jaccard
+          FROM pairs
+          JOIN sig sa ON id_a = sa.doc_id
+          JOIN sig sb ON id_b = sb.doc_id
+        ),
+        ds AS (SELECT doc_id, list_distinct(shingles) AS sh FROM s),
+        ex AS (
+          SELECT p.id_a, p.id_b,
+                 round(len(list_intersect(pa.sh, pb.sh))::DOUBLE
+                       / (len(pa.sh) + len(pb.sh) - len(list_intersect(pa.sh, pb.sh))),
+                       6) AS exact_jaccard
+          FROM pairs p
+          JOIN ds pa ON p.id_a = pa.doc_id
+          JOIN ds pb ON p.id_b = pb.doc_id
+        )
+        SELECT id_a, id_b, round(est_jaccard, 6) AS est_jaccard, exact_jaccard
+        FROM est JOIN ex USING (id_a, id_b)
+    """
+
+
 def _q_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.quality_buckets(load_table(spark, "documents", sf_dir))
 
@@ -519,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_zscore_outliers": ep.q_zscore_outliers,
         "q_run_length": ep.q_run_length,
         "q_asof_nearest": ep.q_asof_nearest,
+        "q_asof_forward": ep.q_asof_forward,
         "q_session_hist": ep.q_session_hist,
         # --- text analysis / dedup (training-data pipeline) -------------
         "q_text_stats": _q_text_stats,
@@ -534,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_clusters": _q_dedup_clusters,
         "q_curate_corpus": _q_curate_corpus,
         "q_char_ngram_profile": _q_char_ngram_profile,
+        "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
         "q_quality_buckets": _q_quality_buckets,
         "q_length_percentiles": _q_length_percentiles,
         # --- similarity search / multimodal -----------------------------
@@ -1551,6 +1599,40 @@ def oracle_sql() -> dict[str, str]:
                      AS avg_quality,
                    round(avg(n_tokens), 4) AS avg_tokens
             FROM q GROUP BY 1, 2
+        """,
+        "q_minhash_est_vs_exact": _minhash_est_vs_exact_sql(),
+        "q_asof_forward": """
+            WITH sg AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+            ),
+            er AS (
+              SELECT user_id, ts, value AS error_value,
+                     row_number() OVER (
+                       PARTITION BY user_id, ts ORDER BY value
+                     ) AS rn
+              FROM events WHERE event_type = 'error'
+            ),
+            erd AS (SELECT user_id, ts, error_value FROM er WHERE rn = 1),
+            cand AS (
+              SELECT s.user_id, s.event_id, p.error_value,
+                     epoch_us(p.ts) - epoch_us(s.ts) AS fdist
+              FROM sg s JOIN erd p ON s.user_id = p.user_id
+              WHERE epoch_us(p.ts) >= epoch_us(s.ts)
+                AND epoch_us(p.ts) - epoch_us(s.ts) <= 7200000000
+            ),
+            best AS (
+              SELECT user_id, event_id, error_value,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_id ORDER BY fdist ASC
+                     ) AS rn
+              FROM cand
+            )
+            SELECT s.user_id, count(*) AS n_signups,
+                   count(b.error_value) AS n_matched,
+                   round(sum(b.error_value), 4) AS sum_matched_value
+            FROM sg s LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+              ON s.user_id = b.user_id AND s.event_id = b.event_id
+            GROUP BY 1
         """,
         "q_length_percentiles": """
             SELECT lang, count(*) AS n_docs,

@@ -45,6 +45,7 @@ __all__ = [
     "char_ngram_profile",
     "quality_buckets",
     "length_percentiles",
+    "minhash_est_vs_exact",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -297,7 +298,13 @@ def jaccard_top_pairs(
             shingle_k,
             alias="shingle",
         )
-        .select(F.col(id_col).alias("doc"), "shingle")
+        # inverted-index key = xxhash64 of the shingle: the distinct, the
+        # self-join, and their shuffles move 8-byte longs instead of full
+        # shingle strings. Intersection counts are unchanged unless two
+        # DISTINCT shingles of overlapping docs collide in 64 bits (~2^-64
+        # per pair — negligible; the md5-parity rule only binds operators
+        # that OUTPUT hash values, not internal join keys).
+        .select(F.col(id_col).alias("doc"), F.xxhash64("shingle").alias("shingle"))
         .distinct()  # per-doc distinct shingles (replaces array-side array_distinct)
     )
     if max_shingle_df is not None:
@@ -529,4 +536,100 @@ def length_percentiles(
         F.round(F.expr(f"percentile({len_col}, 0.9)"), 4).alias("p90_len"),
         F.min(len_col).alias("min_len"),
         F.max(len_col).alias("max_len"),
+    )
+
+
+def minhash_est_vs_exact(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Estimator-quality audit: for every banded-LSH candidate pair, the
+    MinHash Jaccard estimate (matching-permutation fraction) next to the
+    EXACT shingle Jaccard — the precision measurement a dedup pipeline runs
+    before trusting a threshold at scale.
+
+    One row per candidate pair: (id_a, id_b, est_jaccard, exact_jaccard).
+    The exact side reuses the inverted-index intersection keyed on xxhash64
+    shingles, semi-joined down to candidate docs only — never all-pairs."""
+    sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k)
+    n_bands = num_perm // band_size
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[F.col(f"mh{b * band_size + i}").cast("string") for i in range(band_size)],
+                    )
+                ).alias("bh"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    memb = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    )
+    a, b = memb.alias("a"), memb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    matches = sum(
+        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
+        for j in range(num_perm)
+    )
+    est = (
+        pairs.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
+        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", (matches / F.lit(float(num_perm))).alias("est_jaccard"))
+    )
+    # exact side: distinct hashed shingles, only for docs appearing in pairs
+    cand_docs = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        shingle_rows(docs.join(cand_docs, id_col, "left_semi"), text_col, id_col, shingle_k)
+        .select(F.col(id_col).alias("doc"), F.xxhash64("__sg").alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    xa, xb = sh.alias("xa"), sh.alias("xb")
+    inter = (
+        pairs.join(xa, F.col("id_a") == F.col("xa.doc"))
+        .join(xb, (F.col("id_b") == F.col("xb.doc")) & (F.col("xa.sh") == F.col("xb.sh")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
+    exact = (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["id_a", "id_b"]).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "exact_jaccard"
     )

@@ -422,6 +422,25 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-direction as-of join with tolerance (J2 'forward'): each
+    signup event ← the next error of the same user within 2 h; per-user
+    rollup. Completes the oracle-checked as-of family (backward:
+    ``q_asof_join``, nearest: ``q_asof_nearest``)."""
+    ev = _events(spark, sf_dir)
+    sign = ev.where(F.col("event_type") == "signup").select("user_id", "ts", "event_id")
+    errs = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("value").alias("error_value")
+    )
+    errs = dedup_keep_first(errs, ["user_id", "ts"], "error_value")
+    j = asof_join(sign, errs, on="ts", by="user_id", direction="forward", tolerance=7200.0)
+    return j.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_signups"),
+        F.count("error_value").alias("n_matched"),
+        F.round(F.sum("error_value"), 4).alias("sum_matched_value"),
+    )
+
+
 def q_session_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-size distribution: sessionize (30 min gap) then histogram the
     per-session event counts — the count-of-counts shape over W4 output."""

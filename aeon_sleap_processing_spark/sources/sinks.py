@@ -31,6 +31,7 @@ __all__ = [
     "merge_model_configs",
     "load_metadata",
     "read_jdbc",
+    "write_bucketed",
 ]
 
 # engine-internal → reference CSV header names (`social_behaviour_detection.py:733-757`)
@@ -144,3 +145,32 @@ def read_jdbc(
             .option("upperBound", upper_bound)
         )
     return reader.load()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: str | list[str],
+    n_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on its join/agg keys —
+    the co-located-join layout for 100 TB fact tables.
+
+    Two tables bucketed on the same keys with the same bucket count join with
+    ZERO exchanges (and zero sorts when ``sort_by`` matches): the shuffle is
+    paid once at write time and amortized over every subsequent join/agg on
+    those keys. This is the physical design the chunk store would use for
+    pose/events fact tables keyed by (chunk, camera) at scale — Spark's
+    equivalent of the reference's directory-per-chunk layout, but with the
+    join locality made visible to the optimizer.
+
+    Bucketing requires the table catalog (``saveAsTable``) — plain
+    ``.parquet(path)`` writes lose the bucket metadata."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    if sort_by is not None:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

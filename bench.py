@@ -34,6 +34,22 @@ def main() -> None:
     # warm-up: JVM codepaths + file footers, not counted
     for t in TESTDATA_TABLES:
         load_table(spark, t, sf_dir).count()
+    # ... and the join/exchange/window machinery (broadcast thread pool,
+    # shuffle writers, window codegen): the first join-heavy query otherwise
+    # pays ~1.5 s of one-time JVM setup that a long-lived cluster never sees
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _n = load_table(spark, "nation", sf_dir)
+    _r = load_table(spark, "region", sf_dir)
+    _n.join(_F.broadcast(_r), _n.n_regionkey == _r.r_regionkey).groupBy(
+        "r_name"
+    ).count().collect()
+    _n.select(
+        _F.row_number()
+        .over(_W.partitionBy("n_regionkey").orderBy("n_nationkey"))
+        .alias("rn")
+    ).collect()
 
     # two timed runs per query, report the min: first runs pay codegen/plan
     # compilation; steady-state is what a long-lived cluster sees

@@ -180,3 +180,40 @@ class TestSaltedJoin:
 
         with _pytest.raises(ValueError, match="inner/left"):
             salted_join(big, small, "k", how="right")
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, sf_dir, tmp_path):
+        """Co-located join layout: two tables bucketed on the same key must
+        join with no Exchange (the shuffle was paid at write time)."""
+        from aeon_sleap_processing_spark.sources import load_table
+        from aeon_sleap_processing_spark.sources.sinks import write_bucketed
+
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            orders = load_table(spark, "orders", sf_dir)
+            li = load_table(spark, "lineitem", sf_dir)
+            write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_by="o_orderkey")
+            write_bucketed(
+                li.withColumnRenamed("l_orderkey", "o_orderkey"),
+                "b_lineitem", "o_orderkey", 8, sort_by="o_orderkey",
+            )
+            bo = spark.table("b_orders")
+            bl = spark.table("b_lineitem")
+            j = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            # join itself must not exchange; the final groupBy may
+            join_part = plan.split("SortMergeJoin")[-1]
+            assert "Exchange hashpartitioning" not in join_part
+            # and results match the unbucketed join
+            expect = (
+                orders.join(li, orders.o_orderkey == li.l_orderkey)
+                .groupBy("o_orderstatus").count().toPandas()
+                .set_index("o_orderstatus")["count"].to_dict()
+            )
+            got = j.toPandas().set_index("o_orderstatus")["count"].to_dict()
+            assert got == expect
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.sql("DROP TABLE IF EXISTS b_orders")
+            spark.sql("DROP TABLE IF EXISTS b_lineitem")
