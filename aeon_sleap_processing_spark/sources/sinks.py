@@ -117,7 +117,8 @@ def load_metadata(spark: SparkSession, path: str) -> dict:
 def read_jdbc(
     spark: SparkSession,
     url: str,
-    query: str,
+    query: str | None = None,
+    table: str | None = None,
     user: str | None = None,
     password: str | None = None,
     partition_column: str | None = None,
@@ -127,12 +128,20 @@ def read_jdbc(
 ) -> DataFrame:
     """S6: relational source with the DataJoint join-project-restrict pushed
     into the database as a subquery; optional range partitioning for parallel
-    reads at scale."""
-    reader = (
-        spark.read.format("jdbc")
-        .option("url", url)
-        .option("query", query)
-    )
+    reads at scale.
+
+    Pass ``query`` to push an arbitrary join-project-restrict into the DB, or
+    ``table`` to expose the table and let Catalyst push filters/projections
+    through the JDBC relation (``PushedFilters`` in the scan — exercised for
+    real against embedded Derby in tests; Derby's dialect rejects the
+    ``query``-option subquery alias, so table mode is the portable path)."""
+    if (query is None) == (table is None):
+        raise ValueError("pass exactly one of query= or table=")
+    reader = spark.read.format("jdbc").option("url", url)
+    if query is not None:
+        reader = reader.option("query", query)
+    else:
+        reader = reader.option("dbtable", table)
     if user:
         reader = reader.option("user", user)
     if password:

@@ -217,3 +217,35 @@ class TestBucketedJoin:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+class TestJdbcDerby:
+    def test_jdbc_round_trip_with_pushdown(self, spark, sf_dir, tmp_path):
+        """S6 for real: write nation to embedded Derby over JDBC, read it
+        back through read_jdbc table mode, and confirm Catalyst pushes the
+        filter into the JDBC scan."""
+        from aeon_sleap_processing_spark.sources import load_table
+        from aeon_sleap_processing_spark.sources.sinks import read_jdbc
+
+        url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+        nation = load_table(spark, "nation", sf_dir)
+        (
+            nation.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "nation")
+            .mode("overwrite")
+            .save()
+        )
+        df = (
+            read_jdbc(spark, url, table="nation")
+            .where("n_regionkey = 2")
+            .select("n_nationkey", "n_name")
+        )
+        got = sorted((r.n_nationkey, r.n_name) for r in df.collect())
+        exp = sorted(
+            (r.n_nationkey, r.n_name)
+            for r in nation.where("n_regionkey = 2").select("n_nationkey", "n_name").collect()
+        )
+        assert got == exp and len(got) > 0
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters" in plan and "N_REGIONKEY" in plan.upper()
