@@ -823,7 +823,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_semi_anti_parts": """
             SELECT p_brand, count(*) AS n_parts,
-                   round(avg(p_retailprice), 4) AS avg_price
+                   round(sum(p_retailprice::DECIMAL(18,4))::DOUBLE / count(*), 4)
+                     AS avg_price
             FROM part
             WHERE EXISTS (
                 SELECT 1 FROM lineitem

@@ -177,7 +177,13 @@ def q_semi_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            # decimal sum → exact, order-independent mean (a plain double avg
+            # flipped the 4th decimal vs the oracle at sf0.1)
+            F.round(
+                F.sum(F.col("p_retailprice").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("avg_price"),
         )
     )
 
