@@ -542,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exists_correlated": rel3.q_exists_correlated,
         "q_price_histogram": rel3.q_price_histogram,
         "q_status_grid": rel3.q_status_grid,
+        "q6_forecast_revenue": rel3.q6_forecast_revenue,
+        "q12_priority_linestatus": rel3.q12_priority_linestatus,
+        "q21_sole_returner": rel3.q21_sole_returner,
         # --- temporal/window (SURVEY §2.6) ------------------------------
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
@@ -1441,6 +1444,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.r_name, g.status, coalesce(cnt, 0)::BIGINT AS n_orders
             FROM grid g LEFT JOIN obs
               ON g.r_name = g_region AND g.status = g_status
+        """,
+        "q6_forecast_revenue": """
+            SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4)), 2)::DOUBLE
+                     AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q12_priority_linestatus": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1
+        """,
+        "q21_sole_returner": """
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM lineitem l1
+            JOIN supplier ON l1.l_suppkey = s_suppkey
+            WHERE l1.l_returnflag = 'R'
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_returnflag = 'R')
+              AND s_nationkey IN (SELECT n_nationkey FROM nation
+                                  WHERE n_name IN ('NATION_1', 'NATION_2'))
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey ASC
+            LIMIT 20
         """,
         "q_time_weighted_avg": """
             WITH d AS (

@@ -240,3 +240,94 @@ def q_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cnt"), F.lit(0)).alias("n_orders"),
         )
     )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure predicate scan-aggregate, no join. All three
+    predicates (shipdate range, discount band, quantity cap) push down to the
+    parquet scan; at 100 TB this is a single map-side partial-agg pass with a
+    one-row exchange — the cheapest possible full-table query."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,4)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q12_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted: testdata has no l_shipmode, so l_linestatus
+    plays the ship-mode role): per linestatus, conditional two-way counts of
+    high- vs low-priority orders shipped in 1997. One fact→fact equi-join on
+    orderkey, then CASE-sum aggregation — the join shuffles once on orderkey
+    and the agg is map-side combinable on 2 groups."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q21_sole_returner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 join topology (adapted: no l_receiptdate, so l_returnflag='R'
+    plays the late-delivery role): suppliers whose item was returned in a
+    multi-supplier order where NO other supplier's item was returned —
+    a correlated EXISTS + NOT EXISTS pair, expressed as a left-semi and a
+    left-anti self-join on lineitem keyed by orderkey with a supplier
+    inequality residual.
+
+    Scale: both self-joins shuffle on l_orderkey only (the inequality is a
+    post-join residual on the equi-hash match), so all three lineitem legs
+    co-partition — one exchange each, no cartesian blowup. Supplier/nation
+    are broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    l1 = li.where(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    others_r = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            others_r,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey").asc())
+        .limit(20)
+    )
