@@ -570,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_nearest": ep.q_asof_nearest,
         "q_asof_forward": ep.q_asof_forward,
         "q_session_hist": ep.q_session_hist,
+        "q_gap_fill": ep.q_gap_fill,
         # --- text analysis / dedup (training-data pipeline) -------------
         "q_text_stats": _q_text_stats,
         "q_token_count": _q_token_count,
@@ -1444,6 +1445,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.r_name, g.status, coalesce(cnt, 0)::BIGINT AS n_orders
             FROM grid g LEFT JOIN obs
               ON g.r_name = g_region AND g.status = g_status
+        """,
+        "q_gap_fill": """
+            WITH base AS (
+              SELECT user_id, ts,
+                     CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::UBIGINT
+                               % 10 < 3
+                          THEN NULL ELSE event_type END AS v
+              FROM events
+            ),
+            w AS (
+              SELECT user_id, v,
+                last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+                first_value(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+                last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+                first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+              FROM base
+            ),
+            f AS (
+              SELECT user_id, (v IS NULL) AS was_null,
+                CASE WHEN v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+                          AND (next_t - prev_t <= 60000000
+                               OR (next_t - prev_t <= 3600000000::BIGINT
+                                   AND prev_v = next_v))
+                     THEN prev_v ELSE v END AS vf
+              FROM w
+            )
+            SELECT user_id,
+                   sum(CASE WHEN was_null AND vf IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_filled,
+                   sum(CASE WHEN was_null AND vf IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_unfilled,
+                   sum(CASE WHEN was_null AND vf IS NOT NULL
+                            THEN ('0x' || substr(md5(vf), 1, 8))::UBIGINT
+                            ELSE 0 END)::BIGINT AS fill_checksum
+            FROM f GROUP BY user_id
         """,
         "q6_forecast_revenue": """
             SELECT round(sum((l_extendedprice * l_discount)::DECIMAL(18,4)), 2)::DOUBLE

@@ -18,10 +18,12 @@ from pyspark.sql import functions as F
 from ..operators.temporal import (
     asof_join,
     dedup_keep_first,
+    gap_fill_bounded,
     interval_filter,
     mode_per_group,
     sessionize,
 )
+from ..operators.text import md5_long
 from ..sources.catalog import load_table
 
 
@@ -473,4 +475,43 @@ def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
             F.countDistinct("user_id").alias("n_users"),
         )
+    )
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded gap-fill with flank equality (SURVEY W6; reference
+    `generate_composite_quadrant_videos.py:129-157`): deterministically knock
+    out ~30% of event_type values (md5-keyed so both engines null the same
+    rows), then fill null runs spanning <= 60 s unconditionally and <= 3600 s
+    only when the flanking values agree — per-user accounting plus an
+    md5 checksum of the filled values so the oracle checks WHICH value was
+    filled, not just how many.
+
+    Scale: one window partition per user — the fill never needs a global sort,
+    and the two flank lookups share the same partitioned sort order."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        F.when(md5_long(F.col("event_id").cast("string")) % 10 < 3, F.lit(None))
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    ev = ev.withColumn("was_null", F.col("etype").isNull())
+    filled = gap_fill_bounded(
+        ev,
+        "etype",
+        order_col="ts",
+        partition_by="user_id",
+        fill_any_max=60.0,
+        fill_equal_max=3600.0,
+    )
+    got = F.col("was_null") & F.col("etype").isNotNull()
+    return filled.groupBy("user_id").agg(
+        F.sum(F.when(got, 1).otherwise(0)).alias("n_filled"),
+        F.sum(F.when(F.col("was_null") & F.col("etype").isNull(), 1).otherwise(0)).alias(
+            "n_unfilled"
+        ),
+        F.sum(F.when(got, md5_long(F.col("etype"))).otherwise(F.lit(0))).alias(
+            "fill_checksum"
+        ),
     )
