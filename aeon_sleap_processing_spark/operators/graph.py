@@ -238,7 +238,14 @@ def curate_corpus(
     """
     from .text import md5_long, text_stats
 
-    stats = text_stats(docs, text_col, id_col).select(id_col, "quality_score")
+    # quality scores feed both the entry filter and the final re-join —
+    # materialize the tiny (id, score) table so the corpus is scanned for
+    # stats exactly once
+    stats = (
+        text_stats(docs, text_col, id_col)
+        .select(id_col, "quality_score")
+        .localCheckpoint(eager=True)
+    )
     good = docs.join(
         stats.where(F.col("quality_score") >= min_quality), id_col
     )

@@ -554,7 +554,12 @@ def minhash_est_vs_exact(
     One row per candidate pair: (id_a, id_b, est_jaccard, exact_jaccard).
     The exact side reuses the inverted-index intersection keyed on xxhash64
     shingles, semi-joined down to candidate docs only — never all-pairs."""
-    sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k)
+    # signatures feed three consumers (band explode, est side a, est side b) —
+    # materialize once instead of re-shingling the corpus per consumer. The
+    # signature table is tiny (one row per doc, num_perm ints).
+    sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k).localCheckpoint(
+        eager=True
+    )
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -583,6 +588,8 @@ def minhash_est_vs_exact(
         )
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
+        # candidate pairs fan out to four joins (est, cand-doc semi, inter, exact)
+        .localCheckpoint(eager=True)
     )
     sa, sb = sigs.alias("sa"), sigs.alias("sb")
     matches = sum(
@@ -604,6 +611,8 @@ def minhash_est_vs_exact(
         shingle_rows(docs.join(cand_docs, id_col, "left_semi"), text_col, id_col, shingle_k)
         .select(F.col(id_col).alias("doc"), F.xxhash64("__sg").alias("sh"))
         .distinct()
+        # candidate shingle sets feed sizes + both intersection legs
+        .localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     xa, xb = sh.alias("xa"), sh.alias("xb")
