@@ -488,6 +488,26 @@ def _q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.length_percentiles(load_table(spark, "documents", sf_dir))
 
 
+def _q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup: odd doc_ids arrive as the new batch,
+    even doc_ids are the already-ingested corpus."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    incoming = docs.where(F.col("doc_id") % 2 == 1)
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    return tx.incremental_dedup(incoming, corpus)
+
+
+def _q_sample_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: up to 20 docs per language, ranked by
+    a salted content hash instead of an RNG (SURVEY P11)."""
+    from aeon_sleap_processing_spark.operators.util import sample_n_per_bin
+
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_n_per_bin(docs, "lang", 20).select("doc_id", "lang")
+
+
 def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return sim.kmeans_assign_stats(emb, _ivf_cents())
@@ -588,6 +608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
         "q_quality_buckets": _q_quality_buckets,
         "q_length_percentiles": _q_length_percentiles,
+        "q_incremental_dedup": _q_incremental_dedup,
+        "q_sample_per_bin": _q_sample_per_bin,
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
@@ -1728,6 +1750,33 @@ def oracle_sql() -> dict[str, str]:
                    min(n_chars) AS min_len,
                    max(n_chars) AS max_len
             FROM documents GROUP BY 1
+        """,
+        "q_incremental_dedup": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            s AS (SELECT doc_id, {_shingles_sql(5)} AS shingles FROM t),
+            fp AS (SELECT doc_id,
+                          list_min(list_transform(shingles, sg -> {_md5l("sg")}))
+                            AS fingerprint
+                   FROM s),
+            surv AS (SELECT fingerprint, min(doc_id) AS doc_id
+                     FROM fp WHERE doc_id % 2 = 1 GROUP BY 1)
+            SELECT doc_id, fingerprint
+            FROM surv
+            WHERE NOT EXISTS (SELECT 1 FROM fp c
+                              WHERE c.doc_id % 2 = 0
+                                AND c.fingerprint = surv.fingerprint)
+        """,
+        "q_sample_per_bin": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(concat_ws('|', '0', doc_id, text, lang,
+                                              source, n_chars))
+                     ) AS rn
+              FROM documents
+            )
+            SELECT doc_id, lang FROM r WHERE rn <= 20
         """,
         "q_kmeans_step": _kmeans_step_sql(),
     }

@@ -641,3 +641,32 @@ def minhash_est_vs_exact(
     return est.join(exact, ["id_a", "id_b"]).select(
         "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "exact_jaccard"
     )
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Incremental (new-batch-vs-corpus) exact dedup, the shape a production
+    ingest pipeline runs every batch: collapse duplicate fingerprints WITHIN
+    the incoming batch (keep the lowest id), then anti-join the survivors
+    against the fingerprint set of the already-ingested corpus.
+
+    Returns (id, fingerprint) rows for genuinely-new documents only.
+
+    Scale: the corpus leg reduces to its DISTINCT fingerprint column (one
+    bigint per historical doc) before the anti-join, so the join state is
+    the fingerprint set — not the corpus text. At 100 TB the fingerprint set
+    would live as its own bucketed table maintained incrementally; both sides
+    hash-partition on `fingerprint`, and the anti-join co-partitions with the
+    within-batch window, so survivors shuffle once."""
+    fin = doc_fingerprint(incoming, text_col, id_col, k)
+    w = W.partitionBy("fingerprint").orderBy(id_col)
+    survivors = (
+        fin.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+    )
+    seen = doc_fingerprint(corpus, text_col, id_col, k).select("fingerprint").distinct()
+    return survivors.join(seen, "fingerprint", "left_anti").select(id_col, "fingerprint")
