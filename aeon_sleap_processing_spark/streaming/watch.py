@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["watch_chunk_store", "stream_sessionize", "stream_sessionize_stateful", "stream_windowed_agg"]
+__all__ = [
+    "watch_chunk_store",
+    "stream_sessionize",
+    "stream_sessionize_stateful",
+    "stream_windowed_agg",
+    "stream_dedup",
+    "stream_enrich",
+]
 
 
 def stream_sessionize(
@@ -227,3 +234,36 @@ def stream_windowed_agg(
             *(["sum_value"] if value_col is not None else []),
         )
     )
+
+
+def stream_dedup(
+    stream: DataFrame,
+    keys: list[str],
+    time_col: str = "time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup (SURVEY §2.8 T2 + the dedup kit's ingest twin):
+    drop rows whose key was already seen within the watermark horizon via
+    ``dropDuplicatesWithinWatermark`` — the streaming analog of
+    ``exact_dedup``/``incremental_dedup`` for at-least-once upstream replays
+    (the reference's empty-marker + re-submit loop can deliver a chunk twice;
+    this makes re-delivery a no-op).
+
+    State is bounded: Spark evicts seen-keys older than the watermark, so
+    memory is O(keys per horizon), not O(all history) — the property that
+    lets it run unbounded at ingest scale."""
+    return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch broadcast-joins the
+    static dimension snapshot (SURVEY S6/J1's streaming form — e.g. pose
+    stream x experiment-metadata). Stream-static joins need no watermark and
+    keep no join state; the dim is re-resolved per micro-batch, so a catalog
+    table picks up slowly-changing updates between batches."""
+    return stream.join(F.broadcast(dim), on, how)
