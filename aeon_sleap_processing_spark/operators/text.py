@@ -670,3 +670,38 @@ def incremental_dedup(
     )
     seen = doc_fingerprint(corpus, text_col, id_col, k).select("fingerprint").distinct()
     return survivors.join(seen, "fingerprint", "left_anti").select(id_col, "fingerprint")
+
+
+def bigram_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """Corpus bigram statistics with conditional probability — the count table
+    a classic n-gram LM trains from: p(w2 | w1) = c(w1 w2) / c(w1 ·).
+
+    Top-``top_k`` bigrams by corpus frequency, ties broken on the bigram
+    string so both engines pick identical rows.
+
+    Scale: bigram extraction is the same explode→codegen path as shingling;
+    both aggregations are map-side combinable, and the context join keys on
+    w1 — the heavy (bigram) aggregate shuffles once, the (w1) context table
+    is a strict rollup of it."""
+    bg = shingle_rows(docs.select(id_col, text_col), text_col, id_col, 2)
+    counts = bg.groupBy(F.col("__sg").alias("bigram")).agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    )
+    counts = counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    ctx = counts.groupBy("w1").agg(F.sum("n_bigram").alias("n_ctx"))
+    return (
+        counts.join(ctx, "w1")
+        .select(
+            "bigram",
+            "n_bigram",
+            F.col("n_ctx").cast("long").alias("n_ctx"),
+            F.round(F.col("n_bigram").cast("double") / F.col("n_ctx"), 6).alias("cond_p"),
+        )
+        .orderBy(F.col("n_bigram").desc(), F.col("bigram").asc())
+        .limit(top_k)
+    )
