@@ -514,61 +514,14 @@ def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration order matters: the driver's correctness gate checks the
+    # FIRST 50 registered queries. Rounds 2-4 verified the relational block
+    # (CORRECTNESS_r0{2,3,4}.json, 50/50 green x3); round 5 rotates the
+    # previously-unchecked temporal/text/dedup/similarity suite into the
+    # window. The relational queries keep their three rounds of green
+    # history and remain covered by tools/check_correctness.py locally.
     return {
-        # --- relational core (SURVEY §2.2–§2.4) -------------------------
-        "q1_pricing_summary": rel.q1_pricing_summary,
-        "q3_shipping_priority": rel.q3_shipping_priority,
-        "q5_local_supplier": rel.q5_local_supplier_volume,
-        "q10_returned_items": rel.q10_returned_items,
-        "q14_promo_revenue": rel.q14_promo_revenue,
-        "q19_discount_revenue": rel.q19_discount_revenue,
-        "q_market_segment_stats": rel.q_market_segment_stats,
-        "q_order_priority_check": rel.q_order_priority_check,
-        "q_top_customers": rel.q_top_customers,
-        "q_part_type_stats": rel.q_part_type_stats,
-        "q_nation_orders": rel.q_nation_orders,
-        "q_customer_order_rank": rel.q_customer_order_rank,
-        "q_lineitem_dedup": rel.q_lineitem_dedup,
-        "q_set_ops": rel.q_set_ops,
-        "q_rollup_revenue": rel.q_rollup_revenue,
-        "q_cube_orders": rel.q_cube_orders,
-        # --- round 2: subquery/outer-join/window/stat shapes -------------
-        "q7_nation_volume": rel2.q7_nation_volume,
-        "q13_order_distribution": rel2.q13_order_distribution,
-        "q17_small_qty_orders": rel2.q17_small_qty_orders,
-        "q18_large_volume_orders": rel2.q18_large_volume_orders,
-        "q_idle_customers": rel2.q_idle_customers,
-        "q_semi_anti_parts": rel2.q_semi_anti_parts,
-        "q_rank_suite": rel2.q_rank_suite,
-        "q_range_frame": rel2.q_range_frame,
-        "q_lead_gap": rel2.q_lead_gap,
-        "q_nth_order_value": rel2.q_nth_order_value,
-        "q_grouping_sets": rel2.q_grouping_sets,
-        "q_pivot_status": rel2.q_pivot_status,
-        "q_unpivot_part": rel2.q_unpivot_part,
-        "q_percentiles": rel2.q_percentiles,
-        "q_stats_suite": rel2.q_stats_suite,
-        "q_approx_validated": rel2.q_approx_validated,
-        "q_date_breakdown": rel2.q_date_breakdown,
-        "q_string_funcs": rel2.q_string_funcs,
-        "q_skew_salted_agg": rel2.q_skew_salted_agg,
-        "q_tfidf": _q_tfidf,
-        # --- round 3: remaining TPC-H shapes + percentile/grid/share -----
-        "q8_market_share": rel3.q8_market_share,
-        "q15_top_supplier": rel3.q15_top_supplier,
-        "q_top3_parts_per_brand": rel3.q_top3_parts_per_brand,
-        "q_percentile_acctbal": rel3.q_percentile_acctbal,
-        "q_cumulative_share": rel3.q_cumulative_share,
-        "q_exists_correlated": rel3.q_exists_correlated,
-        "q_price_histogram": rel3.q_price_histogram,
-        "q_status_grid": rel3.q_status_grid,
-        "q6_forecast_revenue": rel3.q6_forecast_revenue,
-        "q12_priority_linestatus": rel3.q12_priority_linestatus,
-        "q21_sole_returner": rel3.q21_sole_returner,
-        # --- temporal/window (SURVEY §2.6) ------------------------------
-        "q_sessionize": ep.q_sessionize,
-        "q_asof_join": ep.q_asof_join,
-        "q_interval_filter": ep.q_interval_filter,
+        # --- temporal/window tail (driver-unchecked before round 5) ------
         "q_lag_rate": ep.q_lag_rate,
         "q_ffill": ep.q_ffill,
         "q_rolling_mean": ep.q_rolling_mean,
@@ -618,6 +571,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_stats": _q_embedding_stats,
         "q_binary_meta": _q_binary_meta,
         "q_kmeans_step": _q_kmeans_step,
+        # --- relational core (SURVEY §2.2–§2.4; driver-green r2-r4) -----
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier": rel.q5_local_supplier_volume,
+        "q10_returned_items": rel.q10_returned_items,
+        "q14_promo_revenue": rel.q14_promo_revenue,
+        "q19_discount_revenue": rel.q19_discount_revenue,
+        "q_market_segment_stats": rel.q_market_segment_stats,
+        "q_order_priority_check": rel.q_order_priority_check,
+        "q_top_customers": rel.q_top_customers,
+        "q_part_type_stats": rel.q_part_type_stats,
+        "q_nation_orders": rel.q_nation_orders,
+        "q_customer_order_rank": rel.q_customer_order_rank,
+        "q_lineitem_dedup": rel.q_lineitem_dedup,
+        "q_set_ops": rel.q_set_ops,
+        "q_rollup_revenue": rel.q_rollup_revenue,
+        "q_cube_orders": rel.q_cube_orders,
+        # --- round 2: subquery/outer-join/window/stat shapes -------------
+        "q7_nation_volume": rel2.q7_nation_volume,
+        "q13_order_distribution": rel2.q13_order_distribution,
+        "q17_small_qty_orders": rel2.q17_small_qty_orders,
+        "q18_large_volume_orders": rel2.q18_large_volume_orders,
+        "q_idle_customers": rel2.q_idle_customers,
+        "q_semi_anti_parts": rel2.q_semi_anti_parts,
+        "q_rank_suite": rel2.q_rank_suite,
+        "q_range_frame": rel2.q_range_frame,
+        "q_lead_gap": rel2.q_lead_gap,
+        "q_nth_order_value": rel2.q_nth_order_value,
+        "q_grouping_sets": rel2.q_grouping_sets,
+        "q_pivot_status": rel2.q_pivot_status,
+        "q_unpivot_part": rel2.q_unpivot_part,
+        "q_percentiles": rel2.q_percentiles,
+        "q_stats_suite": rel2.q_stats_suite,
+        "q_approx_validated": rel2.q_approx_validated,
+        "q_date_breakdown": rel2.q_date_breakdown,
+        "q_string_funcs": rel2.q_string_funcs,
+        "q_skew_salted_agg": rel2.q_skew_salted_agg,
+        "q_tfidf": _q_tfidf,
+        # --- round 3: remaining TPC-H shapes + percentile/grid/share -----
+        "q8_market_share": rel3.q8_market_share,
+        "q15_top_supplier": rel3.q15_top_supplier,
+        "q_top3_parts_per_brand": rel3.q_top3_parts_per_brand,
+        "q_percentile_acctbal": rel3.q_percentile_acctbal,
+        "q_cumulative_share": rel3.q_cumulative_share,
+        "q_exists_correlated": rel3.q_exists_correlated,
+        "q_price_histogram": rel3.q_price_histogram,
+        "q_status_grid": rel3.q_status_grid,
+        "q6_forecast_revenue": rel3.q6_forecast_revenue,
+        "q12_priority_linestatus": rel3.q12_priority_linestatus,
+        "q21_sole_returner": rel3.q21_sole_returner,
+        # --- temporal/window head (SURVEY §2.6; driver-green r2-r4) -----
+        "q_sessionize": ep.q_sessionize,
+        "q_asof_join": ep.q_asof_join,
+        "q_interval_filter": ep.q_interval_filter,
     }
 
 
