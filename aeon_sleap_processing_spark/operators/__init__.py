@@ -1,5 +1,6 @@
 from .temporal import (
     asof_join,
+    chunked_asof_join,
     dedup_keep_first,
     ffill,
     gap_fill_bounded,
@@ -14,6 +15,7 @@ from .temporal import (
 
 __all__ = [
     "asof_join",
+    "chunked_asof_join",
     "dedup_keep_first",
     "ffill",
     "gap_fill_bounded",

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "asof_join",
+    "chunked_asof_join",
     "sessionize",
     "interval_filter",
     "resample_ticks",
@@ -189,6 +190,101 @@ def asof_join(
     return res.where(F.col("__tag") == _L).drop("__tag")
 
 
+def chunked_asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "time",
+    by: str | Sequence[str] | None = None,
+    tolerance: float | None = None,
+    direction: str = "backward",
+    suffix: str = "_right",
+    chunk: float = 3600.0,
+) -> DataFrame:
+    """``asof_join`` with the time axis pre-partitioned into fixed chunks —
+    the scale path for unkeyed (or weakly-keyed) as-of joins.
+
+    A plain ``asof_join`` with no ``by`` key is a single-partition window
+    sort: one task sorts both inputs end to end. This wrapper makes the
+    documented mitigation (module docstring: "pre-partition the time axis …
+    with overlap") callable:
+
+    1. both sides get ``chunk_id = floor(axis / chunk)`` (``chunk`` in
+       seconds for timestamp axes, axis units otherwise);
+    2. per ``(by, chunk_id)`` the right side is reduced to boundary
+       summaries — the latest and earliest right ROW per chunk (one
+       ``max_by``/``min_by`` struct each, map-side combinable; the summary
+       table has one row per chunk per key, coarse by construction);
+    3. an ordered window over the tiny summary table carries the latest
+       right row BEFORE each left chunk (and the earliest AFTER it, for
+       forward/nearest) into that chunk as an extra right row with its true
+       timestamp — the "overlap + dedup" rows, except only the one row that
+       can actually win is replicated, not a whole overlap band;
+    4. ``asof_join`` runs with ``by = [*by, chunk_id]``, so every window
+       sort is per-chunk and the shuffle key is dense.
+
+    Exactly equivalent to the global join for every direction/tolerance
+    combination: the global backward match for a left row is either inside
+    its own chunk or is precisely the carried latest-before-chunk row (and
+    symmetrically forward); ``nearest`` picks among both, and the tolerance
+    filter is applied by ``asof_join`` identically.
+    """
+    if "__chunk" in left.columns or "__chunk" in right.columns:
+        raise ValueError("column name '__chunk' is reserved")
+    by = _as_list(by)
+    is_ts = _is_ts(left, on)
+    chunk_size = int(round(chunk * 1e6)) if is_ts else chunk
+    if chunk_size <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk!r}")
+
+    l_axis = _asof_axis(left, on, is_ts)
+    r_axis = _asof_axis(right, on, is_ts)
+    left_c = left.withColumn("__chunk", F.floor(l_axis / F.lit(chunk_size)))
+    right_c = right.withColumn("__chunk", F.floor(r_axis / F.lit(chunk_size)))
+
+    need_bwd = direction in ("backward", "nearest")
+    need_fwd = direction in ("forward", "nearest")
+
+    r_struct = F.struct(*[F.col(c) for c in right.columns])
+    summ = right_c.groupBy(*by, "__chunk").agg(
+        F.max_by(r_struct, r_axis).alias("__last"),
+        F.min_by(r_struct, r_axis).alias("__first"),
+    )
+    l_chunks = left_c.select(*by, "__chunk").distinct().withColumn(
+        "__from_left", F.lit(True)
+    )
+    spine = l_chunks.join(summ, [*by, "__chunk"], "full_outer")
+    wb = W.partitionBy(*by).orderBy("__chunk").rowsBetween(W.unboundedPreceding, -1)
+    wf = W.partitionBy(*by).orderBy("__chunk").rowsBetween(1, W.unboundedFollowing)
+
+    def _unpack(carry_col: str) -> DataFrame:
+        return (
+            spine.where(F.col("__from_left") & F.col(carry_col).isNotNull())
+            .select(
+                *[F.col(carry_col)[c].alias(c) for c in right.columns],
+                F.col("__chunk"),
+            )
+        )
+
+    aug = right_c
+    if need_bwd:
+        spine = spine.withColumn("__carry_b", F.last("__last", ignorenulls=True).over(wb))
+        aug = aug.unionByName(_unpack("__carry_b"))
+    if need_fwd:
+        spine = spine.withColumn("__carry_f", F.first("__first", ignorenulls=True).over(wf))
+        aug = aug.unionByName(_unpack("__carry_f"))
+
+    res = asof_join(
+        left_c,
+        aug,
+        on=on,
+        by=[*by, "__chunk"],
+        tolerance=tolerance,
+        direction=direction,
+        suffix=suffix,
+    )
+    return res.drop("__chunk")
+
+
 def sessionize(
     df: DataFrame,
     order_col: str,
@@ -252,8 +348,25 @@ def resample_ticks(
 
     Uses integer microsecond arithmetic (not float freq strings) to avoid the
     reference's 19.999981 ms float-drift problem (SURVEY §7.2 risk 5).
+
+    For string endpoints the tick count is known driver-side, so the grid is
+    generated with a distributed ``spark.range`` (parallel partitions from
+    the first stage — a 24 h period at 20 ms is 4.3 M rows, and a
+    single-row ``sequence``+explode would build them all in ONE task).
+    Column endpoints fall back to the sequence path.
     """
     spark = spark_df.sparkSession
+    if isinstance(start, str) and isinstance(end, str):
+        import pandas as pd
+
+        s_us = pd.Timestamp(start).value // 1000
+        e_us = pd.Timestamp(end).value // 1000
+        n = (e_us - s_us) // interval_micros + 1
+        return spark.range(n).select(
+            F.timestamp_micros(F.lit(s_us) + F.col("id") * F.lit(interval_micros)).alias(
+                tick_col
+            )
+        )
     s = F.lit(start).cast("timestamp") if isinstance(start, str) else start
     e = F.lit(end).cast("timestamp") if isinstance(end, str) else end
     row = spark.range(1).select(

@@ -212,14 +212,20 @@ def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_resample_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick-grid resample + backward as-of (W7+J2, the reference's expected-
     tick alignment): minute grid over January, nearest event at or before
-    each tick within a 2-minute tolerance, rolled up per day."""
-    from ..operators.temporal import resample_ticks
+    each tick within a 2-minute tolerance, rolled up per day.
+
+    Uses ``chunked_asof_join`` (6 h time chunks): the unkeyed as-of has no
+    ``by`` column to distribute its sort, so the chunk id becomes the window
+    partition key — per-chunk sorts instead of one single-partition sort."""
+    from ..operators.temporal import chunked_asof_join, resample_ticks
 
     ev = _events(spark, sf_dir).select(F.col("ts").alias("time"), "value")
     ticks = resample_ticks(
         ev, "2024-01-01 00:00:00", "2024-01-30 23:59:00", 60_000_000, tick_col="time"
     )
-    j = asof_join(ticks, ev, on="time", direction="backward", tolerance=120.0)
+    j = chunked_asof_join(
+        ticks, ev, on="time", direction="backward", tolerance=120.0, chunk=21600.0
+    )
     return (
         j.withColumn("day", F.date_trunc("day", F.col("time")))
         .groupBy("day")

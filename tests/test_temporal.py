@@ -75,6 +75,89 @@ class TestAsofJoin:
         assert "lv_right" in out.columns and "lv" in out.columns
 
 
+class TestChunkedAsofJoin:
+    """chunked_asof_join must be exactly equivalent to the global asof_join
+    for every direction/tolerance combination — the chunking is a physical
+    re-partitioning, not a semantics change."""
+
+    def _frames(self, spark, rng, n_left=300, n_right=60):
+        # right rows clustered in bursts with long empty stretches, so carry
+        # rows must cross several EMPTY chunks (the hard case)
+        lt = np.sort(rng.uniform(0, 200, n_left))
+        rt = np.sort(
+            np.concatenate([rng.uniform(10, 25, n_right // 2), rng.uniform(150, 160, n_right // 2)])
+        )
+        left = pd.DataFrame({"time": [_ts(t) for t in lt], "lv": np.arange(n_left)})
+        right = pd.DataFrame({"time": [_ts(t) for t in rt], "rv": np.arange(len(rt)) * 10.0})
+        return spark.createDataFrame(left), spark.createDataFrame(right)
+
+    @pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+    @pytest.mark.parametrize("tolerance", [None, 3.0])
+    def test_equivalent_to_global(self, spark, rng, direction, tolerance):
+        lsp, rsp = self._frames(spark, rng)
+        got = (
+            Tm.chunked_asof_join(
+                lsp, rsp, on="time", tolerance=tolerance, direction=direction, chunk=20.0
+            )
+            .orderBy("lv")
+            .toPandas()
+        )
+        exp = (
+            Tm.asof_join(lsp, rsp, on="time", tolerance=tolerance, direction=direction)
+            .orderBy("lv")
+            .toPandas()
+        )
+        assert list(got.columns) == list(exp.columns)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True)
+        )
+
+    def test_with_by_keys(self, spark, rng):
+        lt = np.sort(rng.uniform(0, 100, 200))
+        rt = np.sort(rng.uniform(0, 100, 50))
+        left = pd.DataFrame(
+            {"time": [_ts(t) for t in lt], "k": rng.integers(0, 3, 200), "lv": np.arange(200)}
+        )
+        right = pd.DataFrame(
+            {"time": [_ts(t) for t in rt], "k": rng.integers(0, 3, 50), "rv": np.arange(50) * 1.0}
+        )
+        lsp, rsp = spark.createDataFrame(left), spark.createDataFrame(right)
+        got = (
+            Tm.chunked_asof_join(lsp, rsp, on="time", by="k", direction="nearest", chunk=10.0)
+            .orderBy("lv")
+            .toPandas()
+        )
+        exp = Tm.asof_join(lsp, rsp, on="time", by="k", direction="nearest").orderBy("lv").toPandas()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+    def test_numeric_axis(self, spark, rng):
+        left = pd.DataFrame({"x": np.sort(rng.uniform(0, 1000, 150)), "lv": np.arange(150)})
+        right = pd.DataFrame({"x": np.sort(rng.uniform(0, 1000, 40)), "rv": np.arange(40) * 1.0})
+        lsp, rsp = spark.createDataFrame(left), spark.createDataFrame(right)
+        got = (
+            Tm.chunked_asof_join(lsp, rsp, on="x", direction="backward", tolerance=50.0, chunk=100.0)
+            .orderBy("lv")
+            .toPandas()
+        )
+        exp = (
+            Tm.asof_join(lsp, rsp, on="x", direction="backward", tolerance=50.0)
+            .orderBy("lv")
+            .toPandas()
+        )
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+    def test_partitioned_sort_in_plan(self, spark, rng):
+        lsp, rsp = self._frames(spark, rng, 50, 20)
+        plan = (
+            Tm.chunked_asof_join(lsp, rsp, on="time", chunk=20.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the asof window must be partitioned by the chunk key, not global
+        assert "__chunk" in plan
+
+
 class TestSessionize:
     def test_frame_gap_sessions(self, spark):
         # gaps > 20 split; sessions with <= 3 rows dropped (reference gap 20 / min 15 shape)
