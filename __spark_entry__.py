@@ -70,10 +70,14 @@ def _minhash_sig_cte(num_perm: int = 8, k: int = 3, src: str = "documents") -> s
         f"(('0x' || substr({hexcat}, {j * 8 + 1}, 8))::UBIGINT)::BIGINT)) AS mh{j}"
         for j in range(num_perm)
     )
+    # docs with < k words have an empty shingle list and NO signature row —
+    # pinned to the engine semantics (operators/text.py minhash_signature:
+    # shingle explode produces no rows, so the doc drops out of the groupBy);
+    # without this filter list_min would emit a NULL-signature row instead
     return f"""
         t AS (SELECT doc_id, {_WORDS} AS words FROM {src}),
         s AS (SELECT doc_id, {_shingles_sql(k)} AS shingles FROM t),
-        sig AS (SELECT doc_id, {mh} FROM s)
+        sig AS (SELECT doc_id, {mh} FROM s WHERE len(shingles) > 0)
     """
 
 
@@ -513,6 +517,278 @@ def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.kmeans_assign_stats(emb, _ivf_cents())
 
 
+# ---------------------------------------------------------------------------
+# aeon detection-pipeline queries over the committed pose fixtures
+# (tests/fixtures/*.parquet, regenerated by tools/make_fixtures.py)
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "tests", "fixtures")
+
+
+def _fixture_pose(spark: SparkSession, name: str) -> DataFrame:
+    from aeon_sleap_processing_spark.sources.catalog import load_parquet
+
+    return load_parquet(spark, _os.path.join(_FIXTURE_DIR, f"{name}.parquet"))
+
+
+def _fixture_metadata() -> dict:
+    with open(_os.path.join(_FIXTURE_DIR, "metadata.json")) as f:
+        return _json.load(f)
+
+
+def _q_tube_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tube-test candidate pipeline, relational prefix (reference
+    `social_behaviour_detection.py:211-273`): frame grid → orientation/
+    distance kinematics → candidate predicate + ROI → gap sessionization →
+    session bounds. sf_dir is unused — the input is the committed scripted
+    pose fixture so the planted scenes are stable across scale factors."""
+    from aeon_sleap_processing_spark.plans.tube_test import tube_test_candidate_sessions
+
+    pose = _fixture_pose(spark, "pose_tube")
+    return tube_test_candidate_sessions(pose, 50.0, _fixture_metadata())
+
+
+def _q_fight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fight-detection two-phase sessionization (reference
+    `social_behaviour_detection.py:530-642`): frame grid → proximity/
+    plausibility/blob-speed conditions → candidate sessions (gap 200) →
+    regroup with empty frames (gap 100) → session bounds."""
+    from aeon_sleap_processing_spark.plans.fights import fight_candidate_sessions
+
+    pose = _fixture_pose(spark, "pose_fight")
+    blob = _fixture_pose(spark, "blob_fight")
+    return fight_candidate_sessions(pose, blob, 50.0)
+
+
+def _q_tube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL tube-test pipeline including the per-event applyInPandas kernel
+    (skeleton-flip veto, greedy identity cleanup, winner/loser). The kernel
+    is sequential NumPy and genuinely not SQL-expressible, so this entry has
+    no oracle — the driver records the rows-only check; the planted-scene
+    expectations are pinned exactly by tests/test_tube_test.py."""
+    from aeon_sleap_processing_spark.plans.tube_test import detect_tube_tests
+
+    pose = _fixture_pose(spark, "pose_tube")
+    return detect_tube_tests(pose, 50.0, _fixture_metadata())
+
+
+def _pose_norm_cte(fixture: str, parts: list[str], fps: float = 50.0) -> str:
+    """Shared oracle prologue: identity coding by first appearance, banker's
+    frame index (exact here: fixture times sit on the 20 ms grid), part
+    filter, and the wide per-frame pivot (one row per (frame, mouse, part)
+    in the fixtures, so a filtered max equals the reference's last-write)."""
+    part_list = ", ".join(f"'{p}'" for p in parts)
+    pivot_cols = ",\n        ".join(
+        f"max({c}) FILTER (code = {m} AND part = '{p}') AS m{m}_{p}_{c}"
+        for m in (0, 1)
+        for p in parts
+        for c in ("x", "y")
+    )
+    return f"""
+      pose AS (SELECT * FROM read_parquet('{_FIXTURE_DIR}/{fixture}.parquet')),
+      ids AS (
+        SELECT identity, min(time) AS first_seen FROM pose
+        WHERE identity IS NOT NULL GROUP BY identity
+      ),
+      coded AS (
+        SELECT identity,
+               CAST(row_number() OVER (ORDER BY first_seen, identity) - 1 AS INT) AS code
+        FROM ids
+      ),
+      t0 AS (SELECT min(time) AS min_time FROM pose),
+      norm AS (
+        SELECT CAST(round((epoch_us(p.time) - epoch_us(t.min_time)) * {fps} / 1000000.0) AS BIGINT) AS frame_id,
+               c.code, p.part, p.x, p.y
+        FROM pose p JOIN coded c ON p.identity = c.identity CROSS JOIN t0 t
+        WHERE p.part IN ({part_list})
+      ),
+      wide AS (
+        SELECT frame_id,
+        {pivot_cols}
+        FROM norm GROUP BY frame_id
+      )"""
+
+
+def _sessionize_sql(src: str, gap: int, keep_cols: str = "") -> str:
+    """Gap-flag + running-sum sessionization over ``frame_id`` (mirror of
+    operators/temporal.py sessionize)."""
+    return f"""
+      flags AS (
+        SELECT *{keep_cols},
+               CASE WHEN lag(frame_id) OVER (ORDER BY frame_id) IS NULL
+                         OR frame_id - lag(frame_id) OVER (ORDER BY frame_id) > {gap}
+                    THEN 1 ELSE 0 END AS nf
+        FROM {src}
+      ),
+      sess AS (
+        SELECT *, sum(nf) OVER (ORDER BY frame_id ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flags
+      )"""
+
+
+def _tube_candidates_sql() -> str:
+    # mirrors plans/pose_features.py tube_test_features + METADATA constants
+    # (tests/fixtures/metadata.json): center (720,540), annulus [300,400],
+    # nest x>720 & 500<=y<=580, gate (720,140) radius 20
+    def wrap(a: str) -> str:
+        return f"CASE WHEN {a} < 0 THEN {a} + 360 ELSE {a} END"
+
+    def ori(m: int, tip: str) -> str:
+        return (
+            f"degrees(atan2(-(m{m}_{tip}_y - m{m}_spine4_y), m{m}_{tip}_x - m{m}_spine4_x))"
+        )
+
+    def dist(a: str, b: str) -> str:
+        ax, ay, bx, by = f"{a}_x", f"{a}_y", f"{b}_x", f"{b}_y"
+        return f"sqrt(({ax} - {bx}) * ({ax} - {bx}) + ({ay} - {by}) * ({ay} - {by}))"
+
+    def annulus(m: int) -> str:
+        return (
+            f"COALESCE((m{m}_spine2_x - 720.0) * (m{m}_spine2_x - 720.0)"
+            f" + (m{m}_spine2_y - 540.0) * (m{m}_spine2_y - 540.0) BETWEEN 90000.0 AND 160000.0, FALSE)"
+        )
+
+    def excluded(m: int) -> str:
+        nest = f"COALESCE(m{m}_spine2_x > 720.0 AND m{m}_spine2_y >= 500.0 AND m{m}_spine2_y <= 580.0, FALSE)"
+        gate = (
+            f"COALESCE((m{m}_spine2_x - 720.0) * (m{m}_spine2_x - 720.0)"
+            f" + (m{m}_spine2_y - 140.0) * (m{m}_spine2_y - 140.0) <= 400.0, FALSE)"
+        )
+        return f"({nest} OR {gate})"
+
+    return f"""
+      WITH {_pose_norm_cte("pose_tube", ["nose", "head", "spine2", "spine4"])},
+      ang AS (
+        SELECT *, {ori(0, "nose")} AS a0n, {ori(0, "head")} AS a0h,
+                  {ori(1, "nose")} AS a1n, {ori(1, "head")} AS a1h
+        FROM wide
+      ),
+      ori AS (
+        SELECT *, COALESCE({wrap("a0n")}, {wrap("a0h")}) AS o0,
+                  COALESCE({wrap("a1n")}, {wrap("a1h")}) AS o1
+        FROM ang
+      ),
+      feat AS (
+        SELECT frame_id,
+               COALESCE(abs(o0 - ((o1 + 180) % 360)) <= 45 + 1e-5 * abs((o1 + 180) % 360), FALSE)
+               AND COALESCE({dist("m0_spine2", "m1_spine2")} < 50, FALSE)
+               AND COALESCE({dist("m0_spine4", "m1_head")} > {dist("m0_spine4", "m0_head")}, FALSE)
+               AND COALESCE({dist("m0_spine4", "m1_spine4")} > {dist("m0_head", "m1_head")}, FALSE)
+               AND {annulus(0)} AND {annulus(1)}
+               AND NOT ({excluded(0)} OR {excluded(1)}) AS is_candidate
+        FROM ori
+      ),
+      cand AS (SELECT frame_id FROM feat WHERE is_candidate),
+      {_sessionize_sql("cand", 20)},
+      agg AS (
+        SELECT CAST(session_id AS BIGINT) AS session_id,
+               min(frame_id) AS first_f, max(frame_id) AS last_f,
+               count(*) AS n_frames
+        FROM sess GROUP BY session_id
+      )
+      SELECT session_id, first_f, last_f, n_frames FROM agg WHERE n_frames > 15
+    """
+
+
+def _fight_sessions_sql() -> str:
+    parts = ["nose", "head", "right_ear", "left_ear", "spine1", "spine2", "spine3", "spine4"]
+    all_cols = [f"m{m}_{p}_{c}" for m in (0, 1) for p in parts for c in ("x", "y")]
+    empty_pred = " AND ".join(f"{c} IS NULL" for c in all_cols)
+
+    def dist(a: str, b: str) -> str:
+        ax, ay, bx, by = f"{a}_x", f"{a}_y", f"{b}_x", f"{b}_y"
+        return f"sqrt(({ax} - {bx}) * ({ax} - {bx}) + ({ay} - {by}) * ({ay} - {by}))"
+
+    def interspinal(m: int) -> str:
+        pairs = [("head", "spine1"), ("spine1", "spine2"), ("spine2", "spine3"), ("spine3", "spine4")]
+        ds = [dist(f"m{m}_{a}", f"m{m}_{b}") for a, b in pairs]
+        cnt = " + ".join(f"(CASE WHEN {d} IS NOT NULL THEN 1 ELSE 0 END)" for d in ds)
+        # left-to-right sum starting at 0.0, mirroring F.aggregate's fold order
+        total = "0.0"
+        for d in ds:
+            total = f"({total} + COALESCE({d}, 0.0))"
+        return f"CASE WHEN ({cnt}) > 0 THEN {total} / ({cnt}) END"
+
+    return f"""
+      WITH {_pose_norm_cte("pose_fight", parts)},
+      blob AS (SELECT * FROM read_parquet('{_FIXTURE_DIR}/blob_fight.parquet')),
+      nfr AS (
+        SELECT CAST(round((epoch_us(max(n.tm)) - epoch_us(min(t.min_time))) * 50.0 / 1000000.0) AS BIGINT) + 1 AS n
+        FROM (SELECT max(time) AS tm FROM pose WHERE part IN ({", ".join(f"'{p}'" for p in parts)})) n, t0 t
+      ),
+      grid AS (SELECT unnest(generate_series(0, (SELECT n FROM nfr) - 1)) AS frame_id),
+      g AS (SELECT * FROM grid LEFT JOIN wide USING (frame_id)),
+      -- blob speed: row position BEFORE any drop, <10ms abnormal-dt filter,
+      -- int-ms deltas, zero-first-row, 10-row zero-pad centered smoothing
+      b0 AS (SELECT *, row_number() OVER (ORDER BY time) - 1 AS frame_id FROM blob),
+      b1 AS (
+        SELECT *, epoch_us(time) - lag(epoch_us(time)) OVER (ORDER BY time) AS dt_us
+        FROM b0 WHERE x IS NOT NULL AND y IS NOT NULL
+      ),
+      b2 AS (SELECT * FROM b1 WHERE dt_us IS NULL OR dt_us / 1000.0 >= 10.0),
+      b3 AS (
+        SELECT frame_id, time,
+               COALESCE(
+                 sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+                      + (y - lag(y) OVER w) * (y - lag(y) OVER w))
+                 / CAST(floor((epoch_us(time) - lag(epoch_us(time)) OVER w) / 1000) AS BIGINT)
+                 / 5.4 * 1000.0, 0.0) AS speed0
+        FROM b2 WINDOW w AS (ORDER BY time)
+      ),
+      bs AS (
+        SELECT frame_id,
+               sum(speed0) OVER (ORDER BY time ROWS BETWEEN 5 PRECEDING AND 4 FOLLOWING) / 10.0 AS speed
+        FROM b3
+      ),
+      c1 AS (SELECT *, {dist("m0_spine2", "m1_spine2")} AS cdist FROM g),
+      c2 AS (
+        SELECT *, last_value(cdist IGNORE NULLS)
+                    OVER (ORDER BY frame_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdist_ffill
+        FROM c1
+      ),
+      fr AS (
+        SELECT c2.frame_id,
+               COALESCE(cdist_ffill < 20, FALSE) AS cond1,
+               (COALESCE({dist("m0_nose", "m0_head")} > 7, FALSE)
+                OR COALESCE({dist("m1_nose", "m1_head")} > 7, FALSE)
+                OR COALESCE({interspinal(0)} > 10, FALSE)
+                OR COALESCE({interspinal(1)} > 10, FALSE)) AS cond2,
+               ({empty_pred}) AS is_empty,
+               COALESCE(bs.speed > 3, FALSE) AS cond3
+        FROM c2 LEFT JOIN bs ON c2.frame_id = bs.frame_id
+      ),
+      cand AS (SELECT frame_id FROM fr WHERE cond1 AND cond2 AND cond3),
+      {_sessionize_sql("cand", 200)},
+      scnt AS (SELECT *, count(*) OVER (PARTITION BY session_id) AS cnt FROM sess),
+      kept AS (SELECT frame_id, TRUE AS is_orig FROM scnt WHERE cnt > 5),
+      empty_cand AS (
+        SELECT frame_id, FALSE AS is_orig FROM fr
+        WHERE is_empty AND cond1 AND frame_id NOT IN (SELECT frame_id FROM kept)
+      ),
+      u AS (SELECT * FROM kept UNION ALL SELECT * FROM empty_cand),
+      f2 AS (
+        SELECT *, CASE WHEN lag(frame_id) OVER (ORDER BY frame_id) IS NULL
+                            OR frame_id - lag(frame_id) OVER (ORDER BY frame_id) > 100
+                       THEN 1 ELSE 0 END AS nf2
+        FROM u
+      ),
+      s2 AS (
+        SELECT *, sum(nf2) OVER (ORDER BY frame_id ROWS UNBOUNDED PRECEDING) AS sid2
+        FROM f2
+      ),
+      agg AS (
+        SELECT CAST(sid2 AS BIGINT) AS session_id,
+               min(frame_id) AS first_f, max(frame_id) AS last_f,
+               count(*) AS n_frames, bool_or(is_orig) AS has_orig
+        FROM s2 GROUP BY sid2
+      )
+      SELECT session_id, first_f, last_f, n_frames FROM agg WHERE has_orig AND n_frames > 5
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness gate checks the
     # FIRST 50 registered queries. Rounds 2-4 verified the relational block
@@ -571,6 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_stats": _q_embedding_stats,
         "q_binary_meta": _q_binary_meta,
         "q_kmeans_step": _q_kmeans_step,
+        # --- aeon detection pipelines over committed pose fixtures ------
+        "q_tube_candidates": _q_tube_candidates,
+        "q_fight_sessions": _q_fight_sessions,
+        "q_tube_events": _q_tube_events,  # full pipeline incl. kernel; rows-only
         # --- relational core (SURVEY §2.2–§2.4; driver-green r2-r4) -----
         "q1_pricing_summary": rel.q1_pricing_summary,
         "q3_shipping_priority": rel.q3_shipping_priority,
@@ -1786,4 +2066,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM r WHERE rn <= 20
         """,
         "q_kmeans_step": _kmeans_step_sql(),
+        # aeon pipelines over the committed fixtures (q_tube_events has no
+        # oracle: its applyInPandas kernel is not SQL-expressible)
+        "q_tube_candidates": _tube_candidates_sql(),
+        "q_fight_sessions": _fight_sessions_sql(),
     }

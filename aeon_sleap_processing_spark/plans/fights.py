@@ -27,7 +27,13 @@ from ..operators.temporal import sessionize
 from .pose_features import FrameGrid, build_frame_grid, mcol, pair_distance
 from .tube_test import _validate
 
-__all__ = ["FIGHT_PARAMS", "FIGHT_SKELETON", "detect_fights", "blob_speed"]
+__all__ = [
+    "FIGHT_PARAMS",
+    "FIGHT_SKELETON",
+    "detect_fights",
+    "blob_speed",
+    "fight_candidate_sessions",
+]
 
 FIGHT_PARAMS = {
     "cm2px": 5.4,
@@ -121,6 +127,59 @@ def detect_fights(
 
     if grid is None:
         grid = build_frame_grid(pose, fps, parts)
+    cent = sk["centroid"]
+    fr = _fight_condition_frames(grid, blob, sk, parts, p)
+
+    # phase-1/phase-2 sessionization → event bounds
+    events = _fight_sessions(fr, p).select("session_id", "first_f", "last_f")
+
+    ev_frames = fr.select(
+        "frame_id",
+        "frame_ts",
+        mcol(0, cent, "x"),
+        mcol(0, cent, "y"),
+        mcol(1, cent, "x"),
+        mcol(1, cent, "y"),
+    ).join(
+        F.broadcast(events),
+        (F.col("frame_id") >= F.col("first_f") - 1) & (F.col("frame_id") <= F.col("last_f")),
+    )
+
+    kernel = _make_kernel(grid, p, cent)
+    return ev_frames.groupBy("session_id").applyInPandas(kernel, _EVENT_SCHEMA)
+
+
+def fight_candidate_sessions(
+    pose: DataFrame,
+    blob: DataFrame,
+    fps: float,
+    parameters: dict | None = None,
+    skeleton: dict | None = None,
+) -> DataFrame:
+    """The fully-relational prefix of ``detect_fights`` (reference
+    `social_behaviour_detection.py:530-642`): frame grid → proximity /
+    plausibility / blob-speed conditions → two-phase sessionization
+    (strict candidates gap 200, then regroup with empty-frames gap 100) →
+    session bounds.
+
+    One row per surviving phase-2 session: ``(session_id, first_f, last_f,
+    n_frames)`` — the oracle-checkable slice; the per-event kernel
+    (identity cleanup + speed checks) is excluded."""
+    p = _validate(parameters, FIGHT_PARAMS, "parameter")
+    sk = _validate(skeleton, FIGHT_SKELETON, "skeleton")
+    parts = [
+        sk["nose"], sk["head"], sk["right_ear"], sk["left_ear"],
+        sk["upper_spine"], sk["centroid"], sk["lower_spine"], sk["tail_base"],
+    ]
+    grid = build_frame_grid(pose, fps, parts)
+    fr = _fight_condition_frames(grid, blob, sk, parts, p)
+    return _fight_sessions(fr, p)
+
+
+def _fight_condition_frames(
+    grid: FrameGrid, blob: DataFrame, sk: dict, parts: list[str], p: dict
+) -> DataFrame:
+    """Frame grid → cond1/cond2/cond3 + empty-frame flag columns."""
     fr = grid.frames
     cent = sk["centroid"]
 
@@ -164,7 +223,7 @@ def detect_fights(
 
     # blob speed condition joined by row-position frame id (`:596-607`)
     bs = blob_speed(blob, p["cm2px"])
-    fr = (
+    return (
         fr.withColumn("cond1", cond1)
         .withColumn("cond2", cond2)
         .withColumn("is_empty", empty_frame)
@@ -172,6 +231,9 @@ def detect_fights(
         .withColumn("cond3", F.coalesce(F.col("speed") > p["min_blob_speed"], F.lit(False)))
     )
 
+
+def _fight_sessions(fr: DataFrame, p: dict) -> DataFrame:
+    """Two-phase sessionization over condition frames (`:618-642`)."""
     # phase-1 sessionization: strict candidates, gap 200, keep > min frames
     cand = fr.where(F.col("cond1") & F.col("cond2") & F.col("cond3")).select("frame_id")
     s1 = sessionize(cand, "frame_id", gap=p["max_frame_gap"], min_size=p["min_num_frames"])
@@ -186,7 +248,7 @@ def detect_fights(
     )
     u = kept.unionByName(empty_cand)
     s2 = sessionize(u, "frame_id", gap=p["max_frame_gap_w_empty_frames"])
-    events = (
+    return (
         s2.groupBy("session_id")
         .agg(
             F.min("frame_id").alias("first_f"),
@@ -195,23 +257,8 @@ def detect_fights(
             F.max("is_orig").alias("has_orig"),
         )
         .where(F.col("has_orig") & (F.col("n_frames") > p["min_num_frames"]))
-        .select("session_id", "first_f", "last_f")
+        .select("session_id", "first_f", "last_f", "n_frames")
     )
-
-    ev_frames = fr.select(
-        "frame_id",
-        "frame_ts",
-        mcol(0, cent, "x"),
-        mcol(0, cent, "y"),
-        mcol(1, cent, "x"),
-        mcol(1, cent, "y"),
-    ).join(
-        F.broadcast(events),
-        (F.col("frame_id") >= F.col("first_f") - 1) & (F.col("frame_id") <= F.col("last_f")),
-    )
-
-    kernel = _make_kernel(grid, p, cent)
-    return ev_frames.groupBy("session_id").applyInPandas(kernel, _EVENT_SCHEMA)
 
 
 def _make_kernel(grid: FrameGrid, p: dict, cent: str):

@@ -28,7 +28,12 @@ from ..operators.kernels import greedy_identity_scan
 from ..operators.temporal import sessionize
 from .pose_features import FrameGrid, build_frame_grid, mcol, tube_test_features
 
-__all__ = ["TUBE_TEST_PARAMS", "TUBE_TEST_SKELETON", "detect_tube_tests"]
+__all__ = [
+    "TUBE_TEST_PARAMS",
+    "TUBE_TEST_SKELETON",
+    "detect_tube_tests",
+    "tube_test_candidate_sessions",
+]
 
 TUBE_TEST_PARAMS = {
     "angle_tolerance": 45,
@@ -128,6 +133,37 @@ def detect_tube_tests(
 
     kernel = _make_kernel(grid, p, window, cent)
     return ev_frames.groupBy("session_id").applyInPandas(kernel, _EVENT_SCHEMA)
+
+
+def tube_test_candidate_sessions(
+    pose: DataFrame,
+    fps: float,
+    metadata: dict,
+    parameters: dict | None = None,
+    skeleton: dict | None = None,
+) -> DataFrame:
+    """The fully-relational prefix of ``detect_tube_tests`` (reference
+    `social_behaviour_detection.py:211-273`): frame grid → kinematics →
+    candidate predicate + ROI → gap sessionization → session bounds.
+
+    One row per surviving candidate session: ``(session_id, first_f,
+    last_f, n_frames)``. This is the oracle-checkable slice of the pipeline
+    — everything downstream (the per-event kernel) is sequential NumPy and
+    deliberately excluded."""
+    p = _validate(parameters, TUBE_TEST_PARAMS, "parameter")
+    sk = _validate(skeleton, TUBE_TEST_SKELETON, "skeleton")
+    parts = [sk["nose"], sk["head"], sk["centroid"], sk["tail_base"]]
+    grid = build_frame_grid(pose, fps, parts)
+    frames = tube_test_features(grid, sk, metadata, p)
+    cand = frames.where("is_candidate").select("frame_id")
+    sessions = sessionize(
+        cand, "frame_id", gap=p["max_frame_gap"], min_size=p["min_tube_test_start_frames"]
+    )
+    return sessions.groupBy("session_id").agg(
+        F.min("frame_id").alias("first_f"),
+        F.max("frame_id").alias("last_f"),
+        F.count(F.lit(1)).alias("n_frames"),
+    )
 
 
 def _make_kernel(grid: FrameGrid, p: dict, window: int, cent: str):

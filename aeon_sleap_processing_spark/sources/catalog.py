@@ -40,7 +40,12 @@ def _nanos_ts_columns(path: str) -> tuple[str, ...]:
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    path = f"{sf_dir}/{name}.parquet"
+    return load_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def load_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Path-based variant of ``load_table`` with the same timestamp
+    normalization (nanos shim + NTZ → TIMESTAMP under the UTC session tz)."""
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         # The caller's session may not have this set (the external driver builds
