@@ -220,8 +220,11 @@ def minhash_signature(
     # (no whole-stage codegen) — ~10x slower per shingle. Each md5 yields four
     # independent 32-bit slices, so num_perm permutations cost only
     # ceil(num_perm/4) md5 calls per shingle (salted by slab index).
-    # Caveat: documents with fewer than shingle_k words produce no rows and
-    # drop out (the SQL oracle's list_min returns a NULL row instead).
+    # Documents with fewer than shingle_k words produce no shingle rows and
+    # therefore NO signature row — deliberate: a doc too short to shingle has
+    # no meaningful MinHash, and a NULL-signature row would collide every
+    # such doc into one LSH band downstream. The SQL oracle filters empty
+    # shingle lists to pin the same semantics.
     base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
     rows = shingle_rows(base, text_col, id_col, shingle_k)
     n_slabs = (num_perm + 3) // 4

@@ -73,26 +73,45 @@ def export_event_videos(
     requires OpenCV and is not implemented — pass ``encode=True`` to get the
     explicit NotImplementedError instead of the manifest-only result.
 
-    Returns [(clip_name, n_frames)] for the manifest slices.
+    ONE Spark job regardless of event count: the (tiny) padded event table
+    is broadcast range-joined onto the manifest and counted per event —
+    previously this collected the events and ran one count job each, a
+    driver-side loop that would serialize thousands of events. Events whose
+    padded window matches no frames still emit (name, 0) via the final left
+    join against the event list.
+
+    Returns [(clip_name, n_frames)] ordered by event start.
     """
     if encode:
         raise NotImplementedError(
             "AVI encode requires OpenCV (unavailable here); manifest slicing "
             "works with encode=False"
         )
-    rows = events.select("start_timestamp", "end_timestamp").collect()
-    out = []
-    for r in rows:
-        start = r["start_timestamp"]
-        end = r["end_timestamp"]
-        sliced = video_index.where(
-            (F.col("time") >= F.lit(start) - F.expr(f"INTERVAL {padding_seconds} SECONDS"))
-            & (F.col("time") <= F.lit(end) + F.expr(f"INTERVAL {padding_seconds} SECONDS"))
+    pad = F.expr(f"INTERVAL {padding_seconds} SECONDS")
+    ev = events.select(
+        F.col("start_timestamp").alias("__start"),
+        (F.col("start_timestamp") - pad).alias("__lo"),
+        (F.col("end_timestamp") + pad).alias("__hi"),
+    )
+    counts = (
+        video_index.join(
+            F.broadcast(ev),
+            (F.col("time") >= F.col("__lo")) & (F.col("time") <= F.col("__hi")),
         )
-        n = sliced.count()
-        name = f"{video_name_prefix}{start.strftime('%Y-%m-%d_%H-%M-%S')}.avi"
-        out.append((name, n))
-    return out
+        .groupBy("__start")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    rows = (
+        ev.select("__start")
+        .join(counts, "__start", "left")
+        .select("__start", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
+        .orderBy("__start")
+        .collect()
+    )
+    return [
+        (f"{video_name_prefix}{r['__start'].strftime('%Y-%m-%d_%H-%M-%S')}.avi", r["__n"])
+        for r in rows
+    ]
 
 
 def merge_model_configs(pose_config: dict, id_config: dict) -> dict:

@@ -109,3 +109,55 @@ class TestLengthPercentiles:
             p90 = np.percentile(grp.n_chars, 90, method="linear")
             assert abs(got.loc[lang, "median_len"] - round(med, 4)) < 1e-9
             assert abs(got.loc[lang, "p90_len"] - round(p90, 4)) < 1e-9
+
+
+class TestMinhashShortDocs:
+    def test_short_docs_have_no_signature_row(self, spark):
+        """Docs with fewer than shingle_k words produce NO signature row
+        (deliberate: a NULL signature would collide every short doc into one
+        LSH band; the SQL oracle pins the same semantics)."""
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.text import lsh_buckets, minhash_signature
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "text": ["one two", "a b c d e", "x", "a b c d e"],
+                }
+            )
+        )
+        sigs = minhash_signature(docs, num_perm=8, shingle_k=3)
+        got = sigs.toPandas().sort_values("doc_id")
+        assert got.doc_id.tolist() == [1, 3]  # 2-word and 1-word docs dropped
+        assert got.notna().all().all()
+        # identical long docs still bucket together; short docs never appear
+        buckets = lsh_buckets(sigs, num_perm=8, band_size=2).toPandas()
+        assert (buckets.n_docs == 2).all()
+        assert set(buckets.min_doc) == {1} and set(buckets.max_doc) == {3}
+
+
+class TestSamplingDeterminism:
+    def test_stable_under_partitioning_changes(self, spark, sf_dir):
+        """Hash-ranked sampling must select the SAME rows regardless of
+        shuffle-partition count or input partitioning (SURVEY P11 pins
+        reproducible-across-engines sampling; an RNG sampler would not be)."""
+        from aeon_sleap_processing_spark.operators.util import sample_n_per_bin
+        from aeon_sleap_processing_spark.sources import load_table
+
+        ev = load_table(spark, "events", sf_dir)
+        base = sorted(
+            sample_n_per_bin(ev, "event_type", 7).select("event_id").toPandas().event_id
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            repart = sorted(
+                sample_n_per_bin(ev.repartition(5), "event_type", 7)
+                .select("event_id")
+                .toPandas()
+                .event_id
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        assert base == repart
