@@ -512,6 +512,14 @@ def _q_sample_per_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_n_per_bin(docs, "lang", 20).select("doc_id", "lang")
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.domain_stats(load_table(spark, "documents", sf_dir))
+
+
 def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return sim.kmeans_assign_stats(emb, _ivf_cents())
@@ -905,6 +913,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
         "q_interval_filter": ep.q_interval_filter,
+        # --- round 5: corpus-quality additions ---------------------------
+        "q_repetition_stats": _q_repetition_stats,
+        "q_domain_stats": _q_domain_stats,
     }
 
 
@@ -2070,4 +2081,36 @@ def oracle_sql() -> dict[str, str]:
         # oracle: its applyInPandas kernel is not SQL-expressible)
         "q_tube_candidates": _tube_candidates_sql(),
         "q_fight_sessions": _fight_sessions_sql(),
+        "q_repetition_stats": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            w AS (SELECT doc_id, unnest(words) AS w FROM t),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ws AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     round(max(c)::DOUBLE / CAST(sum(c) AS BIGINT), 6) AS top_word_frac
+              FROM wc GROUP BY doc_id
+            ),
+            g AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS sg FROM t),
+            gs AS (
+              SELECT doc_id,
+                     round(1.0 - count(DISTINCT sg)::DOUBLE / count(*), 6) AS dup_2gram_frac
+              FROM g GROUP BY doc_id
+            )
+            SELECT ws.doc_id, n_words, top_word_frac,
+                   COALESCE(dup_2gram_frac, 0.0) AS dup_2gram_frac
+            FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+        """,
+        "q_domain_stats": """
+            WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),
+            tot AS (
+              SELECT source, count(*) AS n_docs,
+                     round(avg(n_chars), 4) AS avg_chars
+              FROM documents GROUP BY source
+            )
+            SELECT t.source, t.n_docs, count(*) AS n_langs,
+                   round(-sum((bl.n::DOUBLE / t.n_docs) * ln(bl.n::DOUBLE / t.n_docs)), 6) AS lang_entropy,
+                   t.avg_chars
+            FROM bl JOIN tot t ON bl.source = t.source
+            GROUP BY t.source, t.n_docs, t.avg_chars
+        """,
     }

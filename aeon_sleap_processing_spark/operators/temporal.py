@@ -214,11 +214,16 @@ def chunked_asof_join(
        summaries — the latest and earliest right ROW per chunk (one
        ``max_by``/``min_by`` struct each, map-side combinable; the summary
        table has one row per chunk per key, coarse by construction);
-    3. an ordered window over the tiny summary table carries the latest
-       right row BEFORE each left chunk (and the earliest AFTER it, for
+    3. the summaries are UNIONED with the distinct left chunk ids into one
+       tiny spine, and an ordered window over it carries the latest right
+       row BEFORE each left chunk (and the earliest AFTER it, for
        forward/nearest) into that chunk as an extra right row with its true
        timestamp — the "overlap + dedup" rows, except only the one row that
-       can actually win is replicated, not a whole overlap band;
+       can actually win is replicated, not a whole overlap band. (A union +
+       window, not a join: a full-outer join of the two chunk lists would
+       plan a sort-merge join for the same result.) Within a chunk the left
+       marker sorts before the summary for the backward carry (strictly
+       earlier chunks only) and after it for the forward carry;
     4. ``asof_join`` runs with ``by = [*by, chunk_id]``, so every window
        sort is per-chunk and the shuffle key is dense.
 
@@ -244,17 +249,43 @@ def chunked_asof_join(
     need_bwd = direction in ("backward", "nearest")
     need_fwd = direction in ("forward", "nearest")
 
+    from pyspark.sql import types as T
+
     r_struct = F.struct(*[F.col(c) for c in right.columns])
-    summ = right_c.groupBy(*by, "__chunk").agg(
-        F.max_by(r_struct, r_axis).alias("__last"),
-        F.min_by(r_struct, r_axis).alias("__first"),
+    r_struct_type = T.StructType(list(right.schema.fields))
+    summ = (
+        right_c.groupBy(*by, "__chunk")
+        .agg(
+            F.max_by(r_struct, r_axis).alias("__last"),
+            F.min_by(r_struct, r_axis).alias("__first"),
+        )
+        .withColumn("__from_left", F.lit(False))
     )
-    l_chunks = left_c.select(*by, "__chunk").distinct().withColumn(
-        "__from_left", F.lit(True)
+    l_marks = (
+        left_c.select(*by, "__chunk")
+        .distinct()
+        .select(
+            *by,
+            "__chunk",
+            F.lit(None).cast(r_struct_type).alias("__last"),
+            F.lit(None).cast(r_struct_type).alias("__first"),
+            F.lit(True).alias("__from_left"),
+        )
     )
-    spine = l_chunks.join(summ, [*by, "__chunk"], "full_outer")
-    wb = W.partitionBy(*by).orderBy("__chunk").rowsBetween(W.unboundedPreceding, -1)
-    wf = W.partitionBy(*by).orderBy("__chunk").rowsBetween(1, W.unboundedFollowing)
+    spine = l_marks.unionByName(summ.select(*l_marks.columns))
+    # backward: the left marker sorts BEFORE its own chunk's summary, so the
+    # strictly-preceding frame sees only earlier chunks' last rows; forward
+    # symmetric with the marker sorting AFTER the summary.
+    wb = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__chunk").asc(), F.col("__from_left").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wf = (
+        W.partitionBy(*by)
+        .orderBy(F.col("__chunk").asc(), F.col("__from_left").asc())
+        .rowsBetween(1, W.unboundedFollowing)
+    )
 
     def _unpack(carry_col: str) -> DataFrame:
         return (

@@ -46,6 +46,8 @@ __all__ = [
     "quality_buckets",
     "length_percentiles",
     "minhash_est_vs_exact",
+    "repetition_stats",
+    "domain_stats",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -707,4 +709,84 @@ def bigram_lm(
         )
         .orderBy(F.col("n_bigram").desc(), F.col("bigram").asc())
         .limit(top_k)
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher-style repetition
+    filters a pretraining pipeline runs before keeping a document):
+
+    - ``n_words``        — whitespace token count
+    - ``top_word_frac``  — occurrences of the single most frequent word / n_words
+    - ``dup_2gram_frac`` — 1 − distinct(2-grams)/total(2-grams), 0 when < 2 words
+
+    Scale: two explode→groupBy legs (words, 2-grams), each shuffle-parallel by
+    doc_id with map-side combine; joined on doc_id. No lambdas, no UDFs —
+    everything whole-stage codegen."""
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    words = base.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__w")
+    )
+    word_stats = (
+        words.groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__c").alias("n_words"),
+            F.max("__c").alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.round(F.col("__top") / F.col("n_words"), 6).alias("top_word_frac"),
+        )
+    )
+    grams = shingle_rows(base, text_col, id_col, 2)
+    gram_stats = (
+        grams.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n2"),
+            F.countDistinct("__sg").alias("__d2"),
+        )
+        .select(
+            id_col,
+            F.round(F.lit(1.0) - F.col("__d2") / F.col("__n2"), 6).alias("dup_2gram_frac"),
+        )
+    )
+    return word_stats.join(gram_stats, id_col, "left").select(
+        id_col,
+        "n_words",
+        "top_word_frac",
+        F.coalesce(F.col("dup_2gram_frac"), F.lit(0.0)).alias("dup_2gram_frac"),
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Per-source corpus composition: doc count, language count, language
+    entropy (nats), mean document length — the domain-mix report a corpus
+    curation run produces before weighting sources.
+
+    Two map-side-combinable aggregations ((source, lang) then source); the
+    entropy is a sum over the per-source language distribution."""
+    by_lang = docs.groupBy(source_col, lang_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = docs.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(chars_col), 4).alias("avg_chars"),
+    )
+    p = F.col("__n") / F.col("n_docs")
+    return (
+        by_lang.join(tot, source_col)
+        .groupBy(source_col, "n_docs", "avg_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("lang_entropy"),
+        )
+        .select(source_col, "n_docs", "n_langs", "lang_entropy", "avg_chars")
     )

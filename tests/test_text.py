@@ -161,3 +161,47 @@ class TestSamplingDeterminism:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
         assert base == repart
+
+
+class TestRepetitionDomainStats:
+    def test_repetition_vs_pandas(self, spark):
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.text import repetition_stats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": ["a b a b a", "x y z", "w"],
+                }
+            )
+        )
+        got = repetition_stats(docs).toPandas().set_index("doc_id").sort_index()
+        # doc 0: 5 words, top 'a' x3 -> 0.6; 2-grams: ab ba ab ba -> 2 distinct/4 -> dup 0.5
+        assert got.loc[0, "n_words"] == 5
+        assert abs(got.loc[0, "top_word_frac"] - 0.6) < 1e-9
+        assert abs(got.loc[0, "dup_2gram_frac"] - 0.5) < 1e-9
+        # doc 2: single word -> no 2-grams -> dup frac 0
+        assert got.loc[2, "n_words"] == 1
+        assert got.loc[2, "dup_2gram_frac"] == 0.0
+
+    def test_domain_entropy(self, spark):
+        import math
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.text import domain_stats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": range(4),
+                    "source": ["s1", "s1", "s1", "s2"],
+                    "lang": ["en", "en", "fr", "de"],
+                    "n_chars": [10, 20, 30, 40],
+                }
+            )
+        )
+        got = domain_stats(docs).toPandas().set_index("source")
+        exp = -(2 / 3 * math.log(2 / 3) + 1 / 3 * math.log(1 / 3))
+        assert abs(got.loc["s1", "lang_entropy"] - round(exp, 6)) < 1e-9
+        assert got.loc["s2", "lang_entropy"] == 0.0
+        assert got.loc["s1", "n_langs"] == 2 and got.loc["s1", "n_docs"] == 3
