@@ -913,9 +913,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": ep.q_sessionize,
         "q_asof_join": ep.q_asof_join,
         "q_interval_filter": ep.q_interval_filter,
-        # --- round 5: corpus-quality additions ---------------------------
+        # --- round 5: corpus-quality + unkeyed-session scale additions ---
         "q_repetition_stats": _q_repetition_stats,
         "q_domain_stats": _q_domain_stats,
+        "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
     }
 
 
@@ -2099,6 +2100,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT ws.doc_id, n_words, top_word_frac,
                    COALESCE(dup_2gram_frac, 0.0) AS dup_2gram_frac
             FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+        """,
+        "q_sessionize_unkeyed": """
+            WITH flg AS (
+              SELECT *, CASE WHEN lag(ts) OVER (ORDER BY ts) IS NULL
+                                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER (ORDER BY ts) > 120000000
+                             THEN 1 ELSE 0 END AS nf
+              FROM events
+            ),
+            s AS (
+              SELECT *, sum(nf) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flg
+            )
+            SELECT CAST(sid AS BIGINT) AS session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 4) AS session_value
+            FROM s GROUP BY sid
         """,
         "q_domain_stats": """
             WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),

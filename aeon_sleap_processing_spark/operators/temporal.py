@@ -28,6 +28,7 @@ __all__ = [
     "asof_join",
     "chunked_asof_join",
     "sessionize",
+    "chunked_sessionize",
     "interval_filter",
     "resample_ticks",
     "ffill",
@@ -346,6 +347,82 @@ def sessionize(
         cnt = F.count(F.lit(1)).over(W.partitionBy(*pb, session_col))
         out = out.withColumn("__sess_n", cnt).where(F.col("__sess_n") > min_size).drop("__sess_n")
     return out
+
+
+def chunked_sessionize(
+    df: DataFrame,
+    order_col: str,
+    gap: float,
+    chunk: float = 3600.0,
+    session_col: str = "session_id",
+    min_size: int | None = None,
+) -> DataFrame:
+    """``sessionize`` with the time axis pre-partitioned into fixed chunks —
+    the scale path for UNKEYED gap sessionization (the keyed form already
+    distributes on its partition keys).
+
+    Two-level scan, exactly equivalent to the global window:
+
+    1. rows get ``chunk_id = floor(axis / chunk)`` and sessionize locally
+       per chunk (window partitioned by chunk — dense key, parallel sorts);
+    2. a per-chunk boundary summary (first/last axis value, local session
+       count — one row per chunk, map-side combinable) is scanned with ONE
+       ordered window over the tiny table: chunk k's first local session
+       continues chunk k-1's last session iff the boundary delta is within
+       ``gap``; the cumulative session counts minus cumulative merges give
+       each chunk a global id offset;
+    3. offsets broadcast-join back on chunk id; global
+       ``session_id = offset + local_id``. ``min_size`` is applied on the
+       GLOBAL ids (a merged boundary session counts all its rows).
+
+    Global session numbering matches ``sessionize``'s (1-based, in time
+    order), so results are drop-in comparable."""
+    if "__chunk" in df.columns:
+        raise ValueError("column name '__chunk' is reserved")
+    ord_val, scale = _axis_scale(df, order_col)
+    gap_t = int(round(gap * scale)) if scale != 1 else gap
+    chunk_size = int(round(chunk * scale)) if scale != 1 else chunk
+    if chunk_size <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk!r}")
+
+    base = df.withColumn("__axis", ord_val).withColumn(
+        "__chunk", F.floor(F.col("__axis") / F.lit(chunk_size))
+    )
+    w = W.partitionBy("__chunk").orderBy(order_col)
+    delta = F.col("__axis") - F.lag("__axis").over(w)
+    new_flag = F.when(delta.isNull() | (delta > gap_t), F.lit(1)).otherwise(F.lit(0))
+    local = base.withColumn(
+        "__lsid", F.sum(new_flag).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+
+    bounds = local.groupBy("__chunk").agg(
+        F.min("__axis").alias("__first"),
+        F.max("__axis").alias("__last"),
+        F.max("__lsid").alias("__n_sess"),
+    )
+    wc = W.orderBy("__chunk")  # one row per chunk: tiny, single partition OK
+    merges = F.when(
+        (F.col("__first") - F.lag("__last").over(wc)) <= gap_t, F.lit(1)
+    ).otherwise(F.lit(0))
+    offsets = bounds.withColumn("__merge", merges).select(
+        "__chunk",
+        (
+            F.coalesce(
+                F.sum("__n_sess").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+            )
+            - F.sum("__merge").over(wc.rowsBetween(W.unboundedPreceding, 0))
+        ).alias("__offset"),
+    )
+
+    out = local.join(F.broadcast(offsets), "__chunk").withColumn(
+        session_col, F.col("__offset") + F.col("__lsid")
+    )
+    if min_size is not None:
+        cnt = F.count(F.lit(1)).over(W.partitionBy(session_col))
+        out = out.withColumn("__sess_n", cnt).where(F.col("__sess_n") > min_size).drop(
+            "__sess_n"
+        )
+    return out.drop("__axis", "__chunk", "__lsid", "__offset")
 
 
 def interval_filter(

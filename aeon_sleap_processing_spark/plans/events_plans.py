@@ -521,3 +521,22 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_checksum"
         ),
     )
+
+
+def q_sessionize_unkeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNKEYED gap sessionization at scale (W4 without a distribution key):
+    sessions over the whole event stream (2 min gap) via ``chunked_sessionize``
+    — the time axis is chunked into 6 h windows so the session scan is
+    per-chunk sorts plus one tiny boundary-merge window, never a
+    single-partition sort over the full stream."""
+    from ..operators.temporal import chunked_sessionize
+
+    ev = _events(spark, sf_dir)
+    s = chunked_sessionize(ev, "ts", gap=120.0, chunk=21600.0)
+    return s.groupBy("session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )

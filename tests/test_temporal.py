@@ -301,3 +301,52 @@ class TestAsofNullValues:
         # nearest row (t=9.0) has a=NaN, b=2.0 — no mixing with the t=5.0 row
         assert pd.isna(got.a.iloc[0])
         assert got.b.iloc[0] == 2.0
+
+
+class TestChunkedSessionize:
+    """chunked_sessionize must match the global sessionize exactly, including
+    session numbering, sessions spanning several (possibly empty) chunks, and
+    the min_size filter applied on merged sessions."""
+
+    def _df(self, spark, rng, n=400):
+        # bursts with gaps both smaller and larger than the session gap, laid
+        # across many chunk boundaries
+        t = np.cumsum(rng.choice([0.5, 1.0, 30.0, 130.0], size=n, p=[0.5, 0.3, 0.15, 0.05]))
+        return spark.createDataFrame(
+            pd.DataFrame({"time": [_ts(x) for x in t], "v": np.arange(n)})
+        )
+
+    @pytest.mark.parametrize("min_size", [None, 3])
+    def test_equivalent_to_global(self, spark, rng, min_size):
+        df = self._df(spark, rng)
+        got = (
+            Tm.chunked_sessionize(df, "time", gap=60.0, chunk=100.0, min_size=min_size)
+            .orderBy("v")
+            .toPandas()
+        )
+        exp = (
+            Tm.sessionize(df, "time", gap=60.0, min_size=min_size)
+            .orderBy("v")
+            .toPandas()
+        )
+        assert list(got.columns) == list(exp.columns)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+    def test_session_spanning_empty_chunks(self, spark):
+        # rows at 0s and 90s with chunk=30s: chunks 0 and 3, chunks 1-2 empty;
+        # gap 120s keeps them in ONE session across the empty chunks
+        df = spark.createDataFrame(
+            pd.DataFrame({"time": [_ts(0), _ts(90)], "v": [0, 1]})
+        )
+        got = Tm.chunked_sessionize(df, "time", gap=120.0, chunk=30.0).toPandas()
+        assert got.session_id.nunique() == 1
+        got2 = Tm.chunked_sessionize(df, "time", gap=60.0, chunk=30.0).toPandas()
+        assert sorted(got2.session_id) == [1, 2]
+
+    def test_numeric_axis(self, spark, rng):
+        df = spark.createDataFrame(
+            pd.DataFrame({"x": np.sort(rng.uniform(0, 5000, 300)), "v": np.arange(300)})
+        )
+        got = Tm.chunked_sessionize(df, "x", gap=25.0, chunk=500.0).orderBy("v").toPandas()
+        exp = Tm.sessionize(df, "x", gap=25.0).orderBy("v").toPandas()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
