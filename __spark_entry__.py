@@ -520,6 +520,10 @@ def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.domain_stats(load_table(spark, "documents", sf_dir))
 
 
+def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.ngram_lm_score(load_table(spark, "documents", sf_dir))
+
+
 def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return sim.kmeans_assign_stats(emb, _ivf_cents())
@@ -917,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": _q_repetition_stats,
         "q_domain_stats": _q_domain_stats,
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
+        "q_ngram_lm": _q_ngram_lm,
     }
 
 
@@ -2117,6 +2122,25 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    round(sum(value), 4) AS session_value
             FROM s GROUP BY sid
+        """,
+        "q_ngram_lm": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            g0 AS (SELECT doc_id, unnest({_shingles_sql(2)}) AS bg FROM t),
+            g AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM g0),
+            bc AS (SELECT bg, count(*) AS nb FROM g GROUP BY bg),
+            cc AS (SELECT w1 AS cw, count(*) AS nc FROM g GROUP BY w1),
+            sc AS (
+              SELECT doc_id, ln(bc.nb::DOUBLE / cc.nc) AS logp
+              FROM g JOIN bc USING (bg) JOIN cc ON g.w1 = cc.cw
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n_bigrams,
+                     round(avg(logp), 6) AS avg_logp,
+                     round(exp(-avg(logp)), 6) AS perplexity
+              FROM sc GROUP BY doc_id
+            )
+            SELECT d.doc_id, n_bigrams, avg_logp, perplexity
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
         """,
         "q_domain_stats": """
             WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),

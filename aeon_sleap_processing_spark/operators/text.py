@@ -48,6 +48,7 @@ __all__ = [
     "minhash_est_vs_exact",
     "repetition_stats",
     "domain_stats",
+    "ngram_lm_score",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -790,3 +791,46 @@ def domain_stats(
         )
         .select(source_col, "n_docs", "n_langs", "lang_entropy", "avg_chars")
     )
+
+
+def ngram_lm_score(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram language-model scoring (the n-gram LM perplexity filter a
+    pretraining pipeline runs to rank documents): train bigram/unigram
+    counts on the corpus itself, then score each document by its mean bigram
+    log-probability P(w2|w1) = count(w1 w2) / count(w1 ·).
+
+    Returns (doc_id, n_bigrams, avg_logp, perplexity) — perplexity =
+    exp(-avg_logp); docs with < 2 words score NULL.
+
+    Scale: the model IS two aggregations (bigram counts keyed by the pair,
+    context counts keyed by the first word — both map-side combinable and
+    vocabulary-sized, i.e. far smaller than the corpus); scoring is one
+    join per table on the n-gram key, then a groupBy(doc_id) mean. No
+    probability is zero by construction (every scored bigram was counted).
+
+    The context denominator is the number of bigrams STARTING with w1
+    (= occurrences of w1 excluding document-final positions), so the
+    distribution per context sums to exactly 1."""
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    grams = shingle_rows(base, text_col, id_col, 2).select(
+        id_col,
+        F.col("__sg").alias("__bg"),
+        F.split(F.col("__sg"), " ", 2)[0].alias("__w1"),
+    )
+    bg_counts = grams.groupBy("__bg").agg(F.count(F.lit(1)).alias("__bc"))
+    ctx_counts = grams.groupBy(F.col("__w1").alias("__cw")).agg(
+        F.count(F.lit(1)).alias("__cc")
+    )
+    scored = (
+        grams.join(bg_counts, "__bg")
+        .join(ctx_counts, F.col("__w1") == F.col("__cw"))
+        .select(id_col, F.log(F.col("__bc") / F.col("__cc")).alias("__logp"))
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("__logp"), 6).alias("avg_logp"),
+        F.round(F.exp(-F.avg("__logp")), 6).alias("perplexity"),
+    )
+    return base.select(id_col).join(agg, id_col, "left")

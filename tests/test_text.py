@@ -205,3 +205,23 @@ class TestRepetitionDomainStats:
         assert abs(got.loc["s1", "lang_entropy"] - round(exp, 6)) < 1e-9
         assert got.loc["s2", "lang_entropy"] == 0.0
         assert got.loc["s1", "n_langs"] == 2 and got.loc["s1", "n_docs"] == 3
+
+
+class TestNgramLm:
+    def test_bigram_lm_vs_hand_computed(self, spark):
+        import math
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.text import ngram_lm_score
+
+        # corpus bigrams: "a b" x2, "b a" x1, "b c" x1; contexts: a->2, b->2
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b a", "a b c", "x"]})
+        )
+        got = ngram_lm_score(docs).toPandas().set_index("doc_id").sort_index()
+        # doc 0: P(b|a)=2/2=1, P(a|b)=1/2 -> mean log = (0 + ln .5)/2
+        exp0 = (math.log(1.0) + math.log(0.5)) / 2
+        assert got.loc[0, "n_bigrams"] == 2
+        assert abs(got.loc[0, "avg_logp"] - round(exp0, 6)) < 1e-9
+        assert abs(got.loc[0, "perplexity"] - round(math.exp(-exp0), 6)) < 1e-9
+        # doc 2: single word -> no bigrams -> NULL score row kept
+        assert pd.isna(got.loc[2, "avg_logp"])
