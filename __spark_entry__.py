@@ -587,6 +587,79 @@ def _q_tube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_tube_tests(pose, 50.0, _fixture_metadata())
 
 
+# combine-fixture geometry — MUST match tools/make_fixtures.py (the fixture
+# generator and this query share the grid, tolerance, and homography)
+_COMBINE_T0_US = 1_704_070_800_000_000
+_COMBINE_PERIOD_US = 20_000
+_COMBINE_TOL_US = 5_000
+_COMBINE_N_TICKS = 2_000
+_COMBINE_H = [[1.01, 0.02, 10.0], [0.01, 0.99, -5.0], [0.00001, 0.0, 1.0]]
+
+
+def _q_combine_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combine-pipeline relational prefix (reference
+    `combine_pose_id_chunk.py:21-33,239-253`): homography-project the quad
+    ID stream to top-camera coordinates, quantize all three streams to the
+    expected tick grid with quarter-period tolerance, and report the
+    per-stream alignment census (row/tick counts + coordinate checksums) —
+    everything before the per-tick Hungarian kernel."""
+    from pyspark.sql import functions as F
+
+    from aeon_sleap_processing_spark.functions.kinematics import homography_project
+    from aeon_sleap_processing_spark.plans.combine import quantize_ticks
+
+    fx = _fixture_pose(spark, "combine_streams").where(F.col("part").contains("anchor"))
+    px, py = homography_project(F.col("x"), F.col("y"), _COMBINE_H)
+    is_quad = F.col("stream") == "quad"
+    proj = fx.select(
+        "time",
+        "stream",
+        F.when(is_quad, px).otherwise(F.col("x")).alias("x_eff"),
+        F.when(is_quad, py).otherwise(F.col("y")).alias("y_eff"),
+    )
+    q = quantize_ticks(proj, _COMBINE_T0_US, _COMBINE_PERIOD_US, _COMBINE_N_TICKS, _COMBINE_TOL_US)
+    return q.groupBy("stream").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("tick").alias("n_ticks"),
+        F.sum("tick").alias("tick_checksum"),
+        F.round(F.sum("x_eff"), 4).alias("x_checksum"),
+        F.round(F.sum("y_eff"), 4).alias("y_checksum"),
+    )
+
+
+def _combine_ticks_sql() -> str:
+    (h00, h01, h02), (h10, h11, h12), (h20, h21, h22) = _COMBINE_H
+    w = f"({h20!r} * x + {h21!r} * y + {h22!r})"
+    px = f"({h00!r} * x + {h01!r} * y + {h02!r}) / {w}"
+    py = f"({h10!r} * x + {h11!r} * y + {h12!r}) / {w}"
+    return f"""
+      WITH fx AS (
+        SELECT * FROM read_parquet('{_FIXTURE_DIR}/combine_streams.parquet')
+        WHERE part LIKE '%anchor%'
+      ),
+      proj AS (
+        SELECT time, stream,
+               CASE WHEN stream = 'quad' THEN {px} ELSE x END AS x_eff,
+               CASE WHEN stream = 'quad' THEN {py} ELSE y END AS y_eff
+        FROM fx
+      ),
+      q AS (
+        SELECT *, CAST(round((epoch_us(time) - {_COMBINE_T0_US}) / {_COMBINE_PERIOD_US}.0) AS BIGINT) AS tick
+        FROM proj
+      ),
+      k AS (
+        SELECT * FROM q
+        WHERE tick >= 0 AND tick < {_COMBINE_N_TICKS}
+          AND abs(epoch_us(time) - ({_COMBINE_T0_US} + tick * {_COMBINE_PERIOD_US})) <= {_COMBINE_TOL_US}
+      )
+      SELECT stream, count(*) AS n_rows, count(DISTINCT tick) AS n_ticks,
+             CAST(sum(tick) AS BIGINT) AS tick_checksum,
+             round(sum(x_eff), 4) AS x_checksum,
+             round(sum(y_eff), 4) AS y_checksum
+      FROM k GROUP BY stream
+    """
+
+
 def _pose_norm_cte(fixture: str, parts: list[str], fps: float = 50.0) -> str:
     """Shared oracle prologue: identity coding by first appearance, banker's
     frame index (exact here: fixture times sit on the 20 ms grid), part
@@ -922,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_stats": _q_domain_stats,
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
         "q_ngram_lm": _q_ngram_lm,
+        "q_combine_ticks": _q_combine_ticks,
     }
 
 
@@ -2087,6 +2161,7 @@ def oracle_sql() -> dict[str, str]:
         # oracle: its applyInPandas kernel is not SQL-expressible)
         "q_tube_candidates": _tube_candidates_sql(),
         "q_fight_sessions": _fight_sessions_sql(),
+        "q_combine_ticks": _combine_ticks_sql(),
         "q_repetition_stats": f"""
             WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
             w AS (SELECT doc_id, unnest(words) AS w FROM t),

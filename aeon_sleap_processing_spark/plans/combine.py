@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from ..functions.kinematics import homography_project
 from ..operators.kernels import hungarian_assign
 
-__all__ = ["combine_pose_id", "project_quadrants", "chunk_bounds"]
+__all__ = ["combine_pose_id", "project_quadrants", "chunk_bounds", "quantize_ticks"]
 
 
 def chunk_bounds(start: pd.Timestamp, fps: float) -> tuple[pd.Timestamp, pd.Timestamp, float]:
@@ -66,6 +66,32 @@ def project_quadrants(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.where(F.col("part").contains("anchor"))
+
+
+def quantize_ticks(
+    df: DataFrame,
+    start_us: int,
+    period_us: int,
+    n_ticks: int,
+    tol_us: int,
+    time_col: str = "time",
+    tick_col: str = "tick",
+) -> DataFrame:
+    """Tick quantization (reference `combine_pose_id_chunk.py:239-253`'s
+    per-tick window slicing, O(1) per row): assign each row the nearest
+    grid tick and keep it iff |t − tick_time| ≤ tolerance and the tick is
+    inside [0, n_ticks). Tolerance ≤ period/2 guarantees windows never
+    overlap, so this is exactly the reference's slicing without the grid
+    join. Pure column expressions — codegen, no shuffle."""
+    t_us = F.unix_micros(time_col)
+    tick = F.round((t_us - F.lit(start_us)) / F.lit(period_us)).cast("long")
+    tick_us = F.lit(start_us) + tick * F.lit(period_us)
+    ok = (
+        (tick >= 0)
+        & (tick < n_ticks)
+        & (F.abs(t_us - tick_us) <= F.lit(tol_us))
+    )
+    return df.withColumn(tick_col, tick).where(ok)
 
 
 _UPDATE_SCHEMA = T.StructType(
@@ -109,15 +135,7 @@ def combine_pose_id(
     )
 
     def with_tick(df: DataFrame) -> DataFrame:
-        t_us = F.unix_micros("time")
-        tick = F.round((t_us - F.lit(start_us)) / F.lit(period_us)).cast("long")
-        tick_us = F.lit(start_us) + tick * F.lit(period_us)
-        ok = (
-            (tick >= 0)
-            & (tick < n_ticks)
-            & (F.abs(t_us - tick_us) <= F.lit(int(tol * 1_000_000)))
-        )
-        return df.withColumn("tick", tick).where(ok)
+        return quantize_ticks(df, start_us, period_us, n_ticks, int(tol * 1_000_000))
 
     def tall(df: DataFrame, src: str, x_col: str, y_col: str, with_lik: bool) -> DataFrame:
         # the kernel reads likelihood maps only from ID rows; shipping the

@@ -24,6 +24,56 @@ from tests.fixture_pose import METADATA, fight_blob, fight_pose, tube_test_pose 
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures")
 
+# combine fixture geometry (shared with q_combine_ticks and its oracle)
+COMBINE_T0_US = 1_704_070_800_000_000  # 2024-01-01 01:00:00 UTC
+COMBINE_FPS = 50.0
+COMBINE_PERIOD_US = 20_000
+COMBINE_TOL_US = 5_000
+COMBINE_N_TICKS = 2_000
+# mildly projective quad→top homography (w varies with x)
+COMBINE_H = [[1.01, 0.02, 10.0], [0.01, 0.99, -5.0], [0.00001, 0.0, 1.0]]
+
+
+def combine_streams():
+    """Deterministic pose/top-ID/quad-ID streams on the tick grid with
+    scripted jitter (0 / ±3 ms inside tolerance, 6 ms outside), dropped
+    ticks, and partial ID coverage — the combine pipeline's alignment
+    surface. One tall table tagged by ``stream``."""
+    import pandas as pd
+
+    rows = []
+
+    def add(tick, jitter_ms, stream, identity, part, x, y):
+        t = COMBINE_T0_US + tick * COMBINE_PERIOD_US + jitter_ms * 1000
+        rows.append(
+            {
+                "time": pd.Timestamp(t, unit="us"),
+                "stream": stream,
+                "identity": identity,
+                "part": part,
+                "x": float(x),
+                "y": float(y),
+            }
+        )
+
+    pose_jit = [0, 3, -3, 6]  # 6 ms exceeds the 5 ms tolerance
+    id_jit = [1, -1, 2]
+    for k in range(COMBINE_N_TICKS):
+        if k % 97 != 0:  # dropped pose ticks
+            jm = pose_jit[k % 4]
+            for ident, base in (("0", 100.0), ("1", 300.0)):
+                x = base + (k % 613) * 0.5
+                y = base + (k % 401) * 0.25
+                add(k, jm, "pose", ident, "anchor", x, y)
+                add(k, jm, "pose", ident, "nose", x + 4.0, y)
+        if k % 5 != 0:  # partial top-ID coverage
+            jm = id_jit[k % 3]
+            add(k, jm, "topid", "A", "anchor", 101.0 + (k % 613) * 0.5, 100.5 + (k % 401) * 0.25)
+            add(k, jm, "topid", "B", "anchor", 301.0 + (k % 613) * 0.5, 300.5 + (k % 401) * 0.25)
+        if k % 7 != 0:  # quad coverage in quadrant-camera coordinates
+            add(k, id_jit[(k + 1) % 3], "quad", "A", "anchor", 50.0 + (k % 211) * 0.75, 40.0 + (k % 149) * 0.5)
+    return pd.DataFrame(rows)
+
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
@@ -31,6 +81,7 @@ def main() -> None:
         ("pose_tube", tube_test_pose()),
         ("pose_fight", fight_pose()),
         ("blob_fight", fight_blob()),
+        ("combine_streams", combine_streams()),
     ):
         df = df.copy()
         df["time"] = df["time"].astype("datetime64[us]")
