@@ -31,6 +31,7 @@ __all__ = [
     "stream_windowed_agg",
     "stream_dedup",
     "stream_enrich",
+    "stream_asof_enrich",
 ]
 
 
@@ -267,3 +268,36 @@ def stream_enrich(
     keep no join state; the dim is re-resolved per micro-batch, so a catalog
     table picks up slowly-changing updates between batches."""
     return stream.join(F.broadcast(dim), on, how)
+
+
+def stream_asof_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    on: str = "time",
+    by: str | list[str] | None = None,
+    tolerance: float | None = None,
+    direction: str = "backward",
+):
+    """Stream-static AS-OF enrichment (SURVEY J2's streaming form — e.g.
+    live pose rows ← most recent experiment/config state at or before each
+    row's timestamp).
+
+    Window functions aren't allowed on unbounded streams, so the as-of runs
+    inside ``foreachBatch``: each micro-batch is a plain DataFrame,
+    ``asof_join``-ed against the static snapshot and handed to ``batch_fn``
+    (write, upsert, publish…). Per-batch cost is the batch's own union-tag
+    window — the static side is re-resolved every batch, so slowly-changing
+    reference tables are picked up between triggers.
+
+    Returns a ``DataStreamWriter`` — caller picks trigger/checkpoint and
+    calls ``.start()``."""
+    from ..operators.temporal import asof_join
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        enriched = asof_join(
+            batch_df, static, on=on, by=by, tolerance=tolerance, direction=direction
+        )
+        batch_fn(enriched, batch_id)
+
+    return stream.writeStream.foreachBatch(_process)

@@ -84,3 +84,53 @@ class TestStreamEnrich:
         got = spark.sql("SELECT * FROM enrich_out").toPandas().sort_values("user_id")
         assert list(got.user_id) == [7, 9]
         assert list(got.segment.fillna("?")) == ["a", "?"]
+
+
+class TestStreamAsofEnrich:
+    def test_matches_batch_asof(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.operators.temporal import asof_join
+        from aeon_sleap_processing_spark.streaming.watch import stream_asof_enrich
+
+        src = str(tmp_path / "asof_src")
+        rows = pd.DataFrame(
+            {
+                "time": [T0 + pd.Timedelta(seconds=s) for s in (5, 25, 45, 65)],
+                "event_id": [1, 2, 3, 4],
+            }
+        )
+        # two files -> two micro-batches
+        spark.createDataFrame(rows.iloc[:2]).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(rows.iloc[2:]).coalesce(1).write.mode("append").parquet(src)
+
+        static = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "time": [T0, T0 + pd.Timedelta(seconds=30), T0 + pd.Timedelta(seconds=60)],
+                    "state": ["a", "b", "c"],
+                }
+            )
+        )
+        collected = []
+        stream = (
+            spark.readStream.schema("time timestamp, event_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        writer = stream_asof_enrich(
+            stream,
+            static,
+            lambda df, _id: collected.extend(df.toPandas().to_dict("records")),
+            on="time",
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+        got = (
+            pd.DataFrame(collected).sort_values("event_id").reset_index(drop=True)
+        )
+        exp = (
+            asof_join(spark.createDataFrame(rows), static, on="time")
+            .orderBy("event_id")
+            .toPandas()
+        )
+        assert got.state.tolist() == exp.state.tolist() == ["a", "a", "b", "c"]
