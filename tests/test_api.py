@@ -73,3 +73,26 @@ class TestReferenceApi:
                 parameters={"nope": 1},
                 spark=spark,
             )
+
+
+class TestDriverContract:
+    """Pin the driver-contract invariants: the correctness gate checks the
+    FIRST 50 registered queries, so registration order is load-bearing."""
+
+    def test_window_composition(self):
+        import __spark_entry__ as em
+
+        names = list(em.queries())
+        oracles = em.oracle_sql()
+        window = names[:50]
+        # every windowed query has an oracle except the full-kernel pipeline
+        missing = [n for n in window if n not in oracles]
+        assert missing == ["q_tube_events"]
+        # round-5 rotation: the previously-unchecked suites + aeon pipelines
+        # fill the window; the relational block (3 rounds of green history)
+        # sits behind it
+        assert "q_tube_candidates" in window and "q_fight_sessions" in window
+        assert "q1_pricing_summary" not in window
+        # no duplicates anywhere, every oracle key is a registered query
+        assert len(names) == len(set(names))
+        assert set(oracles) <= set(names)
