@@ -524,6 +524,14 @@ def _q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.ngram_lm_score(load_table(spark, "documents", sf_dir))
 
 
+def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.corpus_split(load_table(spark, "documents", sf_dir))
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.quantize_embeddings_stats(load_table(spark, "embeddings", sf_dir))
+
+
 def _q_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     return sim.kmeans_assign_stats(emb, _ivf_cents())
@@ -996,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
         "q_ngram_lm": _q_ngram_lm,
         "q_combine_ticks": _q_combine_ticks,
+        "q_corpus_split": _q_corpus_split,
+        "q_quantize_embeddings": _q_quantize_embeddings,
     }
 
 
@@ -2216,6 +2226,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT d.doc_id, n_bigrams, avg_logp, perplexity
             FROM (SELECT doc_id FROM documents) d LEFT JOIN agg USING (doc_id)
+        """,
+        "q_corpus_split": """
+            WITH b AS (
+              SELECT CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 10 < 8 THEN 'train'
+                          WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 10 < 9 THEN 'val'
+                          ELSE 'test' END AS split,
+                     lang, n_chars
+              FROM documents
+            )
+            SELECT split, lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM b GROUP BY split, lang
+        """,
+        "q_quantize_embeddings": """
+            WITH s AS (
+              SELECT label, embedding,
+                     list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+              FROM embeddings
+            ),
+            e AS (
+              SELECT label, scale,
+                     CASE WHEN scale = 0.0 THEN 0.0
+                          ELSE list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) / scale + 0.5) * scale)))
+                     END AS err
+              FROM s
+            )
+            SELECT label, count(*) AS n_vectors,
+                   round(avg(scale), 6) AS avg_scale,
+                   round(avg(err), 6) AS avg_max_err
+            FROM e GROUP BY label
         """,
         "q_domain_stats": """
             WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),

@@ -38,6 +38,7 @@ __all__ = [
     "embedding_near_dups",
     "embedding_stats",
     "kmeans_assign_stats",
+    "quantize_embeddings_stats",
 ]
 
 
@@ -408,5 +409,41 @@ def kmeans_assign_stats(
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
             F.round(F.avg("cos"), 6).alias("avg_cos"),
+        )
+    )
+
+
+def quantize_embeddings_stats(
+    corpus: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit (the compression step an
+    embedding store runs before serving ANN at scale): scale = max|v|/127,
+    q_i = floor(v_i/scale + 0.5) (explicit half-up — np.round's banker's
+    rounding and SQL round() disagree at exact halves, floor(x+0.5) is
+    bit-identical everywhere), reporting per label the mean scale and the
+    mean worst-element reconstruction error.
+
+    Per-vector reductions are max-based (order-free), so results are
+    bit-stable under any partitioning; only the final per-label means sum
+    across rows. Array lambdas run interpreted, but the work is one pass
+    over each vector — no join, one map-side-combinable groupBy."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    absmax = F.array_max(F.transform(v, F.abs))
+    scale = absmax / F.lit(127.0)
+    err = F.when(absmax == 0.0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.transform(
+                v,
+                lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale),
+            )
+        )
+    )
+    return (
+        corpus.select(F.col(label_col), scale.alias("__scale"), err.alias("__err"))
+        .groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("__scale"), 6).alias("avg_scale"),
+            F.round(F.avg("__err"), 6).alias("avg_max_err"),
         )
     )

@@ -49,6 +49,7 @@ __all__ = [
     "repetition_stats",
     "domain_stats",
     "ngram_lm_score",
+    "corpus_split",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -834,3 +835,36 @@ def ngram_lm_score(
         F.round(F.exp(-F.avg("__logp")), 6).alias("perplexity"),
     )
     return base.select(id_col).join(agg, id_col, "left")
+
+
+def corpus_split(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Deterministic hash-based train/val/test corpus split (the
+    leakage-safe split a training pipeline needs: membership is a pure
+    function of the document id, stable across runs, engines, and
+    partitionings — an RNG split is neither reproducible nor join-stable).
+
+    Returns per (split, lang): doc count and char sum. One
+    map-side-combinable aggregation; the md5 bucket is the same
+    cross-engine hash used by the sampling operators."""
+    bucket = md5_long(F.col(id_col).cast("string")) % n_buckets
+    split = (
+        F.when(bucket < train_buckets, F.lit("train"))
+        .when(bucket < train_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), F.col(lang_col), F.col(chars_col))
+        .groupBy("split", lang_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).alias("sum_chars"),
+        )
+    )

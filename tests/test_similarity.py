@@ -173,3 +173,35 @@ class TestKmeansAssignStats:
             expect = round(np.round(cos[cells == cid], 6).mean(), 6)
             gotv = float(got.set_index("cid").loc[cid, "avg_cos"])
             assert abs(gotv - expect) < 2e-6
+
+
+class TestQuantizeEmbeddings:
+    def test_roundtrip_error_bound(self, spark):
+        """Symmetric int8: worst-element reconstruction error is <= scale/2
+        by construction; zero vectors quantize with zero error."""
+        import pandas as pd
+        from aeon_sleap_processing_spark.operators.similarity import (
+            quantize_embeddings_stats,
+        )
+
+        vecs = pd.DataFrame(
+            {
+                "label": [0, 0, 1],
+                "embedding": [
+                    [1.0, -0.5, 0.25, 127.0 / 127.0],
+                    [0.0, 0.0, 0.0, 0.0],
+                    [2.54, -1.27, 0.0, 0.01],
+                ],
+            }
+        )
+        got = (
+            quantize_embeddings_stats(spark.createDataFrame(vecs))
+            .toPandas()
+            .set_index("label")
+            .sort_index()
+        )
+        assert got.loc[0, "n_vectors"] == 2
+        # scale of v1 = 1/127; zero vector contributes scale 0, err 0
+        assert abs(got.loc[0, "avg_scale"] - round((1.0 / 127.0) / 2, 6)) < 1e-6
+        # max err bounded by half a quantization step (scale/2)
+        assert got.loc[1, "avg_max_err"] <= (2.54 / 127.0) / 2 + 1e-12
