@@ -204,6 +204,13 @@ def chunked_asof_join(
     """``asof_join`` with the time axis pre-partitioned into fixed chunks —
     the scale path for unkeyed (or weakly-keyed) as-of joins.
 
+    The reference splits the time axis into SLURM periods and documents the
+    resulting defect: "period splitting cuts continuous videos … you could
+    miss events on the edges" (`social_behavior_detection/README.md` step 3,
+    `detect_fights_all_epochs.py:96-168`). This operator is the same
+    fan-out WITHOUT the edge loss: boundary rows are carried across chunk
+    borders, so the chunked result is exactly the global one.
+
     A plain ``asof_join`` with no ``by`` key is a single-partition window
     sort: one task sorts both inputs end to end. This wrapper makes the
     documented mitigation (module docstring: "pre-partition the time axis …
@@ -359,7 +366,11 @@ def chunked_sessionize(
 ) -> DataFrame:
     """``sessionize`` with the time axis pre-partitioned into fixed chunks —
     the scale path for UNKEYED gap sessionization (the keyed form already
-    distributes on its partition keys).
+    distributes on its partition keys). Same edge-safety story as
+    ``chunked_asof_join``: the reference's period splitting loses sessions
+    straddling a boundary (`social_behavior_detection/README.md` step 3);
+    here boundary sessions MERGE across chunks, bit-equal to the global
+    scan.
 
     Two-level scan, exactly equivalent to the global window:
 

@@ -51,6 +51,10 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    # results must be partitioning-independent: re-running the full suite at
+    # a different shuffle-partition count catches order-dependent floats,
+    # nondeterministic tie-breaks, and partition-local logic
+    ap.add_argument("--shuffle-partitions", type=int, default=8)
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -60,7 +64,10 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
     names = args.names or list(qs)
 
-    spark = get_spark(app_name="check-correctness", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="check-correctness", shuffle_partitions=args.shuffle_partitions
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
