@@ -88,24 +88,33 @@ def export_event_videos(
             "works with encode=False"
         )
     pad = F.expr(f"INTERVAL {padding_seconds} SECONDS")
+    from pyspark.sql import Window as W
+
+    # unique per-event key: events sharing a start_timestamp (or even a full
+    # window) must still count independently — grouping by the timestamp
+    # alone would merge them and double-count shared frames. The event table
+    # is tiny (rows = detected events), so the unkeyed numbering window is a
+    # non-issue.
     ev = events.select(
         F.col("start_timestamp").alias("__start"),
         (F.col("start_timestamp") - pad).alias("__lo"),
         (F.col("end_timestamp") + pad).alias("__hi"),
+    ).withColumn(
+        "__eid", F.row_number().over(W.orderBy("__start", "__hi"))
     )
     counts = (
         video_index.join(
             F.broadcast(ev),
             (F.col("time") >= F.col("__lo")) & (F.col("time") <= F.col("__hi")),
         )
-        .groupBy("__start")
+        .groupBy("__eid")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     rows = (
-        ev.select("__start")
-        .join(counts, "__start", "left")
+        ev.select("__eid", "__start")
+        .join(counts, "__eid", "left")
         .select("__start", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
-        .orderBy("__start")
+        .orderBy("__start", "__n")
         .collect()
     )
     return [

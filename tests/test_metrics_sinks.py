@@ -249,3 +249,35 @@ class TestJdbcDerby:
         assert got == exp and len(got) > 0
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "PushedFilters" in plan and "N_REGIONKEY" in plan.upper()
+
+
+class TestExportEventVideosEdge:
+    def test_duplicate_start_events_count_independently(self, spark):
+        """Two events sharing a start_timestamp must each get their own
+        frame count (one range-join job, grouped by a unique event id)."""
+        ev = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "start_timestamp": [T0 + pd.Timedelta(seconds=1)] * 2
+                    + [T0 + pd.Timedelta(seconds=10)],
+                    "end_timestamp": [
+                        T0 + pd.Timedelta(seconds=2),
+                        T0 + pd.Timedelta(seconds=3),
+                        T0 + pd.Timedelta(seconds=20),  # beyond the manifest: 0 pad-window frames? no — manifest covers 0-4.9s, so 0 frames
+                    ],
+                }
+            )
+        )
+        vi = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "time": [T0 + pd.Timedelta(milliseconds=100 * i) for i in range(50)],
+                    "_frame": range(50),
+                }
+            )
+        )
+        clips = export_event_videos(ev, vi, "/tmp/unused", padding_seconds=0.5)
+        assert len(clips) == 3
+        counts = [n for _, n in clips]
+        # [0.5,2.5]s -> 21 frames; [0.5,3.5]s -> 31; [9.5,20.5]s -> 0
+        assert counts == [21, 31, 0]
