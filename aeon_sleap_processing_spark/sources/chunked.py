@@ -36,8 +36,16 @@ def write_chunked(
     register: int,
     time_col: str = "time",
     mode: str = "overwrite",
+    file_format: str = "parquet",
 ) -> None:
-    """Write a stream DataFrame into the chunk store, idempotently per chunk."""
+    """Write a stream DataFrame into the chunk store, idempotently per chunk.
+
+    ``file_format``: ``parquet`` (default) or ``orc`` — both columnar with
+    min/max stride skipping and identical partition-pruning behavior; ORC is
+    offered for ecosystems standardized on it (Hive ACID, some object-store
+    catalogs)."""
+    if file_format not in ("parquet", "orc"):
+        raise ValueError(f"unsupported chunk-store format {file_format!r}")
     (
         df.withColumn("stream", F.lit(register))
         .withColumn("camera", F.lit(camera))
@@ -46,7 +54,8 @@ def write_chunked(
         .sortWithinPartitions(time_col)  # time-sorted row groups → min/max skipping
         .write.mode(mode)
         .partitionBy("stream", "camera", "chunk")
-        .parquet(root)
+        .format(file_format)
+        .save(root)
     )
 
 
@@ -58,14 +67,17 @@ def load_chunked(
     start: pd.Timestamp | str | None = None,
     end: pd.Timestamp | str | None = None,
     time_col: str = "time",
+    file_format: str = "parquet",
 ) -> DataFrame:
     """Chunk-pruned time-range scan (SURVEY S1): partition filters on
     (stream, camera, chunk) + a pushed-down range predicate on time."""
     # scope the scan to the stream/camera DIRECTORIES: streams have different
     # schemas (pose vs env-state vs blob), so schema inference must see only
     # the requested stream's files; pruning happens at the listing level
-    df = spark.read.option("basePath", root).parquet(
-        f"{root}/stream={register}/camera={camera}"
+    df = (
+        spark.read.option("basePath", root)
+        .format(file_format)
+        .load(f"{root}/stream={register}/camera={camera}")
     )
     if start is not None:
         start = pd.Timestamp(start)

@@ -123,3 +123,48 @@ class TestStreamingWatch:
         )
         q2.awaitTermination(60)
         assert sum(seen) == 1  # checkpoint = durable processed-set
+
+
+class TestOrcChunkStore:
+    def test_orc_round_trip_with_pruning(self, spark, tmp_path):
+        """The chunk store is format-agnostic columnar: ORC round-trips with
+        the same partition pruning and pushed time filters as parquet."""
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.chunked import load_chunked, write_chunked
+
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        pdf = pd.DataFrame(
+            {
+                "time": [t0 + pd.Timedelta(minutes=20 * i) for i in range(9)],  # 3 chunks
+                "v": range(9),
+            }
+        )
+        root = str(tmp_path / "orc_store")
+        write_chunked(
+            spark.createDataFrame(pdf), root, "CameraTop", 202, file_format="orc"
+        )
+        got = load_chunked(
+            spark,
+            root,
+            202,
+            "CameraTop",
+            start=t0 + pd.Timedelta(hours=1),
+            end=t0 + pd.Timedelta(hours=2),
+            file_format="orc",
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        vals = sorted(r["v"] for r in got.select("v").collect())
+        assert vals == [3, 4, 5, 6]  # rows in [1h, 2h]
+
+    def test_bad_format_rejected(self, spark):
+        import pandas as pd
+        import pytest
+
+        from aeon_sleap_processing_spark.sources.chunked import write_chunked
+
+        df = spark.createDataFrame(pd.DataFrame({"time": [pd.Timestamp("2024-01-01")], "v": [1]}))
+        with pytest.raises(ValueError, match="unsupported"):
+            write_chunked(df, "/tmp/x", "CameraTop", 202, file_format="avro")
