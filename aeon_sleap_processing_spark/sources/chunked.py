@@ -91,12 +91,16 @@ def load_chunked(
 
 
 def list_chunks(
-    spark: SparkSession, root: str, register: int | None = None, camera: str | None = None
+    spark: SparkSession,
+    root: str,
+    register: int | None = None,
+    camera: str | None = None,
+    file_format: str = "parquet",
 ) -> list[str]:
     """Chunk discovery (SURVEY S3): distinct chunk partition values, pruned
     by stream/camera when given — a metadata-only listing query."""
     path = f"{root}/stream={register if register is not None else '*'}"
     path += f"/camera={camera if camera is not None else '*'}"
-    df = spark.read.option("basePath", root).parquet(path)
+    df = spark.read.option("basePath", root).format(file_format).load(path)
     # partition columns only — safe even when the glob spans mixed schemas
     return sorted(r["chunk"] for r in df.select("chunk").distinct().collect())
