@@ -595,13 +595,15 @@ def _q_tube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_tube_tests(pose, 50.0, _fixture_metadata())
 
 
-# combine-fixture geometry — MUST match tools/make_fixtures.py (the fixture
-# generator and this query share the grid, tolerance, and homography)
-_COMBINE_T0_US = 1_704_070_800_000_000
-_COMBINE_PERIOD_US = 20_000
-_COMBINE_TOL_US = 5_000
-_COMBINE_N_TICKS = 2_000
-_COMBINE_H = [[1.01, 0.02, 10.0], [0.01, 0.99, -5.0], [0.00001, 0.0, 1.0]]
+# combine-fixture geometry: single source of truth shared with the
+# fixture generator (tools/make_fixtures.py)
+from aeon_sleap_processing_spark.fixtures_meta import (
+    COMBINE_H as _COMBINE_H,
+    COMBINE_N_TICKS as _COMBINE_N_TICKS,
+    COMBINE_PERIOD_US as _COMBINE_PERIOD_US,
+    COMBINE_T0_US as _COMBINE_T0_US,
+    COMBINE_TOL_US as _COMBINE_TOL_US,
+)
 
 
 def _q_combine_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -428,18 +428,26 @@ def quantize_embeddings_stats(
     across rows. Array lambdas run interpreted, but the work is one pass
     over each vector — no join, one map-side-combinable groupBy."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    absmax = F.array_max(F.transform(v, F.abs))
-    scale = absmax / F.lit(127.0)
-    err = F.when(absmax == 0.0, F.lit(0.0)).otherwise(
+    # materialize the scale BEFORE the per-element error lambda: embedding a
+    # scale expression containing array_max inside the transform body would
+    # re-scan the whole vector per element (higher-order functions run
+    # interpreted with no common-subexpression elimination — O(d^2)/vector)
+    scaled = corpus.select(
+        F.col(label_col),
+        v.alias("__v"),
+        (F.array_max(F.transform(v, F.abs)) / F.lit(127.0)).alias("__scale"),
+    )
+    sc = F.col("__scale")
+    err = F.when(sc == 0.0, F.lit(0.0)).otherwise(
         F.array_max(
             F.transform(
-                v,
-                lambda x: F.abs(x - F.floor(x / scale + F.lit(0.5)) * scale),
+                F.col("__v"),
+                lambda x: F.abs(x - F.floor(x / sc + F.lit(0.5)) * sc),
             )
         )
     )
     return (
-        corpus.select(F.col(label_col), scale.alias("__scale"), err.alias("__err"))
+        scaled.select(F.col(label_col), sc.alias("__scale"), err.alias("__err"))
         .groupBy(label_col)
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),

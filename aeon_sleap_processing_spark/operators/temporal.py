@@ -241,8 +241,10 @@ def chunked_asof_join(
     symmetrically forward); ``nearest`` picks among both, and the tolerance
     filter is applied by ``asof_join`` identically.
     """
-    if "__chunk" in left.columns or "__chunk" in right.columns:
-        raise ValueError("column name '__chunk' is reserved")
+    reserved = {"__chunk", "__last", "__first", "__from_left"}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"column name(s) {sorted(clash)} are reserved")
     by = _as_list(by)
     is_ts = _is_ts(left, on)
     chunk_size = int(round(chunk * 1e6)) if is_ts else chunk
@@ -388,8 +390,10 @@ def chunked_sessionize(
 
     Global session numbering matches ``sessionize``'s (1-based, in time
     order), so results are drop-in comparable."""
-    if "__chunk" in df.columns:
-        raise ValueError("column name '__chunk' is reserved")
+    reserved = {"__chunk", "__axis", "__lsid", "__offset", "__sess_n"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column name(s) {sorted(clash)} are reserved")
     ord_val, scale = _axis_scale(df, order_col)
     gap_t = int(round(gap * scale)) if scale != 1 else gap
     chunk_size = int(round(chunk * scale)) if scale != 1 else chunk
@@ -478,8 +482,14 @@ def resample_ticks(
     if isinstance(start, str) and isinstance(end, str):
         import pandas as pd
 
-        s_us = pd.Timestamp(start).value // 1000
-        e_us = pd.Timestamp(end).value // 1000
+        # interpret string endpoints in the SESSION timezone, exactly like the
+        # column path's cast("timestamp") — a bare pd.Timestamp.value would
+        # assume UTC and the two branches would disagree under non-UTC sessions
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        s_us = pd.Timestamp(start).tz_localize(tz).value // 1000
+        e_us = pd.Timestamp(end).tz_localize(tz).value // 1000
+        if e_us < s_us:
+            raise ValueError(f"resample_ticks: end {end!r} precedes start {start!r}")
         n = (e_us - s_us) // interval_micros + 1
         return spark.range(n).select(
             F.timestamp_micros(F.lit(s_us) + F.col("id") * F.lit(interval_micros)).alias(

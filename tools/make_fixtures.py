@@ -24,14 +24,13 @@ from tests.fixture_pose import METADATA, fight_blob, fight_pose, tube_test_pose 
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures")
 
-# combine fixture geometry (shared with q_combine_ticks and its oracle)
-COMBINE_T0_US = 1_704_070_800_000_000  # 2024-01-01 01:00:00 UTC
-COMBINE_FPS = 50.0
-COMBINE_PERIOD_US = 20_000
-COMBINE_TOL_US = 5_000
-COMBINE_N_TICKS = 2_000
-# mildly projective quad→top homography (w varies with x)
-COMBINE_H = [[1.01, 0.02, 10.0], [0.01, 0.99, -5.0], [0.00001, 0.0, 1.0]]
+# combine fixture geometry: single source of truth shared with the
+# q_combine_ticks query and oracle
+from aeon_sleap_processing_spark.fixtures_meta import (  # noqa: E402
+    COMBINE_N_TICKS,
+    COMBINE_PERIOD_US,
+    COMBINE_T0_US,
+)
 
 
 def combine_streams():
