@@ -528,6 +528,22 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.corpus_split(load_table(spark, "documents", sf_dir))
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted downsampling: keep each doc with probability equal
+    to its quality score, then summarize the kept set per language."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = tx.text_stats(docs).select("doc_id", "quality_score")
+    joined = docs.join(stats, "doc_id")
+    kept = tx.weighted_sample(joined, F.col("quality_score"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.quantize_embeddings_stats(load_table(spark, "embeddings", sf_dir))
 
@@ -1008,6 +1024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_combine_ticks": _q_combine_ticks,
         "q_corpus_split": _q_corpus_split,
         "q_quantize_embeddings": _q_quantize_embeddings,
+        "q_weighted_sample": _q_weighted_sample,
     }
 
 
@@ -2259,6 +2276,26 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(scale), 6) AS avg_scale,
                    round(avg(err), 6) AS avg_max_err
             FROM e GROUP BY label
+        """,
+        "q_weighted_sample": f"""
+            WITH t AS (SELECT doc_id, lang, n_chars, text, {_WORDS} AS words FROM documents),
+            q AS (
+              SELECT doc_id, lang, n_chars,
+                     round(0.4 * least(1.0, len(words)::DOUBLE / 100.0)
+                           + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text))
+                           + 0.3 * (len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE / len(words)),
+                           6) AS quality_score
+              FROM t
+            ),
+            k AS (
+              SELECT * FROM q
+              WHERE (('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT
+                    / 4294967296.0 < quality_score
+            )
+            SELECT lang, count(*) AS n_kept,
+                   round(avg(quality_score), 6) AS avg_quality,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM k GROUP BY lang
         """,
         "q_domain_stats": """
             WITH bl AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY source, lang),

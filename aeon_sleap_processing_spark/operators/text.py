@@ -50,6 +50,7 @@ __all__ = [
     "domain_stats",
     "ngram_lm_score",
     "corpus_split",
+    "weighted_sample",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -868,3 +869,24 @@ def corpus_split(
             F.sum(chars_col).alias("sum_chars"),
         )
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    id_col: str = "doc_id",
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic per-row Bernoulli sampling with row-dependent keep
+    probability (quality-weighted corpus downsampling: keep P(row) =
+    ``weight`` in [0,1], e.g. a quality score — the standard way to thin a
+    crawl toward its high-quality tail without an RNG).
+
+    The uniform draw is a salted md5 of the row id mapped to [0,1), so
+    membership is a pure function of (id, salt): reproducible across runs,
+    engines, and partitionings, and a different ``salt`` gives an
+    independent sample. Pure codegen expressions, no shuffle."""
+    u = md5_long(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))) / F.lit(
+        float(1 << 32)
+    )
+    return docs.where(u < weight)

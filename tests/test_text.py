@@ -225,3 +225,30 @@ class TestNgramLm:
         assert abs(got.loc[0, "perplexity"] - round(math.exp(-exp0), 6)) < 1e-9
         # doc 2: single word -> no bigrams -> NULL score row kept
         assert pd.isna(got.loc[2, "avg_logp"])
+
+
+class TestWeightedSample:
+    def test_membership_is_pure_function_of_id_and_weight(self, spark):
+        import pandas as pd
+        from pyspark.sql import functions as F
+        from aeon_sleap_processing_spark.operators.text import weighted_sample
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": range(2000), "w": [0.25] * 1000 + [0.9] * 1000})
+        )
+        kept = weighted_sample(docs, F.col("w")).toPandas()
+        kept2 = weighted_sample(docs.repartition(7), F.col("w")).toPandas()
+        # deterministic under repartitioning
+        assert sorted(kept.doc_id) == sorted(kept2.doc_id)
+        # keep rates track the weights (hash-uniform, so loose bounds)
+        lo = kept[kept.doc_id < 1000]
+        hi = kept[kept.doc_id >= 1000]
+        assert 0.15 < len(lo) / 1000 < 0.35
+        assert 0.84 < len(hi) / 1000 < 0.96
+        # weight 0 keeps nothing, weight 1 keeps everything
+        none = weighted_sample(docs, F.lit(0.0)).count()
+        all_ = weighted_sample(docs, F.lit(1.0)).count()
+        assert none == 0 and all_ == 2000
+        # different salt -> different (still deterministic) sample
+        other = weighted_sample(docs, F.col("w"), salt="ws2").toPandas()
+        assert sorted(other.doc_id) != sorted(kept.doc_id)
