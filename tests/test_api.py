@@ -85,13 +85,24 @@ class TestDriverContract:
         names = list(em.queries())
         oracles = em.oracle_sql()
         window = names[:50]
-        # every windowed query has an oracle except the full-kernel pipeline
+        # round 6: every windowed query has a full oracle — including
+        # q_tube_events, whose greedy kernel is oracled as a recursive CTE
         missing = [n for n in window if n not in oracles]
-        assert missing == ["q_tube_events"]
-        # round-5 rotation: the previously-unchecked suites + aeon pipelines
-        # fill the window; the relational block (3 rounds of green history)
-        # sits behind it
-        assert "q_tube_candidates" in window and "q_fight_sessions" in window
+        assert missing == []
+        # round-6 rotation: the previously-unchecked round-5 tail and the
+        # new recall audit are inside the window; queries whose plans
+        # changed this round stay in for driver re-verification
+        for name in [
+            "q_repetition_stats",
+            "q_weighted_sample",
+            "q_combine_ticks",
+            "q_knn_recall",
+            "q_tube_events",
+            "q_tube_candidates",
+            "q_fight_sessions",
+            "q_minhash_est_vs_exact",
+        ]:
+            assert name in window, name
         assert "q1_pricing_summary" not in window
         # no duplicates anywhere, every oracle key is a registered query
         assert len(names) == len(set(names))
