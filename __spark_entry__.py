@@ -703,6 +703,20 @@ def _q_fight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fight_candidate_sessions(pose, blob, 50.0)
 
 
+def _q_fight_sessions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME fight pipeline forced onto the chunked time-axis path
+    (frame_chunk=500 → ~14 chunks over the fixture): chunked_ffill for the
+    centroid-distance fill, chunked blob_speed, and both sessionization
+    phases chunked. Bit-equal to q_fight_sessions by construction — the two
+    entries share one oracle, so the driver verifies the scale path's
+    boundary carries against the identical DuckDB ground truth."""
+    from aeon_sleap_processing_spark.plans.fights import fight_candidate_sessions
+
+    pose = _fixture_pose(spark, "pose_fight")
+    blob = _fixture_pose(spark, "blob_fight")
+    return fight_candidate_sessions(pose, blob, 50.0, frame_chunk=500)
+
+
 def _q_tube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL tube-test pipeline including the per-event applyInPandas kernel
     (skeleton-flip veto, greedy identity cleanup, winner/loser). The kernel
@@ -1209,7 +1223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": ep.q_cohort_retention,
         "q_zscore_outliers": ep.q_zscore_outliers,
         "q_run_length": ep.q_run_length,
-        "q_asof_nearest": ep.q_asof_nearest,
         "q_asof_forward": ep.q_asof_forward,
         "q_session_hist": ep.q_session_hist,
         "q_gap_fill": ep.q_gap_fill,
@@ -1244,9 +1257,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- aeon detection pipelines over committed pose fixtures ------
         "q_tube_candidates": _q_tube_candidates,
         "q_fight_sessions": _q_fight_sessions,
+        "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
         # --- temporal/window tail (driver-green r5) ----------------------
+        "q_asof_nearest": ep.q_asof_nearest,
         "q_lag_rate": ep.q_lag_rate,
         "q_ffill": ep.q_ffill,
         "q_rolling_mean": ep.q_rolling_mean,
@@ -2477,6 +2492,9 @@ def oracle_sql() -> dict[str, str]:
         "q_tube_candidates": _tube_candidates_sql(),
         "q_tube_events": _tube_events_sql(),
         "q_fight_sessions": _fight_sessions_sql(),
+        # the chunked variant is bit-equal by construction and shares the
+        # global pipeline's oracle
+        "q_fight_sessions_chunked": _fight_sessions_sql(),
         "q_combine_ticks": _combine_ticks_sql(),
         "q_repetition_stats": f"""
             WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),

@@ -32,6 +32,7 @@ __all__ = [
     "interval_filter",
     "resample_ticks",
     "ffill",
+    "chunked_ffill",
     "bfill",
     "rolling_mean",
     "gap_fill_bounded",
@@ -523,6 +524,69 @@ def ffill(
     for c in _as_list(cols):
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def chunked_ffill(
+    df: DataFrame,
+    cols: str | Sequence[str],
+    order_col: str = "time",
+    chunk: float = 3600.0,
+) -> DataFrame:
+    """``ffill`` with the time axis pre-partitioned into fixed chunks — the
+    scale path for UNKEYED forward fill (the keyed form already distributes
+    on its partition keys). Same two-level scan as ``chunked_sessionize``:
+
+    1. rows get ``chunk_id = floor(axis / chunk)`` and forward-fill locally
+       per chunk (window partitioned by chunk — dense key, parallel sorts);
+    2. a per-chunk boundary summary (the LAST non-null value per column —
+       one ``max_by`` per column, map-side combinable, one row per chunk)
+       is scanned with one ordered window over the tiny table, carrying the
+       latest non-null value from STRICTLY EARLIER chunks into each chunk;
+    3. the carry broadcast-joins back on chunk id and fills whatever the
+       local pass left null (exactly the rows whose nearest non-null
+       predecessor lives in an earlier chunk).
+
+    Bit-equal to the global ``ffill`` for any chunk size."""
+    cols = _as_list(cols)
+    reserved = {"__chunk", "__axis"} | {f"__carry_{c}" for c in cols}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(f"column name(s) {sorted(clash)} are reserved")
+    ord_val, scale = _axis_scale(df, order_col)
+    chunk_size = int(round(chunk * scale)) if scale != 1 else chunk
+    if chunk_size <= 0:
+        raise ValueError(f"chunk must be positive, got {chunk!r}")
+
+    base = df.withColumn("__axis", ord_val).withColumn(
+        "__chunk", F.floor(F.col("__axis") / F.lit(chunk_size))
+    )
+    w = W.partitionBy("__chunk").orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
+    local = base
+    for c in cols:
+        local = local.withColumn(c, F.last(c, ignorenulls=True).over(w))
+
+    # per-chunk last non-null per column (null sort keys are ignored by
+    # max_by, so chunks that are all-null for a column summarize to null)
+    bounds = base.groupBy("__chunk").agg(
+        *[
+            F.max_by(F.col(c), F.when(F.col(c).isNotNull(), F.col("__axis"))).alias(c)
+            for c in cols
+        ]
+    )
+    wc = W.orderBy("__chunk")  # one row per chunk: tiny, single partition OK
+    carry = bounds.select(
+        "__chunk",
+        *[
+            F.last(c, ignorenulls=True)
+            .over(wc.rowsBetween(W.unboundedPreceding, -1))
+            .alias(f"__carry_{c}")
+            for c in cols
+        ],
+    )
+    out = local.join(F.broadcast(carry), "__chunk", "left")
+    for c in cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
+    return out.drop("__axis", "__chunk", *[f"__carry_{c}" for c in cols])
 
 
 def bfill(

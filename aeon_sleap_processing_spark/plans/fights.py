@@ -23,9 +23,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.kernels import greedy_identity_scan
-from ..operators.temporal import sessionize
+from ..operators.temporal import chunked_ffill
 from .pose_features import FrameGrid, build_frame_grid, mcol, pair_distance
-from .tube_test import _validate
+from .tube_test import FRAME_CHUNK, _resolve_frame_chunk, _sessionize_frames, _validate
 
 __all__ = [
     "FIGHT_PARAMS",
@@ -70,7 +70,12 @@ _EVENT_SCHEMA = T.StructType(
 )
 
 
-def blob_speed(blob: DataFrame, cm2px: float, min_expected_dt_ms: float = 10.0) -> DataFrame:
+def blob_speed(
+    blob: DataFrame,
+    cm2px: float,
+    min_expected_dt_ms: float = 10.0,
+    chunk: float | None = 3600.0,
+) -> DataFrame:
     """Blob centroid stream → (frame_id, speed) with the reference's exact
     numeric path (`social_behaviour_detection.py:579-601`):
 
@@ -78,31 +83,198 @@ def blob_speed(blob: DataFrame, cm2px: float, min_expected_dt_ms: float = 10.0) 
     previous ORIGINAL row is < 10 ms → recompute Δ over survivors →
     speed = |Δxy| / int-ms-Δt / cm2px * 1000, first row 0 →
     10-row centered zero-pad running mean.
+
+    Every stage is sequential over the time axis, so the naive plan is a
+    chain of single-partition windows over the whole stream.
+    ``chunk=None`` selects exactly that plan — 2 stages, the right shape
+    for an in-memory-sized period (the fight pipeline picks it when the
+    grid fits one FRAME_CHUNK). Otherwise the axis is pre-partitioned into
+    ``chunk``-second chunks (same scheme as ``chunked_sessionize``/
+    ``chunked_ffill``) and each sequential stage carries exactly the
+    boundary state it needs across chunks via a one-row-per-chunk summary
+    table:
+
+    - global row position  = per-chunk row_number + cumulative chunk counts;
+    - Δt filter            = per-chunk lag, seeded with the previous chunk's
+                             last surviving timestamp;
+    - speed lag            = per-chunk lag, seeded with the previous chunk's
+                             last surviving (time, x, y);
+    - ±(5,4) zero-pad mean = per-chunk running sum, corrected at the chunk
+                             edges with the previous chunks' last 5 and
+                             following chunks' first 4 speeds (carried as
+                             arrays on the summary table).
+
+    Bit-equal to the global form for any chunk size (ties in ``time`` can
+    reorder under either form; real streams are strictly increasing).
     """
-    w = W.orderBy("time")
-    # row position assigned BEFORE the NaN drop: the reference resets the index
-    # and then drops, so surviving rows keep their original positions (`:562-563`)
-    b = (
-        blob.withColumn("frame_id", F.row_number().over(w) - 1)
+    if chunk is None:
+        w = W.orderBy("time")
+        b = (
+            blob.withColumn("frame_id", F.row_number().over(w) - 1)
+            .dropna(subset=["x", "y"])
+            .withColumn(
+                "__dt_us", F.unix_micros("time") - F.unix_micros(F.lag("time").over(w))
+            )
+            .where(
+                F.col("__dt_us").isNull()
+                | (F.col("__dt_us") / 1000.0 >= min_expected_dt_ms)
+            )
+        )
+        dt_ms = F.floor(
+            (F.unix_micros("time") - F.unix_micros(F.lag("time").over(w))) / 1000
+        ).cast("long")
+        raw_speed = (
+            F.hypot(F.col("x") - F.lag("x").over(w), F.col("y") - F.lag("y").over(w))
+            / dt_ms
+            / cm2px
+            * 1000.0
+        )
+        b = b.withColumn("__speed", F.coalesce(raw_speed, F.lit(0.0)))
+        smooth = F.sum("__speed").over(W.orderBy("time").rowsBetween(-5, 4)) / 10.0
+        return b.select("frame_id", smooth.alias("speed"))
+
+    chunk_us = int(round(chunk * 1e6))
+    b0 = blob.withColumn("__chunk", F.floor(F.unix_micros("time") / F.lit(chunk_us)))
+
+    # global row position BEFORE the NaN drop: the reference resets the index
+    # and then drops, so surviving rows keep their original positions
+    # (`:562-563`). Distributed: per-chunk row_number + cumulative offsets.
+    wc = W.orderBy("__chunk")  # one row per chunk: tiny, single partition OK
+    counts = b0.groupBy("__chunk").agg(F.count(F.lit(1)).alias("__n"))
+    row_offs = counts.select(
+        "__chunk",
+        F.coalesce(
+            F.sum("__n").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("__row_off"),
+    )
+    wch = W.partitionBy("__chunk").orderBy("time")
+    b1 = (
+        b0.join(F.broadcast(row_offs), "__chunk")
+        .withColumn("frame_id", F.row_number().over(wch) - 1 + F.col("__row_off"))
         .dropna(subset=["x", "y"])
-        .withColumn("__dt_us", F.unix_micros("time") - F.unix_micros(F.lag("time").over(w)))
+    )
+
+    # Δt-from-previous-surviving-row filter: per-chunk lag seeded with the
+    # previous chunk's last surviving time
+    last_t = b1.groupBy("__chunk").agg(F.max("time").alias("__t"))
+    t_carry = last_t.select(
+        "__chunk",
+        F.last("__t").over(wc.rowsBetween(W.unboundedPreceding, -1)).alias("__prev_t"),
+    )
+    prev_t = F.coalesce(F.lag("time").over(wch), F.col("__prev_t"))
+    b2 = (
+        b1.join(F.broadcast(t_carry), "__chunk", "left")
+        .withColumn("__dt_us", F.unix_micros("time") - F.unix_micros(prev_t))
         .where(F.col("__dt_us").isNull() | (F.col("__dt_us") / 1000.0 >= min_expected_dt_ms))
     )
-    w2 = W.orderBy("time")
+    # Materialize the survivor stream ONCE and truncate lineage (same
+    # rationale as build_frame_grid): the speed/smoothing stages reference it
+    # from two subtrees each (per-chunk summary + join-back), and Spark does
+    # not dedupe common subplans — un-truncated, the row-numbering window and
+    # Δt filter replicate once per reference and the replicas compound
+    # through the remaining stages. Bounded: one slim row per blob sample.
+    b2 = b2.select(
+        "__chunk", "time", "x", "y", "frame_id"
+    ).localCheckpoint(eager=True)
+
+    # speed over survivors: per-chunk lag seeded with the previous chunk's
+    # last surviving (time, x, y)
+    last_row = b2.groupBy("__chunk").agg(
+        F.max_by(F.struct("time", "x", "y"), "time").alias("__last")
+    )
+    row_carry = last_row.select(
+        "__chunk",
+        F.last("__last").over(wc.rowsBetween(W.unboundedPreceding, -1)).alias("__prev"),
+    )
+    prev = F.coalesce(
+        F.lag(F.struct("time", "x", "y")).over(wch), F.col("__prev")
+    )
     dt_ms = F.floor(
-        (F.unix_micros("time") - F.unix_micros(F.lag("time").over(w2))) / 1000
+        (F.unix_micros("time") - F.unix_micros(prev.getField("time"))) / 1000
     ).cast("long")
     raw_speed = (
-        F.hypot(
-            F.col("x") - F.lag("x").over(w2), F.col("y") - F.lag("y").over(w2)
-        )
+        F.hypot(F.col("x") - prev.getField("x"), F.col("y") - prev.getField("y"))
         / dt_ms
         / cm2px
         * 1000.0
     )
-    b = b.withColumn("__speed", F.coalesce(raw_speed, F.lit(0.0)))
-    smooth = F.sum("__speed").over(W.orderBy("time").rowsBetween(-5, 4)) / 10.0
-    return b.select("frame_id", smooth.alias("speed"))
+    b3 = (
+        b2.join(F.broadcast(row_carry), "__chunk", "left")
+        .withColumn("__speed", F.coalesce(raw_speed, F.lit(0.0)))
+        .withColumn("__p", F.row_number().over(wch))
+    )
+
+    # ±(5, 4) zero-pad running mean: local running sum + boundary correction
+    # from the previous chunks' last 5 / following chunks' first 4 speeds
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("__p", "__speed"))),
+        lambda s: s.getField("__speed"),
+    )
+    edges = b3.groupBy("__chunk").agg(
+        ordered.alias("__arr"), F.count(F.lit(1)).alias("__n")
+    )
+    edges = edges.select(
+        "__chunk",
+        "__n",
+        F.when(
+            F.col("__n") > 5, F.slice("__arr", F.col("__n").cast("int") - 4, 5)
+        )
+        .otherwise(F.col("__arr"))
+        .alias("__tail5"),
+        F.slice("__arr", 1, 4).alias("__head4"),
+    )
+    spill = edges.select(
+        "__chunk",
+        "__n",
+        F.reverse(
+            F.slice(
+                F.reverse(
+                    F.flatten(
+                        F.coalesce(
+                            F.collect_list("__tail5").over(
+                                wc.rowsBetween(W.unboundedPreceding, -1)
+                            ),
+                            F.array(),
+                        )
+                    )
+                ),
+                1,
+                5,
+            )
+        ).alias("__prev5"),
+        F.slice(
+            F.flatten(
+                F.coalesce(
+                    F.collect_list("__head4").over(
+                        wc.rowsBetween(1, W.unboundedFollowing)
+                    ),
+                    F.array(),
+                )
+            ),
+            1,
+            4,
+        ).alias("__next4"),
+    )
+
+    def _arr_sum(arr):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+    local_sum = F.sum("__speed").over(wch.rowsBetween(-5, 4))
+    # the global window wants 5 rows before / 4 after this row; whatever the
+    # chunk-local window couldn't see comes from the carried edge arrays
+    k_b = F.greatest(F.lit(0), F.lit(6) - F.col("__p")).cast("int")
+    k_a = F.greatest(F.lit(0), F.col("__p") + F.lit(4) - F.col("__n")).cast("int")
+    sum_b = _arr_sum(
+        F.when(
+            k_b >= F.size("__prev5"), F.col("__prev5")
+        ).otherwise(F.slice("__prev5", F.size("__prev5") - k_b + 1, k_b))
+    )
+    sum_a = _arr_sum(F.slice("__next4", 1, k_a))
+    smooth = (local_sum + F.coalesce(sum_b, F.lit(0.0)) + F.coalesce(sum_a, F.lit(0.0))) / 10.0
+    return (
+        b3.join(F.broadcast(spill), "__chunk", "left")
+        .select("frame_id", smooth.alias("speed"))
+    )
 
 
 def detect_fights(
@@ -112,12 +284,14 @@ def detect_fights(
     parameters: dict | None = None,
     skeleton: dict | None = None,
     grid: FrameGrid | None = None,
+    frame_chunk: int | None = None,
 ) -> DataFrame:
     """pose (long, maintenance-filtered) + blob position stream → fight events
     (start_timestamp, end_timestamp, duration_seconds, fight_end_x/y).
 
     ``grid`` reuses a prebuilt frame grid — only valid when built with THIS
-    skeleton's part list (see ``detect_tube_tests``)."""
+    skeleton's part list (see ``detect_tube_tests``). ``frame_chunk`` forces
+    the chunked time-axis path (see tube_test.FRAME_CHUNK)."""
     p = _validate(parameters, FIGHT_PARAMS, "parameter")
     sk = _validate(skeleton, FIGHT_SKELETON, "skeleton")
     parts = [
@@ -127,11 +301,12 @@ def detect_fights(
 
     if grid is None:
         grid = build_frame_grid(pose, fps, parts)
+    fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
     cent = sk["centroid"]
-    fr = _fight_condition_frames(grid, blob, sk, parts, p)
+    fr = _fight_condition_frames(grid, blob, sk, parts, p, fc)
 
     # phase-1/phase-2 sessionization → event bounds
-    events = _fight_sessions(fr, p).select("session_id", "first_f", "last_f")
+    events = _fight_sessions(fr, p, fc).select("session_id", "first_f", "last_f")
 
     ev_frames = fr.select(
         "frame_id",
@@ -155,6 +330,7 @@ def fight_candidate_sessions(
     fps: float,
     parameters: dict | None = None,
     skeleton: dict | None = None,
+    frame_chunk: int | None = None,
 ) -> DataFrame:
     """The fully-relational prefix of ``detect_fights`` (reference
     `social_behaviour_detection.py:530-642`): frame grid → proximity /
@@ -172,22 +348,35 @@ def fight_candidate_sessions(
         sk["upper_spine"], sk["centroid"], sk["lower_spine"], sk["tail_base"],
     ]
     grid = build_frame_grid(pose, fps, parts)
-    fr = _fight_condition_frames(grid, blob, sk, parts, p)
-    return _fight_sessions(fr, p)
+    fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
+    fr = _fight_condition_frames(grid, blob, sk, parts, p, fc)
+    return _fight_sessions(fr, p, fc)
 
 
 def _fight_condition_frames(
-    grid: FrameGrid, blob: DataFrame, sk: dict, parts: list[str], p: dict
+    grid: FrameGrid,
+    blob: DataFrame,
+    sk: dict,
+    parts: list[str],
+    p: dict,
+    fc: int | None = None,
 ) -> DataFrame:
-    """Frame grid → cond1/cond2/cond3 + empty-frame flag columns."""
+    """Frame grid → cond1/cond2/cond3 + empty-frame flag columns. ``fc``
+    selects the time-axis strategy (None → global single-window forms,
+    else chunked with that many frames per chunk; see FRAME_CHUNK)."""
     fr = grid.frames
     cent = sk["centroid"]
 
     # centroid distance, forward-filled over the dense frame order (`:564-565`)
+    # — chunked over the frame axis so the fill never plans a whole-period
+    # single-partition window (operators/temporal.py chunked_ffill)
     cdist = pair_distance(fr, (0, cent), (1, cent))
-    fr = fr.withColumn("cdist", cdist)
-    wff = W.orderBy("frame_id").rowsBetween(W.unboundedPreceding, 0)
-    fr = fr.withColumn("cdist_ffill", F.last("cdist", ignorenulls=True).over(wff))
+    fr = fr.withColumn("cdist", cdist).withColumn("cdist_ffill", cdist)
+    if fc is None:
+        wff = W.orderBy("frame_id").rowsBetween(W.unboundedPreceding, 0)
+        fr = fr.withColumn("cdist_ffill", F.last("cdist_ffill", ignorenulls=True).over(wff))
+    else:
+        fr = chunked_ffill(fr, "cdist_ffill", order_col="frame_id", chunk=fc)
 
     # skeleton plausibility (`:570-577`): nose-head distance per mouse and the
     # nanmean of the last four internode (spine chain) distances
@@ -221,22 +410,39 @@ def _fight_condition_frames(
             for coord in ("x", "y"):
                 empty_frame = empty_frame & F.col(mcol(m, part, coord)).isNull()
 
-    # blob speed condition joined by row-position frame id (`:596-607`)
-    bs = blob_speed(blob, p["cm2px"])
-    return (
+    # blob speed condition joined by row-position frame id (`:596-607`);
+    # the blob stream covers the same period as the grid, so the frame chunk
+    # converts to seconds at the grid rate
+    bs = blob_speed(blob, p["cm2px"], chunk=None if fc is None else fc / grid.fps)
+    out = (
         fr.withColumn("cond1", cond1)
         .withColumn("cond2", cond2)
         .withColumn("is_empty", empty_frame)
         .join(bs, "frame_id", "left")
         .withColumn("cond3", F.coalesce(F.col("speed") > p["min_blob_speed"], F.lit(False)))
     )
+    # On the chunked path, materialize the condition frames ONCE
+    # (build_frame_grid rationale): phase-1 candidates, phase-2 empty-frame
+    # regroup, and the event join-back all reference this subtree, and each
+    # chunked operator above references its own input twice (rows + boundary
+    # summary) — without truncation the kinematic/ffill/blob plans
+    # re-execute once per reference and the replicas compound (measured 2x
+    # end-to-end on the fixture). Bounded: num_frames rows, ~40 cols.
+    # On the global path the subtree above the (already-checkpointed) grid
+    # is cheap codegen + one window, and the checkpoint's materialization
+    # job costs more than the recompute it saves (measured 3.7 s vs 2.4 s
+    # on the fixture) — stay lazy.
+    return out.localCheckpoint(eager=True) if fc is not None else out
 
 
-def _fight_sessions(fr: DataFrame, p: dict) -> DataFrame:
-    """Two-phase sessionization over condition frames (`:618-642`)."""
+def _fight_sessions(fr: DataFrame, p: dict, fc: int | None = None) -> DataFrame:
+    """Two-phase sessionization over condition frames (`:618-642`), both
+    phases chunked over the frame axis (operators/temporal.py
+    chunked_sessionize, bit-equal to the global scan) so neither pass plans
+    a whole-period single-partition window."""
     # phase-1 sessionization: strict candidates, gap 200, keep > min frames
     cand = fr.where(F.col("cond1") & F.col("cond2") & F.col("cond3")).select("frame_id")
-    s1 = sessionize(cand, "frame_id", gap=p["max_frame_gap"], min_size=p["min_num_frames"])
+    s1 = _sessionize_frames(cand, p["max_frame_gap"], p["min_num_frames"], fc)
     kept = s1.select("frame_id", F.lit(True).alias("is_orig"))
 
     # phase-2: union empty frames near contact, regroup with gap 100, keep
@@ -247,7 +453,7 @@ def _fight_sessions(fr: DataFrame, p: dict) -> DataFrame:
         .join(kept.select("frame_id"), "frame_id", "left_anti")
     )
     u = kept.unionByName(empty_cand)
-    s2 = sessionize(u, "frame_id", gap=p["max_frame_gap_w_empty_frames"])
+    s2 = _sessionize_frames(u, p["max_frame_gap_w_empty_frames"], None, fc)
     return (
         s2.groupBy("session_id")
         .agg(

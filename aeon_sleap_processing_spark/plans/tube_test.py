@@ -25,15 +25,37 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.kernels import greedy_identity_scan
-from ..operators.temporal import sessionize
+from ..operators.temporal import chunked_sessionize, sessionize
 from .pose_features import FrameGrid, build_frame_grid, mcol, tube_test_features
 
 __all__ = [
+    "FRAME_CHUNK",
     "TUBE_TEST_PARAMS",
     "TUBE_TEST_SKELETON",
     "detect_tube_tests",
     "tube_test_candidate_sessions",
 ]
+
+# frame-axis chunk for the unkeyed time-axis operators in the detection
+# pipelines: 1 h at 50 fps. Sessions/fills merge bit-equal across chunk
+# borders (chunked_sessionize/chunked_ffill), so this only sets the unit of
+# parallelism — a 24 h period plans ~24 parallel window sorts instead of one
+# whole-period single-partition sort. Path selection is adaptive: when the
+# grid fits a single chunk (num_frames <= FRAME_CHUNK, known driver-side
+# before the plan is built) the pipelines keep the plain single-window
+# forms, whose 1-2 stages beat the chunked machinery's ~6 small stages on
+# in-memory-sized periods; above it they switch to the chunked forms.
+# ``frame_chunk`` on the pipeline entry points forces a size (tests and the
+# *_chunked driver queries use this to exercise the scale path on fixtures).
+FRAME_CHUNK = 180_000
+
+
+def _resolve_frame_chunk(frame_chunk: int | None, num_frames: int) -> int | None:
+    """None → auto (chunked iff the grid exceeds one chunk); an explicit
+    size forces the chunked path with that chunk."""
+    if frame_chunk is not None:
+        return int(frame_chunk)
+    return FRAME_CHUNK if num_frames > FRAME_CHUNK else None
 
 TUBE_TEST_PARAMS = {
     "angle_tolerance": 45,
@@ -73,6 +95,16 @@ def _validate(params: dict | None, defaults: dict, what: str) -> dict:
     return params
 
 
+def _sessionize_frames(
+    cand: DataFrame, gap: int, min_size: int | None, fc: int | None
+) -> DataFrame:
+    """Adaptive sessionization over the frame axis: global single-window
+    when the period fits one chunk (fc None), chunked above it."""
+    if fc is None:
+        return sessionize(cand, "frame_id", gap=gap, min_size=min_size)
+    return chunked_sessionize(cand, "frame_id", gap=gap, chunk=fc, min_size=min_size)
+
+
 def detect_tube_tests(
     pose: DataFrame,
     fps: float,
@@ -80,6 +112,7 @@ def detect_tube_tests(
     parameters: dict | None = None,
     skeleton: dict | None = None,
     grid: FrameGrid | None = None,
+    frame_chunk: int | None = None,
 ) -> DataFrame:
     """pose (long, maintenance-filtered) → tube-test events
     (start_timestamp, end_timestamp, winner_identity).
@@ -88,20 +121,22 @@ def detect_tube_tests(
     prebuilt frame grid (the dominant per-pipeline cost) — only valid when it
     was built with THIS skeleton's part list: frame_ts and the frame count
     are derived from part-filtered rows, so a different part set changes
-    reference semantics."""
+    reference semantics. ``frame_chunk`` forces the chunked time-axis path
+    (see FRAME_CHUNK)."""
     p = _validate(parameters, TUBE_TEST_PARAMS, "parameter")
     sk = _validate(skeleton, TUBE_TEST_SKELETON, "skeleton")
     parts = [sk["nose"], sk["head"], sk["centroid"], sk["tail_base"]]
 
     if grid is None:
         grid = build_frame_grid(pose, fps, parts)
+    fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
     frames = tube_test_features(grid, sk, metadata, p)
 
     # sessionize candidate frames: gap > max_frame_gap splits, keep sessions
     # with MORE than min frames (strict >, reference `:271-273`)
     cand = frames.where("is_candidate").select("frame_id")
-    sessions = sessionize(
-        cand, "frame_id", gap=p["max_frame_gap"], min_size=p["min_tube_test_start_frames"]
+    sessions = _sessionize_frames(
+        cand, p["max_frame_gap"], p["min_tube_test_start_frames"], fc
     )
     events = sessions.groupBy("session_id").agg(
         F.min("frame_id").alias("first_f"), F.max("frame_id").alias("last_f")
@@ -141,6 +176,7 @@ def tube_test_candidate_sessions(
     metadata: dict,
     parameters: dict | None = None,
     skeleton: dict | None = None,
+    frame_chunk: int | None = None,
 ) -> DataFrame:
     """The fully-relational prefix of ``detect_tube_tests`` (reference
     `social_behaviour_detection.py:211-273`): frame grid → kinematics →
@@ -154,10 +190,11 @@ def tube_test_candidate_sessions(
     sk = _validate(skeleton, TUBE_TEST_SKELETON, "skeleton")
     parts = [sk["nose"], sk["head"], sk["centroid"], sk["tail_base"]]
     grid = build_frame_grid(pose, fps, parts)
+    fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
     frames = tube_test_features(grid, sk, metadata, p)
     cand = frames.where("is_candidate").select("frame_id")
-    sessions = sessionize(
-        cand, "frame_id", gap=p["max_frame_gap"], min_size=p["min_tube_test_start_frames"]
+    sessions = _sessionize_frames(
+        cand, p["max_frame_gap"], p["min_tube_test_start_frames"], fc
     )
     return sessions.groupBy("session_id").agg(
         F.min("frame_id").alias("first_f"),

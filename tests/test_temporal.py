@@ -350,3 +350,46 @@ class TestChunkedSessionize:
         got = Tm.chunked_sessionize(df, "x", gap=25.0, chunk=500.0).orderBy("v").toPandas()
         exp = Tm.sessionize(df, "x", gap=25.0).orderBy("v").toPandas()
         pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+
+class TestChunkedFfill:
+    """chunked_ffill must match the global ffill exactly: fills crossing one
+    or many (possibly all-null) chunks, several columns with different null
+    patterns, leading nulls, numeric and timestamp axes."""
+
+    def _df(self, rng, n=500):
+        a = rng.uniform(0, 1, n)
+        b = rng.uniform(0, 1, n)
+        # a: scattered nulls; b: long null runs spanning whole chunks,
+        # plus leading nulls on both
+        a[rng.uniform(0, 1, n) < 0.4] = np.nan
+        b[50:320] = np.nan
+        a[:3] = np.nan
+        b[:3] = np.nan
+        return pd.DataFrame(
+            {"time": [_ts(x) for x in np.sort(rng.uniform(0, 1000, n))], "a": a, "b": b,
+             "v": np.arange(n)}
+        )
+
+    @pytest.mark.parametrize("chunk", [37.0, 100.0, 10000.0])
+    def test_equivalent_to_global(self, spark, rng, chunk):
+        pdf = self._df(rng)
+        df = spark.createDataFrame(pdf)
+        got = (
+            Tm.chunked_ffill(df, ["a", "b"], order_col="time", chunk=chunk)
+            .orderBy("v")
+            .toPandas()
+        )
+        exp = Tm.ffill(df, ["a", "b"], order_col="time").orderBy("v").toPandas()
+        assert list(got.columns) == list(exp.columns)
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+    def test_numeric_axis(self, spark, rng):
+        n = 300
+        vals = rng.uniform(0, 1, n)
+        vals[rng.uniform(0, 1, n) < 0.6] = np.nan
+        pdf = pd.DataFrame({"x": np.sort(rng.uniform(0, 3000, n)), "a": vals, "v": np.arange(n)})
+        df = spark.createDataFrame(pdf)
+        got = Tm.chunked_ffill(df, "a", order_col="x", chunk=250.0).orderBy("v").toPandas()
+        exp = Tm.ffill(df, "a", order_col="x").orderBy("v").toPandas()
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))

@@ -17,16 +17,22 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-# By-design exceptions (reported as ok*, not WARN), each justified where
-# implemented:
-# - q_minhash_est_vs_exact: sort-merge joins on doc_id attach the signature
-#   table to candidate pairs; signatures are corpus-sized (one row per doc)
-#   and NOT broadcastable at scale, so SMJ is the correct plan.
-# - q_fight_sessions: the detection pipelines run frame-order windows
-#   unkeyed by design — one chunk/period per run, fanned out by
-#   plans/orchestration.py at fleet scale (the reference's SLURM-array
-#   geometry); within a chunk the frame grid fits one executor.
-EXPECTED_FLAGS = {"q_minhash_est_vs_exact", "q_fight_sessions"}
+# By-design exceptions, keyed on (query, flag-kind) so only the justified
+# flag TYPE is downgraded to ok* — an unrelated regression (e.g. a pruning
+# break) on the same query still WARNs. Each justified where implemented:
+# - q_fight_sessions / q_tube_events: below the FRAME_CHUNK threshold the
+#   detection pipelines adaptively pick the global single-window forms
+#   (plans/tube_test.py FRAME_CHUNK) — the right plan for an
+#   in-memory-sized period; the chunked twin q_fight_sessions_chunked runs
+#   the scale path against the identical oracle.
+# - q_fight_sessions_chunked: the forced scale path joins the blob-speed
+#   stream and the anti-join of phase-2 against phase-1 survivors — both
+#   stream-sized equi-joins on the dense frame axis, NOT broadcastable at
+#   scale, so SMJ is the intended plan; the shuffles are per-chunk bounded.
+EXPECTED_FLAGS = {
+    ("q_fight_sessions", "multiple single-partition exchanges"),
+    ("q_fight_sessions_chunked", "many-shuffle SMJ"),
+}
 
 
 def main() -> int:
@@ -42,13 +48,29 @@ def main() -> int:
     for name in names:
         df = qs[name](spark, sf)
         plan = df._jdf.queryExecution().executedPlan().toString()
+        # Split whole-stream single-partition exchanges (a scale problem)
+        # from chunk-summary ones: the chunked time-axis operators
+        # (operators/temporal.py chunked_*) scan a one-row-per-chunk
+        # boundary table with an ordered window, and that exchange's child
+        # is structurally a __chunk-keyed aggregate — bounded by chunk
+        # count, not data size.
+        lines = plan.splitlines()
+        sp_total = sp_chunk = 0
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            sp_total += 1
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            if "keys=[__chunk" in child:
+                sp_chunk += 1
         facts = {
             "bhj": plan.count("BroadcastHashJoin"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "smj": plan.count("SortMergeJoin"),
             "shuffles": plan.count("Exchange hashpartitioning")
             + plan.count("Exchange rangepartitioning"),
-            "single_part": plan.count("Exchange SinglePartition"),
+            "single_part": sp_total - sp_chunk,
+            "sp_chunk": sp_chunk,
         }
         # stop at end-of-line: Spark truncates long plan strings, so a
         # greedy [^>]* can spill across scans and overcount columns
@@ -61,10 +83,11 @@ def main() -> int:
             flags.append("multiple single-partition exchanges")
         if any(w > 12 for w in widths):
             flags.append(f"wide scan ({max(widths)} cols) — check column pruning")
+        unexpected = [f for f in flags if (name, f) not in EXPECTED_FLAGS]
         status = "WARN" if flags else "ok"
-        if flags and name in EXPECTED_FLAGS:
+        if flags and not unexpected:
             status = "ok*"  # by-design, justified at the implementation site
-        elif flags:
+        elif unexpected:
             problems += 1
         print(f"{status:4} {name}: {facts} scan_widths={widths} {';'.join(flags)}")
     print(f"\n{problems} queries flagged")
