@@ -560,14 +560,16 @@ def minhash_est_vs_exact(
     before trusting a threshold at scale.
 
     One row per candidate pair: (id_a, id_b, est_jaccard, exact_jaccard).
-    The exact side reuses the inverted-index intersection keyed on xxhash64
-    shingles, semi-joined down to candidate docs only — never all-pairs."""
-    # signatures feed three consumers (band explode, est side a, est side b) —
-    # materialize once instead of re-shingling the corpus per consumer. The
-    # signature table is tiny (one row per doc, num_perm ints).
-    sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k).localCheckpoint(
-        eager=True
-    )
+
+    Plan shape (no doc-id re-joins, no sort-merge): the estimate is
+    computed IN the band-bucket join — each membership row carries its full
+    signature as an array, so the matching-permutation fraction is a
+    ``zip_with`` at pair-formation time. The exact side is the
+    inverted-index self-join keyed on xxhash64 shingles (the
+    ``jaccard_top_pairs`` shape, text.py:289), restricted to candidate
+    docs, then inner-joined to the candidate pairs; every join is a
+    hash-distributed equi-join on a dense key — never all-pairs."""
+    sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k)
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -583,31 +585,39 @@ def minhash_est_vs_exact(
             for b in range(n_bands)
         ]
     )
-    memb = sigs.select(F.col(id_col), F.explode(bands).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
-    )
+    sig_arr = F.array(*[F.col(f"mh{j}") for j in range(num_perm)])
+    memb = sigs.select(
+        F.col(id_col), sig_arr.alias("sig"), F.explode(bands).alias("bb")
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a, b = memb.alias("a"), memb.alias("b")
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-        # candidate pairs fan out to four joins (est, cand-doc semi, inter, exact)
-        .localCheckpoint(eager=True)
-    )
-    sa, sb = sigs.alias("sa"), sigs.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh{j}") == F.col(f"sb.mh{j}"), 1).otherwise(0)
-        for j in range(num_perm)
-    )
-    est = (
-        pairs.join(sa, F.col("id_a") == F.col(f"sa.{id_col}"))
-        .join(sb, F.col("id_b") == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", (matches / F.lit(float(num_perm))).alias("est_jaccard"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        # dedup multi-band collisions; signatures are functionally
+        # determined by the ids, so first() is deterministic
+        .groupBy("id_a", "id_b")
+        .agg((F.first(matches) / F.lit(float(num_perm))).alias("est_jaccard"))
+        # candidate pairs feed the cand-doc semi-join, the exact join, and
+        # the output — checkpoint so the band join runs once (bounded:
+        # LSH-collided pairs only). Lazy: the first action materializes it;
+        # an eager checkpoint would serialize an extra blocking job
+        # (measured +0.8 s on the audit query at sf0.1)
+        .localCheckpoint(eager=False)
     )
     # exact side: distinct hashed shingles, only for docs appearing in pairs
     cand_docs = (
@@ -619,35 +629,35 @@ def minhash_est_vs_exact(
         shingle_rows(docs.join(cand_docs, id_col, "left_semi"), text_col, id_col, shingle_k)
         .select(F.col(id_col).alias("doc"), F.xxhash64("__sg").alias("sh"))
         .distinct()
-        # candidate shingle sets feed sizes + both intersection legs
-        .localCheckpoint(eager=True)
+        # candidate shingle sets feed sizes + both legs of the self-join
+        .localCheckpoint(eager=False)
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
     xa, xb = sh.alias("xa"), sh.alias("xb")
-    inter = (
-        pairs.join(xa, F.col("id_a") == F.col("xa.doc"))
-        .join(xb, (F.col("id_b") == F.col("xb.doc")) & (F.col("xa.sh") == F.col("xb.sh")))
-        .groupBy("id_a", "id_b")
+    co = (
+        xa.join(
+            xb.hint("shuffle_hash"),
+            (F.col("xa.sh") == F.col("xb.sh")) & (F.col("xa.doc") < F.col("xb.doc")),
+        )
+        .groupBy(F.col("xa.doc").alias("id_a"), F.col("xb.doc").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     na = sizes.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b"))
-    exact = (
-        pairs.join(inter, ["id_a", "id_b"], "left")
-        .join(na, "id_a")
-        .join(nb, "id_b")
+    return (
+        pairs.join(co.hint("shuffle_hash"), ["id_a", "id_b"], "left")
+        .join(na.hint("shuffle_hash"), "id_a")
+        .join(nb.hint("shuffle_hash"), "id_b")
         .select(
             "id_a",
             "id_b",
+            F.round("est_jaccard", 6).alias("est_jaccard"),
             F.round(
                 F.coalesce(F.col("n_inter"), F.lit(0)).cast("double")
                 / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
                 6,
             ).alias("exact_jaccard"),
         )
-    )
-    return est.join(exact, ["id_a", "id_b"]).select(
-        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"), "exact_jaccard"
     )
 
 
