@@ -481,14 +481,23 @@ def resample_ticks(
     """
     spark = spark_df.sparkSession
     if isinstance(start, str) and isinstance(end, str):
-        import pandas as pd
-
-        # interpret string endpoints in the SESSION timezone, exactly like the
-        # column path's cast("timestamp") — a bare pd.Timestamp.value would
-        # assume UTC and the two branches would disagree under non-UTC sessions
-        tz = spark.conf.get("spark.sql.session.timeZone")
-        s_us = pd.Timestamp(start).tz_localize(tz).value // 1000
-        e_us = pd.Timestamp(end).tz_localize(tz).value // 1000
+        # resolve the string endpoints with Spark's OWN cast in a one-row
+        # job — bit-exact parity with the column path by construction,
+        # including session-timezone, offset-bearing strings, and DST
+        # ambiguous/nonexistent local times (a driver-side pd.Timestamp
+        # .tz_localize disagreed on all three)
+        row = spark.range(1).select(
+            F.unix_micros(F.lit(start).cast("timestamp")).alias("s"),
+            F.unix_micros(F.lit(end).cast("timestamp")).alias("e"),
+        ).first()
+        # under ANSI the cast above throws on malformed strings (same as the
+        # column path); with ANSI off it yields null — catch that here
+        s_us, e_us = row["s"], row["e"]
+        if s_us is None or e_us is None:
+            raise ValueError(
+                f"resample_ticks: unparseable timestamp string "
+                f"(start={start!r}, end={end!r})"
+            )
         if e_us < s_us:
             raise ValueError(f"resample_ticks: end {end!r} precedes start {start!r}")
         n = (e_us - s_us) // interval_micros + 1

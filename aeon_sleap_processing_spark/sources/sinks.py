@@ -80,7 +80,8 @@ def export_event_videos(
     padded window matches no frames still emit (name, 0) via the final left
     join against the event list.
 
-    Returns [(clip_name, n_frames)] ordered by event start.
+    Returns [(clip_name, n_frames)] ordered by event start; events sharing
+    a start order by their (start, end) rank in the input event table.
     """
     if encode:
         raise NotImplementedError(
@@ -113,8 +114,11 @@ def export_event_videos(
     rows = (
         ev.select("__eid", "__start")
         .join(counts, "__eid", "left")
-        .select("__start", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
-        .orderBy("__start", "__n")
+        .select("__eid", "__start", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
+        # ties on start_timestamp break by __eid (the input-derived event
+        # number), NOT by frame count — manifests keep the caller's event
+        # ordering even for events sharing a start
+        .orderBy("__start", "__eid")
         .collect()
     )
     return [

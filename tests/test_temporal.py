@@ -264,6 +264,30 @@ class TestMisc:
         deltas = ticks.diff().dropna().dt.total_seconds().unique()
         np.testing.assert_allclose(deltas, [0.02])
 
+    def test_resample_ticks_string_path_matches_column_path(self, spark):
+        """The string fast path must resolve endpoints exactly like the
+        column path's cast('timestamp') — including offset-bearing strings,
+        which a naive driver-side tz_localize rejects."""
+        base = spark.range(1)
+        for s, e in [
+            ("2024-01-01 00:00:00", "2024-01-01 00:00:01"),
+            ("2024-01-01 00:00:00+05:30", "2024-01-01 00:00:01+05:30"),
+        ]:
+            fast = Tm.resample_ticks(base, s, e, 250_000).toPandas()["tick"]
+            slow = Tm.resample_ticks(
+                base, F.lit(s).cast("timestamp"), F.lit(e).cast("timestamp"), 250_000
+            ).toPandas()["tick"]
+            assert fast.tolist() == slow.tolist()
+
+    def test_resample_ticks_unparseable_raises(self, spark):
+        # under ANSI (Spark 4 default) the cast itself throws — the same
+        # error the column path produces; with ANSI off the null-check
+        # raises ValueError. Either way: a clear error, not a bad grid.
+        from pyspark.errors.exceptions.captured import DateTimeException
+
+        with pytest.raises((ValueError, DateTimeException)):
+            Tm.resample_ticks(spark.range(1), "not-a-time", "2024-01-01", 1_000_000)
+
 
 class TestAsofNullValues:
     def test_null_value_in_nearest_row_not_skipped(self, spark):
