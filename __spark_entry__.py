@@ -977,8 +977,11 @@ def _tube_events_sql() -> str:
         FROM sess GROUP BY session_id
       ),
       ev AS (SELECT eid, first_f, last_f FROM agg WHERE n_frames > 15),
-      -- event frames [first, last + window), window = ceil(fps * 1 s) = 50
-      trim AS (
+      -- event frames [first, last + window), window = ceil(fps * 1 s) = 50.
+      -- MATERIALIZED: the recursive scan below joins trim once per frame
+      -- index — inlined, DuckDB re-evaluates the whole pose->pivot->feature
+      -- prefix every iteration (measured 44 s vs 0.5 s on the fixture)
+      trim AS MATERIALIZED (
         SELECT e.eid, f.frame_id - e.first_f AS idx, e.first_f, e.last_f, f.*,
                f.frame_id >= e.last_f AND COALESCE({isclose}, FALSE)
                  AND COALESCE(cdist > 30, FALSE) AND COALESCE(cdist < 60, FALSE) AS end_ok

@@ -51,10 +51,11 @@ FRAME_CHUNK = 180_000
 
 
 def _resolve_frame_chunk(frame_chunk: int | None, num_frames: int) -> int | None:
-    """None → auto (chunked iff the grid exceeds one chunk); an explicit
-    size forces the chunked path with that chunk."""
+    """None → auto (chunked iff the grid exceeds one chunk); a positive
+    size forces the chunked path with that chunk; 0 forces the global
+    single-window path regardless of size (benchmarking/debug)."""
     if frame_chunk is not None:
-        return int(frame_chunk)
+        return int(frame_chunk) or None
     return FRAME_CHUNK if num_frames > FRAME_CHUNK else None
 
 TUBE_TEST_PARAMS = {

@@ -92,7 +92,99 @@ def main() -> None:
     results["sessionize_chunked_s"] = cs_s
     results["sessionize_speedup"] = round(gs_s / cs_s, 2)
 
+    results.update(bench_fight_prefix(spark, n_frames=int(os.environ.get(
+        "BENCH_FIGHT_FRAMES", 2_000_000))))
+
     print(json.dumps(results))
+
+
+def bench_fight_prefix(spark, n_frames: int) -> dict:
+    """Fight-detection relational prefix (grid pivot → conditions → two-phase
+    sessionization) at a multi-chunk period size, global vs chunked path.
+
+    Synthetic pose/blob streams from pure spark.range arithmetic — no files,
+    ~16 pose rows per frame (2 mice x 8 parts). Planted geometry: 300-frame
+    contact-plus-fast-motion bursts every 10k frames (cdist < 20, implausible
+    nose-head spread, blob speed > threshold) with a 20-frame all-null
+    tail after each burst exercising the empty-frame regroup; elsewhere the
+    mice are far apart and the blob is slow. Expected sessions: one merged
+    burst+empty group per 10k frames."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from aeon_sleap_processing_spark.plans.fights import fight_candidate_sessions
+
+    t0_us = 1_700_000_000_000_000
+    frames = spark.range(n_frames).select(F.col("id").alias("f"))
+    in_burst = (F.col("f") % 10_000) < 300
+    in_hole = ((F.col("f") % 10_000) >= 300) & ((F.col("f") % 10_000) < 320)
+    parts = ["nose", "head", "right_ear", "left_ear", "spine1", "spine2", "spine3", "spine4"]
+
+    def mouse(m: int):
+        # burst: mice 5 px apart with a 10 px nose-head spread (implausible
+        # skeleton -> cond2). quiet: 500 px apart, compact skeleton.
+        base_x = F.when(in_burst, 500.0 + m * 5.0).otherwise(200.0 + m * 500.0)
+        cols = []
+        for i, p in enumerate(parts):
+            off = 10.0 if p == "nose" else float(i)
+            cols.append(
+                F.struct(
+                    F.lit("AB"[m]).alias("identity"),
+                    F.lit(p).alias("part"),
+                    (base_x + off).alias("x"),
+                    F.lit(540.0).alias("y"),
+                )
+            )
+        return cols
+
+    pose = (
+        frames.where(~in_hole)
+        .select(
+            F.timestamp_micros(F.lit(t0_us) + F.col("f") * 20_000).alias("time"),
+            F.explode(F.array(*mouse(0), *mouse(1))).alias("s"),
+        )
+        .select("time", "s.identity", "s.part", "s.x", "s.y")
+    )
+    # blob: one row per frame; moves 2 px/frame during bursts (~18.5 cm/s),
+    # 0.1 px/frame otherwise (~0.9 cm/s < 3 threshold)
+    blob = frames.select(
+        F.timestamp_micros(F.lit(t0_us) + F.col("f") * 20_000).alias("time"),
+        (
+            F.when(in_burst, (F.col("f") % 10_000) * 2.0).otherwise(
+                F.col("f") % 97 * 0.1
+            )
+        ).alias("x"),
+        F.lit(300.0).alias("y"),
+    )
+
+    def run(frame_chunk):
+        t0 = _t.perf_counter()
+        row = (
+            fight_candidate_sessions(pose, blob, 50.0, frame_chunk=frame_chunk)
+            .select(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("first_f") + F.col("last_f") + F.col("n_frames"))
+                .cast("long")
+                .alias("chk"),
+            )
+            .collect()[0]
+        )
+        return round(_t.perf_counter() - t0, 2), (row["n"], row["chk"])
+
+    g_s, g_chk = run(0)  # force the global single-window path
+    c_s, c_chk = run(FRAME_CHUNK_BENCH)
+    assert g_chk == c_chk, f"fight prefix checksum mismatch: {g_chk} vs {c_chk}"
+    return {
+        "fight_frames": n_frames,
+        "fight_sessions": g_chk[0],
+        "fight_global_s": g_s,
+        "fight_chunked_s": c_s,
+        "fight_speedup": round(g_s / c_s, 2),
+    }
+
+
+FRAME_CHUNK_BENCH = 180_000  # = plans.tube_test.FRAME_CHUNK (the auto size)
 
 
 if __name__ == "__main__":
