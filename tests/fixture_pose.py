@@ -7,6 +7,11 @@ Scripted scenes on a 50 fps grid inside a synthetic arena:
   but fails the relative-spine condition (never a candidate).
 - Scene C (frames 1000-1021): flip-veto decoy — a long candidate run with two
   skeleton-flipped frames inside, which must veto the event.
+- Scene D (frames 2000-2069): Scene A's geometry with a 5-frame identity-label
+  glitch inside the standoff (the tracker swaps which mouse is which) — the
+  greedy identity scan must detect and undo the swap, the keep-majority vote
+  must NOT trigger the global flip, and the event must come out identical to
+  Scene A's (winner = mouse 0).
 """
 
 from __future__ import annotations
@@ -93,6 +98,21 @@ def tube_test_pose() -> pd.DataFrame:
         else:
             _mouse_rows(rows, f, IDS[0], 540.0, _m0_facing_right(370.0))
             _mouse_rows(rows, f, IDS[1], 540.0, _m1_facing_left(390.0))
+
+    # --- Scene D: Scene A + identity-swap glitch -------------------------
+    # frames 2010-2014 carry each mouse's pose under the OTHER identity
+    # label; everything else replays Scene A 2000 frames later
+    for f in range(2000, 2020):
+        m0_pose, m1_pose = _m0_facing_right(370.0), _m1_facing_left(390.0)
+        if 2010 <= f <= 2014:
+            _mouse_rows(rows, f, IDS[0], 540.0, m1_pose)
+            _mouse_rows(rows, f, IDS[1], 540.0, m0_pose)
+        else:
+            _mouse_rows(rows, f, IDS[0], 540.0, m0_pose)
+            _mouse_rows(rows, f, IDS[1], 540.0, m1_pose)
+    for i, f in enumerate(range(2020, 2070), start=1):
+        _mouse_rows(rows, f, IDS[0], 540.0, _m0_facing_right(370.0))
+        _mouse_rows(rows, f, IDS[1], 540.0, _m1_facing_right(390.0 + 3.0 * i))
 
     return pd.DataFrame(rows)
 

@@ -42,8 +42,8 @@ class TestReferenceApi:
             "2024-01-01 00:05:00",
             spark=spark,
         ).toPandas()
-        assert len(events) == 1
-        assert events.winner_identity.iloc[0] == IDS[0]
+        assert len(events) == 2  # scenes A and D
+        assert set(events.winner_identity) == {IDS[0]}
 
     def test_fps_resolved_from_metadata_chain(self, spark, store):
         from aeon_sleap_processing_spark.sources.sinks import load_metadata
@@ -62,7 +62,7 @@ class TestReferenceApi:
                 video_config={"gen_vids": True},
                 spark=spark,
             ).toPandas()
-        assert len(events) == 1
+        assert len(events) == 2
 
     def test_bad_parameter_still_rejected(self, spark, store):
         with pytest.raises(ValueError, match="Invalid parameter key"):

@@ -55,8 +55,14 @@ class TestSwappedLabelsPipeline:
         swapped.loc[in_swap & (pdf.identity == IDS[1]), "identity"] = IDS[0]
         swapped.loc[swapped.identity == "__tmp__", "identity"] = IDS[1]
 
-        events = detect_tube_tests(spark.createDataFrame(swapped), FPS, METADATA).toPandas()
-        assert len(events) == 1
+        events = (
+            detect_tube_tests(spark.createDataFrame(swapped), FPS, METADATA)
+            .toPandas()
+            .sort_values("start_timestamp")
+            .reset_index(drop=True)
+        )
+        # Scene A (label-swapped here) + Scene D (untouched by this swap)
+        assert len(events) == 2
         ev = events.iloc[0]
         # same event boundaries as the clean fixture
         assert ev.start_timestamp == T0
@@ -65,3 +71,5 @@ class TestSwappedLabelsPipeline:
         # flips the early frames: the true winner (static mouse) is labeled
         # IDS[1] in the majority labeling
         assert ev.winner_identity == IDS[1]
+        # Scene D sits outside this test's label swap — unchanged outcome
+        assert events.iloc[1].winner_identity == IDS[0]

@@ -14,12 +14,25 @@ def pose_df(spark):
 
 class TestTubeTestPipeline:
     def test_detects_planted_event_and_rejects_decoys(self, spark, pose_df):
-        events = detect_tube_tests(pose_df, FPS, METADATA).toPandas()
-        assert len(events) == 1, f"expected exactly the planted event, got\n{events}"
+        events = (
+            detect_tube_tests(pose_df, FPS, METADATA)
+            .toPandas()
+            .sort_values("start_timestamp")
+            .reset_index(drop=True)
+        )
+        # Scenes A and D detect; B and C are rejected
+        assert len(events) == 2, f"expected the two planted events, got\n{events}"
         ev = events.iloc[0]
         assert ev.start_timestamp == T0
         assert ev.end_timestamp == T0 + pd.Timedelta(milliseconds=400)  # frame 20
         assert ev.winner_identity == IDS[0]
+        # Scene D: identical outcome 2000 frames later — the 5-frame
+        # identity-label glitch is undone by the greedy scan (keep-majority,
+        # no global flip)
+        ev2 = events.iloc[1]
+        assert ev2.start_timestamp == T0 + pd.Timedelta(seconds=40)
+        assert ev2.end_timestamp == T0 + pd.Timedelta(seconds=40, milliseconds=400)
+        assert ev2.winner_identity == IDS[0]
 
     def test_bad_parameter_key_raises(self, spark, pose_df):
         with pytest.raises(ValueError, match="Invalid parameter key"):
