@@ -452,16 +452,22 @@ def _knn_ivf_sql() -> str:
     """
 
 
+# near-dup bucketing uses the FIRST 6 of the seeded planes: one 64-bucket
+# table keeps in-bucket collisions frequent enough for a non-trivial pair
+# set (the full 24-plane code would make single-bucket collisions ~2^-24)
+_NEARDUP_PLANES = 6
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs; threshold 0.25 sits at ~p95 of the
     synthetic vectors' in-bucket cosine distribution (random 64-dim vectors
     are near-orthogonal), giving a non-trivial deterministic pair set."""
     emb = load_table(spark, "embeddings", sf_dir)
-    return sim.embedding_near_dups(emb, _lsh_planes(), threshold=0.25)
+    return sim.embedding_near_dups(emb, _lsh_planes()[:_NEARDUP_PLANES], threshold=0.25)
 
 
 def _embedding_neardup_sql() -> str:
-    planes = _lsh_planes()
+    planes = _lsh_planes()[:_NEARDUP_PLANES]
     bucket_terms = " + ".join(
         f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
@@ -478,6 +484,78 @@ def _embedding_neardup_sql() -> str:
         WHERE round(list_inner_product(a.v, b2.v)
                     / (sqrt(list_inner_product(a.v, a.v))
                        * sqrt(list_inner_product(b2.v, b2.v))), 6) >= 0.25
+    """
+
+
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup clustering (semantic dedup): bucketed cosine
+    pairs at 0.25 → connected components → min-id representative. The
+    vector-side twin of q_dedup_clusters."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim.semantic_dedup(emb, _lsh_planes()[:_NEARDUP_PLANES], threshold=0.25)
+
+
+def _semantic_dedup_sql() -> str:
+    planes = _lsh_planes()[:_NEARDUP_PLANES]
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(v, [{', '.join(repr(x) for x in p)}]) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    cos = (
+        "round(list_inner_product(a.v, b2.v)"
+        " / (sqrt(list_inner_product(a.v, a.v))"
+        " * sqrt(list_inner_product(b2.v, b2.v))), 6)"
+    )
+    return f"""
+        WITH RECURSIVE c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket_terms} AS bucket FROM c),
+        pairs AS (
+          SELECT a.vec_id AS u, b2.vec_id AS v2
+          FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+          WHERE {cos} >= 0.25
+        ),
+        edges AS (SELECT u, v2 AS v FROM pairs UNION SELECT v2, u FROM pairs),
+        reach(node, comp) AS (
+          SELECT vec_id, vec_id FROM c
+          UNION
+          SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        )
+        SELECT node AS vec_id, min(comp) AS cluster,
+               (min(comp) = node) AS is_representative
+        FROM reach GROUP BY node
+    """
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: every 37th document plays the
+    held-out benchmark; the remaining corpus is scored by 3-gram overlap
+    against the benchmark's shingle set (eval-leakage check)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.where(docs.doc_id % 37 == 0)
+    corpus = docs.where(docs.doc_id % 37 != 0)
+    return tx.decontaminate(corpus, bench, threshold=0.8)
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+        -- counts are hash-agnostic, so the oracle joins raw shingle strings
+        -- where the Spark side joins xxhash64 keys (8-byte shuffle keys)
+        WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, sg AS sh FROM (
+            SELECT doc_id, unnest({_shingles_sql(3)}) AS sg FROM t
+          )
+        ),
+        bench AS (SELECT DISTINCT sh FROM g WHERE doc_id % 37 = 0),
+        corpus AS (SELECT * FROM g WHERE doc_id % 37 <> 0)
+        SELECT c.doc_id,
+               count(*) AS n_shingles,
+               count(b.sh) AS n_hit,
+               round(count(b.sh)::DOUBLE / count(*), 6) AS overlap_frac,
+               count(b.sh)::DOUBLE / count(*) >= 0.8 AS contaminated
+        FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
+        GROUP BY c.doc_id
     """
 
 
@@ -1263,6 +1341,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- round 6: corpus-curation additions (local-oracled; rotate
+        #     into the window next round) ---------------------------------
+        "q_decontaminate": _q_decontaminate,
+        "q_semantic_dedup": _q_semantic_dedup,
         # --- temporal/window tail (driver-green r5) ----------------------
         "q_asof_nearest": ep.q_asof_nearest,
         "q_lag_rate": ep.q_lag_rate,
@@ -2041,6 +2123,8 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ivf": _knn_ivf_sql(),
         "q_knn_recall": _knn_recall_sql(),
         "q_embedding_neardup": _embedding_neardup_sql(),
+        "q_semantic_dedup": _semantic_dedup_sql(),
+        "q_decontaminate": _decontaminate_sql(),
         "q_knn_bruteforce": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),

@@ -36,6 +36,7 @@ __all__ = [
     "ivf_centroids",
     "ivf_fit_centroids",
     "embedding_near_dups",
+    "semantic_dedup",
     "embedding_stats",
     "kmeans_assign_stats",
     "quantize_embeddings_stats",
@@ -361,6 +362,42 @@ def embedding_near_dups(
         F.round(cosine_kernel(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= threshold)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space near-duplicate CLUSTERING — the semantic analog of
+    MinHash ``dedup_clusters``: sign-LSH-bucketed cosine pairs at
+    ``threshold`` (``embedding_near_dups``) become an undirected graph whose
+    connected components are duplicate groups; the representative is the
+    minimum id per component.
+
+    Returns (vec_id, cluster, is_representative) for EVERY corpus row —
+    rows with no near-dup are their own singleton clusters, so filtering
+    ``is_representative`` yields the deduplicated corpus. Scale shape: the
+    pair generation is bucketed (never all-pairs) and the component solve is
+    the adaptive ``connected_components`` (driver union-find under the edge
+    threshold, two-phase large/small-star above it)."""
+    from .graph import connected_components
+
+    pairs = embedding_near_dups(corpus, hyperplanes, threshold, id_col, vec_col)
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    ids = corpus.select(F.col(id_col))
+    return (
+        ids.join(comp, ids[id_col] == comp["node"], "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("is_representative", F.col("cluster") == F.col(id_col))
+    )
 
 
 def embedding_stats(corpus: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

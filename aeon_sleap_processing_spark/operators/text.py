@@ -51,6 +51,7 @@ __all__ = [
     "ngram_lm_score",
     "corpus_split",
     "weighted_sample",
+    "decontaminate",
 ]
 
 EN_STOPWORDS = ("the", "and", "with", "of", "to", "a", "in", "is")
@@ -657,6 +658,57 @@ def minhash_est_vs_exact(
                 / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_inter"), F.lit(0))),
                 6,
             ).alias("exact_jaccard"),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Benchmark decontamination: per corpus document, the fraction of its
+    distinct k-word shingles that appear anywhere in the benchmark set —
+    the standard eval-leakage check a training-data pipeline runs before a
+    corpus ships (n-gram overlap against held-out benchmarks).
+
+    Returns (doc_id, n_shingles, n_hit, overlap_frac, contaminated) — one
+    row per corpus doc with >= 1 shingle; ``contaminated`` is
+    ``overlap_frac >= threshold``.
+
+    Scale shape: both sides reduce to distinct xxhash64 shingle keys (8-byte
+    join keys, like ``jaccard_top_pairs``); the probe is a hash-distributed
+    left semi-ish join (left join + conditional count, map-side-combinable
+    groupBy on doc id). The benchmark side deduplicates to its distinct
+    shingle set first, so a shingle repeated across benchmark docs costs one
+    row, and no all-pairs product exists anywhere."""
+    sh = (
+        shingle_rows(docs.select(id_col, text_col), text_col, id_col, shingle_k)
+        .select(F.col(id_col), F.xxhash64("__sg").alias("__sh"))
+        .distinct()
+    )
+    bench_sh = (
+        shingle_rows(benchmark.select(id_col, text_col), text_col, id_col, shingle_k)
+        .select(F.xxhash64("__sg").alias("__sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        sh.join(bench_sh, "__sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("overlap_frac"),
+            (F.col("n_hit") / F.col("n_shingles") >= threshold).alias("contaminated"),
         )
     )
 

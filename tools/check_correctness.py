@@ -55,6 +55,9 @@ def main() -> int:
     # a different shuffle-partition count catches order-dependent floats,
     # nondeterministic tie-breaks, and partition-local logic
     ap.add_argument("--shuffle-partitions", type=int, default=8)
+    # write a driver-gate-shaped JSON artifact (per query: rows/schema/hash
+    # match + row counts + err) for committing full-suite runs
+    ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
     import __spark_entry__ as entry_mod
@@ -75,23 +78,40 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_weak = 0
+    report: dict[str, dict] = {}
+
+    def record(name, sdf=None, odf=None, hash_ok=None, err=None):
+        report[name] = {
+            "rows_match": None if (sdf is None or odf is None) else len(sdf) == len(odf),
+            "schema_match": None
+            if (sdf is None or odf is None)
+            else sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": hash_ok,
+            "spark_rows": None if sdf is None else len(sdf),
+            "oracle_rows": None if odf is None else len(odf),
+            "err": err,
+        }
+
     for name in names:
         t0 = time.time()
         try:
             sdf = qs[name](spark, args.sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            record(name, err=f"spark:{type(e).__name__}")
             n_fail += 1
             continue
         if name not in oracles:
             status = "WEAK" if len(sdf) >= 0 else "FAIL"
             print(f"{status} {name}: rows-only check, {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            record(name, sdf=sdf, err="no_oracle")
             n_weak += 1
             continue
         try:
             odf = con.execute(oracles[name]).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            record(name, sdf=sdf, err=f"duckdb:{type(e).__name__}")
             n_fail += 1
             continue
         problems = []
@@ -114,12 +134,20 @@ def main() -> int:
                     axis=1,
                 )
                 print(ex.to_string())
+        record(name, sdf=sdf, odf=odf, hash_ok=not problems, err=None)
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
             n_fail += 1
         else:
             print(f"PASS {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
             n_pass += 1
+
+    if args.json_out:
+        import json
+
+        with open(args.json_out, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"wrote {args.json_out}")
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
     return 1 if n_fail else 0
