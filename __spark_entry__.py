@@ -342,39 +342,41 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lsh": sim.knn_lsh(emb, queries, _lsh_planes(), k=5, n_tables=_LSH_TABLES),
         "ivf": sim.knn_ivf(emb, queries, _ivf_cents(), k=5, nprobe=_IVF_NPROBE),
     }
-    outs = []
+    # per-(method, query) hit counts, unioned and reduced with ONE keyed
+    # aggregation — no unkeyed (single-partition) aggs; the top-k result
+    # sets are n_queries x k rows (tiny by the audit's design), so they
+    # broadcast
+    per_q = None
     for method, df in approx.items():
         hits = exact.join(
-            df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "left_semi"
+            F.broadcast(df.select("query_id", "neighbor_id")),
+            ["query_id", "neighbor_id"],
+            "left_semi",
         )
-        per_q = (
+        leg = (
             exact.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_exact"))
             .join(
-                hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+                F.broadcast(
+                    hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+                ),
                 "query_id",
                 "left",
             )
             .select(
-                "query_id",
-                "n_exact",
+                F.lit(method).alias("method"),
+                F.col("n_exact"),
                 F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             )
         )
-        outs.append(
-            per_q.agg(
-                F.lit(method).alias("method"),
-                F.sum("n_exact").alias("n_pairs"),
-                F.sum("n_hit").alias("n_recovered"),
-                F.round(F.sum("n_hit") / F.sum("n_exact"), 6).alias("recall"),
-                F.round(F.min(F.col("n_hit") / F.col("n_exact")), 6).alias("min_query_recall"),
-                (F.sum("n_hit") / F.sum("n_exact") >= _RECALL_FLOOR).alias("meets_floor"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+        per_q = leg if per_q is None else per_q.unionByName(leg)
+    return per_q.groupBy("method").agg(
+        F.sum("n_exact").alias("n_pairs"),
+        F.sum("n_hit").alias("n_recovered"),
+        F.round(F.sum("n_hit") / F.sum("n_exact"), 6).alias("recall"),
+        F.round(F.min(F.col("n_hit") / F.col("n_exact")), 6).alias("min_query_recall"),
+        (F.sum("n_hit") / F.sum("n_exact") >= _RECALL_FLOOR).alias("meets_floor"),
+    )
 
 
 def _knn_recall_sql() -> str:

@@ -205,3 +205,28 @@ class TestQuantizeEmbeddings:
         assert abs(got.loc[0, "avg_scale"] - round((1.0 / 127.0) / 2, 6)) < 1e-6
         # max err bounded by half a quantization step (scale/2)
         assert got.loc[1, "avg_max_err"] <= (2.54 / 127.0) / 2 + 1e-12
+
+
+class TestSemanticDedup:
+    def test_planted_duplicate_group_and_singletons(self, spark):
+        """Three mutual near-identical vectors collapse to one cluster with
+        the min id as representative; orthogonal vectors stay singletons."""
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal(DIM)
+        rows = []
+        for vid, vec in [
+            (10, base),
+            (11, base + rng.standard_normal(DIM) * 1e-3),
+            (12, base + rng.standard_normal(DIM) * 1e-3),
+            (20, np.roll(base, DIM // 2) * -1.0),
+        ]:
+            rows.append({"vec_id": vid, "embedding": [float(x) for x in vec]})
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        out = (
+            S.semantic_dedup(df, _planes(6, rng), threshold=0.95)
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        assert out.vec_id.tolist() == [10, 11, 12, 20]
+        assert out.cluster.tolist() == [10, 10, 10, 20]
+        assert out.is_representative.tolist() == [True, False, False, True]

@@ -252,3 +252,46 @@ class TestWeightedSample:
         # different salt -> different (still deterministic) sample
         other = weighted_sample(docs, F.col("w"), salt="ws2").toPandas()
         assert sorted(other.doc_id) != sorted(kept.doc_id)
+
+
+class TestDecontaminate:
+    def test_overlap_fractions_vs_python(self, spark):
+        from aeon_sleap_processing_spark.operators.text import decontaminate
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b c d e",          # shingles: abc bcd cde
+                    "a b c x y z",        # shingles: abc bcx cxy xyz
+                    "p q r s",            # shingles: pqr qrs
+                ],
+            }
+        )
+        bench = pd.DataFrame({"doc_id": [100], "text": ["a b c d q"]})  # abc bcd cdq
+        out = (
+            decontaminate(
+                spark.createDataFrame(docs), spark.createDataFrame(bench), threshold=0.5
+            )
+            .orderBy("doc_id")
+            .toPandas()
+        )
+        assert out.doc_id.tolist() == [1, 2, 3]
+        assert out.n_shingles.tolist() == [3, 4, 2]
+        assert out.n_hit.tolist() == [2, 1, 0]   # abc+bcd; abc; none
+        assert out.contaminated.tolist() == [True, False, False]
+
+    def test_short_docs_absent_and_duplicate_bench_shingles_count_once(self, spark):
+        from aeon_sleap_processing_spark.operators.text import decontaminate
+
+        docs = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b c a b c"]})
+        # benchmark repeats 'a b c' across two docs — must count once
+        bench = pd.DataFrame({"doc_id": [9, 10], "text": ["a b c", "a b c"]})
+        out = decontaminate(
+            spark.createDataFrame(docs), spark.createDataFrame(bench)
+        ).toPandas()
+        # doc 1 has < 3 words -> no shingles -> no row
+        assert out.doc_id.tolist() == [2]
+        # doc 2 distinct shingles: abc bca cab abc -> {abc, bca, cab}; hit: abc
+        assert out.n_shingles.tolist() == [4 - 1]
+        assert out.n_hit.tolist() == [1]
