@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from aeon_sleap_processing_spark.operators import curation as cur
 from aeon_sleap_processing_spark.operators import similarity as sim
 from aeon_sleap_processing_spark.operators import text as tx
 from aeon_sleap_processing_spark.plans import events_plans as ep
@@ -28,6 +29,11 @@ from aeon_sleap_processing_spark.sources.catalog import load_table
 _MD5L = "(('0x' || substr(md5({s}), 1, 8))::UBIGINT)::BIGINT"
 _WORDS = r"string_split_regex(trim(text), '\s+')"
 _STOPS = "('the','and','with','of','to','a','in','is')"
+# PII regexes verbatim from operators/curation.py (RE2-compatible, so the
+# same strings run under Java regex and DuckDB's RE2)
+_PII_EMAIL = cur.PII_PATTERNS[0][1]
+_PII_PHONE = cur.PII_PATTERNS[1][1]
+_PII_IPV4 = cur.PII_PATTERNS[2][1]
 
 
 def _md5l(s: str) -> str:
@@ -559,6 +565,55 @@ def _decontaminate_sql() -> str:
         FROM corpus c LEFT JOIN bench b ON c.sh = b.sh
         GROUP BY c.doc_id
     """
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing at a 512-token context window:
+    per-sequence doc/token/boundary stats (the pretraining shard layout)."""
+    return cur.pack_sequences(load_table(spark, "documents", sf_dir), capacity=512)
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (CCNet/RefinedWeb line dedup): 10-word
+    blocks, corpus-wide first occurrence wins, documents reassembled."""
+    return cur.paragraph_dedup(load_table(spark, "documents", sf_dir), block_words=10)
+
+
+def _pii_inject(doc_id, text):
+    """Deterministic PII planted on every 3rd document — the synthetic corpus
+    is PII-free, so the scan query seeds known emails/IPs/phones as a pure
+    function of doc_id (same expression in the DuckDB oracle)."""
+    from pyspark.sql import functions as F
+
+    return F.when(
+        doc_id % 3 == 0,
+        F.concat(
+            text,
+            F.lit(" contact user"),
+            doc_id.cast("string"),
+            F.lit("@example.com at 10."),
+            (doc_id % 256).cast("string"),
+            F.lit(".0.1 or +1 555-01"),
+            F.lpad((doc_id % 100).cast("string"), 2, "0"),
+            F.lit(" end"),
+        ),
+    ).otherwise(text)
+
+
+def _q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir)
+    seeded = docs.withColumn("text", _pii_inject(F.col("doc_id"), F.col("text")))
+    return cur.pii_scan(seeded)
+
+
+def _q_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (count^0.5) domain rebalance to half the corpus:
+    per-source target share, keep probability, and realized kept count."""
+    return cur.domain_mixture_sample(
+        load_table(spark, "documents", sf_dir), alpha=0.5, target_frac=0.5
+    )
 
 
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,6 +1402,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     into the window next round) ---------------------------------
         "q_decontaminate": _q_decontaminate,
         "q_semantic_dedup": _q_semantic_dedup,
+        "q_pack_sequences": _q_pack_sequences,
+        "q_paragraph_dedup": _q_paragraph_dedup,
+        "q_pii_scan": _q_pii_scan,
+        "q_domain_mixture": _q_domain_mixture,
         # --- temporal/window tail (driver-green r5) ----------------------
         "q_asof_nearest": ep.q_asof_nearest,
         "q_lag_rate": ep.q_lag_rate,
@@ -2127,6 +2186,116 @@ def oracle_sql() -> dict[str, str]:
         "q_embedding_neardup": _embedding_neardup_sql(),
         "q_semantic_dedup": _semantic_dedup_sql(),
         "q_decontaminate": _decontaminate_sql(),
+        "q_pack_sequences": f"""
+            WITH t AS (
+              -- split('') yields [''] (len 1): whitespace-only docs are 0 tokens
+              SELECT doc_id, len({_WORDS}) AS n FROM documents
+              WHERE length(trim(text)) > 0
+            ),
+            c AS (
+              SELECT doc_id, n,
+                     CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS st
+              FROM t
+            ),
+            spans AS (
+              SELECT doc_id, st, st + n AS en,
+                     st // 512 AS s0, (st + n - 1) // 512 AS s1
+              FROM c
+            ),
+            per_seq AS (
+              SELECT unnest(range(s0, s1 + 1)) AS seq_id, st, en, s0, s1
+              FROM spans
+            )
+            SELECT seq_id,
+                   count(*) AS n_docs,
+                   sum(least(en, (seq_id + 1) * 512)
+                       - greatest(st, seq_id * 512)) AS n_tokens,
+                   sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS n_starts,
+                   sum(CASE WHEN s1 > seq_id THEN 1 ELSE 0 END) AS n_straddle
+            FROM per_seq GROUP BY seq_id ORDER BY seq_id
+        """,
+        "q_paragraph_dedup": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            nb AS (
+              SELECT doc_id, words,
+                     CAST(ceil(len(words) / 10.0) AS INT) AS nblk
+              FROM t
+            ),
+            expl AS (
+              SELECT doc_id, words, unnest(range(0, nblk)) AS pos FROM nb
+            ),
+            blocks AS (
+              SELECT doc_id, pos,
+                     array_to_string(words[pos * 10 + 1 : pos * 10 + 10], ' ') AS blk
+              FROM expl
+            ),
+            ranked AS (
+              SELECT doc_id, pos, blk,
+                     row_number() OVER (PARTITION BY blk ORDER BY doc_id, pos) AS rn
+              FROM blocks
+            )
+            SELECT doc_id,
+                   count(*) AS n_blocks,
+                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY pos), '')
+                     AS dedup_text
+            FROM ranked GROUP BY doc_id
+        """,
+        "q_pii_scan": f"""
+            WITH seeded AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 0 THEN
+                       text || ' contact user' || doc_id::VARCHAR
+                            || '@example.com at 10.' || (doc_id % 256)::VARCHAR
+                            || '.0.1 or +1 555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+                            || ' end'
+                     ELSE text END AS text
+              FROM documents
+            ),
+            -- each class counts on the text with preceding classes already
+            -- redacted (counts == markers inserted), mirroring pii_scan
+            r1 AS (
+              SELECT doc_id, text,
+                     regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1
+              FROM seeded
+            ),
+            r2 AS (
+              SELECT doc_id, text, t1,
+                     regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2
+              FROM r1
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_email,
+                   len(regexp_extract_all(t1, '{_PII_PHONE}')) AS n_phone,
+                   len(regexp_extract_all(t2, '{_PII_IPV4}')) AS n_ipv4,
+                   regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS redacted_text,
+                   length(regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g')) AS redacted_chars
+            FROM r2
+        """,
+        "q_domain_mixture": """
+            WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+            t AS (SELECT sum(pow(n_docs, 0.5)) AS wsum, sum(n_docs) AS N FROM c),
+            p AS (
+              SELECT source, n_docs,
+                     pow(n_docs, 0.5) / wsum AS target_share,
+                     least(1.0, pow(n_docs, 0.5) / wsum * 0.5 * N / n_docs) AS p_keep
+              FROM c, t
+            ),
+            k AS (
+              SELECT d.source,
+                     CASE WHEN (('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT
+                               / 4294967296.0 < p.p_keep
+                          THEN 1 ELSE 0 END AS kept
+              FROM documents d JOIN p ON d.source = p.source
+            )
+            SELECT p.source, p.n_docs,
+                   round(p.target_share, 6) AS target_share,
+                   round(p.p_keep, 6) AS p_keep,
+                   sum(k.kept) AS n_kept,
+                   round(sum(k.kept)::DOUBLE / p.n_docs, 6) AS kept_frac
+            FROM k JOIN p ON k.source = p.source
+            GROUP BY p.source, p.n_docs, p.target_share, p.p_keep
+        """,
         "q_knn_bruteforce": """
             WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),

@@ -1,0 +1,153 @@
+"""Corpus-curation operators: sequence packing, segment dedup, PII scan,
+domain mixture — pandas-oracle and invariant tests on crafted inputs."""
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.operators.curation import (
+    domain_mixture_sample,
+    pack_sequences,
+    paragraph_dedup,
+    pii_scan,
+)
+
+
+def _docs(spark, texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return spark.createDataFrame(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+
+class TestPackSequences:
+    def test_matches_sequential_oracle(self, spark):
+        texts = ["w " * n for n in (3, 10, 4, 7, 1, 12, 5)]
+        cap = 8
+        got = pack_sequences(_docs(spark, [t.strip() for t in texts]), capacity=cap).toPandas()
+
+        # sequential oracle: concatenate doc token streams, cut every cap
+        lens = [3, 10, 4, 7, 1, 12, 5]
+        total = sum(lens)
+        n_seqs = math.ceil(total / cap)
+        assert list(got.seq_id) == list(range(n_seqs))
+        assert got.n_tokens.sum() == total
+        # every sequence except possibly the last is exactly full
+        assert (got.n_tokens[:-1] == cap).all()
+        # straddle consistency: doc straddles out of seq k iff it starts
+        # before (k+1)*cap and ends after
+        off = 0
+        per_seq_docs = [set() for _ in range(n_seqs)]
+        for i, n in enumerate(lens):
+            for s in range(off // cap, (off + n - 1) // cap + 1):
+                per_seq_docs[s].add(i)
+            off += n
+        assert list(got.n_docs) == [len(s) for s in per_seq_docs]
+
+    def test_chunking_invariant(self, spark):
+        """Global result must not depend on the prefix-sum chunk size."""
+        texts = ["tok " * (n % 13 + 1) for n in range(97)]
+        df = _docs(spark, [t.strip() for t in texts])
+        a = pack_sequences(df, capacity=32, chunk=7).toPandas()
+        b = pack_sequences(df, capacity=32, chunk=1000).toPandas()
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_docs_skipped(self, spark):
+        got = pack_sequences(_docs(spark, ["a b c", "", "d e"]), capacity=4).toPandas()
+        assert got.n_tokens.sum() == 5
+
+
+class TestParagraphDedup:
+    def test_first_occurrence_wins(self, spark):
+        blk = "one two three four five six seven eight nine ten"
+        docs = _docs(
+            spark,
+            [
+                blk + " unique tail of document zero",
+                blk,  # fully duplicated block -> 0 kept
+                "fresh content here",
+            ],
+        )
+        got = (
+            paragraph_dedup(docs, block_words=10)
+            .toPandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert got.loc[0, "n_kept"] == 2 and got.loc[0, "dedup_text"].startswith(blk)
+        assert got.loc[1, "n_kept"] == 0 and got.loc[1, "dedup_text"] == ""
+        assert got.loc[2, "n_kept"] == 1
+
+    def test_within_doc_repeat_deduped(self, spark):
+        blk = "a b c d e f g h i j"
+        got = paragraph_dedup(_docs(spark, [blk + " " + blk]), block_words=10).toPandas()
+        assert got.n_blocks[0] == 2 and got.n_kept[0] == 1
+        assert got.dedup_text[0] == blk
+
+    def test_order_preserved(self, spark):
+        words = [f"w{i}" for i in range(30)]
+        text = " ".join(words)
+        got = paragraph_dedup(_docs(spark, [text]), block_words=10).toPandas()
+        assert got.dedup_text[0] == text
+
+
+class TestPiiScan:
+    def test_counts_and_redaction(self, spark):
+        docs = _docs(
+            spark,
+            [
+                "mail me at jane.doe+x@sub.example.org thanks",
+                "server 192.168.0.1 and 10.0.0.255 up",
+                "call +44 20 7946 0958 or 555-123-4567 now",
+                "clean text with no pii at all",
+            ],
+        )
+        got = pii_scan(docs).toPandas().set_index("doc_id").sort_index()
+        assert got.loc[0, "n_email"] == 1 and "<EMAIL>" in got.loc[0, "redacted_text"]
+        assert "jane" not in got.loc[0, "redacted_text"]
+        assert got.loc[1, "n_ipv4"] == 2 and got.loc[1, "redacted_text"].count("<IP>") == 2
+        assert got.loc[2, "n_phone"] == 2 and got.loc[2, "redacted_text"].count("<PHONE>") == 2
+        assert (got.loc[3, ["n_email", "n_phone", "n_ipv4"]] == 0).all()
+        assert got.loc[3, "redacted_text"] == "clean text with no pii at all"
+
+    def test_email_digits_not_eaten_by_phone(self, spark):
+        got = pii_scan(_docs(spark, ["write 123456789jane@example.com ok"])).toPandas()
+        assert got.n_email[0] == 1 and got.n_phone[0] == 0
+        assert got.redacted_text[0] == "write <EMAIL> ok"
+
+
+class TestDomainMixture:
+    def test_flattens_toward_uniform(self, spark):
+        rows = [("big", i) for i in range(400)] + [("small", 1000 + i) for i in range(25)]
+        docs = spark.createDataFrame(
+            pd.DataFrame({"source": [r[0] for r in rows], "doc_id": [r[1] for r in rows]})
+        )
+        got = (
+            domain_mixture_sample(docs, alpha=0.5, target_frac=0.5)
+            .toPandas()
+            .set_index("source")
+        )
+        # alpha=0.5 boosts the small domain's share above its raw fraction
+        assert got.loc["small", "target_share"] > 25 / 425
+        assert got.loc["big", "target_share"] < 400 / 425
+        # keep probabilities honored in expectation (binomial 3-sigma)
+        for s in ("big", "small"):
+            n, p, k = got.loc[s, "n_docs"], got.loc[s, "p_keep"], got.loc[s, "n_kept"]
+            assert abs(k - n * p) <= 3 * math.sqrt(n * p * (1 - p)) + 1
+
+    def test_alpha_one_is_proportional(self, spark):
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {"source": ["a"] * 60 + ["b"] * 40, "doc_id": list(range(100))}
+            )
+        )
+        got = domain_mixture_sample(docs, alpha=1.0, target_frac=0.5).toPandas()
+        # alpha=1: share == raw fraction, so every domain keeps ~target_frac
+        assert (got.p_keep.round(6) == 0.5).all()
+
+    def test_deterministic(self, spark, sf_dir):
+        from aeon_sleap_processing_spark.sources import load_table
+
+        docs = load_table(spark, "documents", sf_dir)
+        a = domain_mixture_sample(docs).toPandas().sort_values("source", ignore_index=True)
+        b = domain_mixture_sample(docs).toPandas().sort_values("source", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b)
