@@ -567,6 +567,12 @@ def _decontaminate_sql() -> str:
     """
 
 
+def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-dedup approximation: per-doc duplicated 5-shingle fraction
+    and longest contiguous duplicated run across the corpus."""
+    return tx.dup_span_stats(load_table(spark, "documents", sf_dir), k=5)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing at a 512-token context window:
     per-sequence doc/token/boundary stats (the pretraining shard layout)."""
@@ -1403,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_semantic_dedup": _q_semantic_dedup,
         "q_pack_sequences": _q_pack_sequences,
+        "q_dup_span_stats": _q_dup_span_stats,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_pii_scan": _q_pii_scan,
         "q_domain_mixture": _q_domain_mixture,
@@ -2213,6 +2220,44 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS n_starts,
                    sum(CASE WHEN s1 > seq_id THEN 1 ELSE 0 END) AS n_straddle
             FROM per_seq GROUP BY seq_id ORDER BY seq_id
+        """,
+        "q_dup_span_stats": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            p AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i,
+                     words
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(words[i : i + 4], ' ') AS sg
+              FROM p
+            ),
+            occ AS (SELECT sg, count(*) AS n FROM g GROUP BY sg),
+            f AS (SELECT g.doc_id, g.pos, (occ.n > 1) AS dup FROM g JOIN occ USING (sg)),
+            pd AS (
+              SELECT doc_id, count(*) AS n_shingles,
+                     sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+              FROM f GROUP BY doc_id
+            ),
+            r AS (
+              SELECT doc_id,
+                     pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM f WHERE dup
+            ),
+            mr AS (
+              SELECT doc_id, max(cnt) AS max_dup_run FROM (
+                SELECT doc_id, grp, count(*) AS cnt FROM r GROUP BY doc_id, grp
+              ) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_shingles, 0) AS n_shingles,
+                   coalesce(n_dup, 0) AS n_dup,
+                   round(n_dup::DOUBLE / n_shingles, 6) AS dup_frac,
+                   coalesce(max_dup_run, 0) AS max_dup_run
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN pd USING (doc_id) LEFT JOIN mr USING (doc_id)
         """,
         "q_paragraph_dedup": f"""
             WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),

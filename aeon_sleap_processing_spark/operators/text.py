@@ -46,6 +46,7 @@ __all__ = [
     "quality_buckets",
     "length_percentiles",
     "minhash_est_vs_exact",
+    "dup_span_stats",
     "repetition_stats",
     "domain_stats",
     "ngram_lm_score",
@@ -774,6 +775,74 @@ def bigram_lm(
         )
         .orderBy(F.col("n_bigram").desc(), F.col("bigram").asc())
         .limit(top_k)
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-substring-dedup signals (the shingle approximation of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better"):
+    per document, how much of it is text that occurs elsewhere in the
+    corpus, and the longest CONTIGUOUS duplicated span.
+
+    A position's k-word shingle is *duplicated* when the identical shingle
+    occurs anywhere else in the corpus (another document or another position
+    of the same one). Returns per document:
+
+    - ``n_shingles``   — positions scanned (0 for docs with < k words)
+    - ``n_dup``        — positions whose shingle is duplicated
+    - ``dup_frac``     — n_dup / n_shingles (NULL when no shingles)
+    - ``max_dup_run``  — longest run of consecutive duplicated positions, in
+      shingles; a run of r covers r + k - 1 words — the span an ExactSubstr
+      pass would cut (0 when none)
+
+    Scale: positional shingles (posexplode — codegen), occurrence counts by
+    shingle (map-side-combinable groupBy on the shingle key), one
+    shuffle-join back on the shingle, then per-doc keyed windows for the
+    run-length scan (the pos − row_number() grouping trick of
+    ``run_length``, temporal.py:615). No unkeyed window, no UDF; at 100 TB
+    the shingle join is bounded by shingle frequency like the jaccard
+    inverted index (text.py:289)."""
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    words = tokenize(F.col(text_col))
+    n_sh = F.greatest(F.size(words) - (k - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(words, i + 1, n_sh) for i in range(k)])
+    rows = base.select(F.col(id_col), F.posexplode(z).alias("__pos", "__zz")).select(
+        id_col,
+        "__pos",
+        F.concat_ws(" ", *[F.col("__zz")[str(i)] for i in range(k)]).alias("__sg"),
+    )
+    occ = rows.groupBy("__sg").agg(F.count(F.lit(1)).alias("__occ"))
+    flagged = rows.join(occ, "__sg").select(
+        id_col, "__pos", (F.col("__occ") > 1).alias("__dup")
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.col("__dup").cast("long")).alias("n_dup"),
+    )
+    # consecutive-run grouping: within a doc, duplicated positions with the
+    # same (pos - rank-among-duplicated) are one contiguous run
+    wdoc = W.partitionBy(id_col).orderBy("__pos")
+    runs = (
+        flagged.where("__dup")
+        .withColumn("__grp", F.col("__pos") - F.row_number().over(wdoc))
+        .groupBy(id_col, "__grp")
+        .agg(F.count(F.lit(1)).alias("__run"))
+        .groupBy(id_col)
+        .agg(F.max("__run").alias("max_dup_run"))
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(runs, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
+            F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+        )
     )
 
 

@@ -151,3 +151,78 @@ class TestDomainMixture:
         a = domain_mixture_sample(docs).toPandas().sort_values("source", ignore_index=True)
         b = domain_mixture_sample(docs).toPandas().sort_values("source", ignore_index=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# property tests: engine output vs pure-Python sequential oracles
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+doc_lens = st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lens=doc_lens, cap=st.integers(min_value=1, max_value=50), chunk=st.integers(min_value=1, max_value=20))
+def test_pack_sequences_matches_sequential_oracle(spark_global, lens, cap, chunk):
+    """Concat-and-cut is a sequential scan; the distributed two-level prefix
+    sum must reproduce it exactly for every (corpus, capacity, chunk)."""
+    texts = [" ".join(["w"] * n) for n in lens]
+    df = spark_global.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = pack_sequences(df, capacity=cap, chunk=chunk).toPandas()
+
+    # oracle: walk docs in order, slice the token stream every cap
+    seqs = {}
+    off = 0
+    for i, n in enumerate(lens):
+        if n == 0:
+            continue
+        s0, s1 = off // cap, (off + n - 1) // cap
+        for s in range(s0, s1 + 1):
+            e = seqs.setdefault(s, {"n_docs": 0, "n_tokens": 0, "n_starts": 0, "n_straddle": 0})
+            e["n_docs"] += 1
+            e["n_tokens"] += min(off + n, (s + 1) * cap) - max(off, s * cap)
+            e["n_starts"] += s == s0
+            e["n_straddle"] += s1 > s
+        off += n
+    assert list(got.seq_id) == sorted(seqs)
+    for _, r in got.iterrows():
+        e = seqs[r.seq_id]
+        assert (r.n_docs, r.n_tokens, r.n_starts, r.n_straddle) == (
+            e["n_docs"], e["n_tokens"], e["n_starts"], e["n_straddle"]
+        )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    docs=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=25),
+        min_size=1,
+        max_size=15,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_paragraph_dedup_matches_sequential_oracle(spark_global, docs, k):
+    """First-occurrence-wins over (doc order, block order) — a sequential
+    set-scan the distributed hash-partitioned window must reproduce."""
+    texts = [" ".join(f"t{v}" for v in ws) for ws in docs]
+    df = spark_global.createDataFrame(
+        pd.DataFrame({"doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = paragraph_dedup(df, block_words=k).toPandas().set_index("doc_id").sort_index()
+
+    seen = set()
+    for i, text in enumerate(texts):
+        words = text.split()
+        blocks = [" ".join(words[j : j + k]) for j in range(0, len(words), k)]
+        kept = []
+        for b in blocks:
+            if b not in seen:
+                seen.add(b)
+                kept.append(b)
+        assert got.loc[i, "n_blocks"] == len(blocks)
+        assert got.loc[i, "n_kept"] == len(kept)
+        assert got.loc[i, "dedup_text"] == " ".join(kept)

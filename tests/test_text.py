@@ -295,3 +295,39 @@ class TestDecontaminate:
         # doc 2 distinct shingles: abc bca cab abc -> {abc, bca, cab}; hit: abc
         assert out.n_shingles.tolist() == [4 - 1]
         assert out.n_hit.tolist() == [1]
+
+
+class TestDupSpanStats:
+    def test_planted_duplicated_span(self, spark):
+        from aeon_sleap_processing_spark.operators.text import dup_span_stats
+
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "unique0 words0 here0 " + shared + " tail0 only0 mine0",
+                        "different head1 words1 " + shared + " closing1 text1",
+                        "no overlap at all in this one document",
+                    ],
+                }
+            )
+        )
+        got = dup_span_stats(docs, k=5).toPandas().set_index("doc_id").sort_index()
+        # the 7 shared words give 3 consecutive duplicated 5-shingles in each
+        assert got.loc[0, "max_dup_run"] == 3
+        assert got.loc[1, "max_dup_run"] == 3
+        assert got.loc[2, "max_dup_run"] == 0 and got.loc[2, "n_dup"] == 0
+        # run of r duplicated k-shingles covers r + k - 1 = 7 words = len(shared)
+        assert got.loc[0, "n_dup"] == 3
+
+    def test_short_docs_zero_shingles(self, spark):
+        from aeon_sleap_processing_spark.operators.text import dup_span_stats
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": ["just four words here"]})
+        )
+        got = dup_span_stats(docs, k=5).toPandas()
+        assert got.n_shingles[0] == 0 and got.max_dup_run[0] == 0
+        assert pd.isna(got.dup_frac[0])

@@ -95,7 +95,78 @@ def main() -> None:
     results.update(bench_fight_prefix(spark, n_frames=int(os.environ.get(
         "BENCH_FIGHT_FRAMES", 2_000_000))))
 
+    results.update(bench_pack(spark, n_docs=int(os.environ.get(
+        "BENCH_PACK_DOCS", 5_000_000))))
+
     print(json.dumps(results))
+
+
+def bench_pack(spark, n_docs: int) -> dict:
+    """pack_sequences' two-level chunked prefix sum vs the naive unkeyed
+    global window (one task sorts the whole corpus). Synthetic docs of
+    1-13 tokens from spark.range arithmetic — generation is parallel."""
+    import time as _t
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from aeon_sleap_processing_spark.operators.curation import pack_sequences
+    from aeon_sleap_processing_spark.operators.text import tokenize
+
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.rtrim(F.repeat(F.lit("w "), (F.col("id") % 13 + 1).cast("int"))).alias("text"),
+    )
+
+    def checksum(df):
+        t0 = _t.perf_counter()
+        row = df.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("seq_id") * F.col("n_tokens") + F.col("n_docs")).cast("long").alias("chk"),
+        ).collect()[0]
+        return round(_t.perf_counter() - t0, 2), (row["n"], row["chk"])
+
+    def naive_global(cap: int):
+        # identical math with the prefix sum as ONE unkeyed window
+        n_tok = F.size(tokenize(F.col("text")))
+        base = docs.select("doc_id", n_tok.alias("__n")).where(F.col("__n") > 0)
+        wg = W.orderBy("doc_id")
+        spans = (
+            base.withColumn(
+                "__start",
+                F.coalesce(
+                    F.sum("__n").over(wg.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+                ),
+            )
+            .withColumn("__end", F.col("__start") + F.col("__n"))
+            .withColumn("__s0", F.floor(F.col("__start") / cap))
+            .withColumn("__s1", F.floor((F.col("__end") - 1) / cap))
+        )
+        per_seq = spans.select(
+            "__start", "__end", "__s0", "__s1",
+            F.explode(F.sequence("__s0", "__s1")).alias("seq_id"),
+        )
+        lo = F.greatest(F.col("__start"), F.col("seq_id") * cap)
+        hi = F.least(F.col("__end"), (F.col("seq_id") + 1) * cap)
+        return per_seq.groupBy("seq_id").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(hi - lo).alias("n_tokens"),
+        )
+
+    cap = 2048
+    g_s, g_chk = checksum(naive_global(cap))
+    c_s, c_chk = checksum(
+        pack_sequences(docs, capacity=cap, chunk=100_000).select(
+            "seq_id", "n_docs", "n_tokens"
+        )
+    )
+    assert g_chk == c_chk, f"pack checksum mismatch: {g_chk} vs {c_chk}"
+    return {
+        "pack_docs": n_docs,
+        "pack_global_s": g_s,
+        "pack_chunked_s": c_s,
+        "pack_speedup": round(g_s / c_s, 2),
+    }
 
 
 def bench_fight_prefix(spark, n_frames: int) -> dict:
