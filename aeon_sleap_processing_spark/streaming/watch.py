@@ -32,6 +32,7 @@ __all__ = [
     "stream_dedup",
     "stream_enrich",
     "stream_asof_enrich",
+    "stream_pack_sequences",
 ]
 
 
@@ -254,6 +255,103 @@ def stream_dedup(
     memory is O(keys per horizon), not O(all history) — the property that
     lets it run unbounded at ingest scale."""
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_pack_sequences(
+    stream: DataFrame,
+    capacity: int = 512,
+    shard_col: str = "shard",
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Streaming concat-and-cut sequence packing — the ingest twin of
+    ``operators.curation.pack_sequences``: documents arriving on a shard are
+    laid token-after-token onto that shard's stream and cut every
+    ``capacity`` tokens; a sequence is emitted once it is FULL (no later
+    document can touch it). The one open (partial) sequence per shard rides
+    the state store, so packing is exact across micro-batches AND restarts.
+
+    Per-shard state: (offset, open-sequence aggregates). Each batch walks
+    its documents in ``id_col`` order, extends or closes sequences, emits
+    the closed ones: (shard, seq_id, n_docs, n_tokens, n_starts). The final
+    partial sequence of a stream is never emitted (it is never full) — the
+    batch operator is the end-of-corpus authority; this operator exists for
+    unbounded ingest where "full" is the only closure signal.
+
+    Scale: one state row per SHARD (a handful of aggregates), not per
+    sequence — state is O(shards), emission is append-only, and shards
+    partition the work exactly like the batch operator's id-chunks."""
+    import pandas as pd  # local: executors resolve by name
+
+    key_type = stream.schema[shard_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(shard_col, key_type),
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_starts", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("offset", T.LongType()),
+            T.StructField("open_docs", T.LongType()),
+            T.StructField("open_starts", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state):
+        shard = key[0]
+        offset, open_docs, open_starts = state.get if state.exists else (0, 0, 0)
+        batches = [pdf for pdf in pdfs]
+        if not batches:
+            if state.exists:
+                state.update((offset, open_docs, open_starts))
+            return
+        docs = pd.concat(batches).sort_values(id_col)
+        closed: list[dict] = []
+        for n in docs[tokens_col].astype("int64"):
+            if n <= 0:
+                continue
+            s0, s1 = offset // capacity, (offset + n - 1) // capacity
+            # the doc touches [s0, s1]; every one of those but the last is
+            # now full and closes (the doc counts toward each; its START
+            # belongs to s0 only)
+            for s in range(s0, s1):
+                closed.append(
+                    {
+                        shard_col: shard,
+                        "seq_id": int(s),
+                        "n_docs": int(open_docs + 1),
+                        "n_tokens": int(capacity),
+                        "n_starts": int(open_starts + (1 if s == s0 else 0)),
+                    }
+                )
+                open_docs, open_starts = 0, 0
+            open_docs += 1  # the doc rides into the (new) open sequence s1
+            if s1 == s0:
+                open_starts += 1
+            offset += int(n)
+            if offset % capacity == 0:  # doc ends exactly on a boundary
+                closed.append(
+                    {
+                        shard_col: shard,
+                        "seq_id": int(offset // capacity - 1),
+                        "n_docs": int(open_docs),
+                        "n_tokens": int(capacity),
+                        "n_starts": int(open_starts),
+                    }
+                )
+                open_docs, open_starts = 0, 0
+        state.update((offset, open_docs, open_starts))
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (
+        stream.groupBy(shard_col)
+        .applyInPandasWithState(fn, out_schema, state_schema, "append", "NoTimeout")
+    )
 
 
 def stream_enrich(
