@@ -1410,6 +1410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_semantic_dedup": _q_semantic_dedup,
         "q_pack_sequences": _q_pack_sequences,
         "q_dup_span_stats": _q_dup_span_stats,
+        "q_interpolate": ep.q_interpolate,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_pii_scan": _q_pii_scan,
         "q_domain_mixture": _q_domain_mixture,
@@ -2220,6 +2221,40 @@ def oracle_sql() -> dict[str, str]:
                    sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS n_starts,
                    sum(CASE WHEN s1 > seq_id THEN 1 ELSE 0 END) AS n_straddle
             FROM per_seq GROUP BY seq_id ORDER BY seq_id
+        """,
+        "q_interpolate": """
+            WITH base AS (
+              SELECT event_id, user_id, ts,
+                     CASE WHEN ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::UBIGINT
+                               % 10 < 3
+                          THEN NULL ELSE value END AS v
+              FROM events
+            ),
+            w AS (
+              SELECT event_id, user_id, v, epoch_us(ts) AS t,
+                last_value(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+                first_value(v IGNORE NULLS) OVER
+                  (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+                last_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+                first_value(CASE WHEN v IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+              FROM base
+            )
+            SELECT event_id, user_id,
+                   -- identical expression order to interpolate_linear so the
+                   -- IEEE double arithmetic is bit-equal across engines
+                   round(prev_v + (next_v - prev_v)
+                         * ((t - prev_t)::DOUBLE / (next_t - prev_t)::DOUBLE), 6)
+                     AS interp_value
+            FROM w
+            WHERE v IS NULL AND prev_v IS NOT NULL AND next_v IS NOT NULL
+              AND next_t - prev_t <= 172800000000::BIGINT
         """,
         "q_dup_span_stats": f"""
             WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),

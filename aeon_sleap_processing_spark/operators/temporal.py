@@ -36,6 +36,7 @@ __all__ = [
     "bfill",
     "rolling_mean",
     "gap_fill_bounded",
+    "interpolate_linear",
     "state_changes",
     "dedup_keep_first",
     "top1_per_group",
@@ -683,6 +684,43 @@ def gap_fill_bounded(
     if flag_col is not None:
         out = out.withColumn(flag_col, is_null & ~F.coalesce(fillable, F.lit(False)))
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    col: str,
+    order_col: str = "time",
+    partition_by: str | Sequence[str] | None = None,
+    max_gap: float | None = None,
+) -> DataFrame:
+    """Linear interpolation of null runs (pandas ``interpolate('time')`` /
+    the time-weighted interpolation of hypertable gap-fill): each null row
+    gets ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` from
+    its flanking non-null values. Leading/trailing runs (one flank missing)
+    stay null; ``max_gap`` (seconds) leaves runs with wider flank spans
+    unfilled — the "don't invent data across an outage" guard.
+
+    Complements ``ffill``/``gap_fill_bounded`` (step-fill semantics): same
+    four flanking-value windows, one arithmetic expression, no UDF. Keyed
+    windows when ``partition_by`` is given; for unkeyed global use at scale,
+    chunk the axis first (``chunked_ffill``'s pattern, :538)."""
+    pb = _as_list(partition_by)
+    wb = W.partitionBy(*pb).orderBy(order_col).rowsBetween(W.unboundedPreceding, -1)
+    wf = W.partitionBy(*pb).orderBy(order_col).rowsBetween(1, W.unboundedFollowing)
+    t, scale = _axis_scale(df, order_col)
+    prev_v = F.last(col, ignorenulls=True).over(wb)
+    next_v = F.first(col, ignorenulls=True).over(wf)
+    prev_t = F.last(F.when(F.col(col).isNotNull(), t), ignorenulls=True).over(wb)
+    next_t = F.first(F.when(F.col(col).isNotNull(), t), ignorenulls=True).over(wf)
+    span = (next_t - prev_t).cast("double")
+    frac = (t - prev_t).cast("double") / span
+    interp = prev_v + (next_v - prev_v) * frac
+    ok = prev_v.isNotNull() & next_v.isNotNull()
+    if max_gap is not None:
+        ok = ok & (span <= max_gap * scale)
+    return df.withColumn(
+        col, F.when(F.col(col).isNull() & ok, interp).otherwise(F.col(col))
+    )
 
 
 def state_changes(

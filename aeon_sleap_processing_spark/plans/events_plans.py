@@ -523,6 +523,34 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of missing sensor values (W6's arithmetic
+    sibling): deterministically null ~30% of ``value`` (md5-keyed so both
+    engines null the same rows), time-weighted-interpolate per user with a
+    48 h flank-span cap, and return each filled row's value — a per-row
+    equality check of the interpolation arithmetic, not just counts.
+
+    Scale: per-user keyed windows; the same four flank lookups as
+    gap_fill_bounded over one partitioned sort."""
+    from ..operators.temporal import interpolate_linear
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(md5_long(F.col("event_id").cast("string")) % 10 < 3, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    ev = ev.withColumn("was_null", F.col("v").isNull())
+    filled = interpolate_linear(
+        ev, "v", order_col="ts", partition_by="user_id", max_gap=172800.0
+    )
+    return filled.where(F.col("was_null") & F.col("v").isNotNull()).select(
+        "event_id", "user_id", F.round("v", 6).alias("interp_value")
+    )
+
+
 def q_sessionize_unkeyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNKEYED gap sessionization at scale (W4 without a distribution key):
     sessions over the whole event stream (2 min gap) via ``chunked_sessionize``

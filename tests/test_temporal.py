@@ -417,3 +417,65 @@ class TestChunkedFfill:
         got = Tm.chunked_ffill(df, "a", order_col="x", chunk=250.0).orderBy("v").toPandas()
         exp = Tm.ffill(df, "a", order_col="x").orderBy("v").toPandas()
         pd.testing.assert_frame_equal(got.reset_index(drop=True), exp.reset_index(drop=True))
+
+
+class TestInterpolateLinear:
+    def test_linear_values_and_caps(self, spark):
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.temporal import interpolate_linear
+
+        t0 = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * 7,
+                "time": [t0 + pd.Timedelta(seconds=s) for s in (0, 10, 20, 30, 40, 100, 160)],
+                "v": [1.0, None, None, 4.0, None, None, 16.0],
+            }
+        )
+        got = (
+            interpolate_linear(
+                spark.createDataFrame(pdf), "v", partition_by="k", max_gap=50.0
+            )
+            .toPandas()
+            .sort_values("time", ignore_index=True)
+        )
+        # 0..30 s span (30 s <= cap): linear 1 -> 4
+        assert got.v[1] == 2.0 and got.v[2] == 3.0
+        # 30..160 s span (130 s > cap): stays null
+        assert pd.isna(got.v[4]) and pd.isna(got.v[5])
+
+    def test_edges_stay_null(self, spark):
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.temporal import interpolate_linear
+
+        t0 = pd.Timestamp("2024-01-01")
+        pdf = pd.DataFrame(
+            {
+                "k": ["a"] * 3,
+                "time": [t0 + pd.Timedelta(seconds=s) for s in (0, 10, 20)],
+                "v": [None, 5.0, None],
+            }
+        )
+        got = (
+            interpolate_linear(spark.createDataFrame(pdf), "v", partition_by="k")
+            .toPandas()
+            .sort_values("time", ignore_index=True)
+        )
+        assert pd.isna(got.v[0]) and got.v[1] == 5.0 and pd.isna(got.v[2])
+
+    def test_numeric_axis(self, spark):
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.temporal import interpolate_linear
+
+        pdf = pd.DataFrame(
+            {"k": ["a"] * 3, "time": [0.0, 1.0, 4.0], "v": [0.0, None, 8.0]}
+        )
+        got = (
+            interpolate_linear(spark.createDataFrame(pdf), "v", partition_by="k")
+            .toPandas()
+            .sort_values("time", ignore_index=True)
+        )
+        assert got.v[1] == 2.0  # 0 + (8-0) * (1-0)/(4-0)
