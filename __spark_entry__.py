@@ -343,7 +343,14 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    exact = sim.knn_bruteforce(emb, queries, k=5).select("query_id", "neighbor_id")
+    # the exact top-5 (all-pairs cosine + per-query top-k) feeds FOUR plan
+    # references (hits + n_exact per method leg); localCheckpoint runs it
+    # once instead of four times (same pattern as minhash_est_vs_exact)
+    exact = (
+        sim.knn_bruteforce(emb, queries, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     approx = {
         "lsh": sim.knn_lsh(emb, queries, _lsh_planes(), k=5, n_tables=_LSH_TABLES),
         "ivf": sim.knn_ivf(emb, queries, _ivf_cents(), k=5, nprobe=_IVF_NPROBE),
@@ -848,7 +855,9 @@ def _q_fight_sessions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME fight pipeline forced onto the chunked time-axis path
     (frame_chunk=500 → ~14 chunks over the fixture): chunked_ffill for the
     centroid-distance fill, chunked blob_speed, and both sessionization
-    phases chunked. Bit-equal to q_fight_sessions by construction — the two
+    phases chunked. Matches q_fight_sessions exactly on integer outputs (the
+    only float stage, blob-speed smoothing, differs at most in its last bit
+    from edge-sum reassociation — see plans/fights.py:blob_speed) — the two
     entries share one oracle, so the driver verifies the scale path's
     boundary carries against the identical DuckDB ground truth."""
     from aeon_sleap_processing_spark.plans.fights import fight_candidate_sessions
@@ -2830,7 +2839,8 @@ def oracle_sql() -> dict[str, str]:
         "q_tube_candidates": _tube_candidates_sql(),
         "q_tube_events": _tube_events_sql(),
         "q_fight_sessions": _fight_sessions_sql(),
-        # the chunked variant is bit-equal by construction and shares the
+        # the chunked variant matches on the integer outputs (float smoothing
+        # equal to last-ULP reassociation; see blob_speed) and shares the
         # global pipeline's oracle
         "q_fight_sessions_chunked": _fight_sessions_sql(),
         "q_combine_ticks": _combine_ticks_sql(),

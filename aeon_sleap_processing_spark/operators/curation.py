@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .text import md5_long, tokenize
+from .text import salted_uniform, tokenize
 
 __all__ = [
     "pack_sequences",
@@ -248,8 +248,9 @@ def domain_mixture_sample(
 
     Per-source keep probability: share_s = n_s^alpha / sum_t n_t^alpha;
     p_s = min(1, share_s * target_frac * N / n_s). Membership is the
-    deterministic salted-md5 Bernoulli of ``weighted_sample``
-    (text.py:936) — reproducible across runs, engines, partitionings.
+    deterministic salted-md5 Bernoulli draw shared with ``weighted_sample``
+    (``text.salted_uniform``) — reproducible across runs, engines,
+    partitionings.
 
     Returns per source: (source, n_docs, target_share, p_keep, n_kept,
     kept_frac). One aggregation to one row per source, a broadcast scalar
@@ -275,11 +276,8 @@ def domain_mixture_sample(
             / F.col("n_docs"),
         ).alias("p_keep"),
     )
-    u = md5_long(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))) / F.lit(
-        float(1 << 32)
-    )
     kept = (
-        docs.select(source_col, u.alias("__u"))
+        docs.select(source_col, salted_uniform(F.col(id_col), salt).alias("__u"))
         .join(F.broadcast(probs), source_col)
         .groupBy(source_col, "n_docs", "target_share", "p_keep")
         .agg(F.sum((F.col("__u") < F.col("p_keep")).cast("long")).alias("n_kept"))

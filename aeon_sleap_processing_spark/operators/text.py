@@ -32,6 +32,7 @@ __all__ = [
     "token_count",
     "BPE_SPLIT_PATTERN",
     "md5_long",
+    "salted_uniform",
     "text_stats",
     "lang_id",
     "doc_fingerprint",
@@ -101,6 +102,17 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def salted_uniform(id_col: Column, salt: str) -> Column:
+    """Deterministic U[0,1) draw as a pure function of (id, salt): salted
+    md5 of the id mapped to [0,1). Reproducible across runs, engines, and
+    partitionings; a different salt gives an independent draw. The single
+    source of truth for every Bernoulli-sampling operator (weighted_sample,
+    domain_mixture_sample) — their DuckDB oracles pin this exact formula."""
+    return md5_long(F.concat(F.lit(salt + "|"), id_col.cast("string"))) / F.lit(
+        float(1 << 32)
+    )
+
+
 def _word_in(words: Column, vocab: tuple[str, ...]) -> Column:
     def pred(w: Column) -> Column:
         c = F.lit(False)
@@ -124,7 +136,12 @@ def _shingles(words: Column, k: int) -> Column:
 
 
 def shingle_rows(
-    docs: DataFrame, text_col: str, id_col: str, k: int, alias: str = "__sg"
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    alias: str = "__sg",
+    with_pos: bool = False,
 ) -> DataFrame:
     """(id, shingle) rows: k-word shingles built from ``arrays_zip`` of k
     shifted slices + explode + ``concat_ws`` — every operator whole-stage
@@ -132,13 +149,18 @@ def shingle_rows(
     ~4x slower end-to-end on the minhash path at sf0.1.
 
     Docs with fewer than k words produce no rows (empty zip explodes to
-    nothing), matching the array form's semantics."""
+    nothing), matching the array form's semantics. ``with_pos`` adds the
+    0-based shingle position as ``__pos`` (posexplode) for operators that
+    need positional signals (``dup_span_stats``)."""
     words = tokenize(F.col(text_col))
     n_sh = F.greatest(F.size(words) - (k - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice(words, i + 1, n_sh) for i in range(k)])
-    return docs.select(F.col(id_col), F.explode(z).alias("__zz")).select(
-        id_col, F.concat_ws(" ", *[F.col("__zz")[str(i)] for i in range(k)]).alias(alias)
-    )
+    sg = F.concat_ws(" ", *[F.col("__zz")[str(i)] for i in range(k)]).alias(alias)
+    if with_pos:
+        return docs.select(
+            F.col(id_col), F.posexplode(z).alias("__pos", "__zz")
+        ).select(id_col, "__pos", sg)
+    return docs.select(F.col(id_col), F.explode(z).alias("__zz")).select(id_col, sg)
 
 
 def text_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -805,14 +827,7 @@ def dup_span_stats(
     the shingle join is bounded by shingle frequency like the jaccard
     inverted index (text.py:289)."""
     base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
-    words = tokenize(F.col(text_col))
-    n_sh = F.greatest(F.size(words) - (k - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice(words, i + 1, n_sh) for i in range(k)])
-    rows = base.select(F.col(id_col), F.posexplode(z).alias("__pos", "__zz")).select(
-        id_col,
-        "__pos",
-        F.concat_ws(" ", *[F.col("__zz")[str(i)] for i in range(k)]).alias("__sg"),
-    )
+    rows = shingle_rows(base, text_col, id_col, k, with_pos=True)
     occ = rows.groupBy("__sg").agg(F.count(F.lit(1)).alias("__occ"))
     flagged = rows.join(occ, "__sg").select(
         id_col, "__pos", (F.col("__occ") > 1).alias("__dup")
@@ -1017,7 +1032,4 @@ def weighted_sample(
     membership is a pure function of (id, salt): reproducible across runs,
     engines, and partitionings, and a different ``salt`` gives an
     independent sample. Pure codegen expressions, no shuffle."""
-    u = md5_long(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string"))) / F.lit(
-        float(1 << 32)
-    )
-    return docs.where(u < weight)
+    return docs.where(salted_uniform(F.col(id_col), salt) < weight)

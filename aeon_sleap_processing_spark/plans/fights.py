@@ -104,8 +104,17 @@ def blob_speed(
                              following chunks' first 4 speeds (carried as
                              arrays on the summary table).
 
-    Bit-equal to the global form for any chunk size (ties in ``time`` can
-    reorder under either form; real streams are strictly increasing).
+    Equal to the global form for any chunk size up to last-ULP float
+    reassociation in the smoothing stage: the row positions, Δt filter, and
+    per-row speeds are bit-equal (integer/exact per-row math with identical
+    seeds), but the edge correction adds the carried before/after sums to
+    the chunk-local running sum in a different order than the global
+    in-order scan, so a smoothed speed can differ in its last bit. Every
+    downstream use compares against thresholds (min_blob_speed) orders of
+    magnitude above ULP scale, and the session outputs are integers — the
+    chunked pipeline's shared DuckDB oracle hash therefore holds. (Ties in
+    ``time`` can reorder under either form; real streams are strictly
+    increasing.)
     """
     if chunk is None:
         w = W.orderBy("time")

@@ -244,7 +244,9 @@ def bench_fight_prefix(spark, n_frames: int) -> dict:
         return round(_t.perf_counter() - t0, 2), (row["n"], row["chk"])
 
     g_s, g_chk = run(0)  # force the global single-window path
-    c_s, c_chk = run(FRAME_CHUNK_BENCH)
+    from aeon_sleap_processing_spark.plans.tube_test import FRAME_CHUNK
+
+    c_s, c_chk = run(FRAME_CHUNK)
     assert g_chk == c_chk, f"fight prefix checksum mismatch: {g_chk} vs {c_chk}"
     return {
         "fight_frames": n_frames,
@@ -254,8 +256,6 @@ def bench_fight_prefix(spark, n_frames: int) -> dict:
         "fight_speedup": round(g_s / c_s, 2),
     }
 
-
-FRAME_CHUNK_BENCH = 180_000  # = plans.tube_test.FRAME_CHUNK (the auto size)
 
 
 if __name__ == "__main__":

@@ -20,11 +20,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # By-design exceptions, keyed on (query, flag-kind) so only the justified
 # flag TYPE is downgraded to ok* — an unrelated regression (e.g. a pruning
 # break) on the same query still WARNs. Each justified where implemented:
-# - q_fight_sessions / q_tube_events: below the FRAME_CHUNK threshold the
-#   detection pipelines adaptively pick the global single-window forms
+# - q_fight_sessions: below the FRAME_CHUNK threshold the detection
+#   pipelines adaptively pick the global single-window forms
 #   (plans/tube_test.py FRAME_CHUNK) — the right plan for an
 #   in-memory-sized period; the chunked twin q_fight_sessions_chunked runs
-#   the scale path against the identical oracle.
+#   the scale path against the identical oracle. (q_tube_events takes the
+#   same adaptive path but its current plan stays under the flag
+#   thresholds, so it carries no exception — if it ever flags, that is a
+#   real change to investigate, not an auto-waive.)
 # - q_fight_sessions_chunked: the forced scale path joins the blob-speed
 #   stream and the anti-join of phase-2 against phase-1 survivors — both
 #   stream-sized equi-joins on the dense frame axis, NOT broadcastable at
