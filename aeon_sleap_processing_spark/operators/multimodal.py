@@ -12,10 +12,13 @@ What is REAL here and tested:
   partition behavior;
 - frame-sampling over a video manifest as a pure DataFrame op.
 
-What is STUBBED (image libs are not in this container): pixel decode falls
-back to a clearly-marked deterministic fake (seeded by content hash) so the
-downstream plumbing is exercisable; with PIL/OpenCV installed the real decode
-path is used unchanged.
+What is REAL without any media library: PNG decode/encode (``decode_png``/
+``encode_png``) — PNG is zlib (stdlib) + five per-scanline byte filters, so
+8-bit grayscale/RGB PNGs round-trip in pure numpy. ``decode_image_features``
+and ``resize_images`` use it whenever the input IS a PNG; PIL (if installed)
+handles other containers; only non-PNG-without-PIL falls back to the
+clearly-marked deterministic fake (seeded by content hash) so the downstream
+plumbing stays exercisable.
 """
 
 from __future__ import annotations
@@ -33,6 +36,8 @@ from pyspark.sql import types as T
 __all__ = [
     "sniff_media_meta",
     "media_meta_column",
+    "decode_png",
+    "encode_png",
     "decode_image_features",
     "decode_audio_features",
     "resize_images",
@@ -99,6 +104,158 @@ IMAGE_FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# pure stdlib+numpy PNG codec (no PIL/OpenCV): PNG = zlib-compressed
+# scanlines, each prefixed by one of five byte filters (spec §9). Supports
+# bit depth 8, color types 0 (grayscale) and 2 (RGB), non-interlaced — the
+# layout every training-data image shard uses.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """uint8 array → PNG bytes. ``(h, w)`` → grayscale, ``(h, w, 3)`` → RGB.
+    ``filter_type`` selects the scanline filter (0 None, 1 Sub, 2 Up,
+    3 Average, 4 Paeth) — any choice decodes to the same pixels; non-zero
+    types exist mainly so tests can exercise every decoder branch."""
+    import zlib
+
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        color, bpp = 0, 1
+        a = a[:, :, None]
+    elif a.ndim == 3 and a.shape[2] == 3:
+        color, bpp = 2, 3
+    else:
+        raise ValueError(f"expected (h,w) or (h,w,3) uint8 array, got {arr.shape}")
+    h, w = a.shape[:2]
+    flat = a.reshape(h, w * bpp).astype(np.int16)  # headroom for predictors
+    prev = np.zeros(w * bpp, dtype=np.int16)
+    rows = []
+    for y in range(h):
+        row = flat[y]
+        left = np.concatenate([np.zeros(bpp, dtype=np.int16), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int16), prev[:-bpp]])
+        if filter_type == 0:
+            raw = row
+        elif filter_type == 1:
+            raw = row - left
+        elif filter_type == 2:
+            raw = row - prev
+        elif filter_type == 3:
+            raw = row - (left + prev) // 2
+        elif filter_type == 4:
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+            raw = row - pred
+        else:
+            raise ValueError(f"bad filter_type {filter_type}")
+        rows.append(bytes([filter_type]) + (raw % 256).astype(np.uint8).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """PNG bytes → uint8 array (``(h, w)`` grayscale or ``(h, w, 3)`` RGB).
+    All five scanline filters; bit depth 8, color types 0/2, non-interlaced.
+    Raises ValueError on other layouts (16-bit, palette, alpha, Adam7)."""
+    import zlib
+
+    if not b or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (length,), tag = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
+        body = b[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + body + crc
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG layout (depth={depth} color={color} interlace={interlace})"
+                )
+            bpp = 3 if color == 2 else 1
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    data = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * bpp
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline payload has wrong length")
+    data = data.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, raw = int(data[y, 0]), data[y, 1:]
+        if ftype == 0:
+            recon = raw.copy()
+        elif ftype == 1:  # Sub telescopes to a per-lane prefix sum mod 256
+            recon = raw.copy()
+            for o in range(bpp):
+                recon[o::bpp] = np.cumsum(raw[o::bpp], dtype=np.uint64) % 256
+        elif ftype == 2:
+            recon = raw + prev  # uint8 wraparound == mod 256
+        elif ftype in (3, 4):  # sequential left-dependency: per-byte scan
+            recon = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                left = int(recon[x - bpp]) if x >= bpp else 0
+                up = int(prev[x])
+                if ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = int(prev[x - bpp]) if x >= bpp else 0
+                    p = left + up - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
+                recon[x] = (int(raw[x]) + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = recon
+        prev = recon
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+
+
+def _try_decode_png(b: bytes) -> np.ndarray | None:
+    """decode_png, or None for corrupt/unsupported layouts (16-bit, palette,
+    alpha, Adam7) — lets the operators fall back to PIL-or-fake instead of
+    failing the whole Arrow batch on one odd file."""
+    import zlib
+
+    try:
+        return decode_png(b)
+    except (ValueError, struct.error, zlib.error):
+        return None
+
+
+def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (pixel-center rule)."""
+    src_h, src_w = img.shape[:2]
+    yi = np.minimum(((np.arange(height) + 0.5) * src_h / height).astype(int), src_h - 1)
+    xi = np.minimum(((np.arange(width) + 0.5) * src_w / width).astype(int), src_w - 1)
+    return img[yi][:, xi]
+
+
 def decode_image_features(
     df: DataFrame,
     id_col: str,
@@ -109,9 +266,12 @@ def decode_image_features(
     """Decode images and emit a small feature vector per image via
     ``mapInPandas`` (Arrow batches; one task per input partition).
 
-    Real path: PIL decode → grayscale stats + downsampled intensity grid.
-    STUB path (no PIL in this environment): a deterministic content-hash
-    pseudo-decode, clearly marked, preserving schema/batch behavior.
+    Decode ladder per image: PIL (any container, if installed) → pure
+    ``decode_png`` (REAL pixels, no library needed) for PNG inputs → the
+    deterministic content-hash fake, clearly marked, only for non-PNG
+    containers with no PIL. Features: mean luma (unweighted channel mean
+    for RGB — not ITU-601) + ``feature_dim`` evenly-strided normalized
+    intensities.
     """
     try:  # pragma: no cover - exercised only where PIL exists
         from PIL import Image  # noqa: F401
@@ -121,9 +281,14 @@ def decode_image_features(
         have_pil = False
     if not have_pil and not allow_fake:
         raise NotImplementedError(
-            "image decode requires PIL/OpenCV, which is unavailable; "
-            "pass allow_fake=True for the deterministic stub"
+            "image decode of non-PNG containers requires PIL/OpenCV; "
+            "PNG inputs decode natively — pass allow_fake=True to stub the rest"
         )
+
+    def _features(gray: np.ndarray) -> tuple[float, np.ndarray]:
+        flat = gray.flatten()
+        idx = np.linspace(0, len(flat) - 1, feature_dim).astype(int)
+        return float(gray.mean()), (flat[idx] / 255.0).astype("float32")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -136,10 +301,16 @@ def decode_image_features(
                     from PIL import Image
 
                     img = np.asarray(Image.open(io.BytesIO(b)).convert("L"), dtype=float)
-                    luma = float(img.mean())
-                    flat = img.flatten()
-                    idx = np.linspace(0, len(flat) - 1, feature_dim).astype(int)
-                    feat = (flat[idx] / 255.0).astype("float32")
+                    luma, feat = _features(img)
+                elif (
+                    b
+                    and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
+                    and (img := _try_decode_png(bytes(b))) is not None
+                ):
+                    img = img.astype(float)
+                    if img.ndim == 3:
+                        img = img.mean(axis=2)
+                    luma, feat = _features(img)
                 else:
                     # FAKE DECODE (deterministic): content-hash pseudo pixels
                     digest = hashlib.sha256(b or b"").digest()
@@ -251,10 +422,11 @@ def resize_images(
     """Batch image resize via ``mapInPandas`` (the bulk-preprocess step of a
     multimodal training pipeline): binary in → binary out at (width, height).
 
-    Real path: PIL decode → resize → PNG re-encode. STUB path (no PIL in
-    this container): a deterministic fake that emits a VALID minimal PNG of
-    the target dimensions whose pixel payload derives from the source bytes'
-    hash — schema, batch shape, and downstream sniffability are all real."""
+    Decode ladder per image: PIL (any container, if installed) →
+    ``decode_png`` + nearest-neighbor resample + ``encode_png`` (REAL
+    pixels, no library) for PNG inputs → a deterministic fake emitting a
+    VALID decodable PNG of the target size whose pixels derive from the
+    source bytes' hash, only for non-PNG containers with no PIL."""
     try:  # pragma: no cover - exercised only where PIL exists
         from PIL import Image  # noqa: F401
 
@@ -263,30 +435,17 @@ def resize_images(
         have_pil = False
     if not have_pil and not allow_fake:
         raise NotImplementedError(
-            "image resize requires PIL/OpenCV, which is unavailable; "
-            "pass allow_fake=True for the deterministic stub"
+            "resize of non-PNG containers requires PIL/OpenCV; "
+            "PNG inputs resize natively — pass allow_fake=True to stub the rest"
         )
 
     def fake_png(src: bytes) -> bytes:
-        # FAKE RESIZE (deterministic): valid PNG header + IHDR for the target
-        # size; payload bytes are a content-hash stream, NOT decoded pixels
-        import zlib
-
+        # FAKE RESIZE (deterministic): a real encode of content-hash pixels —
+        # NOT decoded source pixels, but fully decodable downstream
         digest = hashlib.sha256(src or b"").digest()
-        n_raw = height * (1 + width)  # filter byte + 1 gray byte per pixel
-        raw = (digest * (n_raw // len(digest) + 1))[:n_raw]
-        def chunk(tag: bytes, body: bytes) -> bytes:
-            return (
-                struct.pack(">I", len(body)) + tag + body
-                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
-            )
-        ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-        return (
-            b"\x89PNG\r\n\x1a\n"
-            + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b"")
-        )
+        n_px = height * width
+        px = np.frombuffer((digest * (n_px // len(digest) + 1))[:n_px], dtype=np.uint8)
+        return encode_png(px.reshape(height, width))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -301,6 +460,12 @@ def resize_images(
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     data = buf.getvalue()
+                elif (
+                    b
+                    and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
+                    and (img := _try_decode_png(bytes(b))) is not None
+                ):
+                    data = encode_png(_resize_nearest(img, width, height))
                 else:
                     data = fake_png(b)
                 out.append({"id": rid, "image": data, "width": width, "height": height})

@@ -139,3 +139,103 @@ class TestResizeImages:
         a = out.sort_values("id").image.apply(bytes).tolist()
         b = again.sort_values("id").image.apply(bytes).tolist()
         assert a == b
+
+
+class TestPngCodec:
+    def test_roundtrip_all_filters_gray_and_rgb(self):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        rng = np.random.RandomState(7)
+        gray = rng.randint(0, 256, (13, 9), dtype=np.uint8)
+        rgb = rng.randint(0, 256, (6, 11, 3), dtype=np.uint8)
+        for arr in (gray, rgb):
+            for ftype in range(5):  # None / Sub / Up / Average / Paeth
+                out = decode_png(encode_png(arr, filter_type=ftype))
+                assert out.shape == arr.shape and (out == arr).all(), (
+                    arr.shape,
+                    ftype,
+                )
+
+    def test_sniffer_agrees_with_encoder(self):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            encode_png,
+            sniff_media_meta,
+        )
+
+        b = encode_png(np.zeros((5, 8), dtype=np.uint8))
+        fmt, w, h, n = sniff_media_meta(b)
+        assert (fmt, w, h) == ("png", 8, 5) and n == len(b)
+
+    def test_unsupported_layouts_raise(self):
+        import numpy as np
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.multimodal import decode_png
+
+        with pytest.raises(ValueError):
+            decode_png(b"not a png")
+        with pytest.raises(ValueError):
+            import numpy as np
+
+            from aeon_sleap_processing_spark.operators.multimodal import encode_png
+
+            encode_png(np.zeros((2, 2, 4), dtype=np.uint8))  # RGBA unsupported
+
+
+class TestRealPngPath:
+    def test_decode_features_real_pixels(self, spark):
+        """PNG inputs take the REAL decode path (no PIL needed): a flat
+        50-gray image must yield mean_luma exactly 50, not a hash fake."""
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_image_features,
+            encode_png,
+        )
+
+        flat = encode_png(np.full((4, 6), 50, dtype=np.uint8))
+        grad = encode_png(
+            np.tile(np.arange(0, 240, 10, dtype=np.uint8), (3, 1))
+        )
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [0, 1], "img": [bytearray(flat), bytearray(grad)]})
+        )
+        got = (
+            decode_image_features(df, "id", "img", feature_dim=4)
+            .toPandas()
+            .set_index("id")
+            .sort_index()
+        )
+        assert got.loc[0, "mean_luma"] == 50.0
+        assert abs(got.loc[1, "mean_luma"] - np.arange(0, 240, 10).mean()) < 1e-9
+
+    def test_resize_real_pixels(self, spark):
+        """Resizing a PNG halves real pixels (nearest-neighbor), and the
+        output decodes back to the expected quadrant values."""
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            resize_images,
+        )
+
+        # 4x4 quadrant image: TL=10, TR=60, BL=110, BR=160
+        src = np.zeros((4, 4), dtype=np.uint8)
+        src[:2, :2], src[:2, 2:], src[2:, :2], src[2:, 2:] = 10, 60, 110, 160
+        df = spark.createDataFrame(
+            pd.DataFrame({"id": [0], "img": [bytearray(encode_png(src))]})
+        )
+        got = resize_images(df, "id", "img", width=2, height=2).toPandas()
+        out = decode_png(bytes(got.image[0]))
+        assert out.shape == (2, 2)
+        assert out.tolist() == [[10, 60], [110, 160]]
