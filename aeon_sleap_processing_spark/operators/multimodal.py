@@ -38,6 +38,8 @@ __all__ = [
     "media_meta_column",
     "decode_png",
     "encode_png",
+    "decode_avi",
+    "encode_avi",
     "decode_image_features",
     "decode_audio_features",
     "resize_images",
@@ -234,6 +236,104 @@ def decode_png(b: bytes) -> np.ndarray:
         out[y] = recon
         prev = recon
     return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# pure stdlib AVI codec (no OpenCV): RIFF container with uncompressed 24-bit
+# DIB frames ('00db' chunks, BGR bottom-up rows padded to 4 bytes) — the
+# layout cv2.VideoWriter(fourcc=0) produces. Enough for event-clip export
+# (reference social_behaviour_detection.py:880-921) and round-trip tests.
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
+    """uint8 frames → AVI bytes. ``(n, h, w)`` grayscale (expanded to BGR)
+    or ``(n, h, w, 3)`` BGR. Uncompressed DIB video stream at ``fps``."""
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        a = np.repeat(a[..., None], 3, axis=3)
+    if a.ndim != 4 or a.shape[3] != 3:
+        raise ValueError(f"expected (n,h,w) or (n,h,w,3) uint8, got {frames.shape}")
+    n, h, w = a.shape[:3]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    frame_size = (row_bytes + pad) * h
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + tag + body
+
+    def chk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+
+    rate = max(1, int(round(fps * 1000)))
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        int(round(1e6 / fps)), frame_size * int(fps), 0, 0x10,  # µs/frame, bytes/s, pad, HASINDEX
+        n, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1000, rate, 0, n, frame_size, 0, 0,
+        0, 0, int(w), int(h),
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)))
+
+    movi_items, idx = [], []
+    off = 4  # idx1 offsets count from the 'movi' tag
+    pad_row = b"\x00" * pad
+    for i in range(n):
+        # DIB: bottom-up rows, BGR byte order, 4-byte-aligned rows
+        rows = a[i, ::-1].reshape(h, row_bytes).tobytes()
+        if pad:
+            rows = b"".join(
+                rows[r * row_bytes : (r + 1) * row_bytes] + pad_row for r in range(h)
+            )
+        movi_items.append(chk(b"00db", rows))
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_size))
+        off += 8 + frame_size + (frame_size % 2)
+    movi = lst(b"movi", b"".join(movi_items))
+    idx1 = chk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(b: bytes) -> tuple[np.ndarray, float]:
+    """AVI bytes → (frames ``(n, h, w, 3)`` uint8 BGR, fps). Supports the
+    uncompressed-DIB layout ``encode_avi`` writes (and cv2 fourcc=0)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+
+    w = h = None
+    us_per_frame = 40000
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal w, h, us_per_frame
+        pos = lo
+        while pos + 8 <= hi:
+            tag = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_lo = pos + 8
+            if tag == b"LIST":
+                walk(body_lo + 4, body_lo + size)
+            elif tag == b"avih":
+                (us_per_frame,) = struct.unpack("<I", b[body_lo : body_lo + 4])
+                w, h = struct.unpack("<II", b[body_lo + 32 : body_lo + 40])
+            elif tag == b"00db":
+                if w is None:
+                    raise ValueError("AVI frame before header")
+                stride = (w * 3 + 3) // 4 * 4
+                raw = np.frombuffer(b[body_lo : body_lo + size], dtype=np.uint8)
+                if len(raw) != stride * h:
+                    raise ValueError("AVI frame has wrong length")
+                img = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+                frames.append(img.copy())
+            pos = body_lo + size + (size % 2)
+
+    walk(12, len(b))
+    fps = 1e6 / us_per_frame if us_per_frame else 0.0
+    return np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8), fps
 
 
 def _try_decode_png(b: bytes) -> np.ndarray | None:

@@ -66,12 +66,20 @@ def export_event_videos(
     padding_seconds: float = 1.0,
     video_name_prefix: str = "",
     encode: bool = False,
+    frame_col: str | None = None,
 ) -> list[tuple[str, int]]:
     """K5: per event, slice the frame manifest to [start−pad, end+pad] and
-    (optionally) export a clip. Frame selection is a real DataFrame range
-    query; the AVI encode itself (the reference's `aeon.io.video.export`)
-    requires OpenCV and is not implemented — pass ``encode=True`` to get the
-    explicit NotImplementedError instead of the manifest-only result.
+    (optionally) export a clip — the reference's `aeon.io.video.export`
+    (`social_behaviour_detection.py:880-921`), OpenCV-free.
+
+    Frame selection is a real DataFrame range query. With ``encode=True``
+    and ``frame_col`` naming a PNG binary column on ``video_index``, each
+    event's frames are decoded (pure-numpy PNG codec,
+    operators/multimodal.py), stacked in time order, and written to
+    ``save_dir`` as an uncompressed-DIB AVI (pure-stdlib RIFF writer) by an
+    ``applyInPandas`` kernel — one task per event, executor-side encode.
+    ``encode=True`` without a frame column raises: the manifest carries no
+    pixels to encode.
 
     ONE Spark job regardless of event count: the (tiny) padded event table
     is broadcast range-joined onto the manifest and counted per event —
@@ -83,10 +91,11 @@ def export_event_videos(
     Returns [(clip_name, n_frames)] ordered by event start; events sharing
     a start order by their (start, end) rank in the input event table.
     """
-    if encode:
+    if encode and frame_col is None:
         raise NotImplementedError(
-            "AVI encode requires OpenCV (unavailable here); manifest slicing "
-            "works with encode=False"
+            "encode=True needs frame_col (a PNG binary column on video_index) "
+            "to supply pixels; the manifest alone carries none. "
+            "Manifest slicing works with encode=False."
         )
     pad = F.expr(f"INTERVAL {padding_seconds} SECONDS")
     from pyspark.sql import Window as W
@@ -103,14 +112,13 @@ def export_event_videos(
     ).withColumn(
         "__eid", F.row_number().over(W.orderBy("__start", "__hi"))
     )
-    counts = (
-        video_index.join(
-            F.broadcast(ev),
-            (F.col("time") >= F.col("__lo")) & (F.col("time") <= F.col("__hi")),
-        )
-        .groupBy("__eid")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    joined = video_index.join(
+        F.broadcast(ev),
+        (F.col("time") >= F.col("__lo")) & (F.col("time") <= F.col("__hi")),
     )
+    if encode:
+        _write_event_clips(joined, frame_col, save_dir, video_name_prefix)
+    counts = joined.groupBy("__eid").agg(F.count(F.lit(1)).alias("__n"))
     rows = (
         ev.select("__eid", "__start")
         .join(counts, "__eid", "left")
@@ -125,6 +133,60 @@ def export_event_videos(
         (f"{video_name_prefix}{r['__start'].strftime('%Y-%m-%d_%H-%M-%S')}.avi", r["__n"])
         for r in rows
     ]
+
+
+def _write_event_clips(
+    joined: DataFrame, frame_col: str, save_dir: str, prefix: str
+) -> None:
+    """One AVI per event via ``applyInPandas`` keyed on the event id: decode
+    each frame's PNG bytes (pure-numpy codec), stack in time order, write an
+    uncompressed-DIB AVI named by the event start. Executor-side encode —
+    one task per event, no pixel bytes ever reach the driver. Frames within
+    an event must share dimensions (the reference's fixed camera geometry);
+    the clip fps is inferred from the median frame interval."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..operators.multimodal import decode_png, encode_avi
+
+    os.makedirs(save_dir, exist_ok=True)
+    out_schema = T.StructType(
+        [
+            T.StructField("__eid", T.IntegerType()),
+            T.StructField("clip", T.StringType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("time").reset_index(drop=True)
+        frames = np.stack([decode_png(bytes(b)) for b in pdf[frame_col]])
+        dt = pdf["time"].diff().dt.total_seconds().dropna()
+        fps = 1.0 / float(dt.median()) if len(dt) and dt.median() > 0 else 50.0
+        start = pdf["__start"].iloc[0]
+        name = f"{prefix}{start.strftime('%Y-%m-%d_%H-%M-%S')}.avi"
+        data = encode_avi(frames, fps=fps)
+        with open(os.path.join(save_dir, name), "wb") as f:
+            f.write(data)
+        return pd.DataFrame(
+            [
+                {
+                    "__eid": int(pdf["__eid"].iloc[0]),
+                    "clip": name,
+                    "n_frames": len(pdf),
+                    "n_bytes": len(data),
+                }
+            ]
+        )
+
+    # count() drives the write; the returned stats are per-event and tiny
+    joined.select("__eid", "__start", "time", frame_col).groupBy(
+        "__eid"
+    ).applyInPandas(kernel, out_schema).count()
 
 
 def merge_model_configs(pose_config: dict, id_config: dict) -> dict:

@@ -239,3 +239,93 @@ class TestRealPngPath:
         out = decode_png(bytes(got.image[0]))
         assert out.shape == (2, 2)
         assert out.tolist() == [[10, 60], [110, 160]]
+
+
+class TestAviCodec:
+    def test_roundtrip_gray_and_bgr_with_row_padding(self):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        rng = np.random.RandomState(11)
+        for shape in [(4, 6, 5, 3), (3, 7, 8)]:  # width 5 exercises 4-byte pad
+            fr = rng.randint(0, 256, shape, dtype=np.uint8)
+            out, fps = decode_avi(encode_avi(fr, fps=25.0))
+            exp = np.repeat(fr[..., None], 3, axis=3) if fr.ndim == 3 else fr
+            assert out.shape == exp.shape and (out == exp).all()
+            assert abs(fps - 25.0) < 0.01
+
+    def test_rejects_non_avi(self):
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.multimodal import decode_avi
+
+        with pytest.raises(ValueError):
+            decode_avi(b"RIFFxxxxWAVE")
+
+
+class TestEncodedClipExport:
+    def test_event_clips_written_and_decodable(self, spark, tmp_path):
+        """Full K5 path without OpenCV: PNG frame column -> per-event AVI on
+        disk, decodable back to the exact source pixels in time order."""
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_avi,
+            encode_png,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import export_event_videos
+
+        t0 = pd.Timestamp("2024-03-01 12:00:00")
+        # 100 ms frame interval -> the two events land in different seconds
+        # (clip names are second-resolution, matching the reference scheme)
+        times = [t0 + pd.Timedelta(milliseconds=100 * i) for i in range(30)]
+        # frame i is a flat image of intensity i -> order is checkable
+        pngs = [
+            bytearray(encode_png(np.full((4, 5), i, dtype=np.uint8)))
+            for i in range(30)
+        ]
+        idx = spark.createDataFrame(pd.DataFrame({"time": times, "png": pngs}))
+        events = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "start_timestamp": [times[5], times[20]],
+                    "end_timestamp": [times[8], times[24]],
+                }
+            )
+        )
+        out = export_event_videos(
+            events,
+            idx,
+            str(tmp_path),
+            padding_seconds=0.0,
+            encode=True,
+            frame_col="png",
+        )
+        assert [n for _, n in out] == [4, 5]
+        for (name, n), first in zip(out, (5, 20)):
+            frames, fps = decode_avi((tmp_path / name).read_bytes())
+            assert frames.shape == (n, 4, 5, 3)
+            # every pixel of frame j equals the planted intensity first+j
+            assert [int(frames[j, 0, 0, 0]) for j in range(n)] == list(
+                range(first, first + n)
+            )
+            assert abs(fps - 10.0) < 0.5  # inferred from the 100 ms spacing
+
+    def test_encode_without_frames_raises(self, spark, tmp_path):
+        import pandas as pd
+        import pytest
+
+        from aeon_sleap_processing_spark.sources.sinks import export_event_videos
+
+        t0 = pd.Timestamp("2024-03-01")
+        idx = spark.createDataFrame(pd.DataFrame({"time": [t0]}))
+        ev = spark.createDataFrame(
+            pd.DataFrame({"start_timestamp": [t0], "end_timestamp": [t0]})
+        )
+        with pytest.raises(NotImplementedError):
+            export_event_videos(ev, idx, str(tmp_path), encode=True)
