@@ -43,6 +43,7 @@ __all__ = [
     "decode_image_features",
     "decode_audio_features",
     "resize_images",
+    "video_frame_source",
     "sample_frames",
 ]
 
@@ -573,6 +574,58 @@ def resize_images(
 
     return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
         run, RESIZED_SCHEMA
+    )
+
+
+def video_frame_source(
+    videos: DataFrame,
+    id_col: str,
+    binary_col: str,
+    every_n: int = 1,
+) -> DataFrame:
+    """Video frame SOURCE (SURVEY S8, reference
+    `detect_fights_all_epochs.py:53-79` cv2.VideoCapture probing): explode a
+    binary column of AVI blobs into one row per (sampled) frame with REAL
+    pixels re-encoded as PNG — no OpenCV; the pure-stdlib ``decode_avi``
+    reads the uncompressed-DIB layout cv2 writes at fourcc=0.
+
+    Returns (id, frame_idx, fps, height, width, png) via ``mapInPandas`` —
+    Arrow batches, one task per input partition; each video's frames emit
+    from the task holding its bytes, so nothing is shuffled. ``every_n``
+    subsamples frames at the source (the cheap place to drop data)."""
+    out_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("fps", T.DoubleType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("png", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, b in zip(pdf["id"], pdf[binary_col]):
+                frames, fps = decode_avi(bytes(b))
+                for i in range(0, len(frames), every_n):
+                    out.append(
+                        {
+                            "id": rid,
+                            "frame_idx": i,
+                            "fps": fps,
+                            "height": frames.shape[1],
+                            "width": frames.shape[2],
+                            "png": encode_png(frames[i]),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["id", "frame_idx", "fps", "height", "width", "png"]
+            )
+
+    return videos.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
+        run, out_schema
     )
 
 

@@ -329,3 +329,39 @@ class TestEncodedClipExport:
         )
         with pytest.raises(NotImplementedError):
             export_event_videos(ev, idx, str(tmp_path), encode=True)
+
+
+class TestVideoFrameSource:
+    def test_avi_blob_to_real_pixel_frames(self, spark):
+        """S8 end-to-end without OpenCV: AVI blobs explode into per-frame
+        rows whose PNG payloads decode to the exact encoded pixels."""
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_png,
+            encode_avi,
+            video_frame_source,
+        )
+
+        vids = []
+        for vid in range(2):
+            frames = np.stack(
+                [np.full((3, 4), vid * 100 + i, np.uint8) for i in range(6)]
+            )
+            vids.append(bytearray(encode_avi(frames, fps=20.0)))
+        df = spark.createDataFrame(
+            pd.DataFrame({"vid_id": [0, 1], "blob": vids})
+        )
+        got = (
+            video_frame_source(df, "vid_id", "blob", every_n=2)
+            .toPandas()
+            .sort_values(["id", "frame_idx"], ignore_index=True)
+        )
+        assert list(got.frame_idx) == [0, 2, 4, 0, 2, 4]
+        assert (got.fps.round(1) == 20.0).all()
+        assert (got.height == 3).all() and (got.width == 4).all()
+        for _, r in got.iterrows():
+            px = decode_png(bytes(r.png))
+            assert px.shape == (3, 4, 3)
+            assert int(px[0, 0, 0]) == r.id * 100 + r.frame_idx
