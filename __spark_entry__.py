@@ -586,6 +586,19 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(load_table(spark, "documents", sf_dir), capacity=512)
 
 
+def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting greedy bin packing (SFT layout) over 16 shards at
+    a 512-token capacity: per-bin doc/token/fill stats. The greedy walk is a
+    sequential recurrence, so the oracle is a recursive CTE (the
+    q_tube_events technique) stepping each shard one document at a time."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", sf_dir).withColumn(
+        "shard", F.col("doc_id") % 16
+    )
+    return cur.pack_bins(docs, capacity=512)
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level exact dedup (CCNet/RefinedWeb line dedup): 10-word
     blocks, corpus-wide first occurrence wins, documents reassembled."""
@@ -1373,6 +1386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,
         # --- round-6 additions: corpus-curation wing ---------------------
         "q_pack_sequences": _q_pack_sequences,
+        "q_pack_bins": _q_pack_bins,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_pii_scan": _q_pii_scan,
         "q_domain_mixture": _q_domain_mixture,
@@ -2307,6 +2321,32 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max_dup_run, 0) AS max_dup_run
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN pd USING (doc_id) LEFT JOIN mr USING (doc_id)
+        """,
+        "q_pack_bins": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id, doc_id % 16 AS shard, len({_WORDS}) AS n
+              FROM documents WHERE length(trim(text)) > 0
+            ),
+            ord AS (
+              SELECT shard, doc_id, n,
+                     row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+              FROM t
+            ),
+            -- greedy walk, one document per recursion step per shard:
+            -- a doc joins the open bin iff it fits, else opens the next
+            walk(shard, rn, n, fill, bin) AS (
+              SELECT shard, rn, n, n, 0::BIGINT FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.shard, o.rn, o.n,
+                     CASE WHEN w.fill + o.n <= 512 THEN w.fill + o.n ELSE o.n END,
+                     CASE WHEN w.fill + o.n <= 512 THEN w.bin ELSE w.bin + 1 END
+              FROM walk w JOIN ord o ON o.shard = w.shard AND o.rn = w.rn + 1
+            )
+            SELECT shard, bin AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n) AS BIGINT) AS n_tokens,
+                   round(sum(n) / 512.0, 6) AS fill_frac
+            FROM walk GROUP BY shard, bin
         """,
         "q_paragraph_dedup": f"""
             WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),

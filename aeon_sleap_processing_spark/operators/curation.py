@@ -40,6 +40,7 @@ from .text import salted_uniform, tokenize
 
 __all__ = [
     "pack_sequences",
+    "pack_bins",
     "paragraph_dedup",
     "pii_scan",
     "domain_mixture_sample",
@@ -127,6 +128,89 @@ def pack_sequences(
         )
         .orderBy("seq_id")
     )
+
+
+def pack_bins(
+    docs: DataFrame,
+    capacity: int = 512,
+    shard_col: str = "shard",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boundary-respecting greedy bin packing — the SFT-training layout
+    (documents are never split across sequences; unused tail tokens become
+    padding), complementing ``pack_sequences``' concat-and-cut.
+
+    Within each shard, documents are walked in ``id_col`` order: a document
+    joins the open bin when it fits, else the bin closes and a new one
+    opens. A document longer than ``capacity`` gets a bin of its own
+    (n_tokens > capacity flags it for truncation downstream). Returns one
+    row per bin: (shard, bin_id, n_docs, n_tokens, fill_frac).
+
+    Scale: greedy fill is a sequential recurrence whose carry (the open
+    bin's fill) cannot be summarized for a two-level scan — packing order
+    IS the algorithm — so parallelism comes from sharding: one sequential
+    ``applyInPandas`` kernel per shard (the engine's stateful-kernel
+    pattern, operators/kernels.py), shards sized by the caller. The
+    streaming twin ``stream_pack_sequences`` shards the same way.
+    """
+    if capacity <= 0:
+        raise ValueError(f"capacity must be positive, got {capacity!r}")
+    from pyspark.sql import types as T
+
+    n_tok = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(tokenize(F.col(text_col)))
+    )
+    base = docs.select(
+        F.col(shard_col).alias("__shard"), F.col(id_col), n_tok.alias("__n")
+    ).where(F.col("__n") > 0)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("shard", base.schema["__shard"].dataType),
+            T.StructField("bin_id", T.LongType()),
+            T.StructField("n_docs", T.LongType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("fill_frac", T.DoubleType()),
+        ]
+    )
+
+    def kernel(pdf):
+        import math
+
+        import pandas as pd
+
+        def round_half_up(x: float, nd: int = 6) -> float:
+            # SQL ROUND semantics (half away from zero), NOT Python's
+            # banker's round — fill = k/512 hits exact 6-decimal ties
+            return math.floor(x * 10**nd + 0.5) / 10**nd
+
+        pdf = pdf.sort_values(id_col)
+        shard = pdf["__shard"].iloc[0]
+        bins: list[dict] = []
+        fill = n_docs = 0
+        for n in pdf["__n"].astype("int64"):
+            if fill and fill + n > capacity:
+                bins.append({"n_docs": n_docs, "n_tokens": fill})
+                fill = n_docs = 0
+            fill += int(n)
+            n_docs += 1
+        if fill:
+            bins.append({"n_docs": n_docs, "n_tokens": fill})
+        return pd.DataFrame(
+            [
+                {
+                    "shard": shard,
+                    "bin_id": i,
+                    "n_docs": b["n_docs"],
+                    "n_tokens": b["n_tokens"],
+                    "fill_frac": round_half_up(b["n_tokens"] / capacity),
+                }
+                for i, b in enumerate(bins)
+            ]
+        )
+
+    return base.groupBy("__shard").applyInPandas(kernel, out_schema)
 
 
 def paragraph_dedup(

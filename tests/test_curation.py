@@ -226,3 +226,54 @@ def test_paragraph_dedup_matches_sequential_oracle(spark_global, docs, k):
         assert got.loc[i, "n_blocks"] == len(blocks)
         assert got.loc[i, "n_kept"] == len(kept)
         assert got.loc[i, "dedup_text"] == " ".join(kept)
+
+
+class TestPackBins:
+    def _pack(self, spark, lens, cap=16, shards=None):
+        from aeon_sleap_processing_spark.operators.curation import pack_bins
+
+        texts = [" ".join(["w"] * n) for n in lens]
+        pdf = pd.DataFrame(
+            {
+                "shard": shards if shards is not None else [0] * len(texts),
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+            }
+        )
+        return (
+            pack_bins(spark.createDataFrame(pdf), capacity=cap)
+            .toPandas()
+            .sort_values(["shard", "bin_id"], ignore_index=True)
+        )
+
+    def test_greedy_fill_matches_sequential_oracle(self, spark):
+        lens = [5, 9, 3, 11, 2, 13, 8, 21, 4, 4, 4]
+        got = self._pack(spark, lens, cap=16)
+        # sequential oracle
+        bins, fill, nd = [], 0, 0
+        for n in lens:
+            if fill and fill + n > 16:
+                bins.append((nd, fill))
+                fill = nd = 0
+            fill += n
+            nd += 1
+        bins.append((nd, fill))
+        assert list(zip(got.n_docs, got.n_tokens)) == bins
+        # documents are never split: every bin fits unless single-doc oversize
+        assert ((got.n_tokens <= 16) | (got.n_docs == 1)).all()
+
+    def test_oversized_doc_gets_own_bin(self, spark):
+        got = self._pack(spark, [30, 2, 3], cap=16)
+        assert got.n_tokens.tolist() == [30, 5]
+        assert got.n_docs.tolist() == [1, 2]
+
+    def test_shards_pack_independently(self, spark):
+        got = self._pack(spark, [10, 10, 10, 10], cap=16, shards=[0, 1, 0, 1])
+        # each shard: two 10s -> two bins of one doc each
+        assert len(got) == 4 and (got.n_docs == 1).all()
+
+    def test_fill_frac_half_up_tie(self, spark):
+        # 4/512 = 0.0078125 rounds HALF-UP to 0.007813 (banker's would
+        # give 0.007812 and diverge from the SQL oracle)
+        got = self._pack(spark, [4], cap=512)
+        assert got.fill_frac[0] == 0.007813
