@@ -586,6 +586,32 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.pack_sequences(load_table(spark, "documents", sf_dir), capacity=512)
 
 
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON serialize → parse round-trip (M14 in BOTH directions — the
+    JSONL ingest/egress shape of an LLM corpus): rows → to_json →
+    from_json → per-language aggregates. Both engines push every row
+    through their own JSON machinery; matching aggregates prove the
+    round trip is lossless. Pure codegen, one shuffle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    docs = load_table(spark, "documents", sf_dir)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    js = docs.select(F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("js"))
+    parsed = js.select(F.from_json("js", schema).alias("r")).select("r.*")
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_ids"),
+    )
+
+
 def _q_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting greedy bin packing (SFT layout) over 16 shards at
     a 512-token capacity: per-bin doc/token/fill stats. The greedy walk is a
@@ -1434,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ================= end of the driver's 50-query window ===========
         # --- temporal/window tail (driver-green r5; the nine rotated out
         #     of the window this round carry multi-round green history) ----
+        "q_json_roundtrip": _q_json_roundtrip,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2321,6 +2348,23 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max_dup_run, 0) AS max_dup_run
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN pd USING (doc_id) LEFT JOIN mr USING (doc_id)
+        """,
+        "q_json_roundtrip": """
+            WITH j AS (
+              SELECT to_json(struct_pack(doc_id := doc_id, lang := lang,
+                                         n_chars := n_chars)) AS js
+              FROM documents
+            ),
+            p AS (
+              SELECT json_extract(js, '$.doc_id')::BIGINT AS doc_id,
+                     json_extract_string(js, '$.lang') AS lang,
+                     json_extract(js, '$.n_chars')::BIGINT AS n_chars
+              FROM j
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_ids
+            FROM p GROUP BY lang
         """,
         "q_pack_bins": f"""
             WITH RECURSIVE t AS (

@@ -277,3 +277,41 @@ class TestPackBins:
         # give 0.007812 and diverge from the SQL oracle)
         got = self._pack(spark, [4], cap=512)
         assert got.fill_frac[0] == 0.007813
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    lens=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=50),
+    cap=st.integers(min_value=1, max_value=30),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_bins_matches_sequential_oracle(spark_global, lens, cap, n_shards):
+    """Greedy fill is order-defined; each shard's distributed kernel must
+    reproduce the per-shard sequential walk exactly."""
+    from aeon_sleap_processing_spark.operators.curation import pack_bins
+
+    texts = [" ".join(["w"] * n) for n in lens]
+    shards = [i % n_shards for i in range(len(texts))]
+    df = spark_global.createDataFrame(
+        pd.DataFrame({"shard": shards, "doc_id": list(range(len(texts))), "text": texts})
+    )
+    got = (
+        pack_bins(df, capacity=cap)
+        .toPandas()
+        .sort_values(["shard", "bin_id"], ignore_index=True)
+    )
+
+    expected = []
+    for s in range(n_shards):
+        seq = [n for i, n in enumerate(lens) if i % n_shards == s and n > 0]
+        bins, fill, nd = [], 0, 0
+        for n in seq:
+            if fill and fill + n > cap:
+                bins.append((nd, fill))
+                fill = nd = 0
+            fill += n
+            nd += 1
+        if fill:
+            bins.append((nd, fill))
+        expected.extend((s, b, d, t) for b, (d, t) in enumerate(bins))
+    assert list(zip(got.shard, got.bin_id, got.n_docs, got.n_tokens)) == expected
