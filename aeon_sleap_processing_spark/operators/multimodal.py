@@ -178,7 +178,14 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
 def decode_png(b: bytes) -> np.ndarray:
     """PNG bytes → uint8 array (``(h, w)`` grayscale or ``(h, w, 3)`` RGB).
     All five scanline filters; bit depth 8, color types 0/2, non-interlaced.
-    Raises ValueError on other layouts (16-bit, palette, alpha, Adam7)."""
+    Raises ValueError on other layouts (16-bit, palette, alpha, Adam7).
+
+    Performance note: filters 0/1/2 decode vectorized; 3 (Average) and 4
+    (Paeth) carry a left-pixel dependency through a floor, which no prefix
+    trick removes — they fall back to a per-byte Python scan. Fine for the
+    clip/fixture sizes here; for libpng-encoded megapixel shards (adaptive
+    per-row filters) decode with PIL where available, or re-encode the shard
+    with filter 0 once at ingest."""
     import zlib
 
     if not b or b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -248,13 +255,16 @@ def decode_png(b: bytes) -> np.ndarray:
 
 
 def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
-    """uint8 frames → AVI bytes. ``(n, h, w)`` grayscale (expanded to BGR)
-    or ``(n, h, w, 3)`` BGR. Uncompressed DIB video stream at ``fps``."""
+    """uint8 frames → AVI bytes. ``(n, h, w)`` grayscale (channel-expanded)
+    or ``(n, h, w, 3)`` RGB — the PNG codec's channel convention, so the two
+    codecs compose without swaps; the on-disk DIB layout is BGR per spec
+    (the byte flip happens here). Uncompressed DIB video stream at ``fps``."""
     a = np.ascontiguousarray(frames, dtype=np.uint8)
     if a.ndim == 3:
         a = np.repeat(a[..., None], 3, axis=3)
     if a.ndim != 4 or a.shape[3] != 3:
         raise ValueError(f"expected (n,h,w) or (n,h,w,3) uint8, got {frames.shape}")
+    a = a[..., ::-1]  # RGB in-memory -> BGR on disk (DIB byte order)
     n, h, w = a.shape[:3]
     row_bytes = w * 3
     pad = (-row_bytes) % 4
@@ -284,8 +294,8 @@ def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
     off = 4  # idx1 offsets count from the 'movi' tag
     pad_row = b"\x00" * pad
     for i in range(n):
-        # DIB: bottom-up rows, BGR byte order, 4-byte-aligned rows
-        rows = a[i, ::-1].reshape(h, row_bytes).tobytes()
+        # DIB: bottom-up rows, BGR byte order (flipped above), 4-byte-aligned
+        rows = np.ascontiguousarray(a[i, ::-1]).reshape(h, row_bytes).tobytes()
         if pad:
             rows = b"".join(
                 rows[r * row_bytes : (r + 1) * row_bytes] + pad_row for r in range(h)
@@ -299,37 +309,52 @@ def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_avi(b: bytes) -> tuple[np.ndarray, float]:
-    """AVI bytes → (frames ``(n, h, w, 3)`` uint8 BGR, fps). Supports the
-    uncompressed-DIB layout ``encode_avi`` writes (and cv2 fourcc=0)."""
+def decode_avi(b: bytes, every_n: int = 1) -> tuple[np.ndarray, float]:
+    """AVI bytes → (frames ``(n, h, w, 3)`` uint8 RGB, fps). Supports the
+    uncompressed-DIB layout ``encode_avi`` writes (and cv2 fourcc=0); the
+    on-disk BGR bytes are flipped to RGB here, so round-trips with the PNG
+    codec need no channel swaps. ``every_n`` keeps frames 0, n, 2n, … and
+    skips the numpy conversion of the rest (chunk headers are still walked
+    — that is the cheap part). Raises ValueError on corrupt/truncated
+    input; embedded size fields are bounds-checked, never trusted."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n!r}")
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
         raise ValueError("not an AVI")
 
     w = h = None
     us_per_frame = 40000
     frames: list[np.ndarray] = []
+    seen = 0
 
     def walk(lo: int, hi: int) -> None:
-        nonlocal w, h, us_per_frame
+        nonlocal w, h, us_per_frame, seen
+        hi = min(hi, len(b))
         pos = lo
         while pos + 8 <= hi:
             tag = b[pos : pos + 4]
             (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
             body_lo = pos + 8
+            if body_lo + size > len(b):
+                raise ValueError("truncated AVI (chunk size exceeds data)")
             if tag == b"LIST":
                 walk(body_lo + 4, body_lo + size)
             elif tag == b"avih":
+                if size < 40:
+                    raise ValueError("truncated AVI header")
                 (us_per_frame,) = struct.unpack("<I", b[body_lo : body_lo + 4])
                 w, h = struct.unpack("<II", b[body_lo + 32 : body_lo + 40])
             elif tag == b"00db":
                 if w is None:
                     raise ValueError("AVI frame before header")
-                stride = (w * 3 + 3) // 4 * 4
-                raw = np.frombuffer(b[body_lo : body_lo + size], dtype=np.uint8)
-                if len(raw) != stride * h:
-                    raise ValueError("AVI frame has wrong length")
-                img = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
-                frames.append(img.copy())
+                if seen % every_n == 0:
+                    stride = (w * 3 + 3) // 4 * 4
+                    raw = np.frombuffer(b[body_lo : body_lo + size], dtype=np.uint8)
+                    if len(raw) != stride * h:
+                        raise ValueError("AVI frame has wrong length")
+                    img = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
+                    frames.append(img[:, :, ::-1].copy())  # BGR disk -> RGB
+                seen += 1
             pos = body_lo + size + (size % 2)
 
     walk(12, len(b))
@@ -367,10 +392,13 @@ def decode_image_features(
     """Decode images and emit a small feature vector per image via
     ``mapInPandas`` (Arrow batches; one task per input partition).
 
-    Decode ladder per image: PIL (any container, if installed) → pure
-    ``decode_png`` (REAL pixels, no library needed) for PNG inputs → the
-    deterministic content-hash fake, clearly marked, only for non-PNG
-    containers with no PIL. Features: mean luma (unweighted channel mean
+    Decode ladder per image: pure ``decode_png`` FIRST for decodable PNG
+    inputs (REAL pixels, no library, environment-invariant — the same PNG
+    yields the same features with or without PIL installed) → PIL for other
+    containers/layouts when installed → otherwise the deterministic
+    content-hash fake, clearly marked, and only when ``allow_fake`` — with
+    ``allow_fake=False`` an undecodable row raises instead of silently
+    producing fake features. Features: mean luma (unweighted channel mean
     for RGB — not ITU-601) + ``feature_dim`` evenly-strided normalized
     intensities.
     """
@@ -380,11 +408,6 @@ def decode_image_features(
         have_pil = True
     except ImportError:
         have_pil = False
-    if not have_pil and not allow_fake:
-        raise NotImplementedError(
-            "image decode of non-PNG containers requires PIL/OpenCV; "
-            "PNG inputs decode natively — pass allow_fake=True to stub the rest"
-        )
 
     def _features(gray: np.ndarray) -> tuple[float, np.ndarray]:
         flat = gray.flatten()
@@ -396,15 +419,8 @@ def decode_image_features(
             out = []
             for _, row in pdf.iterrows():
                 b = row[binary_col]
-                if have_pil:
-                    import io
-
-                    from PIL import Image
-
-                    img = np.asarray(Image.open(io.BytesIO(b)).convert("L"), dtype=float)
-                    luma, feat = _features(img)
-                elif (
-                    b
+                if (
+                    b is not None
                     and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
                     and (img := _try_decode_png(bytes(b))) is not None
                 ):
@@ -412,7 +428,14 @@ def decode_image_features(
                     if img.ndim == 3:
                         img = img.mean(axis=2)
                     luma, feat = _features(img)
-                else:
+                elif have_pil:
+                    import io
+
+                    from PIL import Image
+
+                    img = np.asarray(Image.open(io.BytesIO(b)).convert("L"), dtype=float)
+                    luma, feat = _features(img)
+                elif allow_fake:
                     # FAKE DECODE (deterministic): content-hash pseudo pixels
                     digest = hashlib.sha256(b or b"").digest()
                     arr = np.frombuffer(
@@ -421,6 +444,11 @@ def decode_image_features(
                     ).astype(float)
                     feat = ((arr % 1000) / 1000.0).astype("float32")[:feature_dim]
                     luma = float(feat.mean())
+                else:
+                    raise NotImplementedError(
+                        f"row id={row['id']}: not a decodable PNG and PIL is "
+                        "unavailable; pass allow_fake=True to stub such rows"
+                    )
                 out.append({"id": row["id"], "mean_luma": luma, "feature": feat.tolist()})
             yield pd.DataFrame(out, columns=["id", "mean_luma", "feature"])
 
@@ -523,22 +551,19 @@ def resize_images(
     """Batch image resize via ``mapInPandas`` (the bulk-preprocess step of a
     multimodal training pipeline): binary in → binary out at (width, height).
 
-    Decode ladder per image: PIL (any container, if installed) →
-    ``decode_png`` + nearest-neighbor resample + ``encode_png`` (REAL
-    pixels, no library) for PNG inputs → a deterministic fake emitting a
-    VALID decodable PNG of the target size whose pixels derive from the
-    source bytes' hash, only for non-PNG containers with no PIL."""
+    Decode ladder per image: ``decode_png`` + nearest-neighbor resample +
+    ``encode_png`` FIRST for decodable PNG inputs (REAL pixels, no library,
+    environment-invariant) → PIL for other containers/layouts when
+    installed → otherwise a deterministic fake emitting a VALID decodable
+    PNG of the target size whose pixels derive from the source bytes' hash,
+    only when ``allow_fake`` — with ``allow_fake=False`` an undecodable row
+    raises instead of silently faking."""
     try:  # pragma: no cover - exercised only where PIL exists
         from PIL import Image  # noqa: F401
 
         have_pil = True
     except ImportError:
         have_pil = False
-    if not have_pil and not allow_fake:
-        raise NotImplementedError(
-            "resize of non-PNG containers requires PIL/OpenCV; "
-            "PNG inputs resize natively — pass allow_fake=True to stub the rest"
-        )
 
     def fake_png(src: bytes) -> bytes:
         # FAKE RESIZE (deterministic): a real encode of content-hash pixels —
@@ -552,7 +577,13 @@ def resize_images(
         for pdf in batches:
             out = []
             for rid, b in zip(pdf["id"], pdf[binary_col]):
-                if have_pil:
+                if (
+                    b is not None
+                    and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
+                    and (img := _try_decode_png(bytes(b))) is not None
+                ):
+                    data = encode_png(_resize_nearest(img, width, height))
+                elif have_pil:
                     import io
 
                     from PIL import Image
@@ -561,14 +592,13 @@ def resize_images(
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
                     data = buf.getvalue()
-                elif (
-                    b
-                    and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
-                    and (img := _try_decode_png(bytes(b))) is not None
-                ):
-                    data = encode_png(_resize_nearest(img, width, height))
-                else:
+                elif allow_fake:
                     data = fake_png(b)
+                else:
+                    raise NotImplementedError(
+                        f"row id={rid}: not a decodable PNG and PIL is "
+                        "unavailable; pass allow_fake=True to stub such rows"
+                    )
                 out.append({"id": rid, "image": data, "width": width, "height": height})
             yield pd.DataFrame(out, columns=["id", "image", "width", "height"])
 
@@ -592,7 +622,10 @@ def video_frame_source(
     Returns (id, frame_idx, fps, height, width, png) via ``mapInPandas`` —
     Arrow batches, one task per input partition; each video's frames emit
     from the task holding its bytes, so nothing is shuffled. ``every_n``
-    subsamples frames at the source (the cheap place to drop data)."""
+    subsamples INSIDE the decoder (skipped frames never materialize as
+    arrays — the chunk walk still scans their headers, which is cheap)."""
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n!r}")
     out_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
@@ -608,16 +641,16 @@ def video_frame_source(
         for pdf in batches:
             out = []
             for rid, b in zip(pdf["id"], pdf[binary_col]):
-                frames, fps = decode_avi(bytes(b))
-                for i in range(0, len(frames), every_n):
+                frames, fps = decode_avi(bytes(b), every_n=every_n)
+                for j in range(len(frames)):
                     out.append(
                         {
                             "id": rid,
-                            "frame_idx": i,
+                            "frame_idx": j * every_n,
                             "fps": fps,
                             "height": frames.shape[1],
                             "width": frames.shape[2],
-                            "png": encode_png(frames[i]),
+                            "png": encode_png(frames[j]),
                         }
                     )
             yield pd.DataFrame(

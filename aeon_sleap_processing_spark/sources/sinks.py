@@ -112,38 +112,64 @@ def export_event_videos(
     ).withColumn(
         "__eid", F.row_number().over(W.orderBy("__start", "__hi"))
     )
+    # clip names computed ONCE, collision-proofed: the reference scheme is
+    # second-resolution, so events starting within the same wall-clock
+    # second would share a path and silently overwrite each other — the
+    # 2nd, 3rd, ... event in a second gets an _2/_3 suffix (__eid order)
+    sec = F.date_format("__start", "yyyy-MM-dd_HH-mm-ss")
+    dup_rank = F.row_number().over(W.partitionBy(sec).orderBy("__eid"))
+    ev = ev.withColumn(
+        "__clip",
+        F.concat(
+            F.lit(video_name_prefix),
+            sec,
+            F.when(dup_rank > 1, F.concat(F.lit("_"), dup_rank.cast("string"))).otherwise(
+                F.lit("")
+            ),
+            F.lit(".avi"),
+        ),
+    )
     joined = video_index.join(
         F.broadcast(ev),
         (F.col("time") >= F.col("__lo")) & (F.col("time") <= F.col("__hi")),
     )
     if encode:
-        _write_event_clips(joined, frame_col, save_dir, video_name_prefix)
-    counts = joined.groupBy("__eid").agg(F.count(F.lit(1)).alias("__n"))
+        # the clip kernel already counts each event's frames — ONE action
+        # drives both the writes and the counts (no second manifest scan)
+        counts = _write_event_clips(joined, frame_col, save_dir).select(
+            "__eid", F.col("n_frames").alias("__n")
+        )
+    else:
+        counts = joined.groupBy("__eid").agg(F.count(F.lit(1)).alias("__n"))
     rows = (
-        ev.select("__eid", "__start")
+        ev.select("__eid", "__clip", "__start")
         .join(counts, "__eid", "left")
-        .select("__eid", "__start", F.coalesce(F.col("__n"), F.lit(0)).alias("__n"))
+        .select(
+            "__clip", "__start", "__eid", F.coalesce(F.col("__n"), F.lit(0)).alias("__n")
+        )
         # ties on start_timestamp break by __eid (the input-derived event
         # number), NOT by frame count — manifests keep the caller's event
         # ordering even for events sharing a start
         .orderBy("__start", "__eid")
         .collect()
     )
-    return [
-        (f"{video_name_prefix}{r['__start'].strftime('%Y-%m-%d_%H-%M-%S')}.avi", r["__n"])
-        for r in rows
-    ]
+    return [(r["__clip"], r["__n"]) for r in rows]
 
 
-def _write_event_clips(
-    joined: DataFrame, frame_col: str, save_dir: str, prefix: str
-) -> None:
+def _write_event_clips(joined: DataFrame, frame_col: str, save_dir: str) -> DataFrame:
     """One AVI per event via ``applyInPandas`` keyed on the event id: decode
     each frame's PNG bytes (pure-numpy codec), stack in time order, write an
-    uncompressed-DIB AVI named by the event start. Executor-side encode —
-    one task per event, no pixel bytes ever reach the driver. Frames within
-    an event must share dimensions (the reference's fixed camera geometry);
-    the clip fps is inferred from the median frame interval."""
+    uncompressed-DIB AVI under the event's precomputed collision-safe
+    ``__clip`` name. Executor-side encode — one task per event, no pixel
+    bytes ever reach the driver; the kernel creates ``save_dir`` itself
+    (driver-side makedirs would not exist on remote executors, and at
+    cluster scale ``save_dir`` must be shared storage). Frames within an
+    event must share dimensions (the reference's fixed camera geometry);
+    the clip fps is inferred from the median frame interval.
+
+    Returns the per-event stats frame (__eid, clip, n_frames, n_bytes) —
+    tiny, one row per event — so the caller's single action drives both the
+    writes and the counts."""
     import os
 
     import numpy as np
@@ -152,7 +178,6 @@ def _write_event_clips(
 
     from ..operators.multimodal import decode_png, encode_avi
 
-    os.makedirs(save_dir, exist_ok=True)
     out_schema = T.StructType(
         [
             T.StructField("__eid", T.IntegerType()),
@@ -167,9 +192,9 @@ def _write_event_clips(
         frames = np.stack([decode_png(bytes(b)) for b in pdf[frame_col]])
         dt = pdf["time"].diff().dt.total_seconds().dropna()
         fps = 1.0 / float(dt.median()) if len(dt) and dt.median() > 0 else 50.0
-        start = pdf["__start"].iloc[0]
-        name = f"{prefix}{start.strftime('%Y-%m-%d_%H-%M-%S')}.avi"
+        name = pdf["__clip"].iloc[0]
         data = encode_avi(frames, fps=fps)
+        os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, name), "wb") as f:
             f.write(data)
         return pd.DataFrame(
@@ -183,10 +208,11 @@ def _write_event_clips(
             ]
         )
 
-    # count() drives the write; the returned stats are per-event and tiny
-    joined.select("__eid", "__start", "time", frame_col).groupBy(
-        "__eid"
-    ).applyInPandas(kernel, out_schema).count()
+    return (
+        joined.select("__eid", "__clip", "time", frame_col)
+        .groupBy("__eid")
+        .applyInPandas(kernel, out_schema)
+    )
 
 
 def merge_model_configs(pose_config: dict, id_config: dict) -> dict:

@@ -365,3 +365,106 @@ class TestVideoFrameSource:
             px = decode_png(bytes(r.png))
             assert px.shape == (3, 4, 3)
             assert int(px[0, 0, 0]) == r.id * 100 + r.frame_idx
+
+
+class TestCodecComposition:
+    def test_rgb_channels_survive_png_avi_round_trip(self):
+        """PNG and AVI codecs share the RGB convention — a red-ish frame
+        must come back red-ish, not blue-ish (BGR/RGB swap regression)."""
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_avi,
+            decode_png,
+            encode_avi,
+            encode_png,
+        )
+
+        rgb = np.zeros((2, 4, 5, 3), dtype=np.uint8)
+        rgb[..., 0] = 200  # R
+        rgb[..., 2] = 30  # B
+        frames, _ = decode_avi(encode_avi(rgb))
+        assert (frames == rgb).all()
+        # compose: PNG -> pixels -> AVI -> pixels -> PNG
+        png0 = encode_png(rgb[0])
+        via_avi, _ = decode_avi(encode_avi(decode_png(png0)[None]))
+        assert (decode_png(encode_png(via_avi[0])) == rgb[0]).all()
+
+    def test_decode_avi_every_n(self):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        fr = np.stack([np.full((2, 2), i, np.uint8) for i in range(7)])
+        out, _ = decode_avi(encode_avi(fr), every_n=3)
+        assert [int(f[0, 0, 0]) for f in out] == [0, 3, 6]
+
+    def test_truncated_avi_raises_value_error(self):
+        import numpy as np
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_avi,
+            encode_avi,
+        )
+
+        b = encode_avi(np.zeros((2, 3, 3), np.uint8))
+        with pytest.raises(ValueError):
+            decode_avi(b[: len(b) // 2])
+
+    def test_png_decodes_without_pil_even_with_allow_fake_false(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_image_features,
+            encode_png,
+        )
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {"id": [0], "img": [bytearray(encode_png(np.full((3, 3), 7, np.uint8)))]}
+            )
+        )
+        got = decode_image_features(df, "id", "img", allow_fake=False).toPandas()
+        assert got.mean_luma[0] == 7.0
+
+
+class TestClipNameCollisions:
+    def test_same_second_events_get_distinct_clips(self, spark, tmp_path):
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_avi,
+            encode_png,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import export_event_videos
+
+        t0 = pd.Timestamp("2024-03-01 12:00:00")
+        times = [t0 + pd.Timedelta(milliseconds=100 * i) for i in range(10)]
+        pngs = [
+            bytearray(encode_png(np.full((2, 2), i, dtype=np.uint8)))
+            for i in range(10)
+        ]
+        idx = spark.createDataFrame(pd.DataFrame({"time": times, "png": pngs}))
+        # both events start within second 12:00:00
+        events = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "start_timestamp": [times[1], times[6]],
+                    "end_timestamp": [times[3], times[8]],
+                }
+            )
+        )
+        out = export_event_videos(
+            events, idx, str(tmp_path), padding_seconds=0.0, encode=True, frame_col="png"
+        )
+        names = [n for n, _ in out]
+        assert len(set(names)) == 2 and names[1].endswith("_2.avi")
+        for (name, n), first in zip(out, (1, 6)):
+            frames, _ = decode_avi((tmp_path / name).read_bytes())
+            assert [int(f[0, 0, 0]) for f in frames] == list(range(first, first + n))
