@@ -685,6 +685,43 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL-pixel video path (SURVEY S8/K5/U5; reference
+    `detect_fights_all_epochs.py:53-79` cv2 frame probing): plant
+    deterministic AVI blobs (formula pixels, encode_avi), explode them with
+    ``video_frame_source`` (decode_avi -> real pixels -> PNG per frame),
+    then ``image_pixel_stats`` (decode_png) — so the full
+    encode_avi/decode_avi/encode_png/decode_png chain sits behind a DuckDB
+    oracle that recomputes the closed-form pixel statistics."""
+    import numpy as np
+    import pandas as pd
+
+    from aeon_sleap_processing_spark.operators import multimodal as mm
+
+    docs = load_table(spark, "documents", sf_dir)
+    vids = docs.select("doc_id").where("doc_id < 8").repartition(4, "doc_id")
+
+    def make(batches):
+        for pdf in batches:
+            out = []
+            for vid in pdf["doc_id"]:
+                vid = int(vid)
+                nf = 4 + vid % 3
+                y, x = np.mgrid[0:24, 0:32]
+                frames = np.stack(
+                    [(vid * 7 + f * 13 + y * 3 + x) % 256 for f in range(nf)]
+                ).astype(np.uint8)
+                out.append({"doc_id": vid, "avi": mm.encode_avi(frames, fps=25.0)})
+            yield pd.DataFrame(out, columns=["doc_id", "avi"])
+
+    videos = vids.mapInPandas(make, "doc_id long, avi binary")
+    frames = mm.video_frame_source(videos, "doc_id", "avi", every_n=2)
+    stats = mm.image_pixel_stats(
+        frames, "png", ["id", "frame_idx", "fps", "height", "width"]
+    )
+    return stats.withColumnRenamed("id", "video_id")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1387,19 +1424,18 @@ def _fight_sessions_sql() -> str:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order matters: the driver's correctness gate checks the
     # FIRST 50 registered queries. Rounds 2-4 verified the relational block
-    # (CORRECTNESS_r0{2,3,4}.json, 50/50 green x3); round 5 verified the
-    # temporal/text/dedup/similarity suite (49/50). Round 6 rotates in (a)
-    # the eight round-5 tail queries that had never been driver-checked,
-    # (b) everything NEW this round — the corpus-curation wing
-    # (q_pack_sequences, q_paragraph_dedup, q_pii_scan, q_domain_mixture,
-    # q_dup_span_stats, q_interpolate, q_decontaminate, q_semantic_dedup),
-    # the q_knn_recall audit, and the chunked detection twin — and keeps
-    # the queries whose plans changed (q_tube_events — now oracled via
-    # recursive CTE — q_tube_candidates, q_fight_sessions,
-    # q_minhash_est_vs_exact, q_resample_asof) inside the window.
-    # Rotated-out queries keep their multi-round driver-green history and
-    # remain covered by the committed full-suite local artifact
-    # (CORRECTNESS_LOCAL_r06.json) and tools/check_correctness.py.
+    # (CORRECTNESS_r0{2,3,4}.json, 50/50 green x3); round 5 the
+    # temporal/text/dedup/similarity suite (49/50); round 6 the r5 tail +
+    # the corpus-curation wing (46/50 — the 4 reds were oracle HUGEINT
+    # casts, fixed this round, NOT engine bugs). Round 7 keeps the 4
+    # re-oracled queries in the window so the fix gets a driver-green row,
+    # rotates IN q_json_roundtrip (registered at index 50 in r6 — one past
+    # the cut, never driver-checked) and the new q_video_frame_stats
+    # (end-to-end real-pixel AVI/PNG codec path), and rotates OUT
+    # q_text_stats + q_token_count (driver-green twice, r5 + r6).
+    # Rotated-out queries keep their driver-green history and remain
+    # covered by the committed full-suite local artifact
+    # (CORRECTNESS_LOCAL_r07.json) and tools/check_correctness.py.
     return {
         # --- round-5 tail: never driver-checked before round 6 -----------
         "q_repetition_stats": _q_repetition_stats,
@@ -1424,9 +1460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_resample_asof": ep.q_resample_asof,
         "q_asof_forward": ep.q_asof_forward,
         "q_gap_fill": ep.q_gap_fill,
+        # --- rotated in round 7 ------------------------------------------
+        "q_json_roundtrip": _q_json_roundtrip,
+        "q_video_frame_stats": _q_video_frame_stats,
         # --- text analysis / dedup (training-data pipeline) -------------
-        "q_text_stats": _q_text_stats,
-        "q_token_count": _q_token_count,
         "q_lang_id": _q_lang_id,
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_exact_dedup": _q_exact_dedup,
@@ -1458,9 +1495,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
-        # --- temporal/window tail (driver-green r5; the nine rotated out
-        #     of the window this round carry multi-round green history) ----
-        "q_json_roundtrip": _q_json_roundtrip,
+        # --- temporal/window tail (driver-green r5; rotated-out queries
+        #     carry multi-round green history) ----------------------------
+        "q_text_stats": _q_text_stats,
+        "q_token_count": _q_token_count,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2271,10 +2309,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT seq_id,
                    count(*) AS n_docs,
-                   sum(least(en, (seq_id + 1) * 512)
-                       - greatest(st, seq_id * 512)) AS n_tokens,
-                   sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS n_starts,
-                   sum(CASE WHEN s1 > seq_id THEN 1 ELSE 0 END) AS n_straddle
+                   CAST(sum(least(en, (seq_id + 1) * 512)
+                            - greatest(st, seq_id * 512)) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN s0 = seq_id THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_starts,
+                   CAST(sum(CASE WHEN s1 > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_straddle
             FROM per_seq GROUP BY seq_id ORDER BY seq_id
         """,
         "q_interpolate": """
@@ -2328,7 +2368,7 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT g.doc_id, g.pos, (occ.n > 1) AS dup FROM g JOIN occ USING (sg)),
             pd AS (
               SELECT doc_id, count(*) AS n_shingles,
-                     sum(CASE WHEN dup THEN 1 ELSE 0 END) AS n_dup
+                     CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
               FROM f GROUP BY doc_id
             ),
             r AS (
@@ -2414,7 +2454,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    count(*) AS n_blocks,
-                   sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                   CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                    coalesce(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY pos), '')
                      AS dedup_text
             FROM ranked GROUP BY doc_id
@@ -2469,7 +2509,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.source, p.n_docs,
                    round(p.target_share, 6) AS target_share,
                    round(p.p_keep, 6) AS p_keep,
-                   sum(k.kept) AS n_kept,
+                   CAST(sum(k.kept) AS BIGINT) AS n_kept,
                    round(sum(k.kept)::DOUBLE / p.n_docs, 6) AS kept_frac
             FROM k JOIN p ON k.source = p.source
             GROUP BY p.source, p.n_docs, p.target_share, p.p_keep
@@ -2499,6 +2539,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS digest,
                    hex(substr(text, 1, 8)::BLOB) AS head_hex
             FROM documents
+        """,
+        "q_video_frame_stats": """
+            -- closed-form recompute of the deterministic frame pixels the
+            -- Spark side pushes through encode_avi -> video_frame_source
+            -- (decode_avi, every_n=2) -> encode_png -> image_pixel_stats
+            -- (decode_png). Grayscale source frames are channel-expanded to
+            -- RGB by the codec, hence the x3 on sum/count.
+            WITH v AS (
+              SELECT doc_id AS video_id, 4 + doc_id % 3 AS nf
+              FROM documents WHERE doc_id < 8
+            ),
+            f AS (
+              SELECT video_id, unnest(range(0, nf)) AS frame_idx FROM v
+            ),
+            sampled AS (SELECT * FROM f WHERE frame_idx % 2 = 0),
+            px AS (
+              SELECT video_id, frame_idx,
+                     (video_id * 7 + frame_idx * 13 + yy.y * 3 + xx.x) % 256 AS p
+              FROM sampled
+              CROSS JOIN (SELECT unnest(range(0, 24)) AS y) yy
+              CROSS JOIN (SELECT unnest(range(0, 32)) AS x) xx
+            )
+            SELECT video_id,
+                   CAST(frame_idx AS INT) AS frame_idx,
+                   CAST(25.0 AS DOUBLE) AS fps,
+                   CAST(24 AS INT) AS height,
+                   CAST(32 AS INT) AS width,
+                   CAST(sum(p) * 3 AS BIGINT) AS pixel_sum,
+                   CAST(min(p) AS INT) AS pixel_min,
+                   CAST(max(p) AS INT) AS pixel_max,
+                   CAST(count(*) * 3 AS BIGINT) AS n_px
+            FROM px GROUP BY video_id, frame_idx
         """,
         # --- round 3 -----------------------------------------------------
         "q8_market_share": """

@@ -45,6 +45,7 @@ __all__ = [
     "resize_images",
     "video_frame_source",
     "sample_frames",
+    "image_pixel_stats",
 ]
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -660,6 +661,49 @@ def video_frame_source(
     return videos.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
         run, out_schema
     )
+
+
+def image_pixel_stats(
+    df: DataFrame,
+    png_col: str,
+    keep_cols: list[str],
+) -> DataFrame:
+    """Per-image pixel statistics from REAL decoded pixels (SURVEY S8/U5;
+    reference `detect_fights_all_epochs.py:53-79` reads frames and computes
+    per-frame measures via cv2): decode each PNG with the pure-stdlib codec
+    and emit sum / min / max / count over all channels.
+
+    ``mapInPandas`` over Arrow batches — one task per input partition, no
+    shuffle; ``keep_cols`` pass through with their input types so the
+    operator composes with ``video_frame_source`` output directly. The
+    int64 ``pixel_sum`` cannot overflow below ~2^43-pixel images."""
+    out_schema = T.StructType(
+        [df.schema[c] for c in keep_cols]
+        + [
+            T.StructField("pixel_sum", T.LongType()),
+            T.StructField("pixel_min", T.IntegerType()),
+            T.StructField("pixel_max", T.IntegerType()),
+            T.StructField("n_px", T.LongType()),
+        ]
+    )
+    cols = list(keep_cols) + ["pixel_sum", "pixel_min", "pixel_max", "n_px"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                arr = decode_png(bytes(row[png_col]))
+                rec = {c: row[c] for c in keep_cols}
+                rec.update(
+                    pixel_sum=int(arr.astype(np.int64).sum()),
+                    pixel_min=int(arr.min()),
+                    pixel_max=int(arr.max()),
+                    n_px=int(arr.size),
+                )
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(*keep_cols, png_col).mapInPandas(run, out_schema)
 
 
 def sample_frames(

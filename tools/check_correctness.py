@@ -25,6 +25,42 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def dtype_class(s: pd.Series) -> str:
+    """Coarse dtype class used to reproduce the driver's hash sensitivity.
+
+    The driver hashes raw fetched values, so an int64 Spark column vs a
+    float64 oracle column (e.g. DuckDB HUGEINT from an uncast ``sum()``
+    going through ``fetchdf()``) mismatches there even when the numbers are
+    equal.  Round 6 shipped a false "120/120 local green" because
+    ``normalize()`` collapsed that drift; classify dtypes *before*
+    normalizing so the local gate fails the same way the driver does.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "other"
+
+
+def dtype_drift(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Columns whose Spark/oracle dtype classes disagree (int vs float etc.)."""
+    out = []
+    for c in sdf.columns:
+        if c not in odf.columns:
+            continue
+        cs, co = dtype_class(sdf[c]), dtype_class(odf[c])
+        if cs != co:
+            # a column that is all-NULL on one side legitimately loses its
+            # dtype (object/float NaN); only flag when both sides carry values
+            if sdf[c].notna().any() and odf[c].notna().any():
+                out.append(f"{c}({cs} vs {co})")
+    return out
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
@@ -119,6 +155,10 @@ def main() -> int:
             problems.append(f"rowcount {len(sdf)} vs {len(odf)}")
         if sorted(sdf.columns) != sorted(odf.columns):
             problems.append(f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+        if not problems:
+            drift = dtype_drift(sdf, odf)
+            if drift:
+                problems.append(f"dtype drift {drift}")
         if not problems:
             ns, no = normalize(sdf), normalize(odf)
             if value_hash(ns) != value_hash(no):
