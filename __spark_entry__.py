@@ -929,9 +929,11 @@ def _q_fight_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_fight_sessions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME fight pipeline forced onto the chunked time-axis path
-    (frame_chunk=500 → ~14 chunks over the fixture): chunked_ffill for the
-    centroid-distance fill, chunked blob_speed, and both sessionization
-    phases chunked. Matches q_fight_sessions exactly on integer outputs (the
+    (frame_chunk=25 → 13 chunks over the 321-frame fixture, so the planted
+    fight session and the blob-speed smoothing windows genuinely straddle
+    chunk borders): chunked_ffill for the centroid-distance fill, chunked
+    blob_speed, and both sessionization phases chunked — with real boundary
+    carries. Matches q_fight_sessions exactly on integer outputs (the
     only float stage, blob-speed smoothing, differs at most in its last bit
     from edge-sum reassociation — see plans/fights.py:blob_speed) — the two
     entries share one oracle, so the driver verifies the scale path's
@@ -940,7 +942,7 @@ def _q_fight_sessions_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pose = _fixture_pose(spark, "pose_fight")
     blob = _fixture_pose(spark, "blob_fight")
-    return fight_candidate_sessions(pose, blob, 50.0, frame_chunk=500)
+    return fight_candidate_sessions(pose, blob, 50.0, frame_chunk=25)
 
 
 def _q_tube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2501,8 +2503,11 @@ def oracle_sql() -> dict[str, str]:
             ),
             k AS (
               SELECT d.source,
+                     -- membership uses p_keep quantized to 12 decimals so a
+                     -- last-ULP drift in the float normalizer cannot flip a
+                     -- doc (mirrors domain_mixture_sample)
                      CASE WHEN (('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT
-                               / 4294967296.0 < p.p_keep
+                               / 4294967296.0 < round(p.p_keep, 12)
                           THEN 1 ELSE 0 END AS kept
               FROM documents d JOIN p ON d.source = p.source
             )

@@ -334,7 +334,10 @@ def domain_mixture_sample(
     p_s = min(1, share_s * target_frac * N / n_s). Membership is the
     deterministic salted-md5 Bernoulli draw shared with ``weighted_sample``
     (``text.salted_uniform``) — reproducible across runs, engines,
-    partitionings.
+    partitionings. The membership test compares against p_keep QUANTIZED to
+    12 decimals: the normalizer is a float sum whose accumulation order
+    differs across engines/partitionings, and an unquantized strict
+    ``u < p`` could flip a document on a last-ULP difference.
 
     Returns per source: (source, n_docs, target_share, p_keep, n_kept,
     kept_frac). One aggregation to one row per source, a broadcast scalar
@@ -364,7 +367,11 @@ def domain_mixture_sample(
         docs.select(source_col, salted_uniform(F.col(id_col), salt).alias("__u"))
         .join(F.broadcast(probs), source_col)
         .groupBy(source_col, "n_docs", "target_share", "p_keep")
-        .agg(F.sum((F.col("__u") < F.col("p_keep")).cast("long")).alias("n_kept"))
+        .agg(
+            F.sum(
+                (F.col("__u") < F.round(F.col("p_keep"), 12)).cast("long")
+            ).alias("n_kept")
+        )
     )
     return kept.select(
         source_col,

@@ -145,37 +145,43 @@ def blob_speed(
     chunk_us = int(round(chunk * 1e6))
     b0 = blob.withColumn("__chunk", F.floor(F.unix_micros("time") / F.lit(chunk_us)))
 
-    # global row position BEFORE the NaN drop: the reference resets the index
-    # and then drops, so surviving rows keep their original positions
-    # (`:562-563`). Distributed: per-chunk row_number + cumulative offsets.
+    # ---- fused per-chunk summary #1, from the RAW rows: row-count offsets
+    # (global row position BEFORE the NaN drop — the reference resets the
+    # index and then drops, so surviving rows keep their original positions,
+    # `:562-563`) + the previous chunk's last surviving timestamp (the
+    # Δt-filter seed). Both ride ONE aggregation + one ordered scan of the
+    # tiny table + ONE broadcast join — they were two branches (two
+    # aggregations, two joins) before, and every summary branch is a
+    # scheduled job at fixture scale / a barrier at cluster scale.
     wc = W.orderBy("__chunk")  # one row per chunk: tiny, single partition OK
-    counts = b0.groupBy("__chunk").agg(F.count(F.lit(1)).alias("__n"))
-    row_offs = counts.select(
+    s1 = b0.groupBy("__chunk").agg(
+        F.count(F.lit(1)).alias("__n_rows"),
+        F.max(
+            F.when(F.col("x").isNotNull() & F.col("y").isNotNull(), F.col("time"))
+        ).alias("__t"),
+    )
+    s1 = s1.select(
         "__chunk",
         F.coalesce(
-            F.sum("__n").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+            F.sum("__n_rows").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
         ).alias("__row_off"),
+        # nearest EARLIER chunk with a surviving row — all-NaN chunks carry
+        # a null __t and are skipped, the same chain the two-table form
+        # (chunks-with-survivors only) built
+        F.last("__t", ignorenulls=True)
+        .over(wc.rowsBetween(W.unboundedPreceding, -1))
+        .alias("__prev_t"),
     )
     wch = W.partitionBy("__chunk").orderBy("time")
     b1 = (
-        b0.join(F.broadcast(row_offs), "__chunk")
+        b0.join(F.broadcast(s1), "__chunk")
         .withColumn("frame_id", F.row_number().over(wch) - 1 + F.col("__row_off"))
         .dropna(subset=["x", "y"])
     )
-
-    # Δt-from-previous-surviving-row filter: per-chunk lag seeded with the
-    # previous chunk's last surviving time
-    last_t = b1.groupBy("__chunk").agg(F.max("time").alias("__t"))
-    t_carry = last_t.select(
-        "__chunk",
-        F.last("__t").over(wc.rowsBetween(W.unboundedPreceding, -1)).alias("__prev_t"),
-    )
     prev_t = F.coalesce(F.lag("time").over(wch), F.col("__prev_t"))
-    b2 = (
-        b1.join(F.broadcast(t_carry), "__chunk", "left")
-        .withColumn("__dt_us", F.unix_micros("time") - F.unix_micros(prev_t))
-        .where(F.col("__dt_us").isNull() | (F.col("__dt_us") / 1000.0 >= min_expected_dt_ms))
-    )
+    b2 = b1.withColumn(
+        "__dt_us", F.unix_micros("time") - F.unix_micros(prev_t)
+    ).where(F.col("__dt_us").isNull() | (F.col("__dt_us") / 1000.0 >= min_expected_dt_ms))
     # Materialize the survivor stream ONCE and truncate lineage (same
     # rationale as build_frame_grid): the speed/smoothing stages reference it
     # from two subtrees each (per-chunk summary + join-back), and Spark does
@@ -186,55 +192,86 @@ def blob_speed(
         "__chunk", "time", "x", "y", "frame_id"
     ).localCheckpoint(eager=True)
 
-    # speed over survivors: per-chunk lag seeded with the previous chunk's
-    # last surviving (time, x, y)
-    last_row = b2.groupBy("__chunk").agg(
-        F.max_by(F.struct("time", "x", "y"), "time").alias("__last")
-    )
-    row_carry = last_row.select(
-        "__chunk",
-        F.last("__last").over(wc.rowsBetween(W.unboundedPreceding, -1)).alias("__prev"),
-    )
-    prev = F.coalesce(
-        F.lag(F.struct("time", "x", "y")).over(wch), F.col("__prev")
-    )
-    dt_ms = F.floor(
-        (F.unix_micros("time") - F.unix_micros(prev.getField("time"))) / 1000
+    # ---- fused per-chunk summary #2, from the survivors: speed-lag seed
+    # (previous chunk's last surviving row), per-chunk count, AND the
+    # smoothing edge arrays — one aggregation + one ordered scan + ONE
+    # broadcast join (previously two of each: last_row/row_carry +
+    # edges/spill). Speeds are computed chunk-locally first (null for each
+    # chunk's first row); the first-row speed needs the cross-chunk carry,
+    # so it is computed ON the tiny summary from (prev chunk's last row,
+    # this chunk's first row) — identical arithmetic on identical inputs,
+    # bit-equal to the joined-carry form — and patched into the edge
+    # arrays there. Edge arrays are collected CONDITIONALLY (__p <= 4 /
+    # __q <= 5), so the aggregation state stays bounded per chunk — the
+    # previous form collected the whole chunk's speed array (O(chunk) in
+    # one agg buffer) and sliced afterwards.
+    prev_l = F.lag(F.struct("time", "x", "y")).over(wch)
+    dt_l = F.floor(
+        (F.unix_micros("time") - F.unix_micros(prev_l.getField("time"))) / 1000
     ).cast("long")
-    raw_speed = (
-        F.hypot(F.col("x") - prev.getField("x"), F.col("y") - prev.getField("y"))
-        / dt_ms
+    speed_l = (
+        F.hypot(F.col("x") - prev_l.getField("x"), F.col("y") - prev_l.getField("y"))
+        / dt_l
         / cm2px
         * 1000.0
     )
     b3 = (
-        b2.join(F.broadcast(row_carry), "__chunk", "left")
-        .withColumn("__speed", F.coalesce(raw_speed, F.lit(0.0)))
+        b2.withColumn("__speed_l", speed_l)
         .withColumn("__p", F.row_number().over(wch))
-    )
-
-    # ±(5, 4) zero-pad running mean: local running sum + boundary correction
-    # from the previous chunks' last 5 / following chunks' first 4 speeds
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("__p", "__speed"))),
-        lambda s: s.getField("__speed"),
-    )
-    edges = b3.groupBy("__chunk").agg(
-        ordered.alias("__arr"), F.count(F.lit(1)).alias("__n")
-    )
-    edges = edges.select(
-        "__chunk",
-        "__n",
-        F.when(
-            F.col("__n") > 5, F.slice("__arr", F.col("__n").cast("int") - 4, 5)
+        .withColumn(
+            "__q",
+            F.count(F.lit(1)).over(W.partitionBy("__chunk")) - F.col("__p") + 1,
         )
-        .otherwise(F.col("__arr"))
-        .alias("__tail5"),
-        F.slice("__arr", 1, 4).alias("__head4"),
     )
-    spill = edges.select(
+    s2 = b3.groupBy("__chunk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min_by(F.struct("time", "x", "y"), "time").alias("__firstrow"),
+        F.max_by(F.struct("time", "x", "y"), "time").alias("__lastrow"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__p") <= 4, F.struct("__p", "__speed_l")))
+        ).alias("__head"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("__q") <= 5, F.struct("__p", "__speed_l")))
+        ).alias("__tail"),
+    )
+    s2 = s2.select(
+        "*",
+        F.last("__lastrow")
+        .over(wc.rowsBetween(W.unboundedPreceding, -1))
+        .alias("__prevrow"),
+    )
+    first_speed = F.coalesce(
+        F.hypot(
+            F.col("__firstrow.x") - F.col("__prevrow.x"),
+            F.col("__firstrow.y") - F.col("__prevrow.y"),
+        )
+        / F.floor(
+            (F.unix_micros(F.col("__firstrow.time")) - F.unix_micros(F.col("__prevrow.time")))
+            / 1000
+        ).cast("long")
+        / cm2px
+        * 1000.0,
+        F.lit(0.0),
+    )
+    s2 = s2.withColumn("__fs", first_speed)
+
+    def _patch(arr):
+        # materialize edge speeds: the chunk's first row (__p == 1) takes the
+        # carry-corrected speed, everything else its (0.0-coalesced) local one
+        return F.transform(
+            arr,
+            lambda s: F.when(s.getField("__p") == 1, F.col("__fs")).otherwise(
+                F.coalesce(s.getField("__speed_l"), F.lit(0.0))
+            ),
+        )
+
+    s2 = s2.select(
+        "__chunk", "__n", "__fs", _patch("__tail").alias("__tail5"), _patch("__head").alias("__head4")
+    )
+    spill = s2.select(
         "__chunk",
         "__n",
+        "__fs",
         F.reverse(
             F.slice(
                 F.reverse(
@@ -268,6 +305,13 @@ def blob_speed(
     def _arr_sum(arr):
         return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
+    j = b3.join(F.broadcast(spill), "__chunk").withColumn(
+        "__speed",
+        F.coalesce(
+            F.when(F.col("__p") == 1, F.col("__fs")).otherwise(F.col("__speed_l")),
+            F.lit(0.0),
+        ),
+    )
     local_sum = F.sum("__speed").over(wch.rowsBetween(-5, 4))
     # the global window wants 5 rows before / 4 after this row; whatever the
     # chunk-local window couldn't see comes from the carried edge arrays
@@ -280,10 +324,7 @@ def blob_speed(
     )
     sum_a = _arr_sum(F.slice("__next4", 1, k_a))
     smooth = (local_sum + F.coalesce(sum_b, F.lit(0.0)) + F.coalesce(sum_a, F.lit(0.0))) / 10.0
-    return (
-        b3.join(F.broadcast(spill), "__chunk", "left")
-        .select("frame_id", smooth.alias("speed"))
-    )
+    return j.select("frame_id", smooth.alias("speed"))
 
 
 def detect_fights(
@@ -309,10 +350,13 @@ def detect_fights(
     ]
 
     if grid is None:
-        grid = build_frame_grid(pose, fps, parts)
-    fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
+        grid, bs = _grid_and_blob_speed(pose, blob, fps, parts, p, frame_chunk)
+        fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
+    else:
+        fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
+        bs = blob_speed(blob, p["cm2px"], chunk=None if fc is None else fc / grid.fps)
     cent = sk["centroid"]
-    fr = _fight_condition_frames(grid, blob, sk, parts, p, fc)
+    fr = _fight_condition_frames(grid, blob, sk, parts, p, fc, bs)
 
     # phase-1/phase-2 sessionization → event bounds
     events = _fight_sessions(fr, p, fc).select("session_id", "first_f", "last_f")
@@ -356,10 +400,51 @@ def fight_candidate_sessions(
         sk["nose"], sk["head"], sk["right_ear"], sk["left_ear"],
         sk["upper_spine"], sk["centroid"], sk["lower_spine"], sk["tail_base"],
     ]
-    grid = build_frame_grid(pose, fps, parts)
+    grid, bs = _grid_and_blob_speed(pose, blob, fps, parts, p, frame_chunk)
     fc = _resolve_frame_chunk(frame_chunk, grid.num_frames)
-    fr = _fight_condition_frames(grid, blob, sk, parts, p, fc)
+    fr = _fight_condition_frames(grid, blob, sk, parts, p, fc, bs)
     return _fight_sessions(fr, p, fc)
+
+
+def _grid_and_blob_speed(
+    pose: DataFrame,
+    blob: DataFrame,
+    fps: float,
+    parts: list[str],
+    p: dict,
+    frame_chunk: int | None,
+) -> tuple[FrameGrid, DataFrame]:
+    """Build the frame grid and the blob-speed stream, OVERLAPPING their
+    eager materializations: the grid pivot's localCheckpoint and chunked
+    ``blob_speed``'s survivor checkpoint are independent jobs, so the blob
+    side builds on a second thread (Spark job submission is thread-safe)
+    while the main thread pays for the pivot. The scalar collect runs first
+    (it decides the time-axis strategy); on the global path blob_speed is
+    lazy, so there is nothing to overlap and it builds inline."""
+    from ..plans.pose_features import frame_grid_scalars
+
+    scalars = frame_grid_scalars(pose, fps, parts)
+    fc = _resolve_frame_chunk(frame_chunk, scalars[2])
+    bs_box: dict = {}
+    th = None
+    if fc is not None:
+        import threading
+
+        def _build() -> None:
+            try:
+                bs_box["bs"] = blob_speed(blob, p["cm2px"], chunk=fc / fps)
+            except BaseException as exc:  # noqa: BLE001 - re-raised on join
+                bs_box["err"] = exc
+
+        th = threading.Thread(target=_build, name="blob-speed-build")
+        th.start()
+    grid = build_frame_grid(pose, fps, parts, scalars=scalars)
+    if th is not None:
+        th.join()
+        if "err" in bs_box:
+            raise bs_box["err"]
+        return grid, bs_box["bs"]
+    return grid, blob_speed(blob, p["cm2px"], chunk=None)
 
 
 def _fight_condition_frames(
@@ -369,6 +454,7 @@ def _fight_condition_frames(
     parts: list[str],
     p: dict,
     fc: int | None = None,
+    bs: DataFrame | None = None,
 ) -> DataFrame:
     """Frame grid → cond1/cond2/cond3 + empty-frame flag columns. ``fc``
     selects the time-axis strategy (None → global single-window forms,
@@ -421,8 +507,10 @@ def _fight_condition_frames(
 
     # blob speed condition joined by row-position frame id (`:596-607`);
     # the blob stream covers the same period as the grid, so the frame chunk
-    # converts to seconds at the grid rate
-    bs = blob_speed(blob, p["cm2px"], chunk=None if fc is None else fc / grid.fps)
+    # converts to seconds at the grid rate. A caller that already built it
+    # (overlapped with the grid pivot — _grid_and_blob_speed) passes it in.
+    if bs is None:
+        bs = blob_speed(blob, p["cm2px"], chunk=None if fc is None else fc / grid.fps)
     out = (
         fr.withColumn("cond1", cond1)
         .withColumn("cond2", cond2)
@@ -453,6 +541,13 @@ def _fight_sessions(fr: DataFrame, p: dict, fc: int | None = None) -> DataFrame:
     cand = fr.where(F.col("cond1") & F.col("cond2") & F.col("cond3")).select("frame_id")
     s1 = _sessionize_frames(cand, p["max_frame_gap"], p["min_num_frames"], fc)
     kept = s1.select("frame_id", F.lit(True).alias("is_orig"))
+    if fc is not None:
+        # phase-1 output feeds TWO phase-2 subtrees (the union and the
+        # anti-join below) — un-truncated, the whole phase-1 window/join
+        # chain replicates in the DAG and every phase-2 transformation
+        # re-analyzes it. Bounded: candidate frame ids only, two slim
+        # columns, a small subset of the stream.
+        kept = kept.localCheckpoint(eager=True)
 
     # phase-2: union empty frames near contact, regroup with gap 100, keep
     # sessions containing >= 1 surviving candidate and > min frames

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.kinematics import euclid, frame_index, isclose_deg, orientation_deg
 
-__all__ = ["FrameGrid", "build_frame_grid", "mcol"]
+__all__ = ["FrameGrid", "build_frame_grid", "frame_grid_scalars", "mcol"]
 
 
 @dataclass
@@ -41,25 +41,20 @@ def mcol(mouse: int, part: str, coord: str) -> str:
     return f"m{mouse}_{part}_{coord}"
 
 
-def build_frame_grid(pose: DataFrame, fps: float, parts: list[str]) -> FrameGrid:
-    """pose (long: time, identity, part, x, y) → dense wide frame grid.
+def frame_grid_scalars(
+    pose: DataFrame, fps: float, parts: list[str]
+) -> tuple[list[str], object, int]:
+    """The driver-side scalars of ``build_frame_grid`` — (identities,
+    min_time, num_frames) from ONE collect job, WITHOUT building the pivot.
 
-    Mirrors the reference's normalization exactly:
-    - identity codes by order of first appearance in (time, identity) order
-      (`social_behaviour_detection.py:118-121`);
-    - ``min_time`` over ALL rows, BEFORE the part filter (`:127` precedes `:134`);
-    - frame_id = banker's-rounded (t - min_time) * fps;
-    - duplicate (frame, mouse, part) rows: last write wins (NumPy advanced
-      indexing overwrite) → ``max_by(coord, time)``;
-    - frame timestamp = first row's time per frame of the part-filtered,
-      sorted frame group (= min time).
-    """
-    spark = pose.sparkSession
-
-    # driver-side scalars in ONE job: per-identity first-seen (null identity
-    # included as its own group so the global min_time is still over ALL
-    # rows), plus the part-filtered max time for the frame count. Three
-    # separate actions here previously re-scanned the pose input three times.
+    Split out so pipelines can resolve their time-axis strategy
+    (``_resolve_frame_chunk`` needs ``num_frames``) and kick off independent
+    eager work (e.g. ``blob_speed``'s survivor checkpoint) BEFORE paying for
+    the grid pivot — the two materializations then overlap."""
+    # per-identity first-seen (null identity included as its own group so
+    # the global min_time is still over ALL rows), plus the part-filtered
+    # max time for the frame count. Three separate actions here previously
+    # re-scanned the pose input three times.
     id_rows = (
         pose.groupBy("identity")
         .agg(
@@ -85,6 +80,43 @@ def build_frame_grid(pose: DataFrame, fps: float, parts: list[str]) -> FrameGrid
     if max_part_time is None:
         raise ValueError(f"No pose rows for parts {parts}.")
 
+    # frame_index is monotone in t, so the max frame id comes from the max
+    # part-filtered time — replicated driver-side with the exact arithmetic
+    # of frame_index (per-timestamp double cast THEN subtract, banker's round)
+    import pandas as pd
+
+    lo_s = (pd.Timestamp(min_time).value // 1000) / 1e6
+    hi_s = (pd.Timestamp(max_part_time).value // 1000) / 1e6
+    num_frames = int(round((hi_s - lo_s) * fps)) + 1
+    return identities, min_time, num_frames
+
+
+def build_frame_grid(
+    pose: DataFrame,
+    fps: float,
+    parts: list[str],
+    scalars: tuple[list[str], object, int] | None = None,
+) -> FrameGrid:
+    """pose (long: time, identity, part, x, y) → dense wide frame grid.
+
+    Mirrors the reference's normalization exactly:
+    - identity codes by order of first appearance in (time, identity) order
+      (`social_behaviour_detection.py:118-121`);
+    - ``min_time`` over ALL rows, BEFORE the part filter (`:127` precedes `:134`);
+    - frame_id = banker's-rounded (t - min_time) * fps;
+    - duplicate (frame, mouse, part) rows: last write wins (NumPy advanced
+      indexing overwrite) → ``max_by(coord, time)``;
+    - frame timestamp = first row's time per frame of the part-filtered,
+      sorted frame group (= min time).
+
+    ``scalars`` takes a precomputed ``frame_grid_scalars`` result so callers
+    that already ran the scalar job don't pay it twice.
+    """
+    spark = pose.sparkSession
+    identities, min_time, num_frames = (
+        scalars if scalars is not None else frame_grid_scalars(pose, fps, parts)
+    )
+
     code = (
         F.when(F.col("identity") == identities[0], F.lit(0))
         .when(F.col("identity") == identities[1], F.lit(1))
@@ -102,15 +134,6 @@ def build_frame_grid(pose: DataFrame, fps: float, parts: list[str]) -> FrameGrid
             F.col("y").cast("double").alias("y"),
         )
     )
-
-    # frame_index is monotone in t, so the max frame id comes from the max
-    # part-filtered time — replicated driver-side with the exact arithmetic
-    # of frame_index (per-timestamp double cast THEN subtract, banker's round)
-    import pandas as pd
-
-    lo_s = (pd.Timestamp(min_time).value // 1000) / 1e6
-    hi_s = (pd.Timestamp(max_part_time).value // 1000) / 1e6
-    num_frames = int(round((hi_s - lo_s) * fps)) + 1
 
     aggs: list[Column] = [F.min("time").alias("frame_ts")]
     for m in (0, 1):

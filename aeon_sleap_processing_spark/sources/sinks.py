@@ -67,6 +67,7 @@ def export_event_videos(
     video_name_prefix: str = "",
     encode: bool = False,
     frame_col: str | None = None,
+    fallback_fps: float = 50.0,
 ) -> list[tuple[str, int]]:
     """K5: per event, slice the frame manifest to [start−pad, end+pad] and
     (optionally) export a clip — the reference's `aeon.io.video.export`
@@ -136,7 +137,7 @@ def export_event_videos(
     if encode:
         # the clip kernel already counts each event's frames — ONE action
         # drives both the writes and the counts (no second manifest scan)
-        counts = _write_event_clips(joined, frame_col, save_dir).select(
+        counts = _write_event_clips(joined, frame_col, save_dir, fallback_fps).select(
             "__eid", F.col("n_frames").alias("__n")
         )
     else:
@@ -156,7 +157,9 @@ def export_event_videos(
     return [(r["__clip"], r["__n"]) for r in rows]
 
 
-def _write_event_clips(joined: DataFrame, frame_col: str, save_dir: str) -> DataFrame:
+def _write_event_clips(
+    joined: DataFrame, frame_col: str, save_dir: str, fallback_fps: float = 50.0
+) -> DataFrame:
     """One AVI per event via ``applyInPandas`` keyed on the event id: decode
     each frame's PNG bytes (pure-numpy codec), stack in time order, write an
     uncompressed-DIB AVI under the event's precomputed collision-safe
@@ -164,8 +167,11 @@ def _write_event_clips(joined: DataFrame, frame_col: str, save_dir: str) -> Data
     bytes ever reach the driver; the kernel creates ``save_dir`` itself
     (driver-side makedirs would not exist on remote executors, and at
     cluster scale ``save_dir`` must be shared storage). Frames within an
-    event must share dimensions (the reference's fixed camera geometry);
-    the clip fps is inferred from the median frame interval.
+    event must share dimensions AND channel count (the reference's fixed
+    camera geometry) — a mixed event raises a ValueError naming the clip
+    rather than an opaque np.stack shape error. The clip fps is inferred
+    from the median frame interval; single-frame events and zero/negative
+    medians (duplicate timestamps) fall back to ``fallback_fps``.
 
     Returns the per-event stats frame (__eid, clip, n_frames, n_bytes) —
     tiny, one row per event — so the caller's single action drives both the
@@ -189,10 +195,21 @@ def _write_event_clips(joined: DataFrame, frame_col: str, save_dir: str) -> Data
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("time").reset_index(drop=True)
-        frames = np.stack([decode_png(bytes(b)) for b in pdf[frame_col]])
-        dt = pdf["time"].diff().dt.total_seconds().dropna()
-        fps = 1.0 / float(dt.median()) if len(dt) and dt.median() > 0 else 50.0
         name = pdf["__clip"].iloc[0]
+        decoded = [decode_png(bytes(b)) for b in pdf[frame_col]]
+        shapes = {a.shape for a in decoded}
+        if len(shapes) > 1:
+            raise ValueError(
+                f"event clip {name!r}: frames disagree in dimensions/channels "
+                f"{sorted(shapes)}; all frames of one event must share shape"
+            )
+        frames = np.stack(decoded)
+        dt = pdf["time"].diff().dt.total_seconds().dropna()
+        fps = (
+            1.0 / float(dt.median())
+            if len(dt) and dt.median() > 0
+            else fallback_fps
+        )
         data = encode_avi(frames, fps=fps)
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, name), "wb") as f:

@@ -269,14 +269,20 @@ def stream_pack_sequences(
     laid token-after-token onto that shard's stream and cut every
     ``capacity`` tokens; a sequence is emitted once it is FULL (no later
     document can touch it). The one open (partial) sequence per shard rides
-    the state store, so packing is exact across micro-batches AND restarts.
+    the state store, so token offsets survive micro-batch boundaries AND
+    restarts.
 
     Per-shard state: (offset, open-sequence aggregates). Each batch walks
     its documents in ``id_col`` order, extends or closes sequences, emits
-    the closed ones: (shard, seq_id, n_docs, n_tokens, n_starts). The final
-    partial sequence of a stream is never emitted (it is never full) — the
-    batch operator is the end-of-corpus authority; this operator exists for
-    unbounded ingest where "full" is the only closure signal.
+    the closed ones: (shard, seq_id, n_docs, n_tokens, n_starts). Document
+    order is therefore ``id_col`` WITHIN a micro-batch but arrival order
+    ACROSS batches: a smaller-id document landing in a later batch packs
+    after larger-id documents from earlier batches, so results match the
+    batch operator only when each shard's documents arrive in id order.
+    The final partial sequence of a stream is never emitted (it is never
+    full) — the batch operator is the end-of-corpus authority; this
+    operator exists for unbounded ingest where "full" is the only closure
+    signal.
 
     Scale: one state row per SHARD (a handful of aggregates), not per
     sequence — state is O(shards), emission is append-only, and shards
