@@ -181,12 +181,13 @@ def decode_png(b: bytes) -> np.ndarray:
     All five scanline filters; bit depth 8, color types 0/2, non-interlaced.
     Raises ValueError on other layouts (16-bit, palette, alpha, Adam7).
 
-    Performance note: filters 0/1/2 decode vectorized; 3 (Average) and 4
-    (Paeth) carry a left-pixel dependency through a floor, which no prefix
-    trick removes — they fall back to a per-byte Python scan. Fine for the
-    clip/fixture sizes here; for libpng-encoded megapixel shards (adaptive
-    per-row filters) decode with PIL where available, or re-encode the shard
-    with filter 0 once at ingest."""
+    Performance note: filters 0/1/2 decode vectorized (~300-400 Mpx/s);
+    3 (Average) and 4 (Paeth) carry a left-pixel dependency through a floor,
+    which no prefix trick removes — they fall back to a per-byte Python scan
+    over plain lists (~7 / ~3 Mpx/s at 640px scanlines; tools/bench_png.py).
+    Fine for the clip/fixture sizes here; for libpng-encoded megapixel
+    shards (adaptive per-row filters) decode with PIL where available, or
+    re-encode the shard with filter 0 once at ingest."""
     import zlib
 
     if not b or b[:8] != b"\x89PNG\r\n\x1a\n":
@@ -228,18 +229,25 @@ def decode_png(b: bytes) -> np.ndarray:
         elif ftype == 2:
             recon = raw + prev  # uint8 wraparound == mod 256
         elif ftype in (3, 4):  # sequential left-dependency: per-byte scan
-            recon = np.zeros(stride, dtype=np.uint8)
-            for x in range(stride):
-                left = int(recon[x - bpp]) if x >= bpp else 0
-                up = int(prev[x])
-                if ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    upleft = int(prev[x - bpp]) if x >= bpp else 0
+            # plain-python lists: numpy scalar indexing costs ~10x more per
+            # element than list access, and this loop is the codec's only
+            # non-vectorized path (see tools/bench_png.py for the rate)
+            raw_l, prev_l = raw.tolist(), prev.tolist()
+            recon_l = [0] * stride
+            if ftype == 3:
+                for x in range(stride):
+                    left = recon_l[x - bpp] if x >= bpp else 0
+                    recon_l[x] = (raw_l[x] + ((left + prev_l[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = recon_l[x - bpp] if x >= bpp else 0
+                    up = prev_l[x]
+                    upleft = prev_l[x - bpp] if x >= bpp else 0
                     p = left + up - upleft
                     pa, pb, pc = abs(p - left), abs(p - up), abs(p - upleft)
                     pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else upleft)
-                recon[x] = (int(raw[x]) + pred) % 256
+                    recon_l[x] = (raw_l[x] + pred) & 0xFF
+            recon = np.asarray(recon_l, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter {ftype}")
         out[y] = recon

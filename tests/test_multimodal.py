@@ -161,6 +161,41 @@ class TestPngCodec:
                     ftype,
                 )
 
+    def test_roundtrip_property_realistic_width(self):
+        """Hypothesis round-trip over all five filter types at realistic
+        scanline widths (VERDICT r6 #8): random image content, gray and RGB,
+        widths up to a 640-px scanline — filters 3/4 take the sequential
+        per-byte path whose rate is pinned in tools/bench_png.py."""
+        import numpy as np
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+        )
+
+        @settings(
+            max_examples=25,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(
+            h=st.integers(1, 12),
+            w=st.integers(1, 640),
+            rgb=st.booleans(),
+            ftype=st.integers(0, 4),
+            seed=st.integers(0, 2**31 - 1),
+        )
+        def check(h, w, rgb, ftype, seed):
+            rng = np.random.RandomState(seed)
+            shape = (h, w, 3) if rgb else (h, w)
+            arr = rng.randint(0, 256, shape, dtype=np.uint8)
+            out = decode_png(encode_png(arr, filter_type=ftype))
+            assert out.shape == arr.shape and (out == arr).all()
+
+        check()
+
     def test_sniffer_agrees_with_encoder(self):
         import numpy as np
 
