@@ -87,8 +87,8 @@ def blob_speed(
     Every stage is sequential over the time axis, so the naive plan is a
     chain of single-partition windows over the whole stream.
     ``chunk=None`` selects exactly that plan — 2 stages, the right shape
-    for an in-memory-sized period (the fight pipeline picks it when the
-    grid fits one FRAME_CHUNK). Otherwise the axis is pre-partitioned into
+    for an in-memory-sized period (the fight pipeline picks it below
+    tube_test.CHUNKED_SWITCH_FRAMES). Otherwise the axis is pre-partitioned into
     ``chunk``-second chunks (same scheme as ``chunked_sessionize``/
     ``chunked_ffill``) and each sequential stage carries exactly the
     boundary state it needs across chunks via a one-row-per-chunk summary
@@ -524,12 +524,31 @@ def _fight_condition_frames(
     # chunked operator above references its own input twice (rows + boundary
     # summary) — without truncation the kinematic/ffill/blob plans
     # re-execute once per reference and the replicas compound (measured 2x
-    # end-to-end on the fixture). Bounded: num_frames rows, ~40 cols.
+    # end-to-end on the fixture). Materialize ONLY the columns downstream
+    # reads — frame id/ts, the two centroids (event join-back + kernel),
+    # the three conditions and the empty flag — not the ~40-column grid:
+    # at 4.3 M frames (one reference period) that cuts the cached bytes
+    # ~4x, which is the difference between the checkpoint fitting executor
+    # storage and it spilling.
     # On the global path the subtree above the (already-checkpointed) grid
     # is cheap codegen + one window, and the checkpoint's materialization
     # job costs more than the recompute it saves (measured 3.7 s vs 2.4 s
     # on the fixture) — stay lazy.
-    return out.localCheckpoint(eager=True) if fc is not None else out
+    if fc is None:
+        return out
+    keep = [
+        "frame_id",
+        "frame_ts",
+        mcol(0, cent, "x"),
+        mcol(0, cent, "y"),
+        mcol(1, cent, "x"),
+        mcol(1, cent, "y"),
+        "cond1",
+        "cond2",
+        "cond3",
+        "is_empty",
+    ]
+    return out.select(*keep).localCheckpoint(eager=True)
 
 
 def _fight_sessions(fr: DataFrame, p: dict, fc: int | None = None) -> DataFrame:

@@ -37,26 +37,33 @@ __all__ = [
 ]
 
 # frame-axis chunk for the unkeyed time-axis operators in the detection
-# pipelines: 1 h at 50 fps. Sessions/fills merge bit-equal across chunk
-# borders (chunked_sessionize/chunked_ffill), so this only sets the unit of
-# parallelism — a 24 h period plans ~24 parallel window sorts instead of one
-# whole-period single-partition sort. Path selection is adaptive: when the
-# grid fits a single chunk (num_frames <= FRAME_CHUNK, known driver-side
-# before the plan is built) the pipelines keep the plain single-window
-# forms, whose 1-2 stages beat the chunked machinery's ~6 small stages on
-# in-memory-sized periods; above it they switch to the chunked forms.
-# ``frame_chunk`` on the pipeline entry points forces a size (tests and the
-# *_chunked driver queries use this to exercise the scale path on fixtures).
+# pipelines: 1 h at 50 fps (the reference's chunk geometry). Sessions/fills
+# merge bit-equal across chunk borders (chunked_sessionize/chunked_ffill),
+# so this only sets the unit of parallelism — a 24 h period plans ~24
+# parallel window sorts instead of one whole-period single-partition sort.
 FRAME_CHUNK = 180_000
+
+# auto-switch point between the plain single-window plans and the chunked
+# forms. MEASURED, not asserted (tools/bench_pipelines.py --crossover,
+# local[32]/24g, committed table in README): below ~1M frames the global
+# plan's 1-2 stages beat the chunked machinery's fixed cost (chunked =
+# 1.15-1.5x slower); between 1.1M and 2.2M frames the paths cross; at 2.2M+
+# the chunked form wins (0.81x at 2.2M, 0.83x at 4.3M — one reference
+# period) and its advantage grows with data while the global plan is capped
+# at ONE sort task regardless of cluster size. 6 h of frames ≈ the measured
+# crossover's lower edge; switching a little early costs percent-level
+# constants, switching late risks the unbounded single-task sort.
+CHUNKED_SWITCH_FRAMES = 1_080_000
 
 
 def _resolve_frame_chunk(frame_chunk: int | None, num_frames: int) -> int | None:
-    """None → auto (chunked iff the grid exceeds one chunk); a positive
-    size forces the chunked path with that chunk; 0 forces the global
-    single-window path regardless of size (benchmarking/debug)."""
+    """None → auto (chunked iff the grid exceeds CHUNKED_SWITCH_FRAMES; the
+    chunk size is FRAME_CHUNK); a positive size forces the chunked path
+    with that chunk; 0 forces the global single-window path regardless of
+    size (benchmarking/debug)."""
     if frame_chunk is not None:
         return int(frame_chunk) or None
-    return FRAME_CHUNK if num_frames > FRAME_CHUNK else None
+    return FRAME_CHUNK if num_frames > CHUNKED_SWITCH_FRAMES else None
 
 TUBE_TEST_PARAMS = {
     "angle_tolerance": 45,

@@ -69,8 +69,12 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- writes: idempotent chunk overwrite (SURVEY §2.1 K4) --------
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        # local-mode memory headroom; ignored under a real cluster manager
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode memory headroom (the single JVM is driver AND all 32
+        # executor threads; an 8g cap measurably starved period-scale runs —
+        # the 24h chunked fight pipeline thrashed 2.9x slower under 8g and
+        # ran 1.75x FASTER than the global plan under 48g). A cap, not a
+        # reservation; ignored under a real cluster manager.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

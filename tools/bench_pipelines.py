@@ -104,10 +104,86 @@ def stage(pdf: pd.DataFrame, root: str, name: str, spark):
     return df
 
 
+def crossover(scales_minutes: list[int], reps: int, relaxed: bool = False) -> None:
+    """Measure the chunked-vs-global crossover of the fight pipeline
+    (VERDICT r6 #5): run ``fight_candidate_sessions`` with frame_chunk=0
+    (forced global single-window plan) and frame_chunk=FRAME_CHUNK (the
+    production chunk, 180k frames = 1 h at 50 fps) at several period
+    lengths, and verify both paths emit identical session bounds. Prints
+    one JSON line per scale with the min-of-reps wall time for each path."""
+    import tempfile
+
+    from aeon_sleap_processing_spark.plans.fights import fight_candidate_sessions
+    from aeon_sleap_processing_spark.plans.tube_test import FRAME_CHUNK
+    from aeon_sleap_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="crossover-bench")
+    parts8 = ["nose", "head", "right_ear", "left_ear", "spine1", "spine2", "spine3", "spine4"]
+    # --relaxed: thresholds that make (almost) every frame a candidate, so
+    # sessions exist, MERGE across every chunk boundary, and the
+    # global-vs-chunked equality check compares real session bounds instead
+    # of two empty lists (the default generator plants no events)
+    params = (
+        {"max_distance": 1e9, "min_blob_speed": -1.0, "max_nose_head_distance": 0.0}
+        if relaxed
+        else None
+    )
+    for minutes in scales_minutes:
+        rng = np.random.default_rng(42)
+        n_frames = int(minutes * 60 * FPS)
+        pose_pdf = gen_pose(n_frames, parts8, rng)
+        blob_pdf = pd.DataFrame(
+            {
+                "time": T0 + pd.to_timedelta(np.arange(n_frames) * 20_000, unit="us"),
+                "x": ARENA["cx"] + 350.0 * np.cos(0.0005 * np.arange(n_frames)),
+                "y": ARENA["cy"] + 350.0 * np.sin(0.0005 * np.arange(n_frames)),
+            }
+        )
+        stage_dir = tempfile.mkdtemp(prefix="aeon_xover_")
+        pose = stage(pose_pdf, stage_dir, "pose", spark)
+        blob = stage(blob_pdf, stage_dir, "blob", spark)
+        pose.count(), blob.count()  # warm the scans
+
+        res: dict = {"minutes": minutes, "n_frames": n_frames}
+        outs: dict = {}
+        for mode, fcv in (("global", 0), ("chunked", FRAME_CHUNK)):
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                rows = sorted(
+                    map(
+                        tuple,
+                        fight_candidate_sessions(
+                            pose, blob, FPS, parameters=params, frame_chunk=fcv
+                        ).collect(),
+                    )
+                )
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            outs[mode] = rows
+            res[f"{mode}_seconds"] = round(best, 2)
+        res["outputs_equal"] = outs["global"] == outs["chunked"]
+        res["n_sessions"] = len(outs["global"])
+        res["chunked_over_global"] = round(
+            res["chunked_seconds"] / res["global_seconds"], 3
+        )
+        print(json.dumps(res), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--minutes", type=int, default=60)
+    ap.add_argument("--crossover", action="store_true")
+    ap.add_argument(
+        "--scales", type=int, nargs="+", default=[15, 60, 180, 360],
+        help="period lengths in minutes for --crossover",
+    )
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--relaxed", action="store_true")
     args = ap.parse_args()
+    if args.crossover:
+        crossover(args.scales, args.reps, relaxed=args.relaxed)
+        return
     n_frames = int(args.minutes * 60 * FPS)
 
     from pyspark.sql import functions as F

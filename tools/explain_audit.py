@@ -20,9 +20,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # By-design exceptions, keyed on (query, flag-kind) so only the justified
 # flag TYPE is downgraded to ok* — an unrelated regression (e.g. a pruning
 # break) on the same query still WARNs. Each justified where implemented:
-# - q_fight_sessions: below the FRAME_CHUNK threshold the detection
-#   pipelines adaptively pick the global single-window forms
-#   (plans/tube_test.py FRAME_CHUNK) — the right plan for an
+# - q_fight_sessions: below the CHUNKED_SWITCH_FRAMES threshold the
+#   detection pipelines adaptively pick the global single-window forms
+#   (plans/tube_test.py; threshold MEASURED by bench_pipelines --crossover,
+#   crossover between 1.1M and 2.2M frames) — the right plan for an
 #   in-memory-sized period; the chunked twin q_fight_sessions_chunked runs
 #   the scale path against the identical oracle. (q_tube_events takes the
 #   same adaptive path but its current plan stays under the flag
