@@ -402,8 +402,14 @@ def chunked_sessionize(
     if chunk_size <= 0:
         raise ValueError(f"chunk must be positive, got {chunk!r}")
 
-    base = df.withColumn("__axis", ord_val).withColumn(
-        "__chunk", F.floor(F.col("__axis") / F.lit(chunk_size))
+    # single-projection column adds (not withColumn chains): each
+    # withColumn is a separate JVM round trip + plan-tree analysis, and the
+    # chunked operators sit on the construction critical path of every
+    # chunked pipeline
+    base = df.select(
+        "*",
+        ord_val.alias("__axis"),
+        F.floor(ord_val / F.lit(chunk_size)).alias("__chunk"),
     )
     w = W.partitionBy("__chunk").orderBy(order_col)
     delta = F.col("__axis") - F.lag("__axis").over(w)
@@ -421,13 +427,13 @@ def chunked_sessionize(
     merges = F.when(
         (F.col("__first") - F.lag("__last").over(wc)) <= gap_t, F.lit(1)
     ).otherwise(F.lit(0))
-    offsets = bounds.withColumn("__merge", merges).select(
+    offsets = bounds.select(
         "__chunk",
         (
             F.coalesce(
                 F.sum("__n_sess").over(wc.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
             )
-            - F.sum("__merge").over(wc.rowsBetween(W.unboundedPreceding, 0))
+            - F.sum(merges).over(wc.rowsBetween(W.unboundedPreceding, 0))
         ).alias("__offset"),
     )
 
@@ -530,10 +536,9 @@ def ffill(
     """Forward-fill nulls (SURVEY W3; reference `social_behaviour_detection.py:565`)."""
     pb = _as_list(partition_by)
     w = W.partitionBy(*pb).orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
-    out = df
-    for c in _as_list(cols):
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+    return df.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in _as_list(cols)}
+    )
 
 
 def chunked_ffill(
@@ -567,13 +572,17 @@ def chunked_ffill(
     if chunk_size <= 0:
         raise ValueError(f"chunk must be positive, got {chunk!r}")
 
-    base = df.withColumn("__axis", ord_val).withColumn(
-        "__chunk", F.floor(F.col("__axis") / F.lit(chunk_size))
+    base = df.select(
+        "*",
+        ord_val.alias("__axis"),
+        F.floor(ord_val / F.lit(chunk_size)).alias("__chunk"),
     )
     w = W.partitionBy("__chunk").orderBy(order_col).rowsBetween(W.unboundedPreceding, 0)
-    local = base
-    for c in cols:
-        local = local.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    # one projection for all filled columns (each fill reads the ORIGINAL
+    # column, so batching cannot change semantics)
+    local = base.withColumns(
+        {c: F.last(c, ignorenulls=True).over(w) for c in cols}
+    )
 
     # per-chunk last non-null per column (null sort keys are ignored by
     # max_by, so chunks that are all-null for a column summarize to null)
@@ -593,9 +602,9 @@ def chunked_ffill(
             for c in cols
         ],
     )
-    out = local.join(F.broadcast(carry), "__chunk", "left")
-    for c in cols:
-        out = out.withColumn(c, F.coalesce(F.col(c), F.col(f"__carry_{c}")))
+    out = local.join(F.broadcast(carry), "__chunk", "left").withColumns(
+        {c: F.coalesce(F.col(c), F.col(f"__carry_{c}")) for c in cols}
+    )
     return out.drop("__axis", "__chunk", *[f"__carry_{c}" for c in cols])
 
 
@@ -608,10 +617,9 @@ def bfill(
     """Backward-fill nulls."""
     pb = _as_list(partition_by)
     w = W.partitionBy(*pb).orderBy(order_col).rowsBetween(0, W.unboundedFollowing)
-    out = df
-    for c in _as_list(cols):
-        out = out.withColumn(c, F.first(c, ignorenulls=True).over(w))
-    return out
+    return df.withColumns(
+        {c: F.first(c, ignorenulls=True).over(w) for c in _as_list(cols)}
+    )
 
 
 def rolling_mean(

@@ -215,13 +215,11 @@ def blob_speed(
         / cm2px
         * 1000.0
     )
-    b3 = (
-        b2.withColumn("__speed_l", speed_l)
-        .withColumn("__p", F.row_number().over(wch))
-        .withColumn(
-            "__q",
-            F.count(F.lit(1)).over(W.partitionBy("__chunk")) - F.col("__p") + 1,
-        )
+    b3 = b2.select(
+        "*", speed_l.alias("__speed_l"), (F.row_number().over(wch)).alias("__p")
+    ).withColumn(
+        "__q",
+        F.count(F.lit(1)).over(W.partitionBy("__chunk")) - F.col("__p") + 1,
     )
     s2 = b3.groupBy("__chunk").agg(
         F.count(F.lit(1)).alias("__n"),
@@ -466,7 +464,7 @@ def _fight_condition_frames(
     # — chunked over the frame axis so the fill never plans a whole-period
     # single-partition window (operators/temporal.py chunked_ffill)
     cdist = pair_distance(fr, (0, cent), (1, cent))
-    fr = fr.withColumn("cdist", cdist).withColumn("cdist_ffill", cdist)
+    fr = fr.select("*", cdist.alias("cdist"), cdist.alias("cdist_ffill"))
     if fc is None:
         wff = W.orderBy("frame_id").rowsBetween(W.unboundedPreceding, 0)
         fr = fr.withColumn("cdist_ffill", F.last("cdist_ffill", ignorenulls=True).over(wff))
@@ -512,9 +510,9 @@ def _fight_condition_frames(
     if bs is None:
         bs = blob_speed(blob, p["cm2px"], chunk=None if fc is None else fc / grid.fps)
     out = (
-        fr.withColumn("cond1", cond1)
-        .withColumn("cond2", cond2)
-        .withColumn("is_empty", empty_frame)
+        fr.withColumns(
+            {"cond1": cond1, "cond2": cond2, "is_empty": empty_frame}
+        )
         .join(bs, "frame_id", "left")
         .withColumn("cond3", F.coalesce(F.col("speed") > p["min_blob_speed"], F.lit(False)))
     )
