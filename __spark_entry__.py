@@ -685,6 +685,13 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (rolling-hash CDC a la LBFS/FastCDC,
+    simplified to unbounded chunks): content cuts where the trailing-8-char
+    hash is 0 mod 64, chunk-hash occurrence counts, per-doc dup fractions."""
+    return tx.cdc_chunk_stats(load_table(spark, "documents", sf_dir))
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL-pixel video path (SURVEY S8/K5/U5; reference
     `detect_fights_all_epochs.py:53-79` cv2 frame probing): plant
@@ -1465,8 +1472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotated in round 7 ------------------------------------------
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
-        # --- text analysis / dedup (training-data pipeline) -------------
-        "q_lang_id": _q_lang_id,
+        "q_cdc_dedup": _q_cdc_dedup,
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_signature": _q_minhash_signature,
@@ -1501,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     carry multi-round green history) ----------------------------
         "q_text_stats": _q_text_stats,
         "q_token_count": _q_token_count,
+        "q_lang_id": _q_lang_id,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2544,6 +2551,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, octet_length(text::BLOB) AS n_bytes, md5(text) AS digest,
                    hex(substr(text, 1, 8)::BLOB) AS head_hex
             FROM documents
+        """,
+        "q_cdc_dedup": """
+            -- content-defined chunking: cut after 1-indexed char i when the
+            -- md5 of chars [i-7, i] is 0 mod 64 (mirrors cdc_chunk_stats)
+            WITH ne AS (
+              SELECT doc_id, text, length(text) AS n FROM documents
+              WHERE length(text) >= 1
+            ),
+            pos AS (
+              SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i FROM ne
+            ),
+            cuts AS (
+              SELECT doc_id, i FROM pos
+              WHERE ('0x' || substr(md5(substr(text, i - 7, 8)), 1, 8))::UBIGINT
+                    % 64 = 0
+                AND i < n
+            ),
+            ca AS (
+              SELECT doc_id, list_sort(list(i)) AS cuts FROM cuts GROUP BY doc_id
+            ),
+            b AS (
+              SELECT ne.doc_id, ne.text,
+                     list_concat(
+                       list_concat([0], coalesce(ca.cuts, [])), [ne.n]
+                     ) AS bl
+              FROM ne LEFT JOIN ca USING (doc_id)
+            ),
+            pr AS (
+              SELECT doc_id, text, bl, unnest(range(1, len(bl))) AS j FROM b
+            ),
+            ch AS (
+              SELECT doc_id,
+                     (bl[j + 1] - bl[j])::BIGINT AS clen,
+                     md5(substr(text, bl[j] + 1, bl[j + 1] - bl[j])) AS chash
+              FROM pr
+            ),
+            occ AS (SELECT chash, count(*) AS oc FROM ch GROUP BY chash),
+            pd AS (
+              SELECT doc_id, count(*) AS n_chunks,
+                     round(avg(clen), 4) AS mean_chunk_len,
+                     CAST(sum(CASE WHEN oc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+              FROM ch JOIN occ USING (chash) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_chunks, 0) AS n_chunks,
+                   mean_chunk_len,
+                   coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+                   round(n_dup_chunks::DOUBLE / n_chunks, 6) AS dup_chunk_frac
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
         """,
         "q_video_frame_stats": """
             -- closed-form recompute of the deterministic frame pixels the

@@ -48,6 +48,7 @@ __all__ = [
     "length_percentiles",
     "minhash_est_vs_exact",
     "dup_span_stats",
+    "cdc_chunk_stats",
     "repetition_stats",
     "domain_stats",
     "ngram_lm_score",
@@ -857,6 +858,108 @@ def dup_span_stats(
             F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
             F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
             F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
+        )
+    )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    window: int = 8,
+    divisor: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined-chunking dedup signals (the rolling-hash CDC family
+    of LBFS/FastCDC, applied to corpus dedup): cut each document at
+    positions where the hash of the trailing ``window`` characters is
+    ``0 mod divisor`` (expected chunk length ≈ ``divisor``), hash each
+    chunk, and report per document how many of its chunks occur elsewhere
+    in the corpus. Unlike fixed blocks (``paragraph_dedup``) the cut points
+    move WITH the content, so an insertion near the top of a near-duplicate
+    shifts only the chunk it lands in — the classic CDC robustness.
+    Simplification vs FastCDC: no min/max chunk bounds (they make cut
+    eligibility depend on the previous accepted cut — a sequential scan);
+    pure content cuts keep every position independent, fully parallel, and
+    SQL-expressible, at the cost of occasional tiny/huge chunks.
+
+    Returns per document: (doc_id, n_chunks, mean_chunk_len, n_dup_chunks,
+    dup_chunk_frac) — a chunk is *duplicated* when its exact text occurs
+    anywhere else in the corpus (other documents or elsewhere in the same
+    one). Empty documents report 0 chunks.
+
+    Scale: cut detection is explode + codegen md5 over trailing windows (no
+    UDF, no shuffle); cut lists aggregate per doc (map-side combinable);
+    chunk occurrence counting shuffles on the 32-hex chunk hash exactly
+    like ``exact_dedup``. The explode is O(chars), same asymptotics as the
+    shingle operators (dup_span_stats)."""
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    d = base.select(
+        id_col, text_col, F.length(text_col).alias("__n")
+    )
+    nonempty = d.where(F.col("__n") >= 1)
+    # cut AFTER 1-indexed char i when md5 of chars [i-window+1, i] ≡ 0
+    # (i >= window so the trailing window is full; i < n so the implicit
+    # end-of-doc boundary is not duplicated)
+    pos = nonempty.select(
+        id_col,
+        text_col,
+        "__n",
+        F.explode(F.sequence(F.lit(window), F.col("__n"))).alias("__i"),
+    )
+    whash = md5_long(
+        F.col(text_col).substr(F.col("__i") - F.lit(window - 1), F.lit(window))
+    )
+    cuts = pos.where((whash % divisor == 0) & (F.col("__i") < F.col("__n")))
+    cut_arr = cuts.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__i")).alias("__cuts")
+    )
+    bounds = nonempty.join(cut_arr, id_col, "left").select(
+        id_col,
+        text_col,
+        F.concat(
+            F.array(F.lit(0)),
+            F.coalesce(F.col("__cuts"), F.array().cast("array<int>")),
+            F.array(F.col("__n")),
+        ).alias("__b"),
+    )
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__b") - 2),
+            lambda j: F.struct(
+                F.col("__b")[j].alias("s"), F.col("__b")[j + 1].alias("e")
+            ),
+        )
+    )
+    chunks = bounds.select(id_col, text_col, pair.alias("__p")).select(
+        id_col,
+        (F.col("__p.e") - F.col("__p.s")).cast("long").alias("__clen"),
+        F.md5(
+            F.col(text_col).substr(
+                F.col("__p.s") + 1, F.col("__p.e") - F.col("__p.s")
+            )
+        ).alias("__chash"),
+    )
+    occ = chunks.groupBy("__chash").agg(F.count(F.lit(1)).alias("__occ"))
+    per_doc = (
+        chunks.join(occ, "__chash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.round(F.avg("__clen"), 4).alias("mean_chunk_len"),
+            F.sum((F.col("__occ") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            "mean_chunk_len",
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias(
+                "dup_chunk_frac"
+            ),
         )
     )
 

@@ -331,3 +331,59 @@ class TestDupSpanStats:
         got = dup_span_stats(docs, k=5).toPandas()
         assert got.n_shingles[0] == 0 and got.max_dup_run[0] == 0
         assert pd.isna(got.dup_frac[0])
+
+
+class TestCdcChunkStats:
+    def test_shift_robustness_and_counts(self, spark):
+        """The CDC property fixed blocks lack: prepending one char to a
+        duplicate document shifts cut positions but chunk CONTENT past the
+        first content-defined cut re-aligns, so most chunks still dedup.
+        Also pins exact bookkeeping: identical docs dup every chunk; the
+        empty doc reports 0 chunks; a unique doc reports 0 dups."""
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.text import cdc_chunk_stats
+
+        rng = np.random.RandomState(11)
+        alpha = "abcdefghijklmnopqrstuvwxyz "
+        body = "".join(alpha[i] for i in rng.randint(0, len(alpha), 2000))
+        rows = [
+            (0, body),
+            (1, body),          # exact duplicate: every chunk duplicated
+            (2, "X" + body),    # shifted near-duplicate
+            (3, "".join(alpha[i] for i in rng.randint(0, len(alpha), 500))),
+            (4, ""),            # empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in cdc_chunk_stats(df).collect()}
+
+        assert out[0]["n_chunks"] > 5  # 2000 chars / divisor 64 ≈ 30 cuts
+        assert out[0]["n_dup_chunks"] == out[0]["n_chunks"]  # doc 1 matches all
+        assert out[1]["dup_chunk_frac"] == 1.0
+        # shifted copy: everything after the first shared cut re-aligns, so
+        # at most the leading chunk (plus hash-luck) fails to dedup
+        assert out[2]["n_dup_chunks"] >= out[2]["n_chunks"] - 1
+        assert out[3]["n_dup_chunks"] == 0
+        assert out[4]["n_chunks"] == 0 and out[4]["dup_chunk_frac"] is None
+
+    def test_chunks_partition_the_text(self, spark):
+        """Chunk lengths per doc must sum to the doc length (cuts are a
+        partition of [0, n))."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.operators.text import cdc_chunk_stats
+        from aeon_sleap_processing_spark.sources import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(200)
+        out = cdc_chunk_stats(docs)
+        joined = (
+            out.join(docs.select("doc_id", F.length("text").alias("n")), "doc_id")
+            .select(
+                "doc_id",
+                (F.round(F.col("mean_chunk_len") * F.col("n_chunks"))
+                 .cast("long") == F.col("n")).alias("ok"),
+                (F.col("n") == 0).alias("empty"),
+            )
+        )
+        bad = joined.where(~F.col("ok") & ~F.col("empty")).count()
+        assert bad == 0
