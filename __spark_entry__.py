@@ -685,6 +685,62 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training, 8 merge rounds over the corpus
+    word frequencies (operators/text.py:bpe_train — double-space symbol
+    reps make each merge a plain string replace, identical in both
+    engines; oracle = the same algorithm unrolled into 8 CTE levels)."""
+    return tx.bpe_train(load_table(spark, "documents", sf_dir), num_merges=8)
+
+
+def _bpe_merges_sql(k: int = 8) -> str:
+    """Oracle for q_bpe_merges: the SAME double-space-rep algorithm
+    unrolled into k CTE levels — per level, adjacent-pair counts from the
+    current reps, the (count DESC, pair ASC) argmax, and one replace()
+    rewriting every word's rep. replace() scans left-to-right
+    non-overlapping in both engines, which on this representation equals
+    greedy BPE merging."""
+    parts = [
+        f"""
+        WITH wc AS (
+          SELECT w, count(*) AS cnt,
+                 '  ' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)), '  '
+                 ) || '  </w>  ' AS rep
+          FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+          WHERE length(w) >= 1 GROUP BY w
+        ),
+        rep0 AS (SELECT w, cnt, rep FROM wc)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""",
+        pairs{i} AS (
+          SELECT syms[j] AS a, syms[j + 1] AS b,
+                 CAST(sum(cnt) AS BIGINT) AS n
+          FROM (
+            SELECT cnt, string_split(trim(rep), '  ') AS syms FROM rep{i - 1}
+          ), LATERAL (SELECT unnest(range(1, len(syms))) AS j) u
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2
+        ),
+        top{i} AS (SELECT a, b, n FROM pairs{i} ORDER BY n DESC, a, b LIMIT 1),
+        rep{i} AS (
+          SELECT w, cnt,
+                 replace(rep, ' ' || a || '  ' || b || ' ',
+                         ' ' || a || b || ' ') AS rep
+          FROM rep{i - 1} CROSS JOIN top{i}
+        )"""
+        )
+    selects = "\n            UNION ALL ".join(
+        f"SELECT {i} AS merge_rank, a AS \"left\", b AS \"right\", n AS pair_count FROM top{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(f"\n            {selects}")
+    return "".join(parts)
+
+
 def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup (rolling-hash CDC a la LBFS/FastCDC,
     simplified to unbounded chunks): content cuts where the trailing-8-char
@@ -1473,7 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
         "q_cdc_dedup": _q_cdc_dedup,
-        "q_doc_fingerprint": _q_doc_fingerprint,
+        "q_bpe_merges": _q_bpe_merges,
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_signature": _q_minhash_signature,
         "q_lsh_buckets": _q_lsh_buckets,
@@ -1508,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_stats": _q_text_stats,
         "q_token_count": _q_token_count,
         "q_lang_id": _q_lang_id,
+        "q_doc_fingerprint": _q_doc_fingerprint,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2552,6 +2609,7 @@ def oracle_sql() -> dict[str, str]:
                    hex(substr(text, 1, 8)::BLOB) AS head_hex
             FROM documents
         """,
+        "q_bpe_merges": _bpe_merges_sql(8),
         "q_cdc_dedup": """
             -- content-defined chunking: cut after 1-indexed char i when the
             -- md5 of chars [i-7, i] is 0 mod 64 (mirrors cdc_chunk_stats)

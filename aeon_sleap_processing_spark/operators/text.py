@@ -49,6 +49,7 @@ __all__ = [
     "minhash_est_vs_exact",
     "dup_span_stats",
     "cdc_chunk_stats",
+    "bpe_train",
     "repetition_stats",
     "domain_stats",
     "ngram_lm_score",
@@ -860,6 +861,92 @@ def dup_span_stats(
             F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
         )
     )
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016) — the
+    corpus-side heavy lifting of tokenizer construction: learn
+    ``num_merges`` byte-pair merges from corpus word frequencies.
+
+    Representation trick that keeps EVERYTHING codegen (no UDF) and gives
+    the iterative algorithm an exact unrolled-CTE DuckDB oracle: a word's
+    symbol sequence is one string — symbols joined by TWO spaces, two
+    spaces at both ends (``'  l  o  w  </w>  '``). Merging pair (a, b) is
+    then the plain left-to-right string replace of ``' a  b '`` with
+    ``' ab '``: each match consumes ONE space of each flanking double
+    separator, so adjacent matches keep their own separator and the
+    non-overlapping scan equals greedy left-to-right BPE merging (the
+    ``'a a a'`` case merges the first two, as the token walk does).
+
+    Per merge round: split the reps on the double space, count adjacent
+    symbol pairs weighted by word frequency (explode + map-side-combinable
+    groupBy over the UNIQUE-WORD table — vocabulary-sized, not
+    corpus-sized), pick the max pair (ties: lexicographic on the pair —
+    pinned so the oracle agrees), rewrite the reps with one ``replace``.
+    The corpus is touched ONCE (word counting); the k rounds iterate over
+    the vocabulary table with lineage checkpointed each round.
+
+    Returns (merge_rank, left, right, pair_count) for the merges learned,
+    in order — fewer than ``num_merges`` rows when the corpus runs out of
+    pairs."""
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
+        .where(F.length("__w") >= 1)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    rep = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.concat(F.split(F.col("__w"), ""), F.array(F.lit("</w>"))), "  "
+        ),
+        F.lit("  "),
+    )
+    wc = words.select("__w", "__cnt", rep.alias("__rep")).localCheckpoint(eager=True)
+
+    merges: list[tuple] = []
+    for rank in range(1, num_merges + 1):
+        pair = F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__syms") - 2),
+                lambda i: F.struct(
+                    F.col("__syms")[i].alias("a"), F.col("__syms")[i + 1].alias("b")
+                ),
+            )
+        )
+        top = (
+            wc.select(
+                "__cnt", F.split(F.trim(F.col("__rep")), "  ").alias("__syms")
+            )
+            # fully-merged single-symbol words have no pairs (and Spark's
+            # sequence(0, -1) DESCENDS rather than yielding empty)
+            .where(F.size("__syms") >= 2)
+            .select("__cnt", pair.alias("__p"))
+            .groupBy("__p.a", "__p.b")
+            .agg(F.sum("__cnt").alias("__n"))
+            .orderBy(F.desc("__n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["__n"])
+        merges.append((rank, a, b, n))
+        wc = wc.withColumn(
+            "__rep",
+            F.replace(
+                F.col("__rep"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+            ),
+        ).localCheckpoint(eager=True)
+
+    spark = docs.sparkSession
+    schema = "merge_rank int, left string, right string, pair_count long"
+    return spark.createDataFrame(merges, schema)
 
 
 def cdc_chunk_stats(

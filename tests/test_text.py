@@ -387,3 +387,61 @@ class TestCdcChunkStats:
         )
         bad = joined.where(~F.col("ok") & ~F.col("empty")).count()
         assert bad == 0
+
+
+class TestBpeTrain:
+    def test_matches_reference_implementation(self, spark):
+        """bpe_train must reproduce the classic sequential BPE (Sennrich et
+        al. 2016: recount pairs each round, merge the argmax greedily
+        left-to-right) including the overlap case ('aaa' merges the first
+        two) and fully-merged words dropping out of the pair pool."""
+        import collections
+
+        from aeon_sleap_processing_spark.operators.text import bpe_train
+
+        def ref_bpe(words, k):
+            vocab = collections.Counter(words)
+            reps = {w: tuple(list(w) + ["</w>"]) for w in vocab}
+            merges = []
+            for rank in range(1, k + 1):
+                pairs = collections.Counter()
+                for w, c in vocab.items():
+                    s = reps[w]
+                    for i in range(len(s) - 1):
+                        pairs[(s[i], s[i + 1])] += c
+                if not pairs:
+                    break
+                (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+                merges.append((rank, a, b, n))
+                for w in reps:
+                    s = reps[w]
+                    out, i = [], 0
+                    while i < len(s):
+                        if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    reps[w] = tuple(out)
+            return merges
+
+        text = (
+            "low low low low low lower lower newest newest newest newest "
+            "newest newest widest widest widest aaa aaa baaab "
+            "go go go go go go go go go go go go"
+        )
+        expected = ref_bpe(text.split(), 14)
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, 14).orderBy("merge_rank").collect()
+        ]
+        assert got == expected
+
+    def test_runs_out_of_pairs(self, spark):
+        from aeon_sleap_processing_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
+        out = bpe_train(df, 50).collect()  # a+b, ab+</w> -> one symbol left
+        assert len(out) == 2
