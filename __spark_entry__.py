@@ -741,6 +741,44 @@ def _bpe_merges_sql(k: int = 8) -> str:
     return "".join(parts)
 
 
+def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode under the 8 learned merges: per-doc word count, token
+    count, chars-per-token (text.py:bpe_encode_token_counts)."""
+    return tx.bpe_encode_token_counts(
+        load_table(spark, "documents", sf_dir), num_merges=8
+    )
+
+
+def _bpe_encode_sql(k: int = 8) -> str:
+    """Oracle for q_bpe_encode: the same unrolled k merge levels as
+    q_bpe_merges, then tokens-per-unique-word from the final reps joined
+    back onto the corpus word stream."""
+    levels = _bpe_merges_sql(k)
+    # reuse everything up to (and including) rep{k}; swap the final SELECT
+    head = levels[: levels.rindex("\n            SELECT 1 AS merge_rank")]
+    return f"""{head}
+            , tok AS (
+              SELECT w, CAST(len(string_split(trim(rep), '  ')) AS BIGINT) AS t
+              FROM rep{k}
+            ),
+            dw AS (
+              SELECT doc_id, unnest({_WORDS}) AS w FROM documents
+            ),
+            pd AS (
+              SELECT doc_id, count(*) AS n_words,
+                     CAST(sum(t) AS BIGINT) AS n_tokens
+              FROM dw JOIN tok USING (w)
+              WHERE length(w) >= 1
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_words, 0) AS n_words,
+                   coalesce(n_tokens, 0) AS n_tokens,
+                   round(length(d.text)::DOUBLE / n_tokens, 6) AS chars_per_token
+            FROM documents d LEFT JOIN pd USING (doc_id)
+        """
+
+
 def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined-chunking dedup (rolling-hash CDC a la LBFS/FastCDC,
     simplified to unbounded chunks): content cuts where the trailing-8-char
@@ -1530,7 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_frame_stats": _q_video_frame_stats,
         "q_cdc_dedup": _q_cdc_dedup,
         "q_bpe_merges": _q_bpe_merges,
-        "q_exact_dedup": _q_exact_dedup,
+        "q_bpe_encode": _q_bpe_encode,
         "q_minhash_signature": _q_minhash_signature,
         "q_lsh_buckets": _q_lsh_buckets,
         "q_jaccard_top_pairs": _q_jaccard_top_pairs,
@@ -1565,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": _q_token_count,
         "q_lang_id": _q_lang_id,
         "q_doc_fingerprint": _q_doc_fingerprint,
+        "q_exact_dedup": _q_exact_dedup,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2610,6 +2649,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_bpe_merges": _bpe_merges_sql(8),
+        "q_bpe_encode": _bpe_encode_sql(8),
         "q_cdc_dedup": """
             -- content-defined chunking: cut after 1-indexed char i when the
             -- md5 of chars [i-7, i] is 0 mod 64 (mirrors cdc_chunk_stats)

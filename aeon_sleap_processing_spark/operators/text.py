@@ -50,6 +50,7 @@ __all__ = [
     "dup_span_stats",
     "cdc_chunk_stats",
     "bpe_train",
+    "bpe_encode_token_counts",
     "repetition_stats",
     "domain_stats",
     "ngram_lm_score",
@@ -894,6 +895,17 @@ def bpe_train(
     Returns (merge_rank, left, right, pair_count) for the merges learned,
     in order — fewer than ``num_merges`` rows when the corpus runs out of
     pairs."""
+    _, merges = _bpe_learn(docs, num_merges, text_col)
+    spark = docs.sparkSession
+    schema = "merge_rank int, left string, right string, pair_count long"
+    return spark.createDataFrame(merges, schema)
+
+
+def _bpe_learn(
+    docs: DataFrame, num_merges: int, text_col: str
+) -> tuple[DataFrame, list[tuple]]:
+    """The shared BPE learn loop: returns (final vocab-rep table
+    [__w, __cnt, __rep], merges [(rank, left, right, count)])."""
     words = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
         .where(F.length("__w") >= 1)
@@ -943,10 +955,55 @@ def bpe_train(
                 F.col("__rep"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
             ),
         ).localCheckpoint(eager=True)
+    return wc, merges
 
-    spark = docs.sparkSession
-    schema = "merge_rank int, left string, right string, pair_count long"
-    return spark.createDataFrame(merges, schema)
+
+def bpe_encode_token_counts(
+    docs: DataFrame,
+    num_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BPE ENCODE — the application half of the tokenizer loop
+    (``bpe_train`` learns the merges; this reports what they cost): learn
+    ``num_merges`` merges, apply them to the vocabulary rep table, and
+    account per document: word count, BPE token count under the learned
+    vocabulary, and the chars-per-token compression ratio (the token-budget
+    quantity a training pipeline actually tracks).
+
+    Encoding happens on the VOCABULARY table (tokens per unique word =
+    symbols left in its rep after the merges), then joins back onto the
+    corpus word stream — one shuffle join on the word key; the corpus text
+    is never rewritten. Returns (doc_id, n_words, n_tokens,
+    chars_per_token); empty documents report 0/0/NULL."""
+    wc, _ = _bpe_learn(docs, num_merges, text_col)
+    tok_per_word = wc.select(
+        "__w",
+        F.size(F.split(F.trim(F.col("__rep")), "  ")).cast("long").alias("__tok"),
+    )
+    doc_words = docs.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("__w")
+    ).where(F.length("__w") >= 1)
+    per_doc = (
+        doc_words.join(tok_per_word, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("__tok").alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col, F.length(text_col).alias("__chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(F.col("__chars") / F.col("n_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+    )
 
 
 def cdc_chunk_stats(

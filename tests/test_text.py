@@ -445,3 +445,24 @@ class TestBpeTrain:
         df = spark.createDataFrame([(0, "ab ab")], "doc_id long, text string")
         out = bpe_train(df, 50).collect()  # a+b, ab+</w> -> one symbol left
         assert len(out) == 2
+
+
+class TestBpeEncode:
+    def test_token_accounting(self, spark):
+        """Encoding under 0 merges = chars+1 per word (</w> counts); more
+        merges never increase the token count; empty docs report 0/NULL."""
+        from aeon_sleap_processing_spark.operators.text import (
+            bpe_encode_token_counts,
+        )
+
+        rows = [(0, "low low lower"), (1, ""), (2, "low")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        zero = {r.doc_id: r for r in bpe_encode_token_counts(df, 0).collect()}
+        # chars + 1 (</w>) per word: low=4, low=4, lower=6
+        assert zero[0].n_words == 3 and zero[0].n_tokens == 4 + 4 + 6
+        assert zero[1].n_words == 0 and zero[1].n_tokens == 0
+        assert zero[1].chars_per_token is None
+        eight = {r.doc_id: r for r in bpe_encode_token_counts(df, 8).collect()}
+        for d in (0, 2):
+            assert eight[d].n_tokens <= zero[d].n_tokens
+            assert eight[d].n_words == zero[d].n_words
