@@ -685,6 +685,28 @@ def _q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DQ_RULES = [
+    {"name": "orderkey_not_null", "kind": "not_null", "column": "l_orderkey"},
+    {"name": "pk_unique", "kind": "unique", "columns": ["l_orderkey", "l_linenumber"]},
+    {"name": "qty_min", "kind": "min", "column": "l_quantity", "lo": 1.0},
+    {"name": "tax_between", "kind": "between", "column": "l_tax", "lo": 0.0, "hi": 0.08},
+    # deliberately failing rule: 'R' exists — failures are REPORTED rows,
+    # not exceptions (assert_constraints is the raising form)
+    {"name": "returnflag_domain", "kind": "accepted_values",
+     "column": "l_returnflag", "values": ["A", "N"]},
+    {"name": "rows_min", "kind": "row_count_min", "n": 1000},
+]
+
+
+def _q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over lineitem in ONE aggregation job
+    (operators/validation.py; SURVEY P10 generalized — the reference's
+    exactly-2-identities pre-flight is this pattern's special case)."""
+    from aeon_sleap_processing_spark.operators.validation import check_constraints
+
+    return check_constraints(load_table(spark, "lineitem", sf_dir), _DQ_RULES)
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training, 8 merge rounds over the corpus
     word frequencies (operators/text.py:bpe_train — double-space symbol
@@ -1569,7 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cdc_dedup": _q_cdc_dedup,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_encode": _q_bpe_encode,
-        "q_minhash_signature": _q_minhash_signature,
+        "q_dq_constraints": _q_dq_constraints,
         "q_lsh_buckets": _q_lsh_buckets,
         "q_jaccard_top_pairs": _q_jaccard_top_pairs,
         "q_simhash": _q_simhash,
@@ -1604,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": _q_lang_id,
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_exact_dedup": _q_exact_dedup,
+        "q_minhash_signature": _q_minhash_signature,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2650,6 +2673,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bpe_merges": _bpe_merges_sql(8),
         "q_bpe_encode": _bpe_encode_sql(8),
+        "q_dq_constraints": """
+            SELECT 'orderkey_not_null' AS rule,
+                   round(count(l_orderkey)::DOUBLE / count(*), 6) AS metric,
+                   count(l_orderkey)::DOUBLE / count(*) >= 1.0 AS passed
+            FROM lineitem
+            UNION ALL
+            SELECT 'pk_unique',
+                   round(count(DISTINCT (l_orderkey, l_linenumber))::DOUBLE
+                         / count(*), 6),
+                   count(DISTINCT (l_orderkey, l_linenumber))::DOUBLE
+                     / count(*) = 1.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'qty_min', round(min(l_quantity)::DOUBLE, 6),
+                   min(l_quantity) >= 1.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'tax_between',
+                   round(sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08
+                             THEN 1 ELSE 0 END)::DOUBLE / count(l_tax), 6),
+                   sum(CASE WHEN l_tax BETWEEN 0.0 AND 0.08
+                       THEN 1 ELSE 0 END)::DOUBLE / count(l_tax) >= 1.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'returnflag_domain',
+                   round(sum(CASE WHEN l_returnflag IN ('A', 'N')
+                             THEN 1 ELSE 0 END)::DOUBLE
+                         / count(l_returnflag), 6),
+                   sum(CASE WHEN l_returnflag IN ('A', 'N')
+                       THEN 1 ELSE 0 END)::DOUBLE / count(l_returnflag) >= 1.0
+            FROM lineitem
+            UNION ALL
+            SELECT 'rows_min', round(count(*)::DOUBLE, 6), count(*) >= 1000
+            FROM lineitem
+        """,
         "q_cdc_dedup": """
             -- content-defined chunking: cut after 1-indexed char i when the
             -- md5 of chars [i-7, i] is 0 mod 64 (mirrors cdc_chunk_stats)

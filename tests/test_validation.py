@@ -1,0 +1,64 @@
+"""Declarative constraint checking: one-pass evaluation, failure
+reporting, and the raising pre-flight form (SURVEY P10 generalized)."""
+
+import pytest
+
+
+class TestCheckConstraints:
+    def test_metrics_and_failures(self, spark):
+        from aeon_sleap_processing_spark.operators.validation import (
+            check_constraints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", 7.0), (3, None, 2.0), (3, "b", -1.0)],
+            "id long, tag string, val double",
+        )
+        rules = [
+            {"name": "id_not_null", "kind": "not_null", "column": "id"},
+            {"name": "tag_not_null", "kind": "not_null", "column": "tag"},
+            {"name": "id_unique", "kind": "unique", "columns": ["id"]},
+            {"name": "val_min", "kind": "min", "column": "val", "lo": 0.0},
+            {"name": "val_rng", "kind": "between", "column": "val", "lo": 0.0, "hi": 10.0},
+            {"name": "tag_domain", "kind": "accepted_values", "column": "tag",
+             "values": ["a", "b"]},
+            {"name": "enough_rows", "kind": "row_count_min", "n": 3},
+        ]
+        out = {r["rule"]: r for r in check_constraints(df, rules).collect()}
+        assert out["id_not_null"]["passed"] and out["id_not_null"]["metric"] == 1.0
+        assert not out["tag_not_null"]["passed"] and out["tag_not_null"]["metric"] == 0.75
+        assert not out["id_unique"]["passed"] and out["id_unique"]["metric"] == 0.75
+        assert not out["val_min"]["passed"] and out["val_min"]["metric"] == -1.0
+        assert out["val_rng"]["metric"] == 0.75
+        assert out["tag_domain"]["passed"]  # nulls excluded, a/a/b all in set
+        assert out["enough_rows"]["passed"] and out["enough_rows"]["metric"] == 4.0
+
+    def test_single_job(self, spark):
+        """The whole suite must cost ONE aggregation scan — count Spark jobs."""
+        from aeon_sleap_processing_spark.operators.validation import (
+            check_constraints,
+        )
+
+        df = spark.range(1000).selectExpr("id", "id % 7 AS g")
+        rules = [
+            {"name": "a", "kind": "not_null", "column": "id"},
+            {"name": "b", "kind": "min", "column": "g", "lo": 0},
+            {"name": "c", "kind": "row_count_min", "n": 10},
+        ]
+        st = spark.sparkContext.statusTracker()
+        check_constraints(df, rules).collect()  # warm
+        j0 = max(st.getJobIdsForGroup() or [0])
+        check_constraints(df, rules).collect()
+        j1 = max(st.getJobIdsForGroup() or [0])
+        assert j1 - j0 <= 2  # AQE may split once; N rules must not mean N jobs
+
+    def test_assert_raises_with_names(self, spark):
+        from aeon_sleap_processing_spark.operators.validation import (
+            assert_constraints,
+        )
+
+        df = spark.createDataFrame([(1,), (1,)], "id long")
+        with pytest.raises(ValueError, match="id_unique"):
+            assert_constraints(
+                df, [{"name": "id_unique", "kind": "unique", "columns": ["id"]}]
+            )
