@@ -374,6 +374,32 @@ def stream_enrich(
     return stream.join(F.broadcast(dim), on, how)
 
 
+def stream_check_constraints(stream: DataFrame, rules: list[dict], out_path: str):
+    """Ingest-time data-quality monitoring: evaluate a declarative
+    constraint suite (operators/validation.py:check_constraints — one
+    aggregation, N rules, no UDF) on EVERY micro-batch and append
+    ``(batch_id, rule, metric, passed)`` rows to a parquet audit sink.
+
+    Returns the configured ``DataStreamWriter`` (caller adds checkpoint/
+    trigger and ``.start()``). ``batch_id`` comes from foreachBatch, so a
+    restart that replays a batch writes rows with the same id — downstream
+    readers dedup on (batch_id, rule) for exactly-once audit semantics.
+    This is the streaming face of the same suite the batch gate runs: the
+    reference's pre-flight asserts (2-identity check) become continuous
+    monitors at ingest."""
+    from ..operators.validation import check_constraints
+
+    def _run(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            check_constraints(batch_df, rules)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return stream.writeStream.foreachBatch(_run)
+
+
 def stream_asof_enrich(
     stream: DataFrame,
     static: DataFrame,

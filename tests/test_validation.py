@@ -62,3 +62,41 @@ class TestCheckConstraints:
             assert_constraints(
                 df, [{"name": "id_unique", "kind": "unique", "columns": ["id"]}]
             )
+
+
+class TestStreamConstraints:
+    def test_per_batch_audit_rows(self, spark, tmp_path):
+        """Two micro-batches, the second violating a rule: the audit sink
+        holds one row per (batch, rule) with the violation localized to its
+        batch — continuous ingest-time DQ monitoring."""
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.streaming.watch import (
+            stream_check_constraints,
+        )
+
+        T0 = pd.Timestamp("2024-05-01 00:00:00")
+        src, audit = str(tmp_path / "src"), str(tmp_path / "audit")
+        good = pd.DataFrame({"time": [T0], "val": [5.0]})
+        bad = pd.DataFrame({"time": [T0 + pd.Timedelta(minutes=1)], "val": [-3.0]})
+        spark.createDataFrame(good).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(bad).coalesce(1).write.mode("append").parquet(src)
+
+        stream = (
+            spark.readStream.schema("time timestamp, val double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rules = [{"name": "val_min", "kind": "min", "column": "val", "lo": 0.0}]
+        q = (
+            stream_check_constraints(stream, rules, audit)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(audit).orderBy("batch_id").collect()
+        assert len(rows) == 2
+        assert {r["passed"] for r in rows} == {True, False}
+        failed = [r for r in rows if not r["passed"]][0]
+        assert failed["rule"] == "val_min" and failed["metric"] == -3.0
