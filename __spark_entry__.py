@@ -698,6 +698,13 @@ _DQ_RULES = [
 ]
 
 
+def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join over the part-name vocabulary: all distinct
+    name pairs within Levenshtein distance 2 via positional-bigram count
+    filtering + exact verify (text.py:fuzzy_pairs; no all-pairs cross)."""
+    return tx.fuzzy_pairs(load_table(spark, "part", sf_dir), "p_name", max_dist=2, q=2)
+
+
 def _q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality suite over lineitem in ONE aggregation job
     (operators/validation.py; SURVEY P10 generalized — the reference's
@@ -1592,7 +1599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_encode": _q_bpe_encode,
         "q_dq_constraints": _q_dq_constraints,
-        "q_lsh_buckets": _q_lsh_buckets,
+        "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_jaccard_top_pairs": _q_jaccard_top_pairs,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
@@ -1627,6 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": _q_doc_fingerprint,
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_signature": _q_minhash_signature,
+        "q_lsh_buckets": _q_lsh_buckets,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2673,6 +2681,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bpe_merges": _bpe_merges_sql(8),
         "q_bpe_encode": _bpe_encode_sql(8),
+        "q_fuzzy_pairs": """
+            -- same algorithm: distinct names >= 6 chars, positional
+            -- bigrams, gram join with position filter |i-j| <= 2, count
+            -- filter vs max(L1,L2)-1-4, levenshtein verify <= 2
+            WITH s AS (
+              SELECT DISTINCT p_name AS s FROM part WHERE length(p_name) >= 6
+            ),
+            g AS (
+              SELECT s, length(s) AS n, substr(s, i, 2) AS g, i AS p
+              FROM s, LATERAL (SELECT unnest(range(1, length(s))) AS i) u
+            ),
+            cand AS (
+              SELECT a.s AS name_a, b.s AS name_b, a.n AS na, b.n AS nb,
+                     count(*) AS shared
+              FROM g a JOIN g b
+                ON a.g = b.g AND a.s < b.s AND abs(a.p - b.p) <= 2
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT name_a, name_b,
+                   CAST(levenshtein(name_a, name_b) AS INT) AS dist
+            FROM cand
+            WHERE abs(na - nb) <= 2
+              AND shared >= greatest(na, nb) - 1 - 4
+              AND levenshtein(name_a, name_b) <= 2
+        """,
         "q_dq_constraints": """
             SELECT 'orderkey_not_null' AS rule,
                    round(count(l_orderkey)::DOUBLE / count(*), 6) AS metric,

@@ -51,6 +51,7 @@ __all__ = [
     "cdc_chunk_stats",
     "bpe_train",
     "bpe_encode_token_counts",
+    "fuzzy_pairs",
     "repetition_stats",
     "domain_stats",
     "ngram_lm_score",
@@ -861,6 +862,81 @@ def dup_span_stats(
             F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
             F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
         )
+    )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance pair search over a string column (approximate string
+    join, Gravano et al. 2001): find all DISTINCT value pairs within
+    Levenshtein distance ``max_dist`` without an all-pairs cross.
+
+    Pipeline: distinct values (fuzzy matching runs on the vocabulary — the
+    right input after exact dedup, and what keeps the pair space bounded) →
+    positional q-grams (explode, codegen substr) → equi-join on the gram
+    with the POSITION filter ``|i - j| <= d`` → count filter: a pair within
+    distance d shares at least ``max(L1, L2) - q + 1 - d*q`` positional
+    grams (each edit destroys at most q grams), counted as join rows
+    (overcounting only ADDS candidates — sound) → exact ``levenshtein``
+    verify on the survivors.
+
+    EXACT (no false negatives) for strings of length >= (d+1)*q — below
+    that the bound is vacuous AND two strings within d can share zero
+    grams; shorter strings are excluded and need a direct small-side pass.
+    Returns (name_a, name_b, dist) with name_a < name_b.
+
+    Scale: the gram join is an equi-join on short keys, skew bounded by
+    gram frequency like the shingle inverted index (jaccard_top_pairs);
+    the count/length filters run before any levenshtein is computed."""
+    min_len = (max_dist + 1) * q
+    s = (
+        df.select(F.col(col).cast("string").alias("s"))
+        .where(F.length("s") >= min_len)
+        .distinct()
+    )
+    grams = s.select(
+        "s",
+        F.length("s").alias("n"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - (q - 1)),
+                lambda i: F.struct(
+                    F.col("s").substr(i, F.lit(q)).alias("g"), i.alias("p")
+                ),
+            )
+        ).alias("gp"),
+    ).select("s", "n", F.col("gp.g").alias("g"), F.col("gp.p").alias("p"))
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.s") < F.col("b.s"))
+            & (F.abs(F.col("a.p") - F.col("b.p")) <= max_dist),
+        )
+        .groupBy(
+            F.col("a.s").alias("name_a"),
+            F.col("b.s").alias("name_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("__shared"))
+        .where(
+            (F.abs(F.col("na") - F.col("nb")) <= max_dist)
+            & (
+                F.col("__shared")
+                >= F.greatest("na", "nb") - F.lit(q - 1) - F.lit(max_dist * q)
+            )
+        )
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
     )
 
 

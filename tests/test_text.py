@@ -466,3 +466,38 @@ class TestBpeEncode:
         for d in (0, 2):
             assert eight[d].n_tokens <= zero[d].n_tokens
             assert eight[d].n_words == zero[d].n_words
+
+
+class TestFuzzyPairs:
+    def test_exact_vs_bruteforce(self, spark, sf_dir):
+        """The q-gram count filter must introduce NO false negatives for
+        strings >= (d+1)*q chars: compare against a brute-force all-pairs
+        Levenshtein scan over the distinct vocabulary."""
+        from aeon_sleap_processing_spark.operators.text import fuzzy_pairs
+        from aeon_sleap_processing_spark.sources import load_table
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+                prev = cur
+            return prev[-1]
+
+        part = load_table(spark, "part", sf_dir)
+        names = sorted(
+            r[0] for r in part.select("p_name").distinct().collect()
+            if len(r[0]) >= 6
+        )
+        brute = {
+            (a, b, lev(a, b))
+            for i, a in enumerate(names)
+            for b in names[i + 1 :]
+            if lev(a, b) <= 2
+        }
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in fuzzy_pairs(part, "p_name", max_dist=2, q=2).collect()
+        }
+        assert got == brute and len(brute) > 0
