@@ -698,6 +698,59 @@ _DQ_RULES = [
 ]
 
 
+def _q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering audit over lineitem (l_partkey,
+    l_suppkey): bucket the interleaved-bit curve into 256 segments and
+    report per-segment row counts + per-dimension min/max spans — the
+    quantity min/max file skipping prunes on (operators/layout.py)."""
+    from aeon_sleap_processing_spark.operators.layout import zorder_bucket_stats
+
+    return zorder_bucket_stats(
+        load_table(spark, "lineitem", sf_dir), ["l_partkey", "l_suppkey"], bits=16
+    )
+
+
+def _zorder_stats_sql(bits: int = 16, buckets_log2: int = 8) -> str:
+    """Oracle: identical rescale (global min/max, floor to 2^bits grid) and
+    bit interleave (bit i of dim d at position i*ndims+d), generated as the
+    same shift/and/or chain."""
+    cols = ["l_partkey", "l_suppkey"]
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        scaled.append(
+            f"least({top}::BIGINT, greatest(0::BIGINT, CAST(floor("
+            f"coalesce(({c}::DOUBLE - lo_{c}) / (CASE WHEN hi_{c} > lo_{c} "
+            f"THEN hi_{c} - lo_{c} ELSE 1.0 END), 0.0) * {1 << bits}) AS BIGINT)))"
+        )
+    terms = []
+    for d in range(len(cols)):
+        for i in range(bits):
+            terms.append(f"(((s{d} >> {i}) & 1) << {i * len(cols) + d})")
+    z = " | ".join(terms)
+    shift = bits * len(cols) - buckets_log2
+    agg_minmax = ", ".join(
+        f"min({c}) AS min_{c}, max({c}) AS max_{c}" for c in cols
+    )
+    return f"""
+        WITH r AS (
+          SELECT min(l_partkey::DOUBLE) AS lo_l_partkey,
+                 max(l_partkey::DOUBLE) AS hi_l_partkey,
+                 min(l_suppkey::DOUBLE) AS lo_l_suppkey,
+                 max(l_suppkey::DOUBLE) AS hi_l_suppkey
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_partkey, l_suppkey,
+                 {scaled[0]} AS s0, {scaled[1]} AS s1
+          FROM lineitem CROSS JOIN r
+        ),
+        zt AS (SELECT l_partkey, l_suppkey, {z} AS z FROM s)
+        SELECT z >> {shift} AS z_bucket, count(*) AS n_rows, {agg_minmax}
+        FROM zt GROUP BY 1
+    """
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string join over the part-name vocabulary: all distinct
     name pairs within Levenshtein distance 2 via positional-bigram count
@@ -1600,7 +1653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": _q_bpe_encode,
         "q_dq_constraints": _q_dq_constraints,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
-        "q_jaccard_top_pairs": _q_jaccard_top_pairs,
+        "q_zorder_stats": _q_zorder_stats,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
@@ -1635,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_dedup": _q_exact_dedup,
         "q_minhash_signature": _q_minhash_signature,
         "q_lsh_buckets": _q_lsh_buckets,
+        "q_jaccard_top_pairs": _q_jaccard_top_pairs,
         "q_sampling": ep.q_sampling,
         "q_funnel": ep.q_funnel,
         "q_ewma": ep.q_ewma,
@@ -2681,6 +2735,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bpe_merges": _bpe_merges_sql(8),
         "q_bpe_encode": _bpe_encode_sql(8),
+        "q_zorder_stats": _zorder_stats_sql(16, 8),
         "q_fuzzy_pairs": """
             -- same algorithm: distinct names >= 6 chars, positional
             -- bigrams, gram join with position filter |i-j| <= 2, count

@@ -1,0 +1,114 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering.
+
+A 100 TB table filtered on TWO columns can only be partition-pruned on one
+of them with linear sort layouts; interleaving the bits of both keys gives
+every file a small bounding box in BOTH dimensions, so min/max row-group
+skipping works for either predicate (the technique behind Delta/Iceberg
+OPTIMIZE ZORDER). Everything here is codegen bit arithmetic — no UDF —
+and the rescale uses one tiny min/max aggregate broadcast back, so the
+layout pass is one extra shuffle (the range repartition) over the data."""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_value", "zorder_layout", "zorder_bucket_stats"]
+
+
+def _interleave(cols: list[Column], bits: int) -> Column:
+    """Interleave ``bits`` bits of each (already rescaled) column: bit i of
+    column d lands at position i * ndims + d. Pure shift/and/or chains —
+    whole-stage codegen, ~bits*ndims ops."""
+    ndims = len(cols)
+    pieces = []
+    for d, c in enumerate(cols):
+        for i in range(bits):
+            pieces.append(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(F.lit(1)), i * ndims + d
+                )
+            )
+    return reduce(lambda a, b: a.bitwiseOR(b), pieces)
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "__z"
+) -> DataFrame:
+    """Add the Morton code of ``cols`` as ``out_col``: each column is
+    affinely rescaled to [0, 2^bits) from its GLOBAL min/max (one tiny
+    aggregate, broadcast back — no window), floored, and bit-interleaved.
+
+    ``bits * len(cols)`` must stay < 63 (the code is a long). Null inputs
+    rescale to 0 — nulls cluster at the curve's origin."""
+    if bits * len(cols) >= 63:
+        raise ValueError(f"bits={bits} x {len(cols)} dims overflows a long")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+        ]
+    ranges = df.agg(*aggs)
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        frac = (F.col(c).cast("double") - lo) / F.when(hi > lo, hi - lo).otherwise(
+            F.lit(1.0)
+        )
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(F.coalesce(frac, F.lit(0.0)) * (1 << bits)).cast("long"),
+                ),
+            )
+        )
+    return df.crossJoin(F.broadcast(ranges)).withColumn(
+        out_col, _interleave(scaled, bits)
+    ).drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+
+
+def zorder_layout(
+    df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """Cluster ``df`` for multi-dimensional locality: range-repartition +
+    sort on the Morton code of ``cols``. Write the result with any sink and
+    every output file covers a small rectangle in all ``cols`` — min/max
+    skipping then prunes on ANY of them."""
+    z = zorder_value(df, cols, bits)
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        z.repartitionByRange(int(parts), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+
+
+def zorder_bucket_stats(
+    df: DataFrame, cols: list[str], bits: int = 16, buckets_log2: int = 8
+) -> DataFrame:
+    """Locality audit: bucket the Morton code into ``2^buckets_log2``
+    curve segments and report each segment's row count and per-column
+    min/max spans — the quantity min/max file skipping actually prunes on.
+    Small output (one row per non-empty bucket), deterministic."""
+    z = zorder_value(df, cols, bits)
+    shift = bits * len(cols) - buckets_log2
+    out = z.groupBy(
+        F.shiftright("__z", shift).alias("z_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            )
+        ],
+    )
+    return out
