@@ -32,6 +32,8 @@ __all__ = [
     "load_metadata",
     "read_jdbc",
     "write_bucketed",
+    "compact_parquet",
+    "retention_sweep",
 ]
 
 # engine-internal → reference CSV header names (`social_behaviour_detection.py:733-757`)
@@ -320,3 +322,90 @@ def write_bucketed(
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+) -> dict:
+    """Small-file compaction — the perpetual housekeeping op of a streaming
+    chunk store (each micro-batch/chunk append leaves small files; scan
+    task count and NameNode/listing pressure grow without bound). Rewrites
+    ``path`` in place to ~``target_bytes`` files when it holds at least
+    ``min_files_to_compact`` data files; no-op otherwise.
+
+    The rewrite stages into a sibling temp dir and swaps via rename, so a
+    crash mid-compact leaves the original intact (the idempotency story of
+    the chunk store's dynamic-overwrite writes, K4, applied to layout
+    maintenance). Returns {files_before, files_after, bytes, compacted}."""
+    import math
+    import os
+    import shutil
+
+    def _data_files(p: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out += [
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            ]
+        return out
+
+    before = _data_files(path)
+    total = sum(os.path.getsize(f) for f in before)
+    if len(before) < min_files_to_compact:
+        return {
+            "files_before": len(before),
+            "files_after": len(before),
+            "bytes": total,
+            "compacted": False,
+        }
+    n_out = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + "__compacting"
+    (
+        spark.read.parquet(path)
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(before),
+        "files_after": len(_data_files(path)),
+        "bytes": total,
+        "compacted": True,
+    }
+
+
+def retention_sweep(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """Retention/TTL delete on a partitioned store: remove whole
+    ``partition_col=<value>`` directories whose value sorts BELOW
+    ``keep_from`` — a pure directory operation, no data scan, the same
+    partition-pruning contract reads rely on (values must be
+    lexicographically ordered, e.g. ISO timestamps or zero-padded ids —
+    exactly how the chunk store names epoch/chunk partitions).
+
+    Returns the deleted partition values (empty when nothing expired)."""
+    import os
+    import shutil
+
+    deleted = []
+    prefix = f"{partition_col}="
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        value = entry[len(prefix):]
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, entry))
+            deleted.append(value)
+    return deleted

@@ -281,3 +281,37 @@ class TestExportEventVideosEdge:
         counts = [n for _, n in clips]
         # [0.5,2.5]s -> 21 frames; [0.5,3.5]s -> 31; [9.5,20.5]s -> 0
         assert counts == [21, 31, 0]
+
+
+class TestCompaction:
+    def test_compact_reduces_files_preserves_rows(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "store")
+        for i in range(6):  # six small appends = six+ files
+            spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        before = spark.read.parquet(path).toPandas().id.sort_values().tolist()
+        res = compact_parquet(spark, path, target_bytes=64 * 1024 * 1024)
+        assert res["compacted"] and res["files_after"] < res["files_before"]
+        after = spark.read.parquet(path).toPandas().id.sort_values().tolist()
+        assert after == before
+        # idempotent: second sweep is a no-op below the threshold
+        res2 = compact_parquet(spark, path, min_files_to_compact=4)
+        assert not res2["compacted"]
+
+    def test_retention_sweep_prunes_old_partitions(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import retention_sweep
+
+        path = str(tmp_path / "chunks")
+        df = spark.createDataFrame(
+            [(c, i) for i, c in enumerate(["2024-01-01", "2024-01-02", "2024-01-03"])],
+            "chunk string, v long",
+        )
+        df.write.partitionBy("chunk").parquet(path)
+        deleted = retention_sweep(path, "chunk", keep_from="2024-01-02")
+        assert deleted == ["2024-01-01"]
+        left = spark.read.parquet(path).select("chunk").distinct().toPandas()
+        assert sorted(str(c) for c in left.chunk) == ["2024-01-02", "2024-01-03"]
+        assert retention_sweep(path, "chunk", keep_from="2024-01-02") == []
