@@ -12,6 +12,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from aeon_sleap_processing_spark.operators import curation as cur
 from aeon_sleap_processing_spark.operators import similarity as sim
@@ -756,6 +757,23 @@ def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     name pairs within Levenshtein distance 2 via positional-bigram count
     filtering + exact verify (text.py:fuzzy_pairs; no all-pairs cross)."""
     return tx.fuzzy_pairs(load_table(spark, "part", sf_dir), "p_name", max_dist=2, q=2)
+
+
+def _q_fuzzy_pairs_short(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string join over a MIXED-length vocabulary straddling
+    the (d+1)*q gram-filter floor: event types (4-8 chars) + document
+    sources ('src0'..'src19', 4-5 chars) + language codes (2 chars).
+    Exercises the broadcast small-side pass that makes fuzzy_pairs exact
+    for len < (max_dist+1)*q alongside the gram leg
+    (text.py:fuzzy_pairs short leg, new r8)."""
+    ev = load_table(spark, "events", sf_dir).select(
+        F.col("event_type").alias("v")
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    vocab = ev.unionByName(
+        docs.select(F.col("source").alias("v"))
+    ).unionByName(docs.select(F.col("lang").alias("v")))
+    return tx.fuzzy_pairs(vocab, "v", max_dist=2, q=2)
 
 
 def _q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1653,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": _q_bpe_encode,
         "q_dq_constraints": _q_dq_constraints,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
+        "q_fuzzy_pairs_short": _q_fuzzy_pairs_short,
         "q_zorder_stats": _q_zorder_stats,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
@@ -2760,6 +2779,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(na - nb) <= 2
               AND shared >= greatest(na, nb) - 1 - 4
               AND levenshtein(name_a, name_b) <= 2
+        """,
+        "q_fuzzy_pairs_short": """
+            -- brute-force oracle is exact AND cheap here: the mixed
+            -- vocabulary (event types + sources + langs) is ~30 distinct
+            -- values, so all-pairs is the right oracle for both legs
+            WITH s AS (
+              SELECT DISTINCT event_type AS s FROM events
+              UNION SELECT DISTINCT source FROM documents
+              UNION SELECT DISTINCT lang FROM documents
+            )
+            SELECT a.s AS name_a, b.s AS name_b,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM s a JOIN s b ON a.s < b.s
+            WHERE levenshtein(a.s, b.s) <= 2
         """,
         "q_dq_constraints": """
             SELECT 'orderkey_not_null' AS rule,

@@ -884,20 +884,29 @@ def fuzzy_pairs(
     (overcounting only ADDS candidates — sound) → exact ``levenshtein``
     verify on the survivors.
 
-    EXACT (no false negatives) for strings of length >= (d+1)*q — below
-    that the bound is vacuous AND two strings within d can share zero
-    grams; shorter strings are excluded and need a direct small-side pass.
+    EXACT over the whole vocabulary: the gram leg covers pairs where BOTH
+    strings have length >= (d+1)*q (below that the count bound is vacuous
+    AND two strings within d can share zero grams); pairs involving a
+    shorter string go through a direct small-side pass — the short stratum
+    (len < (d+1)*q, 6 chars at the defaults) is a tiny vocabulary after
+    ``.distinct()`` (bounded by |alphabet|^(min_len-1) in the worst case,
+    a handful of part codes / short names in practice), so it is
+    broadcast-nested-loop joined against every value within length
+    tolerance d (dist <= d forces |len diff| <= d, so the other side is
+    pre-filtered to len < (d+1)*q + d) and exact-levenshtein verified.
+    The two legs are disjoint by construction (gram leg: both sides long;
+    short leg: at least one side short), so the union needs no dedup.
     Returns (name_a, name_b, dist) with name_a < name_b.
 
     Scale: the gram join is an equi-join on short keys, skew bounded by
     gram frequency like the shingle inverted index (jaccard_top_pairs);
-    the count/length filters run before any levenshtein is computed."""
+    the count/length filters run before any levenshtein is computed. The
+    short leg's NL join is (tiny broadcast) x (length-filtered slice) —
+    bounded work even on a 100 TB corpus because both factors are
+    vocabulary slices of bounded string length, not the corpus."""
     min_len = (max_dist + 1) * q
-    s = (
-        df.select(F.col(col).cast("string").alias("s"))
-        .where(F.length("s") >= min_len)
-        .distinct()
-    )
+    vocab = df.select(F.col(col).cast("string").alias("s")).distinct()
+    s = vocab.where(F.length("s") >= min_len)
     grams = s.select(
         "s",
         F.length("s").alias("n"),
@@ -933,11 +942,35 @@ def fuzzy_pairs(
             )
         )
     )
-    return (
+    long_pairs = (
         cand.withColumn("dist", F.levenshtein("name_a", "name_b"))
         .where(F.col("dist") <= max_dist)
         .select("name_a", "name_b", "dist")
     )
+    # Short-string leg: every pair with at least one side below min_len.
+    # The short set is a bounded vocabulary -> broadcast; the other side
+    # only needs values within length tolerance d of a short string.
+    short = vocab.where(F.length("s") < min_len)
+    near = vocab.where(F.length("s") < min_len + max_dist)
+    # sa is always the short member, so a (short, long) pair where the
+    # long string sorts first still appears — normalize with
+    # least/greatest and distinct (a short-short pair matches twice).
+    short_pairs = (
+        F.broadcast(short.select(F.col("s").alias("sa")))
+        .join(
+            near.select(F.col("s").alias("sb")),
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.length("sa") - F.length("sb")) <= max_dist),
+        )
+        .where(F.levenshtein("sa", "sb") <= max_dist)
+        .select(
+            F.least("sa", "sb").alias("name_a"),
+            F.greatest("sa", "sb").alias("name_b"),
+        )
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+    )
+    return long_pairs.unionByName(short_pairs)
 
 
 def bpe_train(

@@ -470,9 +470,10 @@ class TestBpeEncode:
 
 class TestFuzzyPairs:
     def test_exact_vs_bruteforce(self, spark, sf_dir):
-        """The q-gram count filter must introduce NO false negatives for
-        strings >= (d+1)*q chars: compare against a brute-force all-pairs
-        Levenshtein scan over the distinct vocabulary."""
+        """The q-gram count filter + short-string leg must introduce NO
+        false negatives: compare against a brute-force all-pairs
+        Levenshtein scan over the FULL distinct vocabulary (no length
+        filter — the short stratum goes through the broadcast NL leg)."""
         from aeon_sleap_processing_spark.operators.text import fuzzy_pairs
         from aeon_sleap_processing_spark.sources import load_table
 
@@ -488,7 +489,6 @@ class TestFuzzyPairs:
         part = load_table(spark, "part", sf_dir)
         names = sorted(
             r[0] for r in part.select("p_name").distinct().collect()
-            if len(r[0]) >= 6
         )
         brute = {
             (a, b, lev(a, b))
@@ -501,3 +501,29 @@ class TestFuzzyPairs:
             for r in fuzzy_pairs(part, "p_name", max_dist=2, q=2).collect()
         }
         assert got == brute and len(brute) > 0
+
+    def test_short_string_leg(self, spark):
+        """Strings below (d+1)*q chars must participate in the pair
+        search — the r7 gap. Covers short-short pairs, short-long pairs,
+        and the ordering edge where the LONG member sorts before the
+        short one (would be lost by a naive sa < sb join)."""
+        from aeon_sleap_processing_spark.operators.text import fuzzy_pairs
+
+        vocab = [
+            "cat", "cart",          # short-short, dist 1
+            "abcde", "abcdef",      # short(5)-long(6), dist 1, short first
+            "aaaaaa", "aaaab",      # long(6)-short(5), LONG sorts first
+            "zzzzzz",               # long, no partner
+            "qq",                   # short, no partner
+        ]
+        df = spark.createDataFrame([(v,) for v in vocab], "v string")
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in fuzzy_pairs(df, "v", max_dist=2, q=2).collect()
+        }
+        assert ("cart", "cat", 1) in got
+        assert ("abcde", "abcdef", 1) in got
+        assert ("aaaaaa", "aaaab", 2) in got
+        assert all(
+            "zzzzzz" not in p and "qq" not in p for p in got
+        ), got
