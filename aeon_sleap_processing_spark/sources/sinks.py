@@ -324,6 +324,43 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path-class, resolved Path) for ``path`` via the Hadoop
+    FileSystem API — the filesystem-agnostic layer every Spark deployment
+    already has configured (local file://, HDFS, S3A, ABFS...). All
+    housekeeping ops below go through this, never POSIX os.*."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path, jpath
+
+
+def _list_data_files(fs, jpath) -> list:
+    """Recursive FileStatus list of parquet data files under ``jpath``
+    (skips _metadata/_SUCCESS/hidden, like Spark's own listing)."""
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            out.append(st)
+    return out
+
+
+def _leaf_data_dirs(fs, Path, jpath) -> list:
+    """Directories that directly contain parquet data files — one entry
+    for an unpartitioned store, one per ``col=value`` leaf for a
+    Hive-partitioned store. Compaction runs PER LEAF so partition
+    directory names (and therefore pruning and partition-value types) are
+    preserved byte-for-byte."""
+    leaves = {}
+    for st in _list_data_files(fs, jpath):
+        parent = st.getPath().getParent()
+        leaves[str(parent.toUri().getPath())] = parent
+    return list(leaves.values())
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,
@@ -333,57 +370,103 @@ def compact_parquet(
     """Small-file compaction — the perpetual housekeeping op of a streaming
     chunk store (each micro-batch/chunk append leaves small files; scan
     task count and NameNode/listing pressure grow without bound). Rewrites
-    ``path`` in place to ~``target_bytes`` files when it holds at least
-    ``min_files_to_compact`` data files; no-op otherwise.
+    each LEAF data directory under ``path`` in place to ~``target_bytes``
+    files when it holds at least ``min_files_to_compact`` data files;
+    leaves below the threshold are untouched. Hive-partitioned layouts
+    (``col=value`` dirs) are compacted per partition directory, so
+    partition names, pruning, and partition-value types are preserved
+    exactly — the data files never absorb re-inferred partition columns.
 
-    The rewrite stages into a sibling temp dir and swaps via rename, so a
-    crash mid-compact leaves the original intact (the idempotency story of
-    the chunk store's dynamic-overwrite writes, K4, applied to layout
-    maintenance). Returns {files_before, files_after, bytes, compacted}."""
+    Runs entirely on the Hadoop FileSystem API (local/HDFS/S3A/...), not
+    POSIX. Each leaf stages into a sibling ``__compacting`` dir and swaps
+    via two renames; a leftover ``__precompact`` from a crash between the
+    renames is recovered on entry, and a failed swap restores the
+    original. CAVEAT: directory rename is atomic on HDFS/local but
+    copy+delete on object stores (S3A) — there, prefer a manifest-based
+    table format for the swap; the staging logic is still correct, just
+    not atomic. Returns {files_before, files_after, bytes, compacted}."""
     import math
-    import os
-    import shutil
 
-    def _data_files(p: str) -> list[str]:
-        out = []
-        for root, _dirs, files in os.walk(p):
-            out += [
-                os.path.join(root, f)
-                for f in files
-                if f.endswith(".parquet") and not f.startswith(("_", "."))
-            ]
-        return out
+    fs, Path, root = _hadoop_fs(spark, path)
 
-    before = _data_files(path)
-    total = sum(os.path.getsize(f) for f in before)
-    if len(before) < min_files_to_compact:
+    def _recover(base: str) -> None:
+        # Crash window recovery: if a previous run renamed the leaf away
+        # but died before renaming the staged dir in, finish or roll back.
+        leaf = Path(base)
+        pre = Path(base + "__precompact")
+        tmp = Path(base + "__compacting")
+        if fs.exists(pre) and not fs.exists(leaf):
+            if fs.exists(tmp):
+                fs.rename(tmp, leaf)   # staged rewrite was complete: finish
+                fs.delete(pre, True)
+            else:
+                fs.rename(pre, leaf)   # roll back to the original
+        elif fs.exists(pre):
+            fs.delete(pre, True)       # both exist: swap finished, clean up
+        if fs.exists(tmp):
+            fs.delete(tmp, True)       # stale stage from an aborted rewrite
+
+    # The ROOT itself may have been renamed away mid-swap — recover it
+    # before anything lists it. A crashed LEAF may only be visible through
+    # its __precompact / __compacting sibling (the original dir is gone),
+    # so derive recovery bases from leaf-dir names, stripping the
+    # housekeeping suffixes.
+    root_base = str(root.toUri().getPath())
+    _recover(root_base)
+    if not fs.exists(root):
         return {
-            "files_before": len(before),
-            "files_after": len(before),
-            "bytes": total,
+            "files_before": 0,
+            "files_after": 0,
+            "bytes": 0,
             "compacted": False,
         }
-    n_out = max(1, math.ceil(total / target_bytes))
-    tmp = path.rstrip("/") + "__compacting"
-    (
-        spark.read.parquet(path)
-        .repartition(n_out)
-        .write.mode("overwrite")
-        .parquet(tmp)
-    )
-    old = path.rstrip("/") + "__precompact"
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
+    bases = set()
+    for leaf in _leaf_data_dirs(fs, Path, root):
+        name = str(leaf.toUri().getPath())
+        for suffix in ("__precompact", "__compacting"):
+            if name.endswith(suffix):
+                name = name[: -len(suffix)]
+        if name != root_base:
+            bases.add(name)
+    for base in sorted(bases):
+        _recover(base)
+
+    stats_before = _list_data_files(fs, root)
+    total = sum(st.getLen() for st in stats_before)
+    compacted_any = False
+    for leaf in _leaf_data_dirs(fs, Path, root):
+        leaf_files = _list_data_files(fs, leaf)
+        if len(leaf_files) < min_files_to_compact:
+            continue
+        leaf_bytes = sum(st.getLen() for st in leaf_files)
+        n_out = max(1, math.ceil(leaf_bytes / target_bytes))
+        leaf_uri = str(leaf.toUri())
+        tmp = Path(str(leaf) + "__compacting")
+        (
+            spark.read.parquet(leaf_uri)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(str(tmp.toUri()))
+        )
+        old = Path(str(leaf) + "__precompact")
+        if not fs.rename(leaf, old):
+            fs.delete(tmp, True)
+            raise IOError(f"compact_parquet: stage-out failed for {leaf_uri}")
+        if not fs.rename(tmp, leaf):
+            fs.rename(old, leaf)  # restore; staged dir left for inspection
+            raise IOError(f"compact_parquet: swap failed for {leaf_uri}")
+        fs.delete(old, True)
+        compacted_any = True
     return {
-        "files_before": len(before),
-        "files_after": len(_data_files(path)),
+        "files_before": len(stats_before),
+        "files_after": len(_list_data_files(fs, root)),
         "bytes": total,
-        "compacted": True,
+        "compacted": compacted_any,
     }
 
 
 def retention_sweep(
+    spark: SparkSession,
     path: str,
     partition_col: str,
     keep_from: str,
@@ -395,17 +478,18 @@ def retention_sweep(
     lexicographically ordered, e.g. ISO timestamps or zero-padded ids —
     exactly how the chunk store names epoch/chunk partitions).
 
-    Returns the deleted partition values (empty when nothing expired)."""
-    import os
-    import shutil
-
+    Uses the Hadoop FileSystem API, so it works against HDFS/S3A/local
+    alike. Returns the deleted partition values (empty when nothing
+    expired)."""
+    fs, Path, root = _hadoop_fs(spark, path)
     deleted = []
     prefix = f"{partition_col}="
-    for entry in sorted(os.listdir(path)):
-        if not entry.startswith(prefix):
+    for st in sorted(fs.listStatus(root), key=lambda s: s.getPath().getName()):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(prefix)):
             continue
-        value = entry[len(prefix):]
+        value = name[len(prefix):]
         if value < keep_from:
-            shutil.rmtree(os.path.join(path, entry))
+            fs.delete(st.getPath(), True)
             deleted.append(value)
     return deleted

@@ -310,8 +310,72 @@ class TestCompaction:
             "chunk string, v long",
         )
         df.write.partitionBy("chunk").parquet(path)
-        deleted = retention_sweep(path, "chunk", keep_from="2024-01-02")
+        deleted = retention_sweep(spark, path, "chunk", keep_from="2024-01-02")
         assert deleted == ["2024-01-01"]
         left = spark.read.parquet(path).select("chunk").distinct().toPandas()
         assert sorted(str(c) for c in left.chunk) == ["2024-01-02", "2024-01-03"]
-        assert retention_sweep(path, "chunk", keep_from="2024-01-02") == []
+        assert retention_sweep(spark, path, "chunk", keep_from="2024-01-02") == []
+
+    def test_retention_sweep_hadoop_uri(self, spark, tmp_path):
+        """The ops run through the Hadoop FileSystem API — an explicit
+        file:// URI (what a fs.defaultFS-qualified HDFS path looks like
+        locally) must work, not just bare POSIX paths."""
+        from aeon_sleap_processing_spark.sources.sinks import retention_sweep
+
+        path = "file://" + str(tmp_path / "chunks")
+        df = spark.createDataFrame(
+            [("2024-01-01", 1), ("2024-01-02", 2)], "chunk string, v long"
+        )
+        df.write.partitionBy("chunk").parquet(path)
+        assert retention_sweep(spark, path, "chunk", "2024-01-02") == [
+            "2024-01-01"
+        ]
+
+    def test_compact_preserves_hive_partitions(self, spark, tmp_path):
+        """Compaction of a Hive-partitioned store must compact PER LEAF,
+        preserving partition directories (pruning + value types), never
+        flattening partition columns into the data files."""
+        from aeon_sleap_processing_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "pstore")
+        for i in range(5):  # five appends -> >=5 files per partition
+            spark.createDataFrame(
+                [("2024-01-01", i), ("2024-01-02", 10 + i)],
+                "chunk string, v long",
+            ).coalesce(1).write.mode("append").partitionBy("chunk").parquet(path)
+        before = spark.read.parquet(path).toPandas()
+        res = compact_parquet(spark, path, target_bytes=64 * 1024 * 1024)
+        assert res["compacted"] and res["files_after"] < res["files_before"]
+        import os
+
+        dirs = sorted(
+            d for d in os.listdir(path) if not d.startswith(("_", "."))
+        )
+        assert dirs == ["chunk=2024-01-01", "chunk=2024-01-02"]
+        after = spark.read.parquet(path)
+        # partition column still comes from the directory, not data files
+        leaf = spark.read.parquet(path + "/chunk=2024-01-01")
+        assert leaf.columns == ["v"]
+        assert sorted(after.toPandas().v) == sorted(before.v)
+
+    def test_compact_recovers_from_crash_window(self, spark, tmp_path):
+        """A crash between the two swap renames leaves only __precompact
+        (and possibly a complete __compacting); the next run must restore
+        the store before compacting."""
+        import os
+
+        from aeon_sleap_processing_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "store")
+        for i in range(5):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        rows = spark.read.parquet(path).count()
+        # simulate the crash: store renamed away, no staged dir yet
+        os.rename(path, path + "__precompact")
+        res = compact_parquet(spark, path, target_bytes=64 * 1024 * 1024)
+        assert res["compacted"]
+        assert spark.read.parquet(path).count() == rows
+        assert not os.path.exists(path + "__precompact")
+        assert not os.path.exists(path + "__compacting")
