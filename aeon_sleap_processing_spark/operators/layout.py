@@ -15,7 +15,12 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_value", "zorder_layout", "zorder_bucket_stats"]
+__all__ = [
+    "zorder_value",
+    "zorder_layout",
+    "zorder_bucket_stats",
+    "parquet_skipping_stats",
+]
 
 
 def _interleave(cols: list[Column], bits: int) -> Column:
@@ -87,6 +92,62 @@ def zorder_layout(
         .sortWithinPartitions("__z")
         .drop("__z")
     )
+
+
+def parquet_skipping_stats(path: str, box: dict[str, tuple]) -> dict:
+    """Row-group / file skipping audit for a rectangular predicate
+    ``{col: (lo, hi)}``: read each parquet footer's per-row-group min/max
+    (the exact statistics Spark's pushed-down parquet filter prunes on —
+    a row group whose [min, max] misses the box is never decompressed)
+    and count how many row groups / files / rows a scan with that
+    predicate must touch.
+
+    Driver-side metadata audit (footers only, no data pages) — the tool
+    that turns zorder_layout's locality claim into a measured
+    files-touched number against a linear layout of the same data.
+    Returns {files, files_hit, row_groups, row_groups_hit, rows,
+    rows_in_hit_groups}."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = {
+        "files": 0,
+        "files_hit": 0,
+        "row_groups": 0,
+        "row_groups_hit": 0,
+        "rows": 0,
+        "rows_in_hit_groups": 0,
+    }
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        out["files"] += 1
+        file_hit = False
+        for i in range(md.num_row_groups):
+            rg = md.row_group(i)
+            out["row_groups"] += 1
+            out["rows"] += rg.num_rows
+            hit = True
+            for j in range(rg.num_columns):
+                col = rg.column(j)
+                name = col.path_in_schema
+                if name not in box:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue  # no stats -> cannot skip, stays hit
+                lo, hi = box[name]
+                if st.max < lo or st.min > hi:
+                    hit = False
+                    break
+            if hit:
+                out["row_groups_hit"] += 1
+                out["rows_in_hit_groups"] += rg.num_rows
+                file_hit = True
+        if file_hit:
+            out["files_hit"] += 1
+    return out
 
 
 def zorder_bucket_stats(
