@@ -841,6 +841,109 @@ def _bpe_merges_sql(k: int = 8) -> str:
     return "".join(parts)
 
 
+def _bpe_merges_batched_sql(rounds: int, m: int) -> str:
+    """Oracle for q_bpe_merges_batched: the BATCHED greedy schedule
+    (text.py:_bpe_learn batch_size=m) unrolled into ``rounds`` CTE
+    levels. Per round: adjacent-pair counts, the top-(4m) candidate pool
+    ranked (count DESC, pair ASC), a RECURSIVE-CTE greedy scan selecting
+    up to m pairwise-symbol-DISJOINT pairs (disjoint => counts
+    independent => the batch's replaces commute), then one nested
+    replace() applying all picks. chr(1) is the no-op pattern for
+    unused pick slots."""
+    L = 4 * m
+    parts = [
+        f"""
+        WITH RECURSIVE wc AS (
+          SELECT w, count(*) AS cnt,
+                 '  ' || array_to_string(
+                   list_transform(range(1, length(w) + 1),
+                                  i -> substr(w, i, 1)), '  '
+                 ) || '  </w>  ' AS rep
+          FROM (SELECT unnest({_WORDS}) AS w FROM documents)
+          WHERE length(w) >= 1 GROUP BY w
+        ),
+        rep0 AS MATERIALIZED (SELECT w, cnt, rep FROM wc)"""
+    ]
+    for i in range(1, rounds + 1):
+        pats = ",\n                 ".join(
+            f"""coalesce((SELECT ' ' || a || '  ' || b || ' '
+                       FROM sel{i} WHERE ord = {j}), chr(1)) AS pat{j},
+                 coalesce((SELECT ' ' || a || b || ' '
+                       FROM sel{i} WHERE ord = {j}), chr(1)) AS sub{j}"""
+            for j in range(1, m + 1)
+        )
+        repl = "rep"
+        for j in range(1, m + 1):
+            repl = f"replace({repl}, pat{j}, sub{j})"
+        parts.append(
+            f""",
+        pairs{i} AS MATERIALIZED (
+          SELECT syms[j] AS a, syms[j + 1] AS b,
+                 CAST(sum(cnt) AS BIGINT) AS n
+          FROM (
+            SELECT cnt, string_split(trim(rep), '  ') AS syms FROM rep{i - 1}
+          ), LATERAL (SELECT unnest(range(1, len(syms))) AS j) u
+          WHERE len(syms) >= 2
+          GROUP BY 1, 2
+        ),
+        cand{i} AS MATERIALIZED (
+          SELECT a, b, n, row_number() OVER (ORDER BY n DESC, a, b) AS rn
+          FROM pairs{i} ORDER BY n DESC, a, b LIMIT {L}
+        ),
+        pick{i} AS (
+          SELECT 0 AS rn, CAST([] AS VARCHAR[]) AS used,
+                 CAST([] AS STRUCT(a VARCHAR, b VARCHAR, n BIGINT)[]) AS picked
+          UNION ALL
+          SELECT c.rn,
+                 CASE WHEN len(p.picked) < {m}
+                           AND NOT list_contains(p.used, c.a)
+                           AND NOT list_contains(p.used, c.b)
+                      THEN list_concat(p.used, [c.a, c.b]) ELSE p.used END,
+                 CASE WHEN len(p.picked) < {m}
+                           AND NOT list_contains(p.used, c.a)
+                           AND NOT list_contains(p.used, c.b)
+                      THEN list_append(p.picked, {{'a': c.a, 'b': c.b, 'n': c.n}})
+                      ELSE p.picked END
+          FROM pick{i} p JOIN cand{i} c ON c.rn = p.rn + 1
+        ),
+        fin{i} AS MATERIALIZED (SELECT picked FROM pick{i} ORDER BY rn DESC LIMIT 1),
+        sel{i} AS MATERIALIZED (
+          SELECT picked[j].a AS a, picked[j].b AS b, picked[j].n AS n,
+                 j AS ord
+          FROM fin{i}, LATERAL (SELECT unnest(range(1, len(picked) + 1)) AS j) u
+        ),
+        pats{i} AS MATERIALIZED (
+          SELECT {pats}
+        ),
+        rep{i} AS MATERIALIZED (
+          SELECT w, cnt, {repl} AS rep
+          FROM rep{i - 1} CROSS JOIN pats{i}
+        )"""
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT {i} AS round, a, b, n, ord FROM sel{i}"
+        for i in range(1, rounds + 1)
+    )
+    parts.append(
+        f"""
+            SELECT CAST(row_number() OVER (ORDER BY round, ord) AS INT)
+                     AS merge_rank,
+                   a AS "left", b AS "right", n AS pair_count
+            FROM ({union})"""
+    )
+    return "".join(parts)
+
+
+def _q_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training — 12 merges in 3 driver rounds of 4
+    symbol-disjoint picks each (text.py:_bpe_learn batch_size), the
+    schedule that makes tokenizer-scale merge counts tractable (k/m
+    driver round-trips + checkpoints instead of k)."""
+    return tx.bpe_train(
+        load_table(spark, "documents", sf_dir), num_merges=12, batch_size=4
+    )
+
+
 def _q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encode under the 8 learned merges: per-doc word count, token
     count, chars-per-token (text.py:bpe_encode_token_counts)."""
@@ -1668,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_video_frame_stats": _q_video_frame_stats,
         "q_cdc_dedup": _q_cdc_dedup,
         "q_bpe_merges": _q_bpe_merges,
+        "q_bpe_merges_batched": _q_bpe_merges_batched,
         "q_bpe_encode": _q_bpe_encode,
         "q_dq_constraints": _q_dq_constraints,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
@@ -2753,6 +2857,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_bpe_merges": _bpe_merges_sql(8),
+        "q_bpe_merges_batched": _bpe_merges_batched_sql(3, 4),
         "q_bpe_encode": _bpe_encode_sql(8),
         "q_zorder_stats": _zorder_stats_sql(16, 8),
         "q_fuzzy_pairs": """

@@ -978,6 +978,7 @@ def bpe_train(
     num_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_size: int = 1,
 ) -> DataFrame:
     """Distributed BPE vocabulary training (Sennrich et al. 2016) — the
     corpus-side heavy lifting of tokenizer construction: learn
@@ -1004,17 +1005,33 @@ def bpe_train(
     Returns (merge_rank, left, right, pair_count) for the merges learned,
     in order — fewer than ``num_merges`` rows when the corpus runs out of
     pairs."""
-    _, merges = _bpe_learn(docs, num_merges, text_col)
+    _, merges = _bpe_learn(docs, num_merges, text_col, batch_size)
     spark = docs.sparkSession
     schema = "merge_rank int, left string, right string, pair_count long"
     return spark.createDataFrame(merges, schema)
 
 
 def _bpe_learn(
-    docs: DataFrame, num_merges: int, text_col: str
+    docs: DataFrame, num_merges: int, text_col: str, batch_size: int = 1
 ) -> tuple[DataFrame, list[tuple]]:
     """The shared BPE learn loop: returns (final vocab-rep table
-    [__w, __cnt, __rep], merges [(rank, left, right, count)])."""
+    [__w, __cnt, __rep], merges [(rank, left, right, count)]).
+
+    ``batch_size=1`` is exact sequential greedy BPE. ``batch_size=m > 1``
+    is BATCHED greedy (the standard scaling trick for tokenizer-size
+    merge counts, where k sequential merges = k driver round-trips +
+    k checkpoints): per round, rank pairs by (count DESC, pair ASC),
+    take the top ``4*m`` candidates, and greedily select up to ``m``
+    pairs whose symbols are pairwise DISJOINT — merging (a,b) cannot
+    change the adjacency count of (c,d) when {a,b} ∩ {c,d} = ∅, so every
+    selected pair's recorded count is exactly its pre-round count and
+    all ``m`` replaces commute; they are applied in ONE rewrite + ONE
+    checkpoint. The top-(4m) candidate pool is part of the algorithm
+    spec (the oracle ranks over the same pool), making the batched
+    variant deterministic and oracle-checkable. Batched greedy is a
+    different (documented) schedule than sequential greedy — a pair
+    containing a symbol created earlier in the same round can only be
+    picked next round."""
     words = (
         docs.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
         .where(F.length("__w") >= 1)
@@ -1031,7 +1048,8 @@ def _bpe_learn(
     wc = words.select("__w", "__cnt", rep.alias("__rep")).localCheckpoint(eager=True)
 
     merges: list[tuple] = []
-    for rank in range(1, num_merges + 1):
+    while len(merges) < num_merges:
+        want = min(batch_size, num_merges - len(merges))
         pair = F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("__syms") - 2),
@@ -1040,7 +1058,7 @@ def _bpe_learn(
                 ),
             )
         )
-        top = (
+        cand = (
             wc.select(
                 "__cnt", F.split(F.trim(F.col("__rep")), "  ").alias("__syms")
             )
@@ -1051,19 +1069,28 @@ def _bpe_learn(
             .groupBy("__p.a", "__p.b")
             .agg(F.sum("__cnt").alias("__n"))
             .orderBy(F.desc("__n"), "a", "b")
-            .limit(1)
+            .limit(4 * batch_size)  # candidate pool: part of the spec
             .collect()
         )
-        if not top:
+        if not cand:
             break
-        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["__n"])
-        merges.append((rank, a, b, n))
-        wc = wc.withColumn(
-            "__rep",
-            F.replace(
-                F.col("__rep"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
-            ),
-        ).localCheckpoint(eager=True)
+        used: set[str] = set()
+        picked = []
+        for r in cand:
+            if len(picked) >= want:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used:
+                continue
+            picked.append((a, b, int(r["__n"])))
+            used.update((a, b))
+        if not picked:
+            break
+        rep = F.col("__rep")
+        for a, b, n in picked:
+            merges.append((len(merges) + 1, a, b, n))
+            rep = F.replace(rep, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+        wc = wc.withColumn("__rep", rep).localCheckpoint(eager=True)
     return wc, merges
 
 
@@ -1072,6 +1099,7 @@ def bpe_encode_token_counts(
     num_merges: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_size: int = 1,
 ) -> DataFrame:
     """BPE ENCODE — the application half of the tokenizer loop
     (``bpe_train`` learns the merges; this reports what they cost): learn
@@ -1085,7 +1113,7 @@ def bpe_encode_token_counts(
     corpus word stream — one shuffle join on the word key; the corpus text
     is never rewritten. Returns (doc_id, n_words, n_tokens,
     chars_per_token); empty documents report 0/0/NULL."""
-    wc, _ = _bpe_learn(docs, num_merges, text_col)
+    wc, _ = _bpe_learn(docs, num_merges, text_col, batch_size)
     tok_per_word = wc.select(
         "__w",
         F.size(F.split(F.trim(F.col("__rep")), "  ")).cast("long").alias("__tok"),

@@ -446,6 +446,83 @@ class TestBpeTrain:
         out = bpe_train(df, 50).collect()  # a+b, ab+</w> -> one symbol left
         assert len(out) == 2
 
+    def test_batched_matches_its_spec(self, spark):
+        """batch_size=m: per round, greedy pick of up to m symbol-disjoint
+        pairs from the top-4m (count DESC, pair ASC) pool; every recorded
+        count is the pre-round count. Check against a reference Python
+        implementation of exactly that schedule, and that picks within a
+        round share no symbol."""
+        import collections
+
+        from aeon_sleap_processing_spark.operators.text import bpe_train
+
+        def ref_batched(words, k, m):
+            vocab = collections.Counter(words)
+            reps = {w: tuple(list(w) + ["</w>"]) for w in vocab}
+            merges, round_sizes = [], []
+            while len(merges) < k:
+                pairs = collections.Counter()
+                for w, c in vocab.items():
+                    s = reps[w]
+                    for i in range(len(s) - 1):
+                        pairs[(s[i], s[i + 1])] += c
+                if not pairs:
+                    break
+                pool = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+                pool = pool[: 4 * m]
+                used, picked = set(), []
+                for (a, b), n in pool:
+                    if len(picked) >= min(m, k - len(merges)):
+                        break
+                    if a in used or b in used:
+                        continue
+                    picked.append((a, b, n))
+                    used.update((a, b))
+                if not picked:
+                    break
+                round_sizes.append(len(picked))
+                for a, b, n in picked:
+                    merges.append((len(merges) + 1, a, b, n))
+                    for w in reps:
+                        s = reps[w]
+                        out, i = [], 0
+                        while i < len(s):
+                            if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                                out.append(a + b)
+                                i += 2
+                            else:
+                                out.append(s[i])
+                                i += 1
+                        reps[w] = tuple(out)
+            return merges, round_sizes
+
+        text = (
+            "low low low low low lower lower newest newest newest newest "
+            "newest newest widest widest widest aaa aaa baaab "
+            "go go go go go go go go go go go go"
+        )
+        df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+        got = [
+            (r.merge_rank, r.left, r.right, r.pair_count)
+            for r in bpe_train(df, 12, batch_size=4)
+            .orderBy("merge_rank")
+            .collect()
+        ]
+        expected, round_sizes = ref_batched(text.split(), 12, 4)
+        assert got == expected
+        # applying a round's replaces in one chain is only valid because
+        # its picks are pairwise symbol-disjoint — assert it held per
+        # ACTUAL round (rounds may pick fewer than m)
+        start = 0
+        for size in round_sizes:
+            pick_syms = [
+                {a, b} for _, a, b, _ in got[start : start + size]
+            ]
+            for i, si in enumerate(pick_syms):
+                for sj in pick_syms[i + 1 :]:
+                    assert not (si & sj), got[start : start + size]
+            start += size
+
 
 class TestBpeEncode:
     def test_token_accounting(self, spark):
