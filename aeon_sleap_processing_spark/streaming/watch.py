@@ -33,6 +33,8 @@ __all__ = [
     "stream_enrich",
     "stream_asof_enrich",
     "stream_pack_sequences",
+    "stream_append_compacted",
+    "read_compacted_store",
 ]
 
 
@@ -199,6 +201,122 @@ def watch_chunk_store(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+def stream_append_compacted(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    compact_every: int = 4,
+    target_bytes: int = 128 * 1024 * 1024,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Parquet append sink with BUILT-IN small-file compaction — the watch
+    loop no longer accumulates one small file per micro-batch forever
+    (the r7 compactor existed but was standalone; this wires it into the
+    stream on a batch-count cadence).
+
+    Two-tier layout, exactly-once across restarts:
+
+    - ``out_path/ingest/batch=<id>``: each micro-batch written with
+      OVERWRITE into its own batch-id dir, so a replayed batch (crash
+      after write, before checkpoint commit) just rewrites the same dir —
+      idempotent.
+    - ``out_path/compacted/seg=<id>``: every ``compact_every`` batches,
+      all ingest dirs with id < current (strictly earlier ⇒ already
+      checkpoint-committed, never replayed) are folded into one
+      ~``target_bytes``-file segment, then deleted. The fold is guarded
+      by the segment dir's existence: a replay that finds ``seg=<B>``
+      already present skips the rewrite and only re-deletes leftover
+      ingest dirs — so a crash anywhere in the fold is safe (the rewrite
+      itself is mode=overwrite).
+
+    File count is O(batches/compact_every) + at most ``compact_every``
+    ingest dirs, instead of O(batches). Segments can be re-compacted
+    offline with ``sinks.compact_parquet`` on the ``compacted`` tier.
+    Read the store with :func:`read_compacted_store` (the two tiers have
+    different partition dir names, so a naive root read would trip
+    partition inference). All directory ops go through the Hadoop
+    FileSystem API — local/HDFS/S3A alike."""
+    import math
+
+    from ..sources.sinks import _hadoop_fs, _list_data_files
+
+    spark = stream.sparkSession
+    ingest = out_path.rstrip("/") + "/ingest"
+    compacted = out_path.rstrip("/") + "/compacted"
+
+    def _fold(batch_id: int) -> None:
+        fs, Path, _ = _hadoop_fs(spark, out_path)
+        seg = Path(f"{compacted}/seg={batch_id}")
+        ingest_root = Path(ingest)
+        if not fs.exists(ingest_root):
+            return
+        older = [
+            st.getPath()
+            for st in fs.listStatus(ingest_root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+        ]
+        if not older:
+            return
+        if not fs.exists(seg):
+            src = [str(p.toUri()) for p in older]
+            files = []
+            for p in older:
+                files += _list_data_files(fs, p)
+            n_out = max(
+                1, math.ceil(sum(st.getLen() for st in files) / target_bytes)
+            )
+            (
+                spark.read.parquet(*src)
+                .repartition(n_out)
+                .write.mode("overwrite")
+                .parquet(str(seg.toUri()))
+            )
+        for p in older:  # replay-safe: re-deleting already-gone dirs is a no-op
+            fs.delete(p, True)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite")
+            .parquet(f"{ingest}/batch={batch_id}")
+        )
+        if compact_every > 0 and batch_id > 0 and batch_id % compact_every == 0:
+            _fold(batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_compacted_store(spark: SparkSession, out_path: str) -> DataFrame:
+    """Union view over both tiers of a :func:`stream_append_compacted`
+    store (missing tiers contribute nothing)."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, Path, _ = _hadoop_fs(spark, out_path)
+    parts = []
+    for tier in ("ingest", "compacted"):
+        p = out_path.rstrip("/") + "/" + tier
+        if fs.exists(Path(p)):
+            # drop the tier's bookkeeping partition column (batch= / seg=)
+            parts.append(
+                spark.read.option("basePath", p).parquet(p).drop("batch", "seg")
+            )
+    if not parts:
+        raise FileNotFoundError(f"no ingest/compacted tier under {out_path}")
+    cols = parts[0].columns
+    df = parts[0]
+    for other in parts[1:]:
+        df = df.select(*cols).unionByName(
+            other.select(*cols), allowMissingColumns=False
+        )
+    return df
 
 
 def stream_windowed_agg(

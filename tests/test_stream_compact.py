@@ -1,0 +1,84 @@
+"""Streaming append sink with built-in compaction: bounded file count
+across micro-batches, exactly-once results across checkpoint restarts."""
+
+import glob
+import os
+
+from aeon_sleap_processing_spark.streaming.watch import (
+    read_compacted_store,
+    stream_append_compacted,
+)
+
+
+def _data_files(root):
+    return [
+        f
+        for f in glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+        if not os.path.basename(f).startswith(("_", "."))
+    ]
+
+
+class TestStreamAppendCompacted:
+    def _run(self, spark, src, out, ckpt):
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_append_compacted(
+            stream, out, ckpt, compact_every=3, target_bytes=64 * 1024 * 1024
+        )
+        q.awaitTermination(120)
+
+    def test_file_count_bounded_and_restart_safe(self, spark, tmp_path):
+        """12 micro-batches across two checkpoint-restart cycles: the
+        store must hold every source row exactly once, the compacted
+        tier must exist, and total data files must stay far below one
+        per batch (the unbounded-small-files failure mode)."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in range(7):  # batches 0..6 in cycle 1
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        self._run(spark, src, out, ckpt)
+        got1 = sorted(r.id for r in read_compacted_store(spark, out).collect())
+        assert got1 == list(range(70))
+
+        # restart cycle: 5 more source files, SAME checkpoint — only the
+        # new files are processed (batch ids continue), nothing replays
+        for i in range(7, 12):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        self._run(spark, src, out, ckpt)
+        got2 = sorted(r.id for r in read_compacted_store(spark, out).collect())
+        assert got2 == list(range(120))
+
+        # compaction actually ran and bounded the layout: ingest holds at
+        # most the batches since the last fold; each fold is one segment
+        ingest_dirs = glob.glob(os.path.join(out, "ingest", "batch=*"))
+        seg_dirs = glob.glob(os.path.join(out, "compacted", "seg=*"))
+        assert seg_dirs, "compaction never ran"
+        assert len(ingest_dirs) <= 3  # compact_every
+        assert len(_data_files(out)) < 12  # << one file per batch
+
+    def test_fold_replay_is_idempotent(self, spark, tmp_path):
+        """Crash-replay of the folding batch: if the segment dir already
+        exists, the fold must skip the rewrite and only re-delete
+        leftover ingest dirs — rows appear exactly once either way."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "store")
+        for i in range(4):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        self._run(spark, src, out, str(tmp_path / "ckpt1"))
+        before = sorted(r.id for r in read_compacted_store(spark, out).collect())
+        # re-run the whole stream against a FRESH checkpoint but the same
+        # store: every batch replays; ingest overwrites per batch dir and
+        # the fold sees seg=3 already present
+        self._run(spark, src, out, str(tmp_path / "ckpt2"))
+        after = sorted(r.id for r in read_compacted_store(spark, out).collect())
+        assert after == before == list(range(40))
