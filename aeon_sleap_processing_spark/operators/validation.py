@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["check_constraints", "assert_constraints"]
+__all__ = ["check_constraints", "check_constraints_fast", "assert_constraints"]
 
 
 def _rule_exprs(rule: dict, idx: int) -> tuple[Column, Column]:
@@ -85,6 +85,69 @@ def check_constraints(df: DataFrame, rules: list[dict]) -> DataFrame:
         )
     )
     return one.select(rows.alias("__r")).select("__r.*")
+
+
+def check_constraints_fast(
+    df: DataFrame, rules: list[dict], rsd: float = 0.02
+) -> DataFrame:
+    """Monitoring-cadence variant of :func:`check_constraints`: ``unique``
+    rules use ``approx_count_distinct`` (HLL, relative std dev ``rsd``)
+    in the same single aggregation, so the happy path — keys actually
+    unique — stays ONE scan at 100 TB instead of paying an exact
+    count-distinct every monitoring tick.
+
+    Soundness contract: a unique rule passes the fast path when its
+    approx ratio >= 1 - 3*rsd (an approx read cannot land that low if the
+    key truly is unique, up to the HLL tail). When the approx ratio falls
+    BELOW that threshold — a suspected violation — ONE exact confirmation
+    aggregation runs over all suspicious unique rules together, and the
+    exact metric/verdict replaces the approximate one: reported failures
+    are never false alarms. The documented tradeoff: violations smaller
+    than the 3*rsd margin (e.g. 99.9% uniqueness at rsd=0.02) can pass
+    the fast path — use :func:`check_constraints` (exact, the default
+    everywhere else) for gates; this is for recurring monitors.
+
+    Materializes the (one-row-per-rule) result eagerly and returns it as
+    a DataFrame for API parity."""
+    spark = df.sparkSession
+    metric_cols, pass_cols = [], []
+    unique_idx = []
+    for i, rule in enumerate(rules):
+        if rule["kind"] == "unique":
+            n = F.count(F.lit(1))
+            m = F.approx_count_distinct(
+                F.struct(*[F.col(c) for c in rule["columns"]]), rsd
+            ) / n
+            p = m >= 1.0 - 3.0 * rsd
+            unique_idx.append(i)
+        else:
+            m, p = _rule_exprs(rule, i)
+        metric_cols.append(F.round(m, 6).alias(f"__m{i}"))
+        pass_cols.append(F.coalesce(p, F.lit(False)).alias(f"__p{i}"))
+    row = df.agg(*metric_cols, *pass_cols).collect()[0]  # one row — bounded
+    results = [
+        [rule["name"], min(float(row[f"__m{i}"]), 1.0)
+         if i in unique_idx and row[f"__m{i}"] is not None
+         else row[f"__m{i}"],
+         bool(row[f"__p{i}"])]
+        for i, rule in enumerate(rules)
+    ]
+    suspicious = [i for i in unique_idx if not row[f"__p{i}"]]
+    if suspicious:
+        exact_cols = []
+        for i in suspicious:
+            m, p = _rule_exprs(rules[i], i)
+            exact_cols += [
+                F.round(m, 6).alias(f"__m{i}"),
+                F.coalesce(p, F.lit(False)).alias(f"__p{i}"),
+            ]
+        exact = df.agg(*exact_cols).collect()[0]
+        for i in suspicious:
+            results[i][1] = exact[f"__m{i}"]
+            results[i][2] = bool(exact[f"__p{i}"])
+    return spark.createDataFrame(
+        [tuple(r) for r in results], "rule string, metric double, passed boolean"
+    )
 
 
 def assert_constraints(df: DataFrame, rules: list[dict]) -> None:

@@ -52,6 +52,50 @@ class TestCheckConstraints:
         j1 = max(st.getJobIdsForGroup() or [0])
         assert j1 - j0 <= 2  # AQE may split once; N rules must not mean N jobs
 
+    def test_fast_unique_happy_path_single_scan(self, spark):
+        """check_constraints_fast on truly-unique keys: the approx HLL
+        read passes the 1-3*rsd bar, so the suite stays ONE aggregation
+        (no exact confirmation job)."""
+        from aeon_sleap_processing_spark.operators.validation import (
+            check_constraints_fast,
+        )
+
+        df = spark.range(20_000).selectExpr("id", "id % 7 AS g")
+        rules = [
+            {"name": "pk", "kind": "unique", "columns": ["id"]},
+            {"name": "nn", "kind": "not_null", "column": "g"},
+        ]
+        st = spark.sparkContext.statusTracker()
+        check_constraints_fast(df, rules).collect()  # warm
+        j0 = max(st.getJobIdsForGroup() or [0])
+        out = {r["rule"]: r for r in check_constraints_fast(df, rules).collect()}
+        j1 = max(st.getJobIdsForGroup() or [0])
+        assert out["pk"]["passed"] and out["nn"]["passed"]
+        assert 0.9 <= out["pk"]["metric"] <= 1.0
+        # one agg over df (<=2 with an AQE split) + the one-row local
+        # createDataFrame collect; NO exact-confirmation scan of df
+        # (which would add its own 1-2 jobs — see violation test).
+        assert j1 - j0 <= 3
+
+    def test_fast_unique_violation_confirmed_exactly(self, spark):
+        """A real violation (25% dups) drops the approx ratio far below
+        the bar -> the exact confirmation pass replaces the metric with
+        the exact value, so the reported failure is never a false
+        alarm."""
+        from aeon_sleap_processing_spark.operators.validation import (
+            check_constraints_fast,
+        )
+
+        df = spark.range(1000).selectExpr("id % 750 AS k")
+        out = {
+            r["rule"]: r
+            for r in check_constraints_fast(
+                df, [{"name": "k_unique", "kind": "unique", "columns": ["k"]}]
+            ).collect()
+        }
+        assert not out["k_unique"]["passed"]
+        assert out["k_unique"]["metric"] == 0.75  # exact, not approx
+
     def test_assert_raises_with_names(self, spark):
         from aeon_sleap_processing_spark.operators.validation import (
             assert_constraints,
