@@ -989,6 +989,123 @@ def _q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.cdc_chunk_stats(load_table(spark, "documents", sf_dir))
 
 
+def _q_cdc_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded CDC (r8): the same content cuts, but with FastCDC-style
+    min_len=32 / max_len=128 chunk bounds applied as a closed-form
+    array fold over the per-doc cut list (text.py:cdc_chunk_stats
+    bounded branch) — no chunk shorter than 32 (except each doc's tail)
+    or longer than 128 survives."""
+    return tx.cdc_chunk_stats(
+        load_table(spark, "documents", sf_dir), min_len=32, max_len=128
+    )
+
+
+def _cdc_bounded_sql(window: int = 8, divisor: int = 64,
+                     m: int = 32, M: int = 128) -> str:
+    """Oracle for q_cdc_bounded: the q_cdc_dedup pipeline with the SAME
+    bounded-recurrence fold, expressed as a DuckDB list_reduce over the
+    per-doc sorted content cuts (struct accumulator {last, cs}; the
+    number and positions of forced cuts between two content cuts are
+    closed-form in (prev, cut, max_len), identical to the Spark
+    F.aggregate fold)."""
+    # state is a flat BIGINT list [last, ...cuts] — DuckDB 1.0's
+    # list_reduce mis-threads STRUCT accumulators (verified: an
+    # {'last','cs'} fold drops prior cs), the flat encoding folds
+    # correctly
+    K = (f"greatest(0, CAST(ceil((x[1] - acc[1])::DOUBLE / {M}) "
+         f"AS BIGINT) - 1)")
+    FORCED = (f"CASE WHEN {K} > 0 THEN range(acc[1] + {M}, "
+              f"acc[1] + {K} * {M} + 1, {M}) "
+              f"ELSE CAST([] AS BIGINT[]) END")
+    LAST1 = f"(acc[1] + {K} * {M})"
+    ELIG = f"x[1] >= {LAST1} + {m}"
+    KT = (f"greatest(0, CAST(ceil((n - st_last)::DOUBLE / {M}) "
+          f"AS BIGINT) - 1)")
+    TAIL = (f"CASE WHEN {KT} > 0 THEN range(st_last + {M}, "
+            f"st_last + {KT} * {M} + 1, {M}) "
+            f"ELSE CAST([] AS BIGINT[]) END")
+    return f"""
+            WITH ne AS (
+              SELECT doc_id, text, length(text) AS n FROM documents
+              WHERE length(text) >= 1
+            ),
+            pos AS (
+              SELECT doc_id, text, n, unnest(range({window}, n + 1)) AS i
+              FROM ne
+            ),
+            cuts AS (
+              SELECT doc_id, i FROM pos
+              WHERE ('0x' || substr(md5(substr(text, i - {window - 1},
+                                               {window})), 1, 8))::UBIGINT
+                    % {divisor} = 0
+                AND i < n
+            ),
+            ca AS (
+              SELECT doc_id, list_sort(list(i)) AS cuts FROM cuts
+              GROUP BY doc_id
+            ),
+            fold AS (
+              SELECT doc_id,
+                     list_reduce(
+                       list_concat(
+                         [CAST([0] AS BIGINT[])],
+                         list_transform(cuts, c -> [CAST(c AS BIGINT)])
+                       ),
+                       (acc, x) -> list_concat(
+                         CASE WHEN {ELIG} THEN [x[1]] ELSE [{LAST1}] END,
+                         list_concat(
+                           list_slice(acc, 2, len(acc)),
+                           CASE WHEN {ELIG}
+                                THEN list_concat({FORCED}, [x[1]])
+                                ELSE {FORCED} END))
+                     ) AS st
+              FROM ca
+            ),
+            b AS (
+              SELECT ne.doc_id, ne.text,
+                     coalesce(st[1], CAST(0 AS BIGINT)) AS st_last,
+                     coalesce(list_slice(st, 2, len(st)),
+                              CAST([] AS BIGINT[])) AS st_cs,
+                     ne.n
+              FROM ne LEFT JOIN fold ON ne.doc_id = fold.doc_id
+            ),
+            bl AS (
+              SELECT doc_id, text,
+                     list_concat(
+                       list_concat([CAST(0 AS BIGINT)],
+                         list_concat(st_cs, {TAIL})),
+                       [CAST(n AS BIGINT)]
+                     ) AS bl
+              FROM b
+            ),
+            pr AS (
+              SELECT doc_id, text, bl, unnest(range(1, len(bl))) AS j
+              FROM bl
+            ),
+            ch AS (
+              SELECT doc_id,
+                     (bl[j + 1] - bl[j])::BIGINT AS clen,
+                     md5(substr(text, (bl[j] + 1)::INT,
+                                (bl[j + 1] - bl[j])::INT)) AS chash
+              FROM pr
+            ),
+            occ AS (SELECT chash, count(*) AS oc FROM ch GROUP BY chash),
+            pd AS (
+              SELECT doc_id, count(*) AS n_chunks,
+                     round(avg(clen), 4) AS mean_chunk_len,
+                     CAST(sum(CASE WHEN oc > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_chunks
+              FROM ch JOIN occ USING (chash) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_chunks, 0) AS n_chunks,
+                   mean_chunk_len,
+                   coalesce(n_dup_chunks, 0) AS n_dup_chunks,
+                   round(n_dup_chunks::DOUBLE / n_chunks, 6) AS dup_chunk_frac
+            FROM (SELECT doc_id FROM documents) d LEFT JOIN pd USING (doc_id)
+        """
+
+
 def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end REAL-pixel video path (SURVEY S8/K5/U5; reference
     `detect_fights_all_epochs.py:53-79` cv2 frame probing): plant
@@ -1770,6 +1887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
         "q_cdc_dedup": _q_cdc_dedup,
+        "q_cdc_bounded": _q_cdc_bounded,
         "q_bpe_merges": _q_bpe_merges,
         "q_bpe_merges_batched": _q_bpe_merges_batched,
         "q_bpe_encode": _q_bpe_encode,
@@ -2934,6 +3052,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'rows_min', round(count(*)::DOUBLE, 6), count(*) >= 1000
             FROM lineitem
         """,
+        "q_cdc_bounded": _cdc_bounded_sql(),
         "q_cdc_dedup": """
             -- content-defined chunking: cut after 1-indexed char i when the
             -- md5 of chars [i-7, i] is 0 mod 64 (mirrors cdc_chunk_stats)

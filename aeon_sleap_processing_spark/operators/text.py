@@ -1149,6 +1149,9 @@ def cdc_chunk_stats(
     divisor: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    min_len: int | None = None,
+    max_len: int | None = None,
+    _return_chunks: bool = False,
 ) -> DataFrame:
     """Content-defined-chunking dedup signals (the rolling-hash CDC family
     of LBFS/FastCDC, applied to corpus dedup): cut each document at
@@ -1158,10 +1161,21 @@ def cdc_chunk_stats(
     in the corpus. Unlike fixed blocks (``paragraph_dedup``) the cut points
     move WITH the content, so an insertion near the top of a near-duplicate
     shifts only the chunk it lands in — the classic CDC robustness.
-    Simplification vs FastCDC: no min/max chunk bounds (they make cut
-    eligibility depend on the previous accepted cut — a sequential scan);
-    pure content cuts keep every position independent, fully parallel, and
-    SQL-expressible, at the cost of occasional tiny/huge chunks.
+    By default no min/max chunk bounds apply — pure content cuts keep
+    every position independent and fully parallel, at the cost of
+    occasional tiny/huge chunks (the measured distribution at the
+    defaults is committed in README). Pass ``min_len``/``max_len`` for
+    FastCDC-style BOUNDS, computed as a second bounded-recurrence pass
+    over the content-cut list (r8): scanning the per-doc sorted cuts
+    left to right, a content cut is ACCEPTED only if it lies at least
+    ``min_len`` past the previous accepted/forced cut, and a cut is
+    FORCED every ``max_len`` chars when no eligible content cut arrives.
+    Both the number of forced cuts before a content cut and the forced
+    positions themselves are closed-form arithmetic in (prev, cut,
+    max_len), so the recurrence is ONE ``F.aggregate`` fold over the
+    per-doc cut array — pure codegen, no UDF, no extra shuffle; cut
+    DISCOVERY stays position-independent and parallel. The final tail
+    chunk may still be shorter than ``min_len`` (FastCDC semantics).
 
     Returns per document: (doc_id, n_chunks, mean_chunk_len, n_dup_chunks,
     dup_chunk_frac) — a chunk is *duplicated* when its exact text occurs
@@ -1194,12 +1208,68 @@ def cdc_chunk_stats(
     cut_arr = cuts.groupBy(id_col).agg(
         F.sort_array(F.collect_list("__i")).alias("__cuts")
     )
+    empty_i = F.array().cast("array<int>")
+    raw_cuts = F.coalesce(F.col("__cuts"), empty_i)
+    if min_len is None and max_len is None:
+        eff_cuts = raw_cuts
+    else:
+        m = int(min_len or 0)
+        # no max bound -> nothing is ever forced; model as "farther than
+        # any doc" (int-safe because positions are 32-bit string offsets)
+        M = int(max_len) if max_len is not None else (1 << 30)
+
+        def _step(acc: Column, c: Column) -> Column:
+            # forced cuts strictly before c: k = ceil((c - last)/M) - 1
+            k = F.greatest(
+                F.lit(0),
+                F.ceil((c - acc["last"]).cast("double") / M).cast("int")
+                - F.lit(1),
+            )
+            forced = F.when(
+                k > 0,
+                F.sequence(
+                    acc["last"] + F.lit(M), acc["last"] + k * F.lit(M), F.lit(M)
+                ),
+            ).otherwise(empty_i)
+            last1 = acc["last"] + k * F.lit(M)
+            elig = c >= last1 + F.lit(m)
+            return F.struct(
+                F.when(elig, c).otherwise(last1).alias("last"),
+                F.when(elig, F.concat(acc["cs"], forced, F.array(c)))
+                .otherwise(F.concat(acc["cs"], forced))
+                .alias("cs"),
+            )
+
+        folded = F.aggregate(
+            raw_cuts,
+            F.struct(
+                F.lit(0).alias("last"), empty_i.alias("cs")
+            ),
+            _step,
+        )
+        # forced cuts in the tail (between the last accepted cut and n)
+        kt = F.greatest(
+            F.lit(0),
+            F.ceil((F.col("__n") - folded["last"]).cast("double") / M).cast(
+                "int"
+            )
+            - F.lit(1),
+        )
+        tail = F.when(
+            kt > 0,
+            F.sequence(
+                folded["last"] + F.lit(M),
+                folded["last"] + kt * F.lit(M),
+                F.lit(M),
+            ),
+        ).otherwise(empty_i)
+        eff_cuts = F.concat(folded["cs"], tail)
     bounds = nonempty.join(cut_arr, id_col, "left").select(
         id_col,
         text_col,
         F.concat(
             F.array(F.lit(0)),
-            F.coalesce(F.col("__cuts"), F.array().cast("array<int>")),
+            eff_cuts,
             F.array(F.col("__n")),
         ).alias("__b"),
     )
@@ -1213,6 +1283,7 @@ def cdc_chunk_stats(
     )
     chunks = bounds.select(id_col, text_col, pair.alias("__p")).select(
         id_col,
+        F.col("__p.s").cast("long").alias("__cstart"),
         (F.col("__p.e") - F.col("__p.s")).cast("long").alias("__clen"),
         F.md5(
             F.col(text_col).substr(
@@ -1220,6 +1291,8 @@ def cdc_chunk_stats(
             )
         ).alias("__chash"),
     )
+    if _return_chunks:
+        return chunks
     occ = chunks.groupBy("__chash").agg(F.count(F.lit(1)).alias("__occ"))
     per_doc = (
         chunks.join(occ, "__chash")

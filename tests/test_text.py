@@ -388,6 +388,84 @@ class TestCdcChunkStats:
         bad = joined.where(~F.col("ok") & ~F.col("empty")).count()
         assert bad == 0
 
+    def test_bounded_matches_sequential_reference(self, spark):
+        """min_len/max_len bounds (r8): the array-fold derivation over the
+        content-cut list must equal an INDEPENDENT sequential FastCDC-style
+        scan (walk the text, skip ineligible positions, force a cut every
+        max_len chars) — the theorem behind doing bounds without a
+        sequential pass. Random texts, aggressive divisor so all code
+        paths (skipped cuts, forced runs, tail forcing) are exercised."""
+        import hashlib
+
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.text import cdc_chunk_stats
+
+        window, divisor, m, M = 3, 4, 4, 17
+
+        def is_content_cut(text, i):  # cut after 1-indexed char i
+            if i < window or i >= len(text):
+                return False
+            w = text[i - window : i]
+            h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+            return h % divisor == 0
+
+        def ref_cuts(text):
+            n, last, cuts = len(text), 0, []
+            pos = 1
+            while pos < n:
+                if pos - last >= M:
+                    cuts.append(last + M)
+                    last = last + M
+                    pos = last + 1
+                    continue
+                if pos - last >= m and is_content_cut(text, pos):
+                    cuts.append(pos)
+                    last = pos
+                pos += 1
+            return cuts
+
+        rng = np.random.RandomState(7)
+        alpha = "abc d"
+        rows = [
+            (i, "".join(alpha[j] for j in rng.randint(0, len(alpha), ln)))
+            for i, ln in enumerate([0, 1, 3, 16, 17, 18, 40, 200, 1000])
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        chunks = cdc_chunk_stats(
+            df, window=window, divisor=divisor,
+            min_len=m, max_len=M, _return_chunks=True,
+        )
+        got = {}
+        for r in chunks.collect():
+            got.setdefault(r["doc_id"], []).append((r["__cstart"], r["__clen"]))
+        for doc_id, text in rows:
+            n = len(text)
+            exp_bounds = [0] + ref_cuts(text) + [n]
+            exp = [
+                (s, e - s) for s, e in zip(exp_bounds, exp_bounds[1:])
+            ] if n else []
+            assert sorted(got.get(doc_id, [])) == exp, (doc_id, text)
+        # invariants: no chunk exceeds max_len; only the LAST chunk of a
+        # doc may undershoot min_len
+        for doc_id, text in rows:
+            cl = sorted(got.get(doc_id, []))
+            assert all(length <= M for _, length in cl)
+            assert all(length >= m for _, length in cl[:-1])
+
+    def test_bounds_default_off_identical(self, spark):
+        """min_len=None/max_len=None must be byte-identical to the r7
+        unbounded operator (the q_cdc_dedup oracle contract)."""
+        from aeon_sleap_processing_spark.operators.text import cdc_chunk_stats
+        from aeon_sleap_processing_spark.sources import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001").limit(50)
+        a = cdc_chunk_stats(docs).orderBy("doc_id").collect()
+        b = cdc_chunk_stats(docs, min_len=None, max_len=None).orderBy(
+            "doc_id"
+        ).collect()
+        assert a == b
+
 
 class TestBpeTrain:
     def test_matches_reference_implementation(self, spark):
