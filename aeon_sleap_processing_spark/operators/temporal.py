@@ -441,16 +441,18 @@ def chunked_sessionize(
         session_col, F.col("__offset") + F.col("__lsid")
     )
     if min_size is not None and min_size >= 8:
-        # per-session counts via map-side-combinable aggregation + broadcast
-        # semi-join of the PASSING session ids. A per-session WINDOW would
-        # route every row of a session to one task — a single giant merged
-        # session (e.g. an always-on condition) serializes the whole stream
-        # (measured 2.1x pipeline slowdown at 4.3M frames). The passing set
-        # is bounded by rows/min_size, so it broadcasts safely for any
-        # meaningful min_size.
+        # per-session counts via map-side-combinable aggregation + semi-join
+        # of the PASSING session ids. A per-session WINDOW would route every
+        # row of a session to one task — a single giant merged session (e.g.
+        # an always-on condition) serializes the whole stream (measured 2.1x
+        # pipeline slowdown at 4.3M frames). The passing set is rows/min_size
+        # — usually small, but UNBOUNDED in absolute terms (a multi-billion-
+        # row stream at min_size=8 exceeds the broadcast/driver limits), so
+        # no forced broadcast hint: AQE picks broadcast when the built set is
+        # actually small and falls back to a shuffle join when it isn't.
         counts = out.groupBy(session_col).agg(F.count(F.lit(1)).alias("__sess_n"))
         keep = counts.where(F.col("__sess_n") > min_size).select(session_col)
-        out = out.join(F.broadcast(keep), session_col, "semi")
+        out = out.join(keep, session_col, "semi")
     elif min_size is not None:
         # tiny min_size: the passing set can approach one row per session —
         # unbounded — so stay with the windowed count
