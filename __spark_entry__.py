@@ -1856,9 +1856,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cut, never driver-checked) and the new q_video_frame_stats
     # (end-to-end real-pixel AVI/PNG codec path), and rotates OUT
     # q_text_stats + q_token_count (driver-green twice, r5 + r6).
+    # Round 8 rotates IN the three new queries (q_fuzzy_pairs_short,
+    # q_bpe_merges_batched, q_cdc_bounded) and rotates OUT
+    # q_resample_asof/q_asof_forward/q_gap_fill (driver-green r5 AND r7,
+    # untouched by r8 code changes); every query whose plan r8 touched
+    # (fuzzy_pairs legs, the grid-pivot/condition-frame expr-string
+    # conversion -> q_tube_*, q_fight_sessions*, q_combine_ticks; the
+    # chunked_sessionize broadcast change -> q_sessionize_unkeyed,
+    # q_fight_sessions_chunked) sits inside the window.
     # Rotated-out queries keep their driver-green history and remain
     # covered by the committed full-suite local artifact
-    # (CORRECTNESS_LOCAL_r07.json) and tools/check_correctness.py.
+    # (CORRECTNESS_LOCAL_r08.json) and tools/check_correctness.py.
     return {
         # --- round-5 tail: never driver-checked before round 6 -----------
         "q_repetition_stats": _q_repetition_stats,
@@ -1879,10 +1887,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_interpolate": ep.q_interpolate,
         "q_decontaminate": _q_decontaminate,
         "q_semantic_dedup": _q_semantic_dedup,
-        # --- temporal/window (r5-green; q_resample_asof touched in r6) ---
-        "q_resample_asof": ep.q_resample_asof,
-        "q_asof_forward": ep.q_asof_forward,
-        "q_gap_fill": ep.q_gap_fill,
         # --- rotated in round 7 ------------------------------------------
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
@@ -1920,6 +1924,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- temporal/window (driver-green r5 AND r7, untouched in r8;
+        #     rotated out to make room for the three r8 additions) --------
+        "q_resample_asof": ep.q_resample_asof,
+        "q_asof_forward": ep.q_asof_forward,
+        "q_gap_fill": ep.q_gap_fill,
         # --- temporal/window tail (driver-green r5; rotated-out queries
         #     carry multi-round green history) ----------------------------
         "q_text_stats": _q_text_stats,

@@ -460,11 +460,25 @@ def _fight_condition_frames(
     fr = grid.frames
     cent = sk["centroid"]
 
+    # Expression construction here goes through SQL strings (ONE F.expr =
+    # one py4j round-trip) instead of Column algebra (~6 round-trips per
+    # node): this subtree is ~700 expression nodes and the Column form
+    # measured ~1.8 s of driver-side py4j chatter per build at any data
+    # size. The parsed trees are the same Catalyst nodes either way.
+    def dist_sql(a: tuple[int, str], b: tuple[int, str]) -> str:
+        (ma, pa), (mb, pb) = a, b
+        return (
+            f"hypot({mcol(ma, pa, 'x')} - {mcol(mb, pb, 'x')}, "
+            f"{mcol(ma, pa, 'y')} - {mcol(mb, pb, 'y')})"
+        )
+
     # centroid distance, forward-filled over the dense frame order (`:564-565`)
     # — chunked over the frame axis so the fill never plans a whole-period
     # single-partition window (operators/temporal.py chunked_ffill)
-    cdist = pair_distance(fr, (0, cent), (1, cent))
-    fr = fr.select("*", cdist.alias("cdist"), cdist.alias("cdist_ffill"))
+    cdist = dist_sql((0, cent), (1, cent))
+    fr = fr.selectExpr(
+        "*", f"{cdist} AS cdist", f"{cdist} AS cdist_ffill"
+    )
     if fc is None:
         wff = W.orderBy("frame_id").rowsBetween(W.unboundedPreceding, 0)
         fr = fr.withColumn("cdist_ffill", F.last("cdist_ffill", ignorenulls=True).over(wff))
@@ -473,35 +487,44 @@ def _fight_condition_frames(
 
     # skeleton plausibility (`:570-577`): nose-head distance per mouse and the
     # nanmean of the last four internode (spine chain) distances
-    def interspinal(m: int):
+    def interspinal(m: int) -> str:
         pairs = [
             (sk["head"], sk["upper_spine"]),
             (sk["upper_spine"], sk["centroid"]),
             (sk["centroid"], sk["lower_spine"]),
             (sk["lower_spine"], sk["tail_base"]),
         ]
-        ds = [pair_distance(fr, (m, a), (m, b)) for a, b in pairs]
-        arr = F.array(*ds)
-        nn = F.filter(arr, lambda v: v.isNotNull())
-        return F.when(
-            F.size(nn) > 0,
-            F.aggregate(nn, F.lit(0.0), lambda acc, x: acc + x) / F.size(nn),
+        ds = ", ".join(dist_sql((m, a), (m, b)) for a, b in pairs)
+        nn = f"filter(array({ds}), v -> v IS NOT NULL)"
+        return (
+            f"CASE WHEN size({nn}) > 0 THEN "
+            f"aggregate({nn}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / size({nn}) END"
         )
 
-    nh0 = pair_distance(fr, (0, sk["nose"]), (0, sk["head"]))
-    nh1 = pair_distance(fr, (1, sk["nose"]), (1, sk["head"]))
-    cond2 = (
-        F.coalesce(nh0 > p["max_nose_head_distance"], F.lit(False))
-        | F.coalesce(nh1 > p["max_nose_head_distance"], F.lit(False))
-        | F.coalesce(interspinal(0) > p["max_interspinal_distance"], F.lit(False))
-        | F.coalesce(interspinal(1) > p["max_interspinal_distance"], F.lit(False))
+    nh0 = dist_sql((0, sk["nose"]), (0, sk["head"]))
+    nh1 = dist_sql((1, sk["nose"]), (1, sk["head"]))
+    # CAST(... AS DOUBLE) keeps literal types identical to F.lit(float)
+    # (a bare SQL numeric literal parses as DECIMAL)
+    nh_t = f"CAST({p['max_nose_head_distance']!r} AS DOUBLE)"
+    is_t = f"CAST({p['max_interspinal_distance']!r} AS DOUBLE)"
+    cond2 = F.expr(
+        f"coalesce({nh0} > {nh_t}, false)"
+        f" OR coalesce({nh1} > {nh_t}, false)"
+        f" OR coalesce(({interspinal(0)}) > {is_t}, false)"
+        f" OR coalesce(({interspinal(1)}) > {is_t}, false)"
     )
-    cond1 = F.coalesce(F.col("cdist_ffill") < p["max_distance"], F.lit(False))
-    empty_frame = F.lit(True)
-    for m in (0, 1):
-        for part in parts:
-            for coord in ("x", "y"):
-                empty_frame = empty_frame & F.col(mcol(m, part, coord)).isNull()
+    cond1 = F.expr(
+        f"coalesce(cdist_ffill < CAST({p['max_distance']!r} AS DOUBLE), false)"
+    )
+    empty_frame = F.expr(
+        " AND ".join(
+            f"{mcol(m, part, coord)} IS NULL"
+            for m in (0, 1)
+            for part in parts
+            for coord in ("x", "y")
+        )
+    )
 
     # blob speed condition joined by row-position frame id (`:596-607`);
     # the blob stream covers the same period as the grid, so the frame chunk

@@ -135,14 +135,21 @@ def build_frame_grid(
         )
     )
 
+    # one F.expr per aggregate (SQL string) instead of Column algebra:
+    # the 4*|parts| max_by's were the single largest py4j hot spot of the
+    # detection pipelines (~1000 driver round-trips per build; CASE WHEN
+    # parses to the same Catalyst nodes). Null-key rows are ignored by
+    # max_by, exactly like the F.when form.
     aggs: list[Column] = [F.min("time").alias("frame_ts")]
     for m in (0, 1):
         for p in parts:
-            cond = (F.col("code") == m) & (F.col("part") == p)
-            key = F.when(cond, F.col("time"))  # null key rows are ignored by max_by
+            cond = f"code = {m} AND part = '{p}'"
             for coord in ("x", "y"):
                 aggs.append(
-                    F.max_by(F.when(cond, F.col(coord)), key).alias(mcol(m, p, coord))
+                    F.expr(
+                        f"max_by(CASE WHEN {cond} THEN {coord} END, "
+                        f"CASE WHEN {cond} THEN time END)"
+                    ).alias(mcol(m, p, coord))
                 )
     wide = norm.groupBy("frame_id").agg(*aggs)
 

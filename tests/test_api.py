@@ -89,9 +89,11 @@ class TestDriverContract:
         # q_tube_events, whose greedy kernel is oracled as a recursive CTE
         missing = [n for n in window if n not in oracles]
         assert missing == []
-        # round-6 rotation: the previously-unchecked round-5 tail and the
-        # new recall audit are inside the window; queries whose plans
-        # changed this round stay in for driver re-verification
+        # rotation invariant: every query whose plan the current round
+        # touched must sit inside the driver's 50-query window (r8: the
+        # three new queries, the fuzzy_pairs legs, the expr-string
+        # conversion's tube/fight/combine consumers, and the
+        # chunked_sessionize broadcast change's consumers)
         for name in [
             "q_repetition_stats",
             "q_weighted_sample",
@@ -100,7 +102,13 @@ class TestDriverContract:
             "q_tube_events",
             "q_tube_candidates",
             "q_fight_sessions",
+            "q_fight_sessions_chunked",
             "q_minhash_est_vs_exact",
+            "q_fuzzy_pairs",
+            "q_fuzzy_pairs_short",
+            "q_bpe_merges_batched",
+            "q_cdc_bounded",
+            "q_sessionize_unkeyed",
         ]:
             assert name in window, name
         assert "q1_pricing_summary" not in window
