@@ -209,6 +209,7 @@ def stream_append_compacted(
     checkpoint_dir: str,
     compact_every: int = 4,
     target_bytes: int = 128 * 1024 * 1024,
+    max_segments: int = 8,
     trigger: dict | None = None,
 ) -> StreamingQuery:
     """Parquet append sink with BUILT-IN small-file compaction — the watch
@@ -231,9 +232,17 @@ def stream_append_compacted(
       ingest dirs — so a crash anywhere in the fold is safe (the rewrite
       itself is mode=overwrite).
 
-    File count is O(batches/compact_every) + at most ``compact_every``
-    ingest dirs, instead of O(batches). Segments can be re-compacted
-    offline with ``sinks.compact_parquet`` on the ``compacted`` tier.
+    File count stays BOUNDED, not merely slowed: the ingest tier holds at
+    most ``compact_every`` batch dirs, and when the compacted tier
+    reaches ``max_segments`` segments the fold absorbs the existing
+    segments too (they are all strictly-earlier, committed data — the
+    same exactly-once argument applies), collapsing the tier back to one
+    segment. Steady state ≈ ``max_segments`` segment dirs of
+    ~``target_bytes`` files + ``compact_every`` ingest dirs, for any
+    stream length. Readers during a fold can transiently see a folded
+    row in both the new segment and a not-yet-deleted source (no
+    snapshot isolation without a manifest table format — documented
+    tradeoff; folds are idempotent so the store always converges).
     Read the store with :func:`read_compacted_store` (the two tiers have
     different partition dir names, so a naive root read would trip
     partition inference). All directory ops go through the Hadoop
@@ -261,10 +270,34 @@ def stream_append_compacted(
         ]
         if not older:
             return
-        if not fs.exists(seg):
-            src = [str(p.toUri()) for p in older]
+        # second-level fold: every max_segments-th fold absorbs ALL
+        # existing segments (each folded from strictly-earlier batches),
+        # so segment count is bounded for any stream length. The absorb
+        # decision is a PURE FUNCTION of batch_id — a replayed fold makes
+        # the identical decision, so a crash between the segment write
+        # and the source deletes re-deletes exactly the same sources
+        # (a runtime-count-based decision would diverge on replay and
+        # strand absorbed rows in both places).
+        absorb_round = (batch_id // compact_every) % max_segments == 0
+        absorb = []
+        comp_root = Path(compacted)
+        if absorb_round and fs.exists(comp_root):
+            absorb = [
+                st.getPath()
+                for st in fs.listStatus(comp_root)
+                if st.isDirectory()
+                and st.getPath().getName().startswith("seg=")
+                and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+            ]
+        sources = older + absorb
+        # completion guard: the parquet commit's _SUCCESS marker, not dir
+        # existence — a crash mid-write leaves a partial seg dir, which a
+        # replay must overwrite (sources are still intact: deletes only
+        # happen after a complete write)
+        if not fs.exists(Path(str(seg) + "/_SUCCESS")):
+            src = [str(p.toUri()) for p in sources]
             files = []
-            for p in older:
+            for p in sources:
                 files += _list_data_files(fs, p)
             n_out = max(
                 1, math.ceil(sum(st.getLen() for st in files) / target_bytes)
@@ -275,7 +308,7 @@ def stream_append_compacted(
                 .write.mode("overwrite")
                 .parquet(str(seg.toUri()))
             )
-        for p in older:  # replay-safe: re-deleting already-gone dirs is a no-op
+        for p in sources:  # replay-safe: re-deleting already-gone dirs is a no-op
             fs.delete(p, True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
@@ -492,11 +525,23 @@ def stream_enrich(
     return stream.join(F.broadcast(dim), on, how)
 
 
-def stream_check_constraints(stream: DataFrame, rules: list[dict], out_path: str):
+def stream_check_constraints(
+    stream: DataFrame,
+    rules: list[dict],
+    out_path: str,
+    fast_unique: bool = False,
+):
     """Ingest-time data-quality monitoring: evaluate a declarative
     constraint suite (operators/validation.py:check_constraints — one
     aggregation, N rules, no UDF) on EVERY micro-batch and append
     ``(batch_id, rule, metric, passed)`` rows to a parquet audit sink.
+
+    ``fast_unique=True`` switches ``unique`` rules to the
+    ``check_constraints_fast`` path (approx_count_distinct in the same
+    single scan, exact confirmation only on a suspected violation) — the
+    right default for monitoring CADENCES on wide streams, where the
+    happy path then never pays an exact count-distinct per micro-batch;
+    the documented 3*rsd tolerance applies (validation.py).
 
     Returns the configured ``DataStreamWriter`` (caller adds checkpoint/
     trigger and ``.start()``). ``batch_id`` comes from foreachBatch, so a
@@ -505,11 +550,13 @@ def stream_check_constraints(stream: DataFrame, rules: list[dict], out_path: str
     This is the streaming face of the same suite the batch gate runs: the
     reference's pre-flight asserts (2-identity check) become continuous
     monitors at ingest."""
-    from ..operators.validation import check_constraints
+    from ..operators.validation import check_constraints, check_constraints_fast
+
+    check = check_constraints_fast if fast_unique else check_constraints
 
     def _run(batch_df: DataFrame, batch_id: int) -> None:
         (
-            check_constraints(batch_df, rules)
+            check(batch_df, rules)
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")
             .parquet(out_path)

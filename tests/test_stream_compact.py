@@ -19,14 +19,15 @@ def _data_files(root):
 
 
 class TestStreamAppendCompacted:
-    def _run(self, spark, src, out, ckpt):
+    def _run(self, spark, src, out, ckpt, max_segments=8):
         stream = (
             spark.readStream.schema("id long")
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
         )
         q = stream_append_compacted(
-            stream, out, ckpt, compact_every=3, target_bytes=64 * 1024 * 1024
+            stream, out, ckpt, compact_every=3,
+            target_bytes=64 * 1024 * 1024, max_segments=max_segments,
         )
         q.awaitTermination(120)
 
@@ -63,6 +64,23 @@ class TestStreamAppendCompacted:
         assert seg_dirs, "compaction never ran"
         assert len(ingest_dirs) <= 3  # compact_every
         assert len(_data_files(out)) < 12  # << one file per batch
+
+    def test_segment_tier_bounded_by_absorb_rounds(self, spark, tmp_path):
+        """max_segments=2: every 2nd fold absorbs all existing segments,
+        so the compacted tier stays bounded for any stream length and
+        rows remain exactly-once through the second-level fold."""
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in range(11):  # batches 0..10 -> folds at 3, 6 (absorb), 9
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        self._run(spark, src, out, ckpt, max_segments=2)
+        got = sorted(r.id for r in read_compacted_store(spark, out).collect())
+        assert got == list(range(110))
+        seg_dirs = glob.glob(os.path.join(out, "compacted", "seg=*"))
+        assert 0 < len(seg_dirs) <= 2, seg_dirs
 
     def test_fold_replay_is_idempotent(self, spark, tmp_path):
         """Crash-replay of the folding batch: if the segment dir already

@@ -144,3 +144,33 @@ class TestStreamConstraints:
         assert {r["passed"] for r in rows} == {True, False}
         failed = [r for r in rows if not r["passed"]][0]
         assert failed["rule"] == "val_min" and failed["metric"] == -3.0
+
+    def test_fast_unique_monitor(self, spark, tmp_path):
+        """fast_unique=True on the streaming monitor: a duplicated key in
+        one micro-batch is reported with the EXACT metric (confirmation
+        pass), unique batches pass on the approx read."""
+        from aeon_sleap_processing_spark.streaming.watch import (
+            stream_check_constraints,
+        )
+
+        src, audit = str(tmp_path / "src"), str(tmp_path / "audit")
+        spark.range(100).coalesce(1).write.mode("append").parquet(src)
+        spark.range(100).selectExpr("id % 50 AS id").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        rules = [{"name": "id_unique", "kind": "unique", "columns": ["id"]}]
+        q = (
+            stream_check_constraints(stream, rules, audit, fast_unique=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {r["batch_id"]: r for r in spark.read.parquet(audit).collect()}
+        assert rows[0]["passed"]
+        assert not rows[1]["passed"] and rows[1]["metric"] == 0.5  # exact
