@@ -752,6 +752,71 @@ def _zorder_stats_sql(bits: int = 16, buckets_log2: int = 8) -> str:
     """
 
 
+def _q_hilbert_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering audit over lineitem (l_partkey, l_suppkey)
+    — q_zorder_stats' jump-free twin (new r8): same rescale, xy2d curve
+    index via one F.aggregate fold, 256 curve segments with per-dimension
+    spans (operators/layout.py:hilbert_value). Measured against z-order
+    in README: 7 vs 11 of 256 files touched for the same box predicate."""
+    from aeon_sleap_processing_spark.operators.layout import hilbert_bucket_stats
+
+    return hilbert_bucket_stats(
+        load_table(spark, "lineitem", sf_dir), ["l_partkey", "l_suppkey"], bits=16
+    )
+
+
+def _hilbert_stats_sql(bits: int = 16, buckets_log2: int = 8) -> str:
+    """Oracle for q_hilbert_stats: identical rescale as _zorder_stats_sql,
+    then the SAME xy2d rotate-and-accumulate fold as a DuckDB list_reduce
+    over the level sequence with a flat [x, y, d] BIGINT-list accumulator
+    (the struct-accumulator limitation and the flat-list workaround are
+    documented at _cdc_bounded_sql)."""
+    top = (1 << bits) - 1
+    scaled = []
+    for c in ("l_partkey", "l_suppkey"):
+        scaled.append(
+            f"least({top}::BIGINT, greatest(0::BIGINT, CAST(floor("
+            f"coalesce(({c}::DOUBLE - lo_{c}) / (CASE WHEN hi_{c} > lo_{c} "
+            f"THEN hi_{c} - lo_{c} ELSE 1.0 END), 0.0) * {1 << bits}) AS BIGINT)))"
+        )
+    levels = [1 << (bits - 1 - i) for i in range(bits)]
+    RX = "(CASE WHEN (acc[1] & x[1]) > 0 THEN 1 ELSE 0 END)"
+    RY = "(CASE WHEN (acc[2] & x[1]) > 0 THEN 1 ELSE 0 END)"
+    ND = f"acc[3] + x[1] * x[1] * xor(3 * {RX}, {RY})"
+    MX = f"(CASE WHEN {RX} = 1 THEN x[1] - 1 - acc[1] ELSE acc[1] END)"
+    MY = f"(CASE WHEN {RX} = 1 THEN x[1] - 1 - acc[2] ELSE acc[2] END)"
+    NX = f"(CASE WHEN {RY} = 0 THEN {MY} ELSE acc[1] END)"
+    NY = f"(CASE WHEN {RY} = 0 THEN {MX} ELSE acc[2] END)"
+    shift = bits * 2 - buckets_log2
+    return f"""
+        WITH r AS (
+          SELECT min(l_partkey::DOUBLE) AS lo_l_partkey,
+                 max(l_partkey::DOUBLE) AS hi_l_partkey,
+                 min(l_suppkey::DOUBLE) AS lo_l_suppkey,
+                 max(l_suppkey::DOUBLE) AS hi_l_suppkey
+          FROM lineitem
+        ),
+        s AS (
+          SELECT l_partkey, l_suppkey,
+                 {scaled[0]} AS s0, {scaled[1]} AS s1
+          FROM lineitem CROSS JOIN r
+        ),
+        ht AS (
+          SELECT l_partkey, l_suppkey,
+                 list_reduce(
+                   list_concat([[s0, s1, CAST(0 AS BIGINT)]],
+                               list_transform({levels}, s -> [CAST(s AS BIGINT)])),
+                   (acc, x) -> [{NX}, {NY}, {ND}]
+                 )[3] AS h
+          FROM s
+        )
+        SELECT h >> {shift} AS h_bucket, count(*) AS n_rows,
+               min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+               min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+        FROM ht GROUP BY 1
+    """
+
+
 def _q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate string join over the part-name vocabulary: all distinct
     name pairs within Levenshtein distance 2 via positional-bigram count
@@ -1875,7 +1940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ngram_lm": _q_ngram_lm,
         "q_combine_ticks": _q_combine_ticks,
         "q_corpus_split": _q_corpus_split,
-        "q_quantize_embeddings": _q_quantize_embeddings,
         "q_weighted_sample": _q_weighted_sample,
         # --- round-6 additions: corpus-curation wing ---------------------
         "q_pack_sequences": _q_pack_sequences,
@@ -1899,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs": _q_fuzzy_pairs,
         "q_fuzzy_pairs_short": _q_fuzzy_pairs_short,
         "q_zorder_stats": _q_zorder_stats,
+        "q_hilbert_stats": _q_hilbert_stats,
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
@@ -1925,7 +1990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
-        #     rotated out to make room for the three r8 additions) --------
+        #     rotated out to make room for the r8 additions) --------
+        "q_quantize_embeddings": _q_quantize_embeddings,
         "q_resample_asof": ep.q_resample_asof,
         "q_asof_forward": ep.q_asof_forward,
         "q_gap_fill": ep.q_gap_fill,
@@ -2987,6 +3053,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_merges_batched": _bpe_merges_batched_sql(3, 4),
         "q_bpe_encode": _bpe_encode_sql(8),
         "q_zorder_stats": _zorder_stats_sql(16, 8),
+        "q_hilbert_stats": _hilbert_stats_sql(16, 8),
         "q_fuzzy_pairs": """
             -- same algorithm: distinct names >= 6 chars, positional
             -- bigrams, gram join with position filter |i-j| <= 2, count

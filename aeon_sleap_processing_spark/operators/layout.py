@@ -19,6 +19,8 @@ __all__ = [
     "zorder_value",
     "zorder_layout",
     "zorder_bucket_stats",
+    "hilbert_value",
+    "hilbert_layout",
     "parquet_skipping_stats",
 ]
 
@@ -78,6 +80,100 @@ def zorder_value(
     ).drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
 
 
+def hilbert_value(
+    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "__h"
+) -> Column | DataFrame:
+    """Add the 2-D HILBERT index of ``cols`` as ``out_col``. Same rescale
+    contract as :func:`zorder_value` (global min/max → [0, 2^bits),
+    nulls → 0); the curve index comes from the classic xy2d recurrence
+    (one rotate-and-accumulate step per bit level), expressed as ONE
+    ``F.aggregate`` fold over the level sequence with a (x, y, d) struct
+    accumulator — JVM-side higher-order function, no UDF, no shuffle.
+
+    Why offer it next to Z-order: Hilbert has no long curve jumps, so a
+    rectangular predicate touches fewer curve segments than the Morton
+    curve at the same file count (measured in README). 2-D only — use
+    zorder_value for 3+ dims."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_value is 2-D; use zorder_value for other dims")
+    if bits * 2 >= 63:
+        raise ValueError(f"bits={bits} x 2 dims overflows a long")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+        ]
+    ranges = df.agg(*aggs)
+    top = (1 << bits) - 1
+    scaled = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        frac = (F.col(c).cast("double") - lo) / F.when(hi > lo, hi - lo).otherwise(
+            F.lit(1.0)
+        )
+        scaled.append(
+            F.least(
+                F.lit(top).cast("long"),
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(F.coalesce(frac, F.lit(0.0)) * (1 << bits)).cast("long"),
+                ),
+            )
+        )
+
+    def step(acc: Column, s: Column) -> Column:
+        # one xy2d rotate-and-accumulate level at side length s
+        x, y, d = acc["x"], acc["y"], acc["d"]
+        rx = F.when(x.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        ry = F.when(y.bitwiseAND(s) > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        nd = d + s * s * ((F.lit(3).cast("long") * rx).bitwiseXOR(ry))
+        # rotate the quadrant: on ry==0, mirror when rx==1, then swap x/y
+        mx = F.when(rx == 1, s - 1 - x).otherwise(x)
+        my = F.when(rx == 1, s - 1 - y).otherwise(y)
+        nx = F.when(ry == 0, my).otherwise(x)
+        ny = F.when(ry == 0, mx).otherwise(y)
+        return F.struct(nx.alias("x"), ny.alias("y"), nd.alias("d"))
+
+    # the level sequence is the literal array of side lengths s =
+    # 2^(bits-1) .. 1 (descending), folded left to right
+    levels = F.array(
+        *[F.lit(1 << (bits - 1 - i)).cast("long") for i in range(bits)]
+    )
+    h = F.aggregate(
+        levels,
+        F.struct(
+            scaled[0].alias("x"),
+            scaled[1].alias("y"),
+            F.lit(0).cast("long").alias("d"),
+        ),
+        step,
+        lambda acc: acc["d"],
+    )
+    return df.crossJoin(F.broadcast(ranges)).withColumn(out_col, h).drop(
+        *[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols]
+    )
+
+
+def hilbert_layout(
+    df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None
+) -> DataFrame:
+    """Cluster ``df`` along the 2-D Hilbert curve of ``cols``:
+    range-repartition + sort on the curve index (the zorder_layout shape
+    with the jump-free curve)."""
+    h = hilbert_value(df, cols, bits)
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        h.repartitionByRange(int(parts), "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+
+
 def zorder_layout(
     df: DataFrame, cols: list[str], bits: int = 16, num_partitions: int | None = None
 ) -> DataFrame:
@@ -91,6 +187,29 @@ def zorder_layout(
         z.repartitionByRange(int(parts), "__z")
         .sortWithinPartitions("__z")
         .drop("__z")
+    )
+
+
+def hilbert_bucket_stats(
+    df: DataFrame, cols: list[str], bits: int = 16, buckets_log2: int = 8
+) -> DataFrame:
+    """Locality audit for the Hilbert layout — zorder_bucket_stats' twin:
+    bucket the curve index into ``2^buckets_log2`` segments and report
+    each segment's row count and per-column min/max spans."""
+    h = hilbert_value(df, cols, bits)
+    shift = bits * 2 - buckets_log2
+    return h.groupBy(
+        F.shiftright("__h", shift).alias("h_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+            )
+        ],
     )
 
 
