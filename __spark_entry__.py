@@ -146,6 +146,52 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, "documents", sf_dir))
 
 
+def _q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe corpus split (graph.py:cluster_aware_split,
+    new r8): split membership hashes the near-duplicate CLUSTER id (from
+    the full MinHash→LSH→connected-components pipeline), so transitively
+    linked near-dups always land on the same side — the contamination
+    guard a per-doc hash split (q_corpus_split) cannot give."""
+    from aeon_sleap_processing_spark.operators.graph import cluster_aware_split
+
+    return cluster_aware_split(load_table(spark, "documents", sf_dir))
+
+
+def _cluster_split_sql() -> str:
+    """Oracle: the q_dedup_clusters clustering (same MinHash/LSH pairs,
+    recursive reachability) + the same md5 bucket of the cluster id."""
+    return f"""
+        WITH RECURSIVE {_minhash_sig_cte(8, 3)},
+        bands AS (
+          SELECT doc_id, 0 AS band, md5(mh0::VARCHAR || '_' || mh1::VARCHAR) AS bh FROM sig
+          UNION ALL SELECT doc_id, 1, md5(mh2::VARCHAR || '_' || mh3::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 2, md5(mh4::VARCHAR || '_' || mh5::VARCHAR) FROM sig
+          UNION ALL SELECT doc_id, 3, md5(mh6::VARCHAR || '_' || mh7::VARCHAR) FROM sig
+        ),
+        pairs AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        ),
+        edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        reach(node, comp) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.v, r.comp FROM reach r JOIN edges e ON e.u = r.node
+        ),
+        cl AS (
+          SELECT node AS doc_id, min(comp) AS cluster FROM reach GROUP BY node
+        )
+        SELECT doc_id, cluster,
+               CASE WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 8))::UBIGINT
+                         % 10 < 8 THEN 'train'
+                    WHEN ('0x' || substr(md5(cluster::VARCHAR), 1, 8))::UBIGINT
+                         % 10 < 9 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM cl
+    """
+
+
 def _q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from aeon_sleap_processing_spark.operators.graph import curate_corpus
 
@@ -1943,7 +1989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": _q_weighted_sample,
         # --- round-6 additions: corpus-curation wing ---------------------
         "q_pack_sequences": _q_pack_sequences,
-        "q_pack_bins": _q_pack_bins,
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_pii_scan": _q_pii_scan,
         "q_domain_mixture": _q_domain_mixture,
@@ -1967,6 +2012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,
         "q_simhash_pairs": _q_simhash_pairs,
         "q_dedup_clusters": _q_dedup_clusters,
+        "q_cluster_split": _q_cluster_split,
         "q_curate_corpus": _q_curate_corpus,
         "q_char_ngram_profile": _q_char_ngram_profile,
         "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
@@ -1992,6 +2038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
         #     rotated out to make room for the r8 additions) --------
         "q_quantize_embeddings": _q_quantize_embeddings,
+        "q_pack_bins": _q_pack_bins,
         "q_resample_asof": ep.q_resample_asof,
         "q_asof_forward": ep.q_asof_forward,
         "q_gap_fill": ep.q_gap_fill,
@@ -2786,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         """,
         "q_dedup_clusters": _dedup_clusters_sql(),
+        "q_cluster_split": _cluster_split_sql(),
         "q_curate_corpus": _curate_corpus_sql(),
         "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_ivf": _knn_ivf_sql(),

@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "dedup_clusters", "curate_corpus"]
+__all__ = [
+    "connected_components",
+    "dedup_clusters",
+    "cluster_aware_split",
+    "curate_corpus",
+]
 
 
 def _cc_union_find(spark, edge_rows, id_type) -> DataFrame:
@@ -211,6 +216,45 @@ def dedup_clusters(
     )
     out = out.withColumn("cluster", F.coalesce("component", F.col(id_col))).drop("component")
     return out.withColumn("is_representative", F.col(id_col) == F.col("cluster"))
+
+
+def cluster_aware_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    n_buckets: int = 10,
+    num_perm: int = 8,
+    band_size: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split (r8): assign each doc to
+    a split by hashing its near-duplicate CLUSTER id, not its own id — so
+    transitively-linked near-duplicates always land on the SAME side, and
+    a test document can never be a near-copy of a training document.
+
+    This closes the gap ``corpus_split`` leaves open (a pure per-doc hash
+    split puts ~(1 - 1/n_buckets) of every near-dup pair across the
+    boundary — the classic eval-contamination bug; Lee et al. 2022's
+    "Deduplicating Training Data Makes Language Models Better" measures
+    exactly this leakage class). Composition: ``dedup_clusters`` (MinHash
+    → banded LSH → connected components, all bucket/shuffle-parallel) →
+    md5 bucket of the cluster id → split label. Membership is a pure
+    function of corpus content, stable across runs, engines, and
+    partitionings.
+
+    Returns (doc_id, cluster, split) — one row per document."""
+    from .text import md5_long
+
+    cl = dedup_clusters(docs, text_col, id_col, num_perm, band_size, shingle_k)
+    bucket = md5_long(F.col("cluster").cast("string")) % n_buckets
+    split = (
+        F.when(bucket < train_buckets, F.lit("train"))
+        .when(bucket < train_buckets + val_buckets, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return cl.select(F.col(id_col), "cluster", split.alias("split"))
 
 
 def curate_corpus(

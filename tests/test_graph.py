@@ -117,3 +117,31 @@ class TestDedupClusters:
         assert out.loc[3].cluster == 3 and bool(out.loc[3].is_representative)
         # doc 4 shares most shingles with 1/2 → lands in their cluster
         assert out.loc[4].cluster == 1
+
+
+class TestClusterAwareSplit:
+    def test_near_dups_never_straddle_the_split(self, spark):
+        """The leakage guard: every member of a near-dup cluster gets the
+        SAME split label (a per-doc hash split would scatter them), the
+        assignment is deterministic across invocations, and every doc is
+        assigned exactly once."""
+        from aeon_sleap_processing_spark.operators.graph import (
+            cluster_aware_split,
+        )
+        from aeon_sleap_processing_spark.sources import load_table
+
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        # plant extra near-dups so multi-member clusters certainly exist
+        planted = docs.limit(10).selectExpr("doc_id + 100000 AS doc_id", "text")
+        corpus = docs.select("doc_id", "text").unionByName(planted)
+        out = cluster_aware_split(corpus).toPandas()
+        assert len(out) == corpus.count()
+        per_cluster = out.groupby("cluster")["split"].nunique()
+        assert (per_cluster == 1).all()  # no cluster straddles splits
+        multi = out.groupby("cluster").size()
+        assert (multi > 1).any()  # the planted dups actually clustered
+        # deterministic: a second run assigns identically
+        again = cluster_aware_split(corpus).toPandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = again.sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
