@@ -33,6 +33,7 @@ __all__ = [
     "read_jdbc",
     "write_bucketed",
     "compact_parquet",
+    "optimize_parquet",
     "retention_sweep",
 ]
 
@@ -366,6 +367,7 @@ def compact_parquet(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 4,
+    _plan_fn=None,
 ) -> dict:
     """Small-file compaction — the perpetual housekeeping op of a streaming
     chunk store (each micro-batch/chunk append leaves small files; scan
@@ -442,12 +444,12 @@ def compact_parquet(
         n_out = max(1, math.ceil(leaf_bytes / target_bytes))
         leaf_uri = str(leaf.toUri())
         tmp = Path(str(leaf) + "__compacting")
-        (
-            spark.read.parquet(leaf_uri)
-            .repartition(n_out)
-            .write.mode("overwrite")
-            .parquet(str(tmp.toUri()))
+        leaf_df = spark.read.parquet(leaf_uri)
+        planned = (
+            _plan_fn(leaf_df, n_out) if _plan_fn is not None
+            else leaf_df.repartition(n_out)
         )
+        planned.write.mode("overwrite").parquet(str(tmp.toUri()))
         old = Path(str(leaf) + "__precompact")
         if not fs.rename(leaf, old):
             fs.delete(tmp, True)
@@ -463,6 +465,41 @@ def compact_parquet(
         "bytes": total,
         "compacted": compacted_any,
     }
+
+
+def optimize_parquet(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    curve: str = "hilbert",
+    bits: int = 16,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE-with-clustering for a plain-parquet store — the Delta /
+    Iceberg ``OPTIMIZE ZORDER`` operation without a table format: rewrite
+    every leaf data directory so its files are clustered along the
+    space-filling curve of ``cols`` (``curve`` = "hilbert" for 2 columns,
+    "zorder" for any), sized to ``target_bytes``. After the rewrite,
+    min/max row-group skipping prunes on ANY of ``cols`` (measured 2.4×
+    [z-order] / 3.7× [Hilbert] fewer files touched than a linear sort in
+    README).
+
+    Same machinery as :func:`compact_parquet`: Hadoop FileSystem API,
+    per-leaf stage-and-swap with entry-time crash recovery, partition
+    directories preserved. Every leaf is rewritten regardless of file
+    count (the point is the layout, not the file count)."""
+    from ..operators.layout import hilbert_layout, zorder_layout
+
+    if curve == "hilbert":
+        plan = lambda df, n: hilbert_layout(df, cols, bits, num_partitions=n)
+    elif curve == "zorder":
+        plan = lambda df, n: zorder_layout(df, cols, bits, num_partitions=n)
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
+    return compact_parquet(
+        spark, path, target_bytes=target_bytes,
+        min_files_to_compact=1, _plan_fn=plan,
+    )
 
 
 def retention_sweep(

@@ -358,6 +358,43 @@ class TestCompaction:
         assert leaf.columns == ["v"]
         assert sorted(after.toPandas().v) == sorted(before.v)
 
+    def test_optimize_parquet_clusters_and_preserves(self, spark, tmp_path):
+        """OPTIMIZE-with-clustering on a Hive-partitioned store: rows and
+        partition dirs preserved, and within each leaf the Hilbert layout
+        makes a two-column box predicate touch a fraction of the files
+        the random input layout touched."""
+        import os
+
+        from aeon_sleap_processing_spark.operators.layout import (
+            parquet_skipping_stats,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import optimize_parquet
+
+        path = str(tmp_path / "store")
+        df = spark.range(50_000).selectExpr(
+            "CAST(id % 2 AS string) AS part",
+            "id % 500 AS x",
+            "CAST((id * 48271) % 500 AS long) AS y",
+        )
+        df.repartition(32).write.partitionBy("part").parquet(path)
+        box = {"x": (200, 299), "y": (200, 299)}
+        before = sum(
+            parquet_skipping_stats(f"{path}/part={p}", box)["files_hit"]
+            for p in (0, 1)
+        )
+        res = optimize_parquet(
+            spark, path, ["x", "y"], curve="hilbert", target_bytes=64 * 1024
+        )
+        assert res["compacted"]
+        after = sum(
+            parquet_skipping_stats(f"{path}/part={p}", box)["files_hit"]
+            for p in (0, 1)
+        )
+        assert after < before / 3, (after, before)
+        dirs = sorted(d for d in os.listdir(path) if not d.startswith(("_", ".")))
+        assert dirs == ["part=0", "part=1"]
+        assert spark.read.parquet(path).count() == 50_000
+
     def test_compact_recovers_from_crash_window(self, spark, tmp_path):
         """A crash between the two swap renames leaves only __precompact
         (and possibly a complete __compacting); the next run must restore
