@@ -51,6 +51,7 @@ __all__ = [
     "cdc_chunk_stats",
     "bpe_train",
     "bpe_encode_token_counts",
+    "bpe_apply_token_counts",
     "fuzzy_pairs",
     "repetition_stats",
     "domain_stats",
@@ -1011,6 +1012,27 @@ def bpe_train(
     return spark.createDataFrame(merges, schema)
 
 
+def _word_reps(docs: DataFrame, text_col: str) -> DataFrame:
+    """(__w, __cnt, __rep): unique corpus words with counts and the
+    double-space symbol representation (the shared substrate of BPE
+    training and application — see bpe_train for the representation
+    contract)."""
+    words = (
+        docs.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
+        .where(F.length("__w") >= 1)
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    rep = F.concat(
+        F.lit("  "),
+        F.array_join(
+            F.concat(F.split(F.col("__w"), ""), F.array(F.lit("</w>"))), "  "
+        ),
+        F.lit("  "),
+    )
+    return words.select("__w", "__cnt", rep.alias("__rep"))
+
+
 def _bpe_learn(
     docs: DataFrame, num_merges: int, text_col: str, batch_size: int = 1
 ) -> tuple[DataFrame, list[tuple]]:
@@ -1032,20 +1054,7 @@ def _bpe_learn(
     different (documented) schedule than sequential greedy — a pair
     containing a symbol created earlier in the same round can only be
     picked next round."""
-    words = (
-        docs.select(F.explode(tokenize(F.col(text_col))).alias("__w"))
-        .where(F.length("__w") >= 1)
-        .groupBy("__w")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-    )
-    rep = F.concat(
-        F.lit("  "),
-        F.array_join(
-            F.concat(F.split(F.col("__w"), ""), F.array(F.lit("</w>"))), "  "
-        ),
-        F.lit("  "),
-    )
-    wc = words.select("__w", "__cnt", rep.alias("__rep")).localCheckpoint(eager=True)
+    wc = _word_reps(docs, text_col).localCheckpoint(eager=True)
 
     merges: list[tuple] = []
     while len(merges) < num_merges:
@@ -1114,6 +1123,15 @@ def bpe_encode_token_counts(
     is never rewritten. Returns (doc_id, n_words, n_tokens,
     chars_per_token); empty documents report 0/0/NULL."""
     wc, _ = _bpe_learn(docs, num_merges, text_col, batch_size)
+    return _token_accounting(docs, wc, text_col, id_col)
+
+
+def _token_accounting(
+    docs: DataFrame, wc: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Join tokens-per-unique-word (from a merged rep table) back onto the
+    corpus word stream — the shared accounting tail of bpe_encode (learned
+    merges) and bpe_apply (external merges)."""
     tok_per_word = wc.select(
         "__w",
         F.size(F.split(F.trim(F.col("__rep")), "  ")).cast("long").alias("__tok"),
@@ -1141,6 +1159,35 @@ def bpe_encode_token_counts(
             ),
         )
     )
+
+
+def bpe_apply_token_counts(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply an EXTERNAL, already-learned merge list to a corpus — the
+    tokenizer-REUSE half of the BPE story (bpe_train learns once on a
+    reference corpus; every downstream corpus is measured under that
+    fixed vocabulary, never retrained). Returns the same accounting as
+    ``bpe_encode_token_counts``: (doc_id, n_words, n_tokens,
+    chars_per_token).
+
+    Because the merge sequence is KNOWN up front, the whole application
+    is ONE pass over the vocabulary-sized rep table: all k replaces
+    chain into a single codegen expression — no per-merge driver
+    round-trips, no checkpoints, no pair counting. Practical k for the
+    expression-chain form is hundreds-to-low-thousands (Catalyst tree
+    depth); tokenizer-scale application (30k merges) would move the same
+    rank-ordered merge loop into an Arrow-batched pandas UDF over the
+    unique-word table — same join-back, different kernel."""
+    wc = _word_reps(docs, text_col)
+    rep = F.col("__rep")
+    for a, b in merges:
+        rep = F.replace(rep, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
+    wc = wc.select("__w", "__cnt", rep.alias("__rep"))
+    return _token_accounting(docs, wc, text_col, id_col)
 
 
 def cdc_chunk_stats(

@@ -682,3 +682,50 @@ class TestFuzzyPairs:
         assert all(
             "zzzzzz" not in p and "qq" not in p for p in got
         ), got
+
+
+# ---------------------------------------------------------------------------
+# property test: fuzzy_pairs (both legs) vs brute-force Levenshtein
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_vocab = st.lists(
+    st.text(alphabet="ab", min_size=1, max_size=9),
+    min_size=2,
+    max_size=25,
+    unique=True,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vocab=_vocab, d=st.integers(min_value=1, max_value=2))
+def test_fuzzy_pairs_matches_bruteforce_any_vocab(spark_global, vocab, d):
+    """Random tiny-alphabet vocabularies (dense edit-distance neighborhoods,
+    lengths straddling the (d+1)*q gram floor): the gram leg + short-string
+    leg together must equal an all-pairs Levenshtein scan exactly — no
+    false negatives from the count filter, no misses in the short stratum,
+    no duplicates from the leg union."""
+    from aeon_sleap_processing_spark.operators.text import fuzzy_pairs
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    brute = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(sorted(vocab))
+        for b in sorted(vocab)[i + 1 :]
+        if lev(a, b) <= d
+    }
+    df = spark_global.createDataFrame([(v,) for v in vocab], "v string")
+    rows = fuzzy_pairs(df, "v", max_dist=d, q=2).collect()
+    got = [(r.name_a, r.name_b, r.dist) for r in rows]
+    assert len(got) == len(set(got))  # no duplicate pairs across legs
+    assert set(got) == brute
