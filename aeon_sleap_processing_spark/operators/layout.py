@@ -239,7 +239,19 @@ def parquet_skipping_stats(path: str, box: dict[str, tuple]) -> dict:
         "rows": 0,
         "rows_in_hit_groups": 0,
     }
-    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+    # recurse: optimize_parquet produces Hive-partitioned leaves, so a
+    # top-level-only glob at the store root would silently report
+    # all-zero counts (reading as "everything skipped"). Mirror
+    # _list_data_files and audit every leaf; raise if nothing matches.
+    files = sorted(
+        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    if not files:
+        raise FileNotFoundError(
+            f"parquet_skipping_stats: no *.parquet files under {path!r} "
+            "(pass the store root; partitioned leaves are recursed)"
+        )
+    for f in files:
         md = pq.ParquetFile(f).metadata
         out["files"] += 1
         file_hit = False

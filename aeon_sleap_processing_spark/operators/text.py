@@ -1053,12 +1053,30 @@ def _bpe_learn(
     variant deterministic and oracle-checkable. Batched greedy is a
     different (documented) schedule than sequential greedy — a pair
     containing a symbol created earlier in the same round can only be
-    picked next round."""
+    picked next round.
+
+    SCHEDULE CONTRACT (oracle parity): the loop runs a FIXED
+    ``num_merges // batch_size`` rounds, each picking up to
+    ``batch_size`` disjoint pairs — exactly the round structure the
+    DuckDB oracle unrolls. A symbol-dense pool that yields fewer than
+    ``batch_size`` disjoint picks in some round therefore produces
+    fewer than ``num_merges`` total merges (both sides agree), rather
+    than the Spark side compensating with extra rounds the oracle
+    never runs. For ``batch_size > 1``, ``num_merges`` must divide
+    evenly (asserted) — a final partial round would need a per-round
+    ``want`` cap the fixed-round oracle does not express."""
+    if batch_size > 1 and num_merges % batch_size != 0:
+        raise ValueError(
+            "batched BPE requires num_merges % batch_size == 0 "
+            f"(got {num_merges} % {batch_size}); the fixed-round "
+            "schedule has no partial final round"
+        )
     wc = _word_reps(docs, text_col).localCheckpoint(eager=True)
 
     merges: list[tuple] = []
-    while len(merges) < num_merges:
-        want = min(batch_size, num_merges - len(merges))
+    rounds = num_merges // batch_size
+    for _round in range(rounds):
+        want = batch_size
         pair = F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.size("__syms") - 2),

@@ -115,8 +115,22 @@ def check_constraints_fast(
     for i, rule in enumerate(rules):
         if rule["kind"] == "unique":
             n = F.count(F.lit(1))
+            # null-gate the key struct: the exact path's count_distinct
+            # (*cols) DROPS any-null tuples, while a bare struct() is
+            # never null and would be counted — for a null-heavy key
+            # column the approx ratio would read ~1.0 while the exact
+            # metric is ~0, a false PASS that skips the exact
+            # confirmation. approx_count_distinct ignores nulls, so
+            # gating with when(all non-null) restores exact semantics.
+            key_nonnull = F.lit(True)
+            for c in rule["columns"]:
+                key_nonnull = key_nonnull & F.col(c).isNotNull()
             m = F.approx_count_distinct(
-                F.struct(*[F.col(c) for c in rule["columns"]]), rsd
+                F.when(
+                    key_nonnull,
+                    F.struct(*[F.col(c) for c in rule["columns"]]),
+                ),
+                rsd,
             ) / n
             p = m >= 1.0 - 3.0 * rsd
             unique_idx.append(i)

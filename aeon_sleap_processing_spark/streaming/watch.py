@@ -247,69 +247,8 @@ def stream_append_compacted(
     different partition dir names, so a naive root read would trip
     partition inference). All directory ops go through the Hadoop
     FileSystem API — local/HDFS/S3A alike."""
-    import math
-
-    from ..sources.sinks import _hadoop_fs, _list_data_files
-
     spark = stream.sparkSession
     ingest = out_path.rstrip("/") + "/ingest"
-    compacted = out_path.rstrip("/") + "/compacted"
-
-    def _fold(batch_id: int) -> None:
-        fs, Path, _ = _hadoop_fs(spark, out_path)
-        seg = Path(f"{compacted}/seg={batch_id}")
-        ingest_root = Path(ingest)
-        if not fs.exists(ingest_root):
-            return
-        older = [
-            st.getPath()
-            for st in fs.listStatus(ingest_root)
-            if st.isDirectory()
-            and st.getPath().getName().startswith("batch=")
-            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
-        ]
-        if not older:
-            return
-        # second-level fold: every max_segments-th fold absorbs ALL
-        # existing segments (each folded from strictly-earlier batches),
-        # so segment count is bounded for any stream length. The absorb
-        # decision is a PURE FUNCTION of batch_id — a replayed fold makes
-        # the identical decision, so a crash between the segment write
-        # and the source deletes re-deletes exactly the same sources
-        # (a runtime-count-based decision would diverge on replay and
-        # strand absorbed rows in both places).
-        absorb_round = (batch_id // compact_every) % max_segments == 0
-        absorb = []
-        comp_root = Path(compacted)
-        if absorb_round and fs.exists(comp_root):
-            absorb = [
-                st.getPath()
-                for st in fs.listStatus(comp_root)
-                if st.isDirectory()
-                and st.getPath().getName().startswith("seg=")
-                and int(st.getPath().getName().split("=", 1)[1]) < batch_id
-            ]
-        sources = older + absorb
-        # completion guard: the parquet commit's _SUCCESS marker, not dir
-        # existence — a crash mid-write leaves a partial seg dir, which a
-        # replay must overwrite (sources are still intact: deletes only
-        # happen after a complete write)
-        if not fs.exists(Path(str(seg) + "/_SUCCESS")):
-            src = [str(p.toUri()) for p in sources]
-            files = []
-            for p in sources:
-                files += _list_data_files(fs, p)
-            n_out = max(
-                1, math.ceil(sum(st.getLen() for st in files) / target_bytes)
-            )
-            (
-                spark.read.parquet(*src)
-                .repartition(n_out)
-                .write.mode("overwrite")
-                .parquet(str(seg.toUri()))
-            )
-        for p in sources:  # replay-safe: re-deleting already-gone dirs is a no-op
-            fs.delete(p, True)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         (
@@ -317,7 +256,10 @@ def stream_append_compacted(
             .parquet(f"{ingest}/batch={batch_id}")
         )
         if compact_every > 0 and batch_id > 0 and batch_id % compact_every == 0:
-            _fold(batch_id)
+            _fold_compacted(
+                spark, out_path, batch_id, compact_every,
+                target_bytes, max_segments,
+            )
 
     return (
         stream.writeStream.foreachBatch(_process)
@@ -325,6 +267,85 @@ def stream_append_compacted(
         .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
+
+
+def _fold_compacted(
+    spark: SparkSession,
+    out_path: str,
+    batch_id: int,
+    compact_every: int,
+    target_bytes: int,
+    max_segments: int,
+) -> None:
+    """The fold step of :func:`stream_append_compacted`, module-level so
+    crash-replay states can be driven directly in tests. Idempotent: safe
+    to re-run for the same ``batch_id`` from ANY intermediate crash point
+    (partial segment write, post-write pre-delete, partial deletes)."""
+    import math
+
+    from ..sources.sinks import _hadoop_fs, _list_data_files
+
+    ingest = out_path.rstrip("/") + "/ingest"
+    compacted = out_path.rstrip("/") + "/compacted"
+    fs, Path, _ = _hadoop_fs(spark, out_path)
+    seg = Path(f"{compacted}/seg={batch_id}")
+    ingest_root = Path(ingest)
+    older = []
+    if fs.exists(ingest_root):
+        older = [
+            st.getPath()
+            for st in fs.listStatus(ingest_root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+        ]
+    # second-level fold: every max_segments-th fold absorbs ALL
+    # existing segments (each folded from strictly-earlier batches),
+    # so segment count is bounded for any stream length. The absorb
+    # decision is a PURE FUNCTION of batch_id — a replayed fold makes
+    # the identical decision, so a crash between the segment write
+    # and the source deletes re-deletes exactly the same sources
+    # (a runtime-count-based decision would diverge on replay and
+    # strand absorbed rows in both places).
+    absorb_round = (batch_id // compact_every) % max_segments == 0
+    absorb = []
+    comp_root = Path(compacted)
+    if absorb_round and fs.exists(comp_root):
+        absorb = [
+            st.getPath()
+            for st in fs.listStatus(comp_root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("seg=")
+            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+        ]
+    # bail ONLY when both lists are empty: an early `if not older:
+    # return` would strand absorbed segments on replay (crash after
+    # the ingest-dir deletes but before the absorbed-segment deletes
+    # leaves older == [] while absorb is non-empty — the replay must
+    # still re-delete those segments, whose rows live in seg=B).
+    if not older and not absorb:
+        return
+    sources = older + absorb
+    # completion guard: the parquet commit's _SUCCESS marker, not dir
+    # existence — a crash mid-write leaves a partial seg dir, which a
+    # replay must overwrite (sources are still intact: deletes only
+    # happen after a complete write)
+    if not fs.exists(Path(str(seg) + "/_SUCCESS")):
+        src = [str(p.toUri()) for p in sources]
+        files = []
+        for p in sources:
+            files += _list_data_files(fs, p)
+        n_out = max(
+            1, math.ceil(sum(st.getLen() for st in files) / target_bytes)
+        )
+        (
+            spark.read.parquet(*src)
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(str(seg.toUri()))
+        )
+    for p in sources:  # replay-safe: re-deleting already-gone dirs is a no-op
+        fs.delete(p, True)
 
 
 def read_compacted_store(spark: SparkSession, out_path: str) -> DataFrame:

@@ -175,3 +175,31 @@ class TestZorder:
             map(tuple, spark.read.parquet(z_path).filter(pred).collect())
         )
         assert rows_lin == rows_z and len(rows_lin) > 0
+
+
+class TestSkippingStatsPartitionedRoot:
+    def test_recurses_into_partition_leaves(self, spark, tmp_path):
+        """r8 ADVICE (low): pointed at a Hive-partitioned store root (as
+        optimize_parquet produces), parquet_skipping_stats must audit
+        the leaf files rather than silently returning all-zero counts."""
+        from aeon_sleap_processing_spark.operators.layout import (
+            parquet_skipping_stats,
+        )
+
+        path = str(tmp_path / "store")
+        spark.range(100).selectExpr(
+            "id % 2 AS part", "id AS x"
+        ).write.partitionBy("part").parquet(path)
+        out = parquet_skipping_stats(path, {"x": (0, 10)})
+        assert out["files"] > 0 and out["rows"] == 100
+        assert 0 < out["rows_in_hit_groups"] < 100
+
+    def test_raises_on_empty_dir(self, tmp_path):
+        import pytest as _pytest
+
+        from aeon_sleap_processing_spark.operators.layout import (
+            parquet_skipping_stats,
+        )
+
+        with _pytest.raises(FileNotFoundError):
+            parquet_skipping_stats(str(tmp_path), {"x": (0, 1)})

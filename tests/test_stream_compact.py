@@ -100,3 +100,48 @@ class TestStreamAppendCompacted:
         self._run(spark, src, out, str(tmp_path / "ckpt2"))
         after = sorted(r.id for r in read_compacted_store(spark, out).collect())
         assert after == before == list(range(40))
+
+    def test_replay_after_partial_absorb_deletes_stranded_segments(
+        self, spark, tmp_path
+    ):
+        """r8 ADVICE (high): crash window in the absorb fold — seg=B
+        written (+_SUCCESS), older INGEST dirs deleted, crash BEFORE the
+        absorbed seg=X dirs are deleted. Batch B was not
+        checkpoint-committed, so the fold replays with older == [];
+        the replay must still re-delete the absorbed segments (their
+        rows live in seg=B) instead of early-returning and leaving the
+        store double-counting those rows forever."""
+        from aeon_sleap_processing_spark.streaming.watch import _fold_compacted
+
+        out = str(tmp_path / "store")
+        # crash state: seg=3 (first fold: rows 0..29) stranded; the
+        # absorb fold at batch 6 already wrote seg=6 = batches 3..5 +
+        # absorbed seg=3 (rows 0..59) and deleted ingest batches 3..5;
+        # ingest holds only the current batch=6 (rows 60..69)
+        spark.range(0, 30).coalesce(1).write.parquet(
+            f"{out}/compacted/seg=3"
+        )
+        spark.range(0, 60).coalesce(1).write.parquet(
+            f"{out}/compacted/seg=6"
+        )
+        spark.range(60, 70).coalesce(1).write.parquet(
+            f"{out}/ingest/batch=6"
+        )
+        before = sorted(
+            r.id for r in read_compacted_store(spark, out).collect()
+        )
+        assert before != list(range(70))  # rows 0..29 duplicated
+
+        # the replayed fold: absorb round (6//3 % 2 == 0), no older
+        # ingest dirs, seg=6 _SUCCESS present -> no rewrite, but the
+        # stranded seg=3 must be re-deleted
+        _fold_compacted(
+            spark, out, batch_id=6, compact_every=3,
+            target_bytes=64 * 1024 * 1024, max_segments=2,
+        )
+        after = sorted(
+            r.id for r in read_compacted_store(spark, out).collect()
+        )
+        assert after == list(range(70))
+        assert not glob.glob(os.path.join(out, "compacted", "seg=3"))
+        assert glob.glob(os.path.join(out, "compacted", "seg=6"))

@@ -729,3 +729,30 @@ def test_fuzzy_pairs_matches_bruteforce_any_vocab(spark_global, vocab, d):
     got = [(r.name_a, r.name_b, r.dist) for r in rows]
     assert len(got) == len(set(got))  # no duplicate pairs across legs
     assert set(got) == brute
+
+
+class TestBpeBatchedSchedule:
+    def test_indivisible_num_merges_rejected(self, spark):
+        """r8 ADVICE (low): the batched loop runs the FIXED round count
+        the oracle unrolls; a partial final round is inexpressible, so
+        num_merges % batch_size != 0 must be rejected up front."""
+        import pytest as _pytest
+
+        from aeon_sleap_processing_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([("ab ab",)], "text string")
+        with _pytest.raises(ValueError, match="num_merges % batch_size"):
+            bpe_train(df, num_merges=5, batch_size=4)
+
+    def test_dense_pool_yields_fewer_merges_not_extra_rounds(self, spark):
+        """When a round's candidate pool is symbol-dense (fewer than
+        batch_size disjoint picks available), the fixed-round schedule
+        returns FEWER than num_merges merges — it must not run extra
+        rounds the oracle never executes. One word 'abcd' has only
+        overlapping pairs; each of the 2 rounds picks at most 2 disjoint
+        pairs, so 8 requested merges cannot all materialize."""
+        from aeon_sleap_processing_spark.operators.text import bpe_train
+
+        df = spark.createDataFrame([("abcd",)], "text string")
+        out = bpe_train(df, num_merges=8, batch_size=4).collect()
+        assert 0 < len(out) < 8

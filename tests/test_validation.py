@@ -174,3 +174,45 @@ class TestStreamConstraints:
         rows = {r["batch_id"]: r for r in spark.read.parquet(audit).collect()}
         assert rows[0]["passed"]
         assert not rows[1]["passed"] and rows[1]["metric"] == 0.5  # exact
+
+
+class TestFastUniqueNullKeys:
+    def test_null_heavy_composite_key_fails_like_exact(self, spark):
+        """r8 ADVICE (medium): count_distinct(*cols) drops any-null
+        tuples, so a composite key with an always-null column has exact
+        metric ~0 (FAIL); the approx path must not count those tuples via
+        a never-null struct() and report a false PASS. The null-gated
+        approx ratio lands near 0, triggers the exact confirmation, and
+        the fast result equals the exact one."""
+        from aeon_sleap_processing_spark.operators.validation import (
+            check_constraints,
+            check_constraints_fast,
+        )
+
+        df = spark.range(1000).selectExpr(
+            "id", "CAST(NULL AS STRING) AS col2"
+        )
+        rules = [{"name": "ck", "kind": "unique", "columns": ["id", "col2"]}]
+        exact = check_constraints(df, rules).collect()[0]
+        fast = check_constraints_fast(df, rules).collect()[0]
+        assert not exact["passed"]
+        assert not fast["passed"]
+        assert fast["metric"] == exact["metric"] == 0.0
+
+    def test_partial_null_key_matches_exact_semantics(self, spark):
+        """Half the key tuples contain a null: exact metric = 0.5 (only
+        non-null tuples counted, denominator all rows); fast must agree
+        after confirmation rather than reading ~1.0."""
+        from aeon_sleap_processing_spark.operators.validation import (
+            check_constraints,
+            check_constraints_fast,
+        )
+
+        df = spark.range(1000).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN id END AS col2"
+        )
+        rules = [{"name": "ck", "kind": "unique", "columns": ["id", "col2"]}]
+        exact = check_constraints(df, rules).collect()[0]
+        fast = check_constraints_fast(df, rules).collect()[0]
+        assert exact["metric"] == 0.5 and not exact["passed"]
+        assert fast["metric"] == 0.5 and not fast["passed"]
