@@ -340,28 +340,53 @@ def embedding_near_dups(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of MinHash
     dedup): candidate pairs come from shared sign-LSH buckets (never an
     all-pairs product), then exact cosine filters at ``threshold``.
 
+    OR-AMPLIFIED like :func:`knn_lsh`: ``hyperplanes`` splits into
+    ``n_tables`` contiguous groups, each one hash table; a candidate is any
+    pair colliding in ANY table (recall 1-(1-p^b)^T for per-plane collision
+    p = 1 - theta/pi). A single band is half-blind even at high cosine
+    (p^6 ≈ 0.53 at cos 0.95) — measured on the synthetic corpus, one
+    6-plane band recovers 3.8% of true pairs at threshold 0.25 while
+    6 tables x 4 planes recover 55.6% probing ~32% of all pairs
+    (q_neardup_recall pins the floor). Pairs colliding in several tables
+    are deduped AFTER the threshold filter (identical cosines; filtering
+    first shrinks the dedup shuffle to the true-pair set).
+
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
-    bucket = _bucket_udf([hyperplanes])
+    if n_tables < 1 or n_tables > len(hyperplanes):
+        raise ValueError(f"n_tables must be in [1, {len(hyperplanes)}]")
+    per = (len(hyperplanes) + n_tables - 1) // n_tables
+    groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
+    bucket = _bucket_udf(groups)
     c = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.element_at(bucket(F.col(vec_col)), 1).alias("bucket"),
+        F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
     )
     a, b = c.alias("a"), c.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(cosine_kernel(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(cosine_kernel(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
     )
-    return pairs.where(F.col("cosine") >= threshold)
+    if n_tables == 1:
+        return pairs
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def semantic_dedup(
@@ -370,6 +395,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-space near-duplicate CLUSTERING — the semantic analog of
     MinHash ``dedup_clusters``: sign-LSH-bucketed cosine pairs at
@@ -382,10 +408,16 @@ def semantic_dedup(
     ``is_representative`` yields the deduplicated corpus. Scale shape: the
     pair generation is bucketed (never all-pairs) and the component solve is
     the adaptive ``connected_components`` (driver union-find under the edge
-    threshold, two-phase large/small-star above it)."""
+    threshold, two-phase large/small-star above it). ``n_tables`` OR-amplifies
+    the candidate generator exactly as in :func:`embedding_near_dups` —
+    a missed pair here silently leaves a duplicate in the "deduplicated"
+    corpus, so production passes should amplify and audit recall
+    (q_neardup_recall's pattern)."""
     from .graph import connected_components
 
-    pairs = embedding_near_dups(corpus, hyperplanes, threshold, id_col, vec_col)
+    pairs = embedding_near_dups(
+        corpus, hyperplanes, threshold, id_col, vec_col, n_tables
+    )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     )
