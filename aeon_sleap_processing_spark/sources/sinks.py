@@ -386,7 +386,22 @@ def compact_parquet(
     original. CAVEAT: directory rename is atomic on HDFS/local but
     copy+delete on object stores (S3A) — there, prefer a manifest-based
     table format for the swap; the staging logic is still correct, just
-    not atomic. Returns {files_before, files_after, bytes, compacted}."""
+    not atomic.
+
+    SINGLE-WRITER CONTRACT: run compaction when no other writer appends
+    to the store (the streaming sink ``stream_append_compacted`` enforces
+    this by construction with batch-id dirs). As a guard against
+    violations, each leaf's file set is SNAPSHOTTED before the rewrite
+    (the rewrite reads exactly the snapshot files) and RE-LISTED
+    immediately before the stage-out rename: if the set changed — a
+    concurrent append — the staged rewrite is discarded and the leaf is
+    skipped untouched (reported in ``skipped_concurrent``), so the new
+    file's rows are never silently dropped. The guard shrinks the race
+    window from the whole rewrite job to the list→rename gap; it does
+    not replace the contract (only a manifest table format can).
+
+    Returns {files_before, files_after, bytes, compacted,
+    skipped_concurrent}."""
     import math
 
     fs, Path, root = _hadoop_fs(spark, path)
@@ -433,9 +448,13 @@ def compact_parquet(
     for base in sorted(bases):
         _recover(base)
 
+    def _file_set(files) -> set:
+        return {(str(st.getPath().toUri()), st.getLen()) for st in files}
+
     stats_before = _list_data_files(fs, root)
     total = sum(st.getLen() for st in stats_before)
     compacted_any = False
+    skipped_concurrent: list[str] = []
     for leaf in _leaf_data_dirs(fs, Path, root):
         leaf_files = _list_data_files(fs, leaf)
         if len(leaf_files) < min_files_to_compact:
@@ -444,12 +463,26 @@ def compact_parquet(
         n_out = max(1, math.ceil(leaf_bytes / target_bytes))
         leaf_uri = str(leaf.toUri())
         tmp = Path(str(leaf) + "__compacting")
-        leaf_df = spark.read.parquet(leaf_uri)
+        # read the SNAPSHOT file list, not the directory: the rewrite
+        # must contain exactly the files compared by the guard below (a
+        # directory read lists again at job time and could silently
+        # include a concurrent append that the guard then misses)
+        snapshot = _file_set(leaf_files)
+        leaf_df = spark.read.parquet(
+            *[str(st.getPath().toUri()) for st in leaf_files]
+        )
         planned = (
             _plan_fn(leaf_df, n_out) if _plan_fn is not None
             else leaf_df.repartition(n_out)
         )
         planned.write.mode("overwrite").parquet(str(tmp.toUri()))
+        # concurrent-writer guard: re-list immediately before the
+        # stage-out rename; any change since the snapshot means another
+        # writer touched the leaf — discard the stage, keep the leaf
+        if _file_set(_list_data_files(fs, leaf)) != snapshot:
+            fs.delete(tmp, True)
+            skipped_concurrent.append(leaf_uri)
+            continue
         old = Path(str(leaf) + "__precompact")
         if not fs.rename(leaf, old):
             fs.delete(tmp, True)
@@ -464,6 +497,7 @@ def compact_parquet(
         "files_after": len(_list_data_files(fs, root)),
         "bytes": total,
         "compacted": compacted_any,
+        "skipped_concurrent": skipped_concurrent,
     }
 
 
