@@ -374,6 +374,39 @@ def _q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_ivf(emb, queries, _ivf_cents(), k=5, nprobe=_IVF_NPROBE)
 
 
+# TRAINED-centroid IVF (r8 judge task #4): centers fitted once with
+# pyspark.ml KMeans (tools/fit_ivf_centroids.py, seed 7, sf0.01 corpus) and
+# PINNED to a committed JSON, so Spark plan and DuckDB oracle embed
+# byte-identical literals. Data-adaptive cells beat the seeded-random ones
+# decisively: recall@5 = 0.68 at nprobe 4/16 (~25% of the corpus probed) vs
+# the random centroids needing nprobe 8/16 (~50%, half a brute-force scan)
+# to clear the same 0.5 floor — q_knn_recall's third leg pins this.
+_IVF_TRAINED_NPROBE = 4
+
+
+def _ivf_trained_cents() -> list[list[float]]:
+    import json
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "ivf_centroids_trained.json",
+    )
+    with open(p) as f:
+        return json.load(f)["centroids"]
+
+
+def _q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over KMeans-trained centroids at nprobe 4/16 — the
+    real-deployment path (similarity.py:ivf_fit_centroids trains; search
+    plan identical to q_knn_ivf)."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    return sim.knn_ivf(
+        emb, queries, _ivf_trained_cents(), k=5, nprobe=_IVF_TRAINED_NPROBE
+    )
+
+
 # regression floor for the ANN paths' recall@5 vs exact top-5 on the sf
 # embeddings (observed: lsh/ivf well above; a param or bucketing regression
 # that degrades candidate generation trips this long before zero)
@@ -401,6 +434,9 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = {
         "lsh": sim.knn_lsh(emb, queries, _lsh_planes(), k=5, n_tables=_LSH_TABLES),
         "ivf": sim.knn_ivf(emb, queries, _ivf_cents(), k=5, nprobe=_IVF_NPROBE),
+        "ivf_trained": sim.knn_ivf(
+            emb, queries, _ivf_trained_cents(), k=5, nprobe=_IVF_TRAINED_NPROBE
+        ),
     }
     # per-(method, query) hit counts, unioned and reduced with ONE keyed
     # aggregation — no unkeyed (single-partition) aggs; the top-k result
@@ -444,7 +480,11 @@ def _knn_recall_sql() -> str:
         return f"SELECT query_id, neighbor_id FROM ({sql})"
 
     legs = []
-    for method, sql in (("lsh", _knn_lsh_sql()), ("ivf", _knn_ivf_sql())):
+    for method, sql in (
+        ("lsh", _knn_lsh_sql()),
+        ("ivf", _knn_ivf_sql()),
+        ("ivf_trained", _knn_ivf_sql(_ivf_trained_cents(), _IVF_TRAINED_NPROBE)),
+    ):
         legs.append(f"""
           SELECT '{method}' AS method,
                  CAST(sum(n_exact) AS BIGINT) AS n_pairs,
@@ -480,11 +520,14 @@ def _knn_recall_sql() -> str:
     return f"WITH exact_full AS ({bf}) {u}"
 
 
-def _knn_ivf_sql() -> str:
+def _knn_ivf_sql(cents: list | None = None, nprobe: int | None = None) -> str:
     """Oracle for the IVF ANN: identical unit-norm centroid literals; cell =
     argmax inner product (ties to smaller cid), queries probe the top-nprobe
-    cells, exact cosine re-rank within probed cells."""
-    cents = _ivf_cents()
+    cells, exact cosine re-rank within probed cells. Defaults to the seeded
+    random centroids (q_knn_ivf); pass the pinned trained centers +
+    nprobe for q_knn_ivf_trained."""
+    cents = _ivf_cents() if cents is None else cents
+    nprobe = _IVF_NPROBE if nprobe is None else nprobe
     values = ", ".join(
         f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])" for cid, cv in enumerate(cents)
     )
@@ -498,7 +541,7 @@ def _knn_ivf_sql() -> str:
           FROM c CROSS JOIN cent
         ),
         cells AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
-        probes AS (SELECT vec_id, v, cid FROM ranked WHERE rn <= {_IVF_NPROBE} AND vec_id < 10),
+        probes AS (SELECT vec_id, v, cid FROM ranked WHERE rn <= {nprobe} AND vec_id < 10),
         sims AS (
           SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id,
                  round(list_inner_product(p.v, cl.v)
@@ -2059,17 +2102,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the cut, never driver-checked) and the new q_video_frame_stats
     # (end-to-end real-pixel AVI/PNG codec path), and rotates OUT
     # q_text_stats + q_token_count (driver-green twice, r5 + r6).
-    # Round 8 rotates IN the three new queries (q_fuzzy_pairs_short,
-    # q_bpe_merges_batched, q_cdc_bounded) and rotates OUT
+    # Round 8 rotated IN the three new queries (q_fuzzy_pairs_short,
+    # q_bpe_merges_batched, q_cdc_bounded) and rotated OUT
     # q_resample_asof/q_asof_forward/q_gap_fill (driver-green r5 AND r7,
-    # untouched by r8 code changes); every query whose plan r8 touched
-    # (fuzzy_pairs legs, the grid-pivot/condition-frame expr-string
-    # conversion -> q_tube_*, q_fight_sessions*, q_combine_ticks; the
-    # chunked_sessionize broadcast change -> q_sessionize_unkeyed,
-    # q_fight_sessions_chunked) sits inside the window.
+    # untouched by r8 code changes).
+    # Round 9 rotates IN the two new queries (q_neardup_recall,
+    # q_knn_ivf_trained) and rotates OUT q_json_roundtrip +
+    # q_video_frame_stats (driver-green r7 AND r8, untouched by r9 code
+    # changes); every query whose plan r9 touched (the OR-amplified
+    # near-dup generator -> q_embedding_neardup/q_semantic_dedup, the
+    # extended recall audit -> q_knn_recall, the fixed-round BPE
+    # schedule -> q_bpe_merges/q_bpe_merges_batched/q_bpe_encode) sits
+    # inside the window.
     # Rotated-out queries keep their driver-green history and remain
     # covered by the committed full-suite local artifact
-    # (CORRECTNESS_LOCAL_r08.json) and tools/check_correctness.py.
+    # (CORRECTNESS_LOCAL_r09.json) and tools/check_correctness.py.
     return {
         # --- round-5 tail: never driver-checked before round 6 -----------
         "q_repetition_stats": _q_repetition_stats,
@@ -2089,8 +2136,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": _q_decontaminate,
         "q_semantic_dedup": _q_semantic_dedup,
         # --- rotated in round 7 ------------------------------------------
-        "q_json_roundtrip": _q_json_roundtrip,
-        "q_video_frame_stats": _q_video_frame_stats,
         "q_cdc_dedup": _q_cdc_dedup,
         "q_cdc_bounded": _q_cdc_bounded,
         "q_bpe_merges": _q_bpe_merges,
@@ -2116,6 +2161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_ivf": _q_knn_ivf,
+        "q_knn_ivf_trained": _q_knn_ivf_trained,
         "q_knn_recall": _q_knn_recall,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_recall": _q_neardup_recall,
@@ -2128,6 +2174,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- rotated out r9 (driver-green r7 AND r8, untouched in r9) ----
+        "q_json_roundtrip": _q_json_roundtrip,
+        "q_video_frame_stats": _q_video_frame_stats,
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
         #     rotated out to make room for the r8 additions) --------
         "q_quantize_embeddings": _q_quantize_embeddings,
@@ -2930,6 +2979,9 @@ def oracle_sql() -> dict[str, str]:
         "q_curate_corpus": _curate_corpus_sql(),
         "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_ivf": _knn_ivf_sql(),
+        "q_knn_ivf_trained": _knn_ivf_sql(
+            _ivf_trained_cents(), _IVF_TRAINED_NPROBE
+        ),
         "q_knn_recall": _knn_recall_sql(),
         "q_embedding_neardup": _embedding_neardup_sql(),
         "q_neardup_recall": _neardup_recall_sql(),
