@@ -1,0 +1,89 @@
+"""Scale-ramp bench (r8 judge task #3): run the HEAVY driver queries at
+sf0.1 and at the derived 10x sf1 (tools/make_scale_data.py), 3 runs each,
+and report per-query medians + the sf0.1->sf1 scaling ratio. At sf0.1
+every query is ~0.5 s of fixed overhead, so this ramp is what actually
+discriminates plan quality: a healthy distributed plan lands well under
+10x wall at 10x rows on local[32]; anything super-linear (ratio >> 10)
+is flagged for fix-or-explain.
+
+Writes bench_runs_r9/scale_ramp.json and prints a table.
+
+Usage: python tools/bench_scale.py [runs]
+"""
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF01 = "/root/testdata/sf0.1"
+SF1 = os.path.join(REPO, "benchdata", "sf1")
+
+# The sf-scalable heavy hitters: dedup/LSH/CC/packing/sessionize/windowed
+# aggregation — the shapes whose plans could hide super-linear behavior.
+HEAVY = [
+    "q_exact_dedup",
+    "q_doc_fingerprint",
+    "q_lsh_buckets",
+    "q_minhash_est_vs_exact",
+    "q_jaccard_top_pairs",
+    "q_simhash_pairs",
+    "q_dedup_clusters",
+    "q_cluster_split",
+    "q_cdc_dedup",
+    "q_pack_sequences",
+    "q_fuzzy_pairs",
+    "q_embedding_neardup",
+    "q_semantic_dedup",
+    "q_sessionize_unkeyed",
+    "q_cumulative_share",
+    "q_lineitem_dedup",
+    "q_skew_salted_agg",
+]
+
+
+def main() -> None:
+    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from aeon_sleap_processing_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-scale", shuffle_partitions=32)
+    qs = entry.queries()
+
+    out = {"runs": runs, "sf01_dir": SF01, "sf1_dir": SF1, "queries": {}}
+    for name in HEAVY:
+        fn = qs[name]
+        rec = {}
+        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(time.monotonic() - t0)
+            rec[label] = round(statistics.median(times), 2)
+        rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 1)
+        out["queries"][name] = rec
+        print(f"{name:28s} sf0.1={rec['sf0.1']:6.2f}s  sf1={rec['sf1']:7.2f}s"
+              f"  ratio={rec['ratio']:5.1f}x", flush=True)
+
+    os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
+    path = os.path.join(REPO, "bench_runs_r9", "scale_ramp.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
