@@ -353,9 +353,21 @@ def embedding_near_dups(
     (p^6 ≈ 0.53 at cos 0.95) — measured on the synthetic corpus, one
     6-plane band recovers 3.8% of true pairs at threshold 0.25 while
     6 tables x 4 planes recover 55.6% probing ~32% of all pairs
-    (q_neardup_recall pins the floor). Pairs colliding in several tables
-    are deduped AFTER the threshold filter (identical cosines; filtering
-    first shrinks the dedup shuffle to the true-pair set).
+    (q_neardup_recall pins the floor).
+
+    VERIFY-LAST ORDER (the r9 scale-ramp finding): amplified candidates
+    are deduped to UNIQUE (id_a, id_b) pairs BEFORE the exact-cosine
+    verify, then the vectors are joined back by id. True near-dup
+    cliques collide in EVERY table, so verifying per collision multiplies
+    exactly the expensive kernel rows by up to n_tables — and the
+    collision rows carry two vectors each, so AQE sizes the post-join
+    stage by its scalar output footprint and under-partitions the
+    kernel. Measured on the 10x ramp corpus (20k vectors with planted
+    10-clique near-dups, tools/bench_scale.py): verify-per-collision ran
+    502 s (87.7x the sf0.1 wall at 10x rows); dedup-first cuts the
+    kernel rows n_tables-fold and re-spreads them across the id-join's
+    partitioning. The dedup shuffle itself is scalar id pairs — cheap at
+    any scale.
 
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
@@ -364,29 +376,57 @@ def embedding_near_dups(
     per = (len(hyperplanes) + n_tables - 1) // n_tables
     groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
     bucket = _bucket_udf(groups)
-    c = corpus.select(
+    if n_tables == 1:
+        # single table: a pair can collide at most once — verify inline
+        c = corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.element_at(bucket(F.col(vec_col)), 1).alias("h"),
+        )
+        a, b = c.alias("a"), c.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.round(cosine_kernel(F.col("a.v"), F.col("b.v")), 6).alias(
+                    "cosine"
+                ),
+            )
+            .where(F.col("cosine") >= threshold)
+        )
+    keys = corpus.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
         F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
     )
-    a, b = c.alias("a"), c.alias("b")
-    pairs = (
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.h") == F.col("b.h"))
             & (F.col("a.id") < F.col("b.id")),
         )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.round(cosine_kernel(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+            "id_a",
+            "id_b",
+            F.round(cosine_kernel(F.col("__va"), F.col("__vb")), 6).alias(
+                "cosine"
+            ),
         )
         .where(F.col("cosine") >= threshold)
     )
-    if n_tables == 1:
-        return pairs
-    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def semantic_dedup(
