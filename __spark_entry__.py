@@ -407,6 +407,28 @@ def _q_knn_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_knn_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN through the PHYSICAL cluster-by-cell store (r9,
+    similarity.py:ivf_write_clustered): the corpus is materialized with
+    the coarse quantizer as the Hive partition key, so the nprobe probe
+    becomes partition pruning at file-listing time (measured 4/16 files
+    per query, tools/measure_ivf_layout.py). Same trained centroids,
+    nprobe, and query set as q_knn_ivf_trained, so the results — and the
+    oracle — are identical; what this row certifies is the store
+    write + pruned read path end-to-end."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    cents = _ivf_trained_cents()
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_clustered_"), "store")
+    sim.ivf_write_clustered(emb, cents, path)
+    return sim.knn_ivf_clustered(
+        spark, path, cents, queries, k=5, nprobe=_IVF_TRAINED_NPROBE
+    )
+
+
 # regression floor for the ANN paths' recall@5 vs exact top-5 on the sf
 # embeddings (observed: lsh/ivf well above; a param or bucketing regression
 # that degrades candidate generation trips this long before zero)
@@ -2101,20 +2123,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_bpe_merges_batched, q_cdc_bounded) and rotated OUT
     # q_resample_asof/q_asof_forward/q_gap_fill (driver-green r5 AND r7,
     # untouched by r8 code changes).
-    # Round 9 rotates IN the two new queries (q_neardup_recall,
-    # q_knn_ivf_trained) and rotates OUT q_json_roundtrip +
-    # q_video_frame_stats (driver-green r7 AND r8, untouched by r9 code
-    # changes); every query whose plan r9 touched (the OR-amplified
-    # near-dup generator -> q_embedding_neardup/q_semantic_dedup, the
-    # extended recall audit -> q_knn_recall, the fixed-round BPE
-    # schedule -> q_bpe_merges/q_bpe_merges_batched/q_bpe_encode) sits
-    # inside the window.
+    # Round 9 rotates IN the three new queries (q_neardup_recall,
+    # q_knn_ivf_trained, q_knn_ivf_clustered) and rotates OUT
+    # q_json_roundtrip + q_video_frame_stats (driver-green r7 AND r8,
+    # untouched by r9 code changes) + q_repetition_stats (driver-green
+    # r6 AND r7 AND r8, untouched by r9); every query whose plan r9
+    # touched (the OR-amplified near-dup generator ->
+    # q_embedding_neardup/q_semantic_dedup, the extended recall audit ->
+    # q_knn_recall, the fixed-round BPE schedule ->
+    # q_bpe_merges/q_bpe_merges_batched/q_bpe_encode) sits inside the
+    # window.
     # Rotated-out queries keep their driver-green history and remain
     # covered by the committed full-suite local artifact
     # (CORRECTNESS_LOCAL_r09.json) and tools/check_correctness.py.
     return {
         # --- round-5 tail: never driver-checked before round 6 -----------
-        "q_repetition_stats": _q_repetition_stats,
         "q_domain_stats": _q_domain_stats,
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
         "q_ngram_lm": _q_ngram_lm,
@@ -2157,6 +2180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_lsh": _q_knn_lsh,
         "q_knn_ivf": _q_knn_ivf,
         "q_knn_ivf_trained": _q_knn_ivf_trained,
+        "q_knn_ivf_clustered": _q_knn_ivf_clustered,
         "q_knn_recall": _q_knn_recall,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_recall": _q_neardup_recall,
@@ -2172,6 +2196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotated out r9 (driver-green r7 AND r8, untouched in r9) ----
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
+        "q_repetition_stats": _q_repetition_stats,  # green r6+r7+r8
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
         #     rotated out to make room for the r8 additions) --------
         "q_quantize_embeddings": _q_quantize_embeddings,
@@ -2975,6 +3000,10 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_lsh": _knn_lsh_sql(),
         "q_knn_ivf": _knn_ivf_sql(),
         "q_knn_ivf_trained": _knn_ivf_sql(
+            _ivf_trained_cents(), _IVF_TRAINED_NPROBE
+        ),
+        # identical search semantics through the materialized store
+        "q_knn_ivf_clustered": _knn_ivf_sql(
             _ivf_trained_cents(), _IVF_TRAINED_NPROBE
         ),
         "q_knn_recall": _knn_recall_sql(),

@@ -90,24 +90,24 @@ class TestDriverContract:
         missing = [n for n in window if n not in oracles]
         assert missing == []
         # rotation invariant: every query whose plan the current round
-        # touched must sit inside the driver's 50-query window (r8: the
-        # three new queries, the fuzzy_pairs legs, the expr-string
-        # conversion's tube/fight/combine consumers, and the
-        # chunked_sessionize broadcast change's consumers)
+        # touched must sit inside the driver's 50-query window (r9: the
+        # new queries — neardup recall, trained + clustered IVF — plus
+        # the OR-amplified near-dup generator's consumers, the
+        # fixed-round BPE schedule's consumers, and the fight/sessionize
+        # plans the r9 floor/broadcast work touched)
         for name in [
-            "q_repetition_stats",
-            "q_weighted_sample",
-            "q_combine_ticks",
+            "q_neardup_recall",
+            "q_knn_ivf_trained",
+            "q_knn_ivf_clustered",
+            "q_embedding_neardup",
+            "q_semantic_dedup",
             "q_knn_recall",
+            "q_bpe_merges",
+            "q_bpe_merges_batched",
+            "q_bpe_encode",
             "q_tube_events",
-            "q_tube_candidates",
             "q_fight_sessions",
             "q_fight_sessions_chunked",
-            "q_minhash_est_vs_exact",
-            "q_fuzzy_pairs",
-            "q_fuzzy_pairs_short",
-            "q_bpe_merges_batched",
-            "q_cdc_bounded",
             "q_sessionize_unkeyed",
         ]:
             assert name in window, name

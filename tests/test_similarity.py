@@ -297,3 +297,78 @@ def test_neardup_bruteforce_sweep_equals_pairwise_kernel(spark, emb):
         .collect()
     }
     assert sweep == kern and len(sweep) > 0
+
+
+class TestIvfClusteredLayout:
+    def test_partition_pruning_and_result_parity(self, spark, emb, tmp_path):
+        """Cluster-by-cell layout: (a) a cell filter on the store reads
+        ONLY those cells' files (partition pruning — checked via
+        input_file_name(), which reflects the post-pruning scan, unlike
+        DataFrame.inputFiles()); (b) the clustered search plan carries
+        the probed-cell PartitionFilters; (c) results equal knn_ivf for
+        the same centroids/nprobe."""
+        import contextlib
+        import io
+        import os
+
+        import pandas as pd
+
+        cents = S.ivf_centroids(8, DIM, seed=7)
+        path = str(tmp_path / "store")
+        S.ivf_write_clustered(emb, cents, path)
+        dirs = [d for d in os.listdir(path) if d.startswith("cell=")]
+        assert 1 < len(dirs) <= 8
+
+        # (a) file-level pruning on the mechanism itself
+        keep = sorted(int(d.split("=")[1]) for d in dirs)[:2]
+        pruned = spark.read.parquet(path).where(F.col("cell").isin(keep))
+        touched = {
+            r["f"].split("cell=")[1].split("/")[0]
+            for r in pruned.select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        assert touched == {str(c) for c in keep}
+
+        # (b) the search plan prunes on the probed cells
+        queries = emb.where(F.col("vec_id") < 3)
+        got = S.knn_ivf_clustered(spark, path, cents, queries, k=5, nprobe=1)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain("formatted")
+        assert "PartitionFilters" in buf.getvalue()
+        assert " IN (" in buf.getvalue()
+
+        # (c) parity with the logical-only knn_ivf
+        a = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = (
+            S.knn_ivf(emb, queries, cents, k=5, nprobe=1)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_files_per_cell_salts_the_write(self, spark, emb, tmp_path):
+        """files_per_cell > 1 splits a cell across tasks (the hot-cell
+        write-parallelism path): some cell dir holds >1 file, no rows
+        are lost, and cell assignment is unchanged."""
+        import glob
+        import os
+
+        cents = S.ivf_centroids(4, DIM, seed=7)
+        flat = str(tmp_path / "flat")
+        salted = str(tmp_path / "salted")
+        S.ivf_write_clustered(emb, cents, flat)
+        S.ivf_write_clustered(emb, cents, salted, files_per_cell=3)
+
+        per_cell = [
+            len(glob.glob(os.path.join(salted, d, "*.parquet")))
+            for d in os.listdir(salted)
+            if d.startswith("cell=")
+        ]
+        assert max(per_cell) > 1
+
+        a = {tuple(r) for r in spark.read.parquet(flat).select("vec_id", "cell").collect()}
+        b = {tuple(r) for r in spark.read.parquet(salted).select("vec_id", "cell").collect()}
+        assert a == b and len(a) == emb.count()
