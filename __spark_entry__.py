@@ -429,6 +429,56 @@ def _q_knn_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PRODUCT QUANTIZATION (r9): codebooks fitted per 4-dim subspace with
+# pyspark.ml KMeans (tools/fit_pq_codebooks.py, m=16 x ksub=16, seed 11,
+# sf0.01 corpus) and PINNED to a committed JSON — Spark kernels and the
+# DuckDB oracle embed byte-identical codebook literals, the
+# ivf_centroids_trained.json technique. 16 4-bit codes = 8 bytes/vector
+# vs 256 bytes float32 (32x), and the ADC scan reads ONLY codes.
+_PQ_IVFPQ_NPROBE = 4
+_PQ_REFINE = 4  # recall@5: 0.52 ADC-only, 0.62 with nprobe-4 + 4k refine
+
+
+def _pq_books() -> list[list[list[float]]]:
+    import json
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tools", "pq_codebooks_trained.json",
+    )
+    with open(p) as f:
+        return json.load(f)["codebooks"]
+
+
+def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-k over PQ codes only (similarity.py:knn_pq): the corpus
+    scan carries 32x less data than raw vectors; scoring decodes each
+    candidate's codebook entries and runs the pinned-parity cosine
+    kernel against the reconstruction."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    return sim.knn_pq(emb, queries, _pq_books(), k=5)
+
+
+def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with exact refine (similarity.py:knn_ivf_pq) — the
+    standard billion-scale ANN shape: trained coarse cells prune to
+    nprobe 4/16, ADC ranks the probed cells over PQ codes, the top
+    k*4 candidates re-rank by exact cosine against raw vectors."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    return sim.knn_ivf_pq(
+        emb,
+        queries,
+        _ivf_trained_cents(),
+        _pq_books(),
+        k=5,
+        nprobe=_PQ_IVFPQ_NPROBE,
+        refine_factor=_PQ_REFINE,
+    )
+
+
 # regression floor for the ANN paths' recall@5 vs exact top-5 on the sf
 # embeddings (observed: lsh/ivf well above; a param or bucketing regression
 # that degrades candidate generation trips this long before zero)
@@ -436,8 +486,9 @@ _RECALL_FLOOR = 0.5
 
 
 def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 audit of the two ANN paths against the exact top-5
-    (mirrors the reference's eval-metric discipline,
+    """Recall@5 audit of the five ANN paths (LSH, random + trained IVF,
+    ADC-only PQ, IVF-PQ-with-refine) against the exact top-5 (mirrors
+    the reference's eval-metric discipline,
     `sleap_optuna_train.py:126-156`): for each method, the fraction of
     exact (query, neighbor) pairs the approximate index recovers, overall
     and worst-per-query, with a pinned regression floor."""
@@ -445,9 +496,10 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    # the exact top-5 (all-pairs cosine + per-query top-k) feeds FOUR plan
-    # references (hits + n_exact per method leg); localCheckpoint runs it
-    # once instead of four times (same pattern as minhash_est_vs_exact)
+    # the exact top-5 (all-pairs cosine + per-query top-k) feeds one
+    # hits + n_exact plan reference pair PER METHOD LEG; localCheckpoint
+    # runs it once instead of once per leg (same pattern as
+    # minhash_est_vs_exact)
     exact = (
         sim.knn_bruteforce(emb, queries, k=5)
         .select("query_id", "neighbor_id")
@@ -458,6 +510,16 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf": sim.knn_ivf(emb, queries, _ivf_cents(), k=5, nprobe=_IVF_NPROBE),
         "ivf_trained": sim.knn_ivf(
             emb, queries, _ivf_trained_cents(), k=5, nprobe=_IVF_TRAINED_NPROBE
+        ),
+        "pq": sim.knn_pq(emb, queries, _pq_books(), k=5),
+        "ivf_pq": sim.knn_ivf_pq(
+            emb,
+            queries,
+            _ivf_trained_cents(),
+            _pq_books(),
+            k=5,
+            nprobe=_PQ_IVFPQ_NPROBE,
+            refine_factor=_PQ_REFINE,
         ),
     }
     # per-(method, query) hit counts, unioned and reduced with ONE keyed
@@ -506,6 +568,8 @@ def _knn_recall_sql() -> str:
         ("lsh", _knn_lsh_sql()),
         ("ivf", _knn_ivf_sql()),
         ("ivf_trained", _knn_ivf_sql(_ivf_trained_cents(), _IVF_TRAINED_NPROBE)),
+        ("pq", _knn_pq_sql()),
+        ("ivf_pq", _knn_ivf_pq_sql()),
     ):
         legs.append(f"""
           SELECT '{method}' AS method,
@@ -571,6 +635,117 @@ def _knn_ivf_sql(cents: list | None = None, nprobe: int | None = None) -> str:
                           * sqrt(list_inner_product(cl.v, cl.v))), 6) AS cosine
           FROM probes p JOIN cells cl ON cl.cid = p.cid AND cl.vec_id <> p.vec_id
         )
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+          ) AS rank FROM sims
+        ) WHERE rank <= 5
+    """
+
+
+def _pq_sql_fragments() -> tuple[str, str]:
+    """(codebook VALUES literal, sub-dim) shared by every PQ oracle. The
+    half-norm literal comes from the SAME similarity.pq_half_norms the
+    Spark encode kernel embeds, so both engines evaluate
+    ``argmin (half - <v_sub, c>)`` over identical floats."""
+    books = _pq_books()
+    halves = sim.pq_half_norms(books)
+    sub = len(books[0][0])
+    values = ", ".join(
+        f"({j}, {cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[], {halves[j][cid]!r})"
+        for j in range(len(books))
+        for cid, cv in enumerate(books[j])
+    )
+    return values, sub
+
+
+def _pq_recon_ctes() -> str:
+    """The encode + decode CTE chain every PQ oracle starts from: PQ
+    codes per (vector, subspace) via the shared argmin, then the
+    reconstructed vector as flatten(list(cv ORDER BY j)) — one 64-dim
+    left-to-right list_inner_product per ADC score downstream, the same
+    evaluation order as the Spark kernels (recon is mathematically the
+    ADC lookup-table sum)."""
+    values, sub = _pq_sql_fragments()
+    return f"""
+        c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cb(j, cid, cv, half) AS (VALUES {values}),
+        scored AS (
+          SELECT c.vec_id, cb.j, cb.cid, cb.cv,
+                 cb.half - list_inner_product(
+                   list_slice(c.v, cb.j*{sub}+1, (cb.j+1)*{sub}), cb.cv) AS s
+          FROM c CROSS JOIN cb),
+        pq_codes AS (
+          SELECT vec_id, j, cv FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id, j ORDER BY s ASC, cid ASC) AS rn
+            FROM scored) WHERE rn = 1),
+        recon AS (
+          SELECT vec_id, flatten(list(cv ORDER BY j ASC)) AS rv
+          FROM pq_codes GROUP BY vec_id)"""
+
+
+def _knn_pq_sql() -> str:
+    """Oracle for ADC top-k: encode with the pinned codebook literals,
+    score cos(q, reconstruction), rank exactly like the other ANN legs."""
+    return f"""
+        WITH {_pq_recon_ctes()},
+        q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
+        sims AS (
+          SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+                 round(list_inner_product(q.v, r.rv)
+                       / (sqrt(list_inner_product(q.v, q.v))
+                          * sqrt(list_inner_product(r.rv, r.rv))), 6) AS cosine
+          FROM q JOIN recon r ON r.vec_id <> q.vec_id)
+        SELECT query_id, neighbor_id, cosine, rank FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
+          ) AS rank FROM sims
+        ) WHERE rank <= 5
+    """
+
+
+def _knn_ivf_pq_sql() -> str:
+    """Oracle for IVF-PQ + exact refine: trained-centroid cells and
+    probes (as q_knn_ivf_trained), ADC over reconstructions within the
+    probed cells, top k*refine ADC candidates per query, exact cosine
+    re-rank."""
+    cents = _ivf_trained_cents()
+    cev = ", ".join(
+        f"({cid}, [{', '.join(repr(x) for x in cv)}]::DOUBLE[])"
+        for cid, cv in enumerate(cents)
+    )
+    return f"""
+        WITH {_pq_recon_ctes()},
+        cent(ccid, ccv) AS (VALUES {cev}),
+        ranked AS (
+          SELECT vec_id, v, ccid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY list_inner_product(v, ccv) DESC, ccid ASC
+          ) AS crn
+          FROM c CROSS JOIN cent),
+        cells AS (SELECT vec_id, v, ccid FROM ranked WHERE crn = 1),
+        probes AS (
+          SELECT vec_id, v, ccid FROM ranked
+          WHERE crn <= {_PQ_IVFPQ_NPROBE} AND vec_id < 10),
+        adc AS (
+          SELECT p.vec_id AS query_id, cl.vec_id AS neighbor_id, p.v AS qv,
+                 round(list_inner_product(p.v, r.rv)
+                       / (sqrt(list_inner_product(p.v, p.v))
+                          * sqrt(list_inner_product(r.rv, r.rv))), 6) AS adc
+          FROM probes p
+          JOIN cells cl ON cl.ccid = p.ccid AND cl.vec_id <> p.vec_id
+          JOIN recon r ON r.vec_id = cl.vec_id),
+        cand AS (
+          SELECT query_id, neighbor_id, qv FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY adc DESC, neighbor_id ASC) AS rn
+            FROM adc) WHERE rn <= {5 * _PQ_REFINE}),
+        sims AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 round(list_inner_product(cand.qv, c.v)
+                       / (sqrt(list_inner_product(cand.qv, cand.qv))
+                          * sqrt(list_inner_product(c.v, c.v))), 6) AS cosine
+          FROM cand JOIN c ON c.vec_id = cand.neighbor_id)
         SELECT query_id, neighbor_id, cosine, rank FROM (
           SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC
@@ -2123,12 +2298,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_bpe_merges_batched, q_cdc_bounded) and rotated OUT
     # q_resample_asof/q_asof_forward/q_gap_fill (driver-green r5 AND r7,
     # untouched by r8 code changes).
-    # Round 9 rotates IN the three new queries (q_neardup_recall,
-    # q_knn_ivf_trained, q_knn_ivf_clustered) and rotates OUT
-    # q_json_roundtrip + q_video_frame_stats (driver-green r7 AND r8,
-    # untouched by r9 code changes) + q_repetition_stats (driver-green
-    # r6 AND r7 AND r8, untouched by r9); every query whose plan r9
-    # touched (the OR-amplified near-dup generator ->
+    # Round 9 rotates IN the five new queries (q_neardup_recall,
+    # q_knn_ivf_trained, q_knn_ivf_clustered, q_knn_pq, q_knn_ivf_pq)
+    # and rotates OUT q_json_roundtrip + q_video_frame_stats
+    # (driver-green r7 AND r8, untouched by r9 code changes) +
+    # q_repetition_stats/q_domain_stats/q_ngram_lm (driver-green r6 AND
+    # r7 AND r8, untouched by r9); every query whose plan r9 touched
+    # (the OR-amplified near-dup generator ->
     # q_embedding_neardup/q_semantic_dedup, the extended recall audit ->
     # q_knn_recall, the fixed-round BPE schedule ->
     # q_bpe_merges/q_bpe_merges_batched/q_bpe_encode) sits inside the
@@ -2138,9 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (CORRECTNESS_LOCAL_r09.json) and tools/check_correctness.py.
     return {
         # --- round-5 tail: never driver-checked before round 6 -----------
-        "q_domain_stats": _q_domain_stats,
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
-        "q_ngram_lm": _q_ngram_lm,
         "q_combine_ticks": _q_combine_ticks,
         "q_corpus_split": _q_corpus_split,
         "q_weighted_sample": _q_weighted_sample,
@@ -2181,6 +2355,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf": _q_knn_ivf,
         "q_knn_ivf_trained": _q_knn_ivf_trained,
         "q_knn_ivf_clustered": _q_knn_ivf_clustered,
+        "q_knn_pq": _q_knn_pq,
+        "q_knn_ivf_pq": _q_knn_ivf_pq,
         "q_knn_recall": _q_knn_recall,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_recall": _q_neardup_recall,
@@ -2197,6 +2373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
         "q_repetition_stats": _q_repetition_stats,  # green r6+r7+r8
+        "q_domain_stats": _q_domain_stats,  # green r6+r7+r8
+        "q_ngram_lm": _q_ngram_lm,  # green r6+r7+r8
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
         #     rotated out to make room for the r8 additions) --------
         "q_quantize_embeddings": _q_quantize_embeddings,
@@ -3006,6 +3184,8 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ivf_clustered": _knn_ivf_sql(
             _ivf_trained_cents(), _IVF_TRAINED_NPROBE
         ),
+        "q_knn_pq": _knn_pq_sql(),
+        "q_knn_ivf_pq": _knn_ivf_pq_sql(),
         "q_knn_recall": _knn_recall_sql(),
         "q_embedding_neardup": _embedding_neardup_sql(),
         "q_neardup_recall": _neardup_recall_sql(),

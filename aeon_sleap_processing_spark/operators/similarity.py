@@ -40,6 +40,11 @@ __all__ = [
     "neardup_pairs_bruteforce",
     "ivf_write_clustered",
     "knn_ivf_clustered",
+    "pq_codebooks",
+    "pq_fit_codebooks",
+    "pq_encode",
+    "knn_pq",
+    "knn_ivf_pq",
     "embedding_stats",
     "kmeans_assign_stats",
     "quantize_embeddings_stats",
@@ -532,6 +537,249 @@ def knn_ivf_clustered(
             F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias(
                 "cosine"
             ),
+        )
+    )
+    return _topk(sims, k)
+
+
+def pq_codebooks(
+    m: int, ksub: int, dim: int, seed: int = 0
+) -> list[list[list[float]]]:
+    """Seeded product-quantization codebooks (driver-side constants):
+    ``m`` subspaces of ``dim/m`` dims, ``ksub`` codes each. Like
+    :func:`ivf_centroids`, random codebooks give PQ's cost structure
+    without a training pass and, being pure literals, let the DuckDB
+    oracle embed identical values; :func:`pq_fit_codebooks` is the
+    real-deployment path."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    c = np.random.default_rng(seed).standard_normal((m, ksub, dim // m))
+    return c.tolist()
+
+
+def pq_fit_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 0,
+    max_iter: int = 20,
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: an independent ``pyspark.ml`` KMeans per
+    subspace (m small MLlib jobs over column-sliced subvectors — each a
+    distributed fit, like :func:`ivf_fit_centroids`)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        feats = corpus.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=ksub, seed=seed + j, maxIter=max_iter).fit(feats)
+        books.append(
+            [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+        )
+    return books
+
+
+def _pq_cb_arr(codebooks: list[list[list[float]]]) -> np.ndarray:
+    cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, sub)
+    if cb.ndim != 3:
+        raise ValueError("codebooks must be m x ksub x sub")
+    return cb
+
+
+def pq_half_norms(codebooks: list[list[list[float]]]) -> list[list[float]]:
+    """0.5*||code||² per codebook entry — the shared literal both the
+    encode kernel and the DuckDB oracle embed, so ``argmin ||v-c||²``
+    can be evaluated as ``argmin (half - <v,c>)`` with bit-identical
+    floats on both sides (<v,c> accumulates left-to-right in float64,
+    the proven list_inner_product-parity pattern)."""
+    cb = _pq_cb_arr(codebooks)
+    return (0.5 * (cb * cb).sum(axis=2)).tolist()
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """vector → array<int> of m PQ codes: per subspace, the codebook
+    entry minimizing ``half - <v_sub, c>`` (≡ nearest by L2 for fixed
+    v_sub), ties to the smaller code — same tie rule as the oracle's
+    ``ORDER BY s ASC, cid ASC``."""
+    cb = _pq_cb_arr(codebooks)
+    m, ksub, sub = cb.shape
+    half = np.asarray(pq_half_norms(codebooks), dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def k(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype="object")
+        vm = _stack(v)
+        codes = np.empty((len(vm), m), dtype=np.int32)
+        for j in range(m):
+            vj = vm[:, j * sub : (j + 1) * sub]
+            acc = vj[:, 0:1] * cb[j][None, :, 0]
+            for t in range(1, sub):
+                acc = acc + vj[:, t : t + 1] * cb[j][None, :, t]
+            score = half[j][None, :] - acc
+            codes[:, j] = np.argsort(score, axis=1, kind="stable")[:, 0]
+        return pd.Series(list(codes))
+
+    return k
+
+
+def _pq_recon_udf(codebooks: list[list[list[float]]]):
+    """codes → the reconstructed (decoded) vector: concat of each
+    subspace's codebook entry. ADC scoring runs through this because
+    ``<q, recon>`` is mathematically Σ_j <q_j, cb_j[code_j]> (the ADC
+    lookup-table sum) while giving both engines ONE left-to-right
+    64-dim accumulation — the bit-stable evaluation order the cosine
+    kernels already pin."""
+    cb = _pq_cb_arr(codebooks)
+    m = cb.shape[0]
+
+    @pandas_udf("array<double>")
+    def k(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="object")
+        cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        recon = np.concatenate([cb[j][cm[:, j]] for j in range(m)], axis=1)
+        return pd.Series(list(recon))
+
+    return k
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Compress the corpus to PQ codes: (id, array<int> of m codes).
+    This is the 100 TB memory story — m bytes-scale codes replace the
+    full vector (64 float32 → 8 small ints here, ~32× less to scan,
+    shuffle, or cache), and every downstream ADC scan reads ONLY this
+    table; the raw vectors are touched again only by an exact refine."""
+    enc = _pq_encode_udf(codebooks)
+    return corpus.select(
+        F.col(id_col), enc(F.col(vec_col)).alias("codes")
+    )
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the corpus is scanned as PQ
+    codes only; each (query, code) pair scores cos(q, decode(codes)).
+    No shuffle on the corpus side — queries broadcast, scoring is
+    map-side, the per-query top-k window shuffles only the scored pairs.
+    Approximate by construction (quantization error), so the returned
+    ``cosine`` is the ADC estimate; chase with an exact refine
+    (:func:`knn_ivf_pq`) when true distances matter."""
+    enc = _pq_encode_udf(codebooks)
+    rec = _pq_recon_udf(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(F.col(vec_col)).alias("__codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_kernel(F.col("__qvec"), rec(F.col("__codes"))), 6
+            ).alias("cosine"),
+        )
+    )
+    return _topk(sims, k)
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    refine_factor: int = 4,
+) -> DataFrame:
+    """IVF-PQ with exact refine — the standard billion-scale ANN
+    architecture, composed from this module's pieces: the coarse
+    quantizer prunes to ``nprobe`` cells (partition pruning when the
+    store is laid out by :func:`ivf_write_clustered`), ADC scores the
+    probed cells over PQ CODES (≈32× less data than raw vectors), the
+    top ``k*refine_factor`` ADC candidates per query are then re-ranked
+    by exact cosine against the raw vectors (a broadcast join of the
+    tiny candidate set back to the corpus). Only the refine ever reads
+    full vectors, and only for candidates."""
+    if not 1 <= nprobe <= len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
+    c_arr = np.asarray(centroids, dtype=np.float64)
+    cell1 = _probe_udf(c_arr, 1)
+    cellN = _probe_udf(c_arr, nprobe)
+    enc = _pq_encode_udf(codebooks)
+    rec = _pq_recon_udf(codebooks)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        enc(F.col(vec_col)).alias("__codes"),
+        F.element_at(cell1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(cellN(F.col(vec_col))).alias("cell"),
+    )
+    adc = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_kernel(F.col("__qvec"), rec(F.col("__codes"))), 6
+            ).alias("adc"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    truth = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+    )
+    sims = (
+        truth.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
         )
     )
     return _topk(sims, k)

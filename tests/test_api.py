@@ -99,6 +99,8 @@ class TestDriverContract:
             "q_neardup_recall",
             "q_knn_ivf_trained",
             "q_knn_ivf_clustered",
+            "q_knn_pq",
+            "q_knn_ivf_pq",
             "q_embedding_neardup",
             "q_semantic_dedup",
             "q_knn_recall",
