@@ -461,6 +461,36 @@ def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_pq(emb, queries, _pq_books(), k=5)
 
 
+def _q_knn_ivf_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The physical IVF-PQ deployment path
+    (similarity.py:knn_ivf_pq_clustered): the store is written once
+    with PQ codes beside each vector, the ADC scan reads only
+    (id, codes) from the nprobe-pruned partitions (parquet column
+    pruning skips the raw vectors), refine reads vectors for broadcast
+    candidates only. Same params as q_knn_ivf_pq — results and oracle
+    identical; this row certifies the store write + pruned,
+    column-pruned read path end-to-end."""
+    import os
+    import tempfile
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.where(emb.vec_id < 10)
+    cents = _ivf_trained_cents()
+    books = _pq_books()
+    path = os.path.join(tempfile.mkdtemp(prefix="ivf_pq_clustered_"), "store")
+    sim.ivf_write_clustered(emb, cents, path, codebooks=books)
+    return sim.knn_ivf_pq_clustered(
+        spark,
+        path,
+        cents,
+        books,
+        queries,
+        k=5,
+        nprobe=_PQ_IVFPQ_NPROBE,
+        refine_factor=_PQ_REFINE,
+    )
+
+
 def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with exact refine (similarity.py:knn_ivf_pq) — the
     standard billion-scale ANN shape: trained coarse cells prune to
@@ -2298,12 +2328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_bpe_merges_batched, q_cdc_bounded) and rotated OUT
     # q_resample_asof/q_asof_forward/q_gap_fill (driver-green r5 AND r7,
     # untouched by r8 code changes).
-    # Round 9 rotates IN the five new queries (q_neardup_recall,
-    # q_knn_ivf_trained, q_knn_ivf_clustered, q_knn_pq, q_knn_ivf_pq)
-    # and rotates OUT q_json_roundtrip + q_video_frame_stats
-    # (driver-green r7 AND r8, untouched by r9 code changes) +
-    # q_repetition_stats/q_domain_stats/q_ngram_lm (driver-green r6 AND
-    # r7 AND r8, untouched by r9); every query whose plan r9 touched
+    # Round 9 rotates IN the six new queries (q_neardup_recall,
+    # q_knn_ivf_trained, q_knn_ivf_clustered, q_knn_pq, q_knn_ivf_pq,
+    # q_knn_ivf_pq_clustered) and rotates OUT q_json_roundtrip +
+    # q_video_frame_stats (driver-green r7 AND r8, untouched by r9 code
+    # changes) + q_repetition_stats/q_domain_stats/q_ngram_lm/q_pii_scan
+    # (driver-green r6 AND r7 AND r8, untouched by r9); every query
+    # whose plan r9 touched
     # (the OR-amplified near-dup generator ->
     # q_embedding_neardup/q_semantic_dedup, the extended recall audit ->
     # q_knn_recall, the fixed-round BPE schedule ->
@@ -2321,7 +2352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-6 additions: corpus-curation wing ---------------------
         "q_pack_sequences": _q_pack_sequences,
         "q_paragraph_dedup": _q_paragraph_dedup,
-        "q_pii_scan": _q_pii_scan,
         "q_domain_mixture": _q_domain_mixture,
         "q_dup_span_stats": _q_dup_span_stats,
         "q_interpolate": ep.q_interpolate,
@@ -2357,6 +2387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_ivf_clustered": _q_knn_ivf_clustered,
         "q_knn_pq": _q_knn_pq,
         "q_knn_ivf_pq": _q_knn_ivf_pq,
+        "q_knn_ivf_pq_clustered": _q_knn_ivf_pq_clustered,
         "q_knn_recall": _q_knn_recall,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_recall": _q_neardup_recall,
@@ -2375,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_repetition_stats": _q_repetition_stats,  # green r6+r7+r8
         "q_domain_stats": _q_domain_stats,  # green r6+r7+r8
         "q_ngram_lm": _q_ngram_lm,  # green r6+r7+r8
+        "q_pii_scan": _q_pii_scan,  # green r6+r7+r8
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
         #     rotated out to make room for the r8 additions) --------
         "q_quantize_embeddings": _q_quantize_embeddings,
@@ -3186,6 +3218,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q_knn_pq": _knn_pq_sql(),
         "q_knn_ivf_pq": _knn_ivf_pq_sql(),
+        # identical search semantics through the code-carrying store
+        "q_knn_ivf_pq_clustered": _knn_ivf_pq_sql(),
         "q_knn_recall": _knn_recall_sql(),
         "q_embedding_neardup": _embedding_neardup_sql(),
         "q_neardup_recall": _neardup_recall_sql(),

@@ -101,6 +101,7 @@ class TestDriverContract:
             "q_knn_ivf_clustered",
             "q_knn_pq",
             "q_knn_ivf_pq",
+            "q_knn_ivf_pq_clustered",
             "q_embedding_neardup",
             "q_semantic_dedup",
             "q_knn_recall",

@@ -447,3 +447,44 @@ class TestProductQuantization:
         assert len(got) == 15
         for r in got:
             assert truth[(r.query_id, r.neighbor_id)] == r.cosine
+
+    def test_ivf_pq_clustered_store_parity_and_pruning(
+        self, spark, emb, books, tmp_path
+    ):
+        """The code-carrying store: (a) knn_ivf_pq_clustered returns
+        exactly knn_ivf_pq's results; (b) the ADC scan's ReadSchema
+        excludes the raw-vector column (parquet column pruning) while
+        carrying the probed-cell PartitionFilters."""
+        import contextlib
+        import io
+
+        import pandas as pd
+
+        cents = S.ivf_centroids(8, DIM, seed=7)
+        path = str(tmp_path / "pqstore")
+        S.ivf_write_clustered(emb, cents, path, codebooks=books)
+        assert "codes" in spark.read.parquet(path).columns
+
+        queries = emb.where(F.col("vec_id") < 3)
+        got = S.knn_ivf_pq_clustered(
+            spark, path, cents, books, queries, k=5, nprobe=2, refine_factor=4
+        )
+        a = got.toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+        b = (
+            S.knn_ivf_pq(emb, queries, cents, books, k=5, nprobe=2, refine_factor=4)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            got.explain("formatted")
+        plan = buf.getvalue()
+        assert "PartitionFilters" in plan and " IN (" in plan
+        # two scans of the store: the ADC scan (codes, no embedding) and
+        # the refine scan (embedding); at least one ReadSchema must omit
+        # the vector column entirely
+        schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert any("codes" in s and "embedding" not in s for s in schemas)

@@ -43,11 +43,25 @@ HEAVY = [
     "q_cumulative_share",
     "q_lineitem_dedup",
     "q_skew_salted_agg",
+    # r9 ANN additions: PQ encode+ADC and the store-writing clustered
+    # forms (the write is part of the measured work by design)
+    "q_knn_pq",
+    "q_knn_ivf_pq",
+    "q_knn_ivf_clustered",
+    "q_knn_ivf_pq_clustered",
 ]
 
 
 def main() -> None:
-    runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    # usage: bench_scale.py [runs] [--only q_a,q_b]  (--only merges the
+    # named queries into the existing scale_ramp.json instead of
+    # re-running the whole list)
+    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
+    only = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = a.split("=", 1)[1].split(",") if "=" in a else None
+    runs = int(args[0]) if args else 3
 
     import importlib.util
 
@@ -62,8 +76,12 @@ def main() -> None:
     spark = get_spark(app_name="bench-scale", shuffle_partitions=32)
     qs = entry.queries()
 
+    path = os.path.join(REPO, "bench_runs_r9", "scale_ramp.json")
     out = {"runs": runs, "sf01_dir": SF01, "sf1_dir": SF1, "queries": {}}
-    for name in HEAVY:
+    if only and os.path.exists(path):
+        with open(path) as f:
+            out["queries"] = json.load(f)["queries"]
+    for name in (only or HEAVY):
         fn = qs[name]
         rec = {}
         for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
@@ -79,7 +97,6 @@ def main() -> None:
               f"  ratio={rec['ratio']:5.1f}x", flush=True)
 
     os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
-    path = os.path.join(REPO, "bench_runs_r9", "scale_ramp.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
