@@ -1745,6 +1745,17 @@ def _q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.corpus_split(load_table(spark, "documents", sf_dir))
 
 
+def _q_corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shuffle + shard assignment (curation.shuffle_shards):
+    per-doc shard and within-shard training position, a pure function of
+    (doc_id, salt) — the reproducible global shuffle a shard writer runs
+    last. The plan IS the write layout: one shuffle on the shard key +
+    per-shard sort."""
+    return cur.shuffle_shards(
+        load_table(spark, "documents", sf_dir), n_shards=8
+    )
+
+
 def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted downsampling: keep each doc with probability equal
     to its quality score, then summarize the kept set per language."""
@@ -2328,13 +2339,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_bpe_merges_batched, q_cdc_bounded) and rotated OUT
     # q_resample_asof/q_asof_forward/q_gap_fill (driver-green r5 AND r7,
     # untouched by r8 code changes).
-    # Round 9 rotates IN the six new queries (q_neardup_recall,
+    # Round 9 rotates IN the seven new queries (q_neardup_recall,
     # q_knn_ivf_trained, q_knn_ivf_clustered, q_knn_pq, q_knn_ivf_pq,
-    # q_knn_ivf_pq_clustered) and rotates OUT q_json_roundtrip +
-    # q_video_frame_stats (driver-green r7 AND r8, untouched by r9 code
-    # changes) + q_repetition_stats/q_domain_stats/q_ngram_lm/q_pii_scan
-    # (driver-green r6 AND r7 AND r8, untouched by r9); every query
-    # whose plan r9 touched
+    # q_knn_ivf_pq_clustered, q_corpus_shards) and rotates OUT
+    # q_json_roundtrip + q_video_frame_stats (driver-green r7 AND r8,
+    # untouched by r9 code changes) + q_repetition_stats/q_domain_stats/
+    # q_ngram_lm/q_pii_scan/q_decontaminate (driver-green r6 AND r7 AND
+    # r8, untouched by r9); every query whose plan r9 touched
     # (the OR-amplified near-dup generator ->
     # q_embedding_neardup/q_semantic_dedup, the extended recall audit ->
     # q_knn_recall, the fixed-round BPE schedule ->
@@ -2348,6 +2359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,
         "q_combine_ticks": _q_combine_ticks,
         "q_corpus_split": _q_corpus_split,
+        "q_corpus_shards": _q_corpus_shards,
         "q_weighted_sample": _q_weighted_sample,
         # --- round-6 additions: corpus-curation wing ---------------------
         "q_pack_sequences": _q_pack_sequences,
@@ -2355,7 +2367,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_mixture": _q_domain_mixture,
         "q_dup_span_stats": _q_dup_span_stats,
         "q_interpolate": ep.q_interpolate,
-        "q_decontaminate": _q_decontaminate,
         "q_semantic_dedup": _q_semantic_dedup,
         # --- rotated in round 7 ------------------------------------------
         "q_cdc_dedup": _q_cdc_dedup,
@@ -2407,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_domain_stats": _q_domain_stats,  # green r6+r7+r8
         "q_ngram_lm": _q_ngram_lm,  # green r6+r7+r8
         "q_pii_scan": _q_pii_scan,  # green r6+r7+r8
+        "q_decontaminate": _q_decontaminate,  # green r6+r7+r8
         # --- temporal/window (driver-green r5 AND r7, untouched in r8;
         #     rotated out to make room for the r8 additions) --------
         "q_quantize_embeddings": _q_quantize_embeddings,
@@ -4142,6 +4154,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT split, lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM b GROUP BY split, lang
+        """,
+        "q_corpus_shards": """
+            WITH h AS (
+              SELECT doc_id,
+                     (('0x' || substr(md5('shuf|' || doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT AS h
+              FROM documents
+            )
+            SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+            FROM h
         """,
         "q_quantize_embeddings": """
             WITH s AS (

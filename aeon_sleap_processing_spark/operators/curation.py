@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from .text import salted_uniform, tokenize
+from .text import md5_long, salted_uniform, tokenize
 
 __all__ = [
     "pack_sequences",
@@ -44,6 +44,7 @@ __all__ = [
     "paragraph_dedup",
     "pii_scan",
     "domain_mixture_sample",
+    "shuffle_shards",
     "PII_PATTERNS",
 ]
 
@@ -282,6 +283,41 @@ def paragraph_dedup(
 # under Java regex (Spark) and RE2 (DuckDB oracle). Order matters for
 # redaction: emails before phones so the digits of "user123@x.com" are not
 # half-eaten by the phone pattern.
+def shuffle_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    salt: str = "shuf",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard assignment — the last step
+    before a training run writes its tokenized shards: every document
+    gets a shard (``pmod(md5_long(salt|id), n_shards)``) and a position
+    within that shard (ascending salted hash, ties by id), so the
+    training order is globally shuffled yet a pure function of
+    (id, salt) — reproducible across runs, engines, and partitionings,
+    and re-shufflable per epoch by changing the salt. An RNG shuffle is
+    neither (and cannot be oracled).
+
+    Scale shape: ONE shuffle on the dense shard key, then a per-shard
+    window sort — exactly the repartition(n_shards) +
+    sortWithinPartitions physical layout the shard writer needs, so the
+    assignment plan IS the write plan. No global ordering ever
+    materializes (per-shard positions are independent)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = md5_long(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    w = W.partitionBy("shard").orderBy("h", id_col)
+    return (
+        docs.select(F.col(id_col), h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .select(
+            F.col(id_col),
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+        )
+    )
+
+
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),

@@ -102,6 +102,7 @@ class TestDriverContract:
             "q_knn_pq",
             "q_knn_ivf_pq",
             "q_knn_ivf_pq_clustered",
+            "q_corpus_shards",
             "q_embedding_neardup",
             "q_semantic_dedup",
             "q_knn_recall",

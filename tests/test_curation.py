@@ -315,3 +315,31 @@ def test_pack_bins_matches_sequential_oracle(spark_global, lens, cap, n_shards):
             bins.append((nd, fill))
         expected.extend((s, b, d, t) for b, (d, t) in enumerate(bins))
     assert list(zip(got.shard, got.bin_id, got.n_docs, got.n_tokens)) == expected
+
+
+class TestShuffleShards:
+    def test_assignment_is_deterministic_complete_and_contiguous(self, spark):
+        from aeon_sleap_processing_spark.operators.curation import shuffle_shards
+
+        docs = _docs(spark, [f"t{i}" for i in range(40)], ids=list(range(40)))
+        a = shuffle_shards(docs, n_shards=4).collect()
+        b = shuffle_shards(docs, n_shards=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        # every doc exactly once; shards in range
+        assert sorted(r.doc_id for r in a) == list(range(40))
+        assert all(0 <= r.shard < 4 for r in a)
+        # positions are 1..n_s contiguous within each shard
+        by_shard = {}
+        for r in a:
+            by_shard.setdefault(r.shard, []).append(r.pos)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(1, len(poss) + 1))
+
+    def test_salt_reshuffles_order_but_not_membership(self, spark):
+        from aeon_sleap_processing_spark.operators.curation import shuffle_shards
+
+        docs = _docs(spark, [f"t{i}" for i in range(60)], ids=list(range(60)))
+        e0 = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(docs, 4, salt="e0").collect()}
+        e1 = {(r.doc_id, r.shard, r.pos) for r in shuffle_shards(docs, 4, salt="e1").collect()}
+        assert {d for d, _, _ in e0} == {d for d, _, _ in e1}
+        assert e0 != e1  # a different epoch salt produces a different order
