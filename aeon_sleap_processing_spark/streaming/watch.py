@@ -35,6 +35,8 @@ __all__ = [
     "stream_pack_sequences",
     "stream_append_compacted",
     "read_compacted_store",
+    "stream_semantic_dedup",
+    "read_semantic_reps",
 ]
 
 
@@ -427,6 +429,150 @@ def stream_dedup(
     memory is O(keys per horizon), not O(all history) — the property that
     lets it run unbounded at ingest scale."""
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_semantic_dedup(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    hyperplanes: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 6,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming semantic (embedding) dedup — the ingest twin of
+    ``operators.similarity.semantic_dedup``: each arriving vector is kept
+    only if it has NO near-duplicate (exact cosine ≥ ``threshold``) among
+    the representatives kept so far or among smaller-id vectors of its own
+    micro-batch; kept vectors become representatives for every later batch.
+
+    The "state" is a REPRESENTATIVE STORE on disk
+    (``out_path/reps/batch=<id>``), not the streaming state store: vectors
+    are far too large to ride per-key state at corpus scale, and the dedup
+    decision is a bucket-keyed JOIN (the OR-amplified sign-LSH candidate
+    generation of ``embedding_near_dups``, same planes/tables/threshold
+    semantics), so per-batch work is batch-vs-store collisions — never an
+    all-pairs product, and executor memory stays O(batch + collisions)
+    regardless of store size. At a 100 TB store the scan itself is the
+    cost; lay the store out by bucket/cell (``ivf_write_clustered``) and
+    compact it (``compact_parquet``) offline — the read here is a plain
+    parquet scan either way.
+
+    Exactly-once across restarts, by the strictly-earlier argument of
+    :func:`stream_append_compacted`: batch B reads only ``batch=<id> < B``
+    rep dirs (already checkpoint-committed, never replayed), writes its
+    kept set with OVERWRITE into ``batch=B``, and id-anti-joins the store
+    first so an at-least-once redelivery of an already-kept id is a no-op.
+    A crash anywhere between write and checkpoint commit replays batch B
+    against the identical earlier-store ⇒ identical decision ⇒ identical
+    rewrite.
+
+    GREEDY streaming contract (documented divergence from the batch
+    operator): the batch ``semantic_dedup`` picks one representative per
+    connected near-dup CLUSTER; this operator drops a vector on ANY
+    near-dup edge to an earlier survivor-or-batch-predecessor, so a chain
+    a–b–c arriving in order can keep only ``a`` where the batch form
+    (same cluster) would also keep only one — but a chain SPLIT ACROSS
+    batches can over-drop relative to re-clustering history. Over-dropping
+    near-dups is the conservative direction for dedup; the batch operator
+    remains the end-of-corpus authority. Read the kept set with
+    :func:`read_semantic_reps`."""
+    from ..operators import similarity as sim
+    from ..sources.sinks import _hadoop_fs
+
+    spark = stream.sparkSession
+    reps_root = out_path.rstrip("/") + "/reps"
+
+    def _earlier_rep_dirs(batch_id: int) -> list[str]:
+        fs, Path, _ = _hadoop_fs(spark, out_path)
+        root = Path(reps_root)
+        if not fs.exists(root):
+            return []
+        return [
+            str(st.getPath().toUri())
+            for st in fs.listStatus(root)
+            if st.isDirectory()
+            and st.getPath().getName().startswith("batch=")
+            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
+        ]
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(F.col(id_col), F.col(vec_col)).dropDuplicates(
+            [id_col]
+        )
+        dirs = _earlier_rep_dirs(batch_id)
+        if dirs:
+            reps = spark.read.parquet(*dirs).select(id_col, vec_col)
+            # at-least-once redelivery of an already-kept id: no-op
+            batch = batch.join(reps.select(id_col), id_col, "left_anti")
+            pool = batch.withColumn("__rep", F.lit(False)).unionByName(
+                reps.withColumn("__rep", F.lit(True))
+            )
+        else:
+            pool = batch.withColumn("__rep", F.lit(False))
+        pairs = sim.embedding_near_dups(
+            pool,
+            hyperplanes,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_tables=n_tables,
+        )
+        flags = pool.select(F.col(id_col).alias("__fid"), "__rep")
+        p = pairs.join(
+            flags.select(
+                F.col("__fid").alias("id_a"), F.col("__rep").alias("__rep_a")
+            ),
+            "id_a",
+        ).join(
+            flags.select(
+                F.col("__fid").alias("id_b"), F.col("__rep").alias("__rep_b")
+            ),
+            "id_b",
+        )
+        # drop the batch side of rep-batch edges; the larger id of
+        # batch-batch edges; nothing on rep-rep edges (mutually non-dup
+        # by construction — guard anyway)
+        drop_ids = (
+            p.where(F.col("__rep_a") & ~F.col("__rep_b"))
+            .select(F.col("id_b").alias(id_col))
+            .unionByName(
+                p.where(F.col("__rep_b") & ~F.col("__rep_a")).select(
+                    F.col("id_a").alias(id_col)
+                )
+            )
+            .unionByName(
+                p.where(~F.col("__rep_a") & ~F.col("__rep_b")).select(
+                    F.col("id_b").alias(id_col)
+                )
+            )
+            .distinct()
+        )
+        kept = batch.join(drop_ids, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(f"{reps_root}/batch={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def read_semantic_reps(spark: SparkSession, out_path: str) -> DataFrame:
+    """All representatives kept by :func:`stream_semantic_dedup` (each id
+    appears in exactly one batch dir)."""
+    from ..sources.sinks import _hadoop_fs
+
+    reps_root = out_path.rstrip("/") + "/reps"
+    fs, Path, _ = _hadoop_fs(spark, out_path)
+    if not fs.exists(Path(reps_root)):
+        raise FileNotFoundError(f"no reps tier under {out_path}")
+    return spark.read.option("basePath", reps_root).parquet(reps_root).drop(
+        "batch"
+    )
 
 
 def stream_pack_sequences(

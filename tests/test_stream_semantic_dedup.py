@@ -1,0 +1,121 @@
+"""Streaming semantic dedup: representative-store state, greedy keep/drop
+contract, id-level redelivery idempotency, checkpoint restarts."""
+
+import numpy as np
+import pandas as pd
+
+from aeon_sleap_processing_spark.streaming.watch import (
+    read_semantic_reps,
+    stream_semantic_dedup,
+)
+
+DIM = 8
+PLANES = np.random.default_rng(3).standard_normal((12, DIM)).tolist()
+
+
+def _vec(axis: int, scale: float = 1.0) -> list[float]:
+    v = [0.0] * DIM
+    v[axis] = scale
+    return v  # one-hot: cosine 1.0 within an axis, 0.0 across axes
+
+
+def _drop(spark, src, ids, vecs, part):
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(f"{src}/f={part}")
+
+
+def _run(spark, src, out, ckpt):
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_semantic_dedup(
+        stream, out, ckpt, PLANES, threshold=0.95, n_tables=3
+    )
+    q.awaitTermination(180)
+
+
+class TestStreamSemanticDedup:
+    def test_greedy_keep_within_and_across_batches(self, spark, tmp_path):
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        # batch 1: 1(e0) kept, 2(e1) kept, 3(e0 again) dropped intra-batch
+        _drop(spark, src, [1, 2, 3], [_vec(0), _vec(1), _vec(0, 2.0)], 1)
+        # batch 2: 4(e0) dropped vs rep 1, 5(e2) kept, 6(e1 scaled)
+        # dropped vs rep 2
+        _drop(spark, src, [4, 5, 6], [_vec(0, 3.0), _vec(2), _vec(1, 0.5)], 2)
+        _run(spark, src, out, ckpt)
+        reps = read_semantic_reps(spark, out)
+        assert sorted(r.vec_id for r in reps.collect()) == [1, 2, 5]
+
+    def test_restart_redelivery_and_new_batches(self, spark, tmp_path):
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        _drop(spark, src, [1, 2], [_vec(0), _vec(1)], 1)
+        _run(spark, src, out, ckpt)
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1, 2]
+
+        # restart from the same checkpoint: a redelivered kept id (2) is a
+        # no-op, a near-dup of a prior rep (8 ~ e0) drops, a new axis (7)
+        # keeps — and each kept id appears EXACTLY once across the store
+        _drop(
+            spark, src, [2, 7, 8], [_vec(1), _vec(3), _vec(0, 5.0)], 2
+        )
+        _run(spark, src, out, ckpt)
+        got = [r.vec_id for r in read_semantic_reps(spark, out).collect()]
+        assert sorted(got) == [1, 2, 7]
+        assert len(got) == len(set(got))
+
+        # third cycle: everything redelivered plus one new near-dup chain
+        # a(9,e4)-b(10,e4) arriving together -> greedy keeps 9 only
+        _drop(
+            spark,
+            src,
+            [1, 7, 9, 10],
+            [_vec(0), _vec(3), _vec(4), _vec(4, 9.0)],
+            3,
+        )
+        _run(spark, src, out, ckpt)
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1, 2, 7, 9]
+
+    def test_batch_operator_is_the_corpus_authority(self, spark, tmp_path):
+        """Same data, one batch: the streaming greedy result equals the
+        batch semantic_dedup representative set when every chain fits in
+        one micro-batch (min-id representative per cluster)."""
+        from aeon_sleap_processing_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        ids = [1, 2, 3, 4, 5]
+        vecs = [_vec(0), _vec(0, 2.0), _vec(1), _vec(1, 3.0), _vec(2)]
+        _drop(spark, src, ids, vecs, 1)
+        _run(spark, src, out, ckpt)
+        stream_kept = sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        )
+        batch = spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": vecs})
+        )
+        batch_kept = sorted(
+            r.vec_id
+            for r in semantic_dedup(batch, PLANES, threshold=0.95, n_tables=3)
+            .where("is_representative")
+            .collect()
+        )
+        assert stream_kept == batch_kept == [1, 3, 5]
