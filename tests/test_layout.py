@@ -65,8 +65,9 @@ class TestZorder:
             assert prev["hi"] <= cur["lo"]
 
     def test_hilbert_matches_reference_xy2d(self, spark):
-        """hilbert_value's F.aggregate fold must equal the classic xy2d
-        recurrence exactly, over the full 16x16 grid (identity rescale)."""
+        """BOTH hilbert_value implementations (vectorized Arrow kernel and
+        the JVM F.aggregate fold) must equal the classic xy2d recurrence
+        exactly, over the full 16x16 grid (identity rescale)."""
         from aeon_sleap_processing_spark.operators.layout import hilbert_value
 
         def xy2d(n, x, y):
@@ -84,11 +85,35 @@ class TestZorder:
 
         rows = [(x, y) for x in range(16) for y in range(16)]
         df = spark.createDataFrame(rows, "x long, y long")
-        got = {
+        exp = {(x, y): xy2d(16, x, y) for x, y in rows}
+        for impl in ("kernel", "fold"):
+            got = {
+                (r.x, r.y): r["__h"]
+                for r in hilbert_value(df, ["x", "y"], bits=4, impl=impl).collect()
+            }
+            assert got == exp, impl
+
+    def test_hilbert_kernel_equals_fold_with_rescale(self, spark):
+        """The two implementations agree bit-for-bit through the full
+        non-identity rescale path at production bits=16."""
+        import random
+
+        from aeon_sleap_processing_spark.operators.layout import hilbert_value
+
+        rng = random.Random(7)
+        rows = [
+            (rng.uniform(-50, 900), rng.randint(3, 10_000)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "x double, y long")
+        a = {
             (r.x, r.y): r["__h"]
-            for r in hilbert_value(df, ["x", "y"], bits=4).collect()
+            for r in hilbert_value(df, ["x", "y"], bits=16, impl="kernel").collect()
         }
-        assert got == {(x, y): xy2d(16, x, y) for x, y in rows}
+        b = {
+            (r.x, r.y): r["__h"]
+            for r in hilbert_value(df, ["x", "y"], bits=16, impl="fold").collect()
+        }
+        assert a == b and len(a) == 500
 
     def test_hilbert_skips_at_least_as_well_as_zorder(self, spark, tmp_path):
         """Jump-free curve: for the same box predicate and file count,
