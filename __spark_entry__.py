@@ -429,23 +429,32 @@ def _q_knn_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# PRODUCT QUANTIZATION (r9): codebooks fitted per 4-dim subspace with
-# pyspark.ml KMeans (tools/fit_pq_codebooks.py, m=16 x ksub=16, seed 11,
-# sf0.01 corpus) and PINNED to a committed JSON — Spark kernels and the
-# DuckDB oracle embed byte-identical codebook literals, the
-# ivf_centroids_trained.json technique. 16 4-bit codes = 8 bytes/vector
-# vs 256 bytes float32 (32x), and the ADC scan reads ONLY codes.
+# PRODUCT QUANTIZATION (r9): codebooks fitted per 2-dim subspace with
+# pyspark.ml KMeans (tools/fit_pq_codebooks.py, m=32 x ksub=16, seed 11)
+# and PINNED to committed JSONs — Spark kernels and the DuckDB oracle
+# embed byte-identical codebook literals, the ivf_centroids_trained.json
+# technique. 32 4-bit codes = 16 bytes/vector vs 256 bytes float32
+# (16x), and the ADC scan reads ONLY codes. Trained PER CORPUS (each
+# testdata SF is an independent random draw; fine-grained codebooks do
+# not transfer across draws of clusterless data — see
+# tools/fit_pq_codebooks.py for the cross-SF measurements); the oracle
+# gate runs at sf0.01 and embeds that SF's books.
 _PQ_IVFPQ_NPROBE = 4
-_PQ_REFINE = 4  # recall@5: 0.52 ADC-only, 0.62 with nprobe-4 + 4k refine
+_PQ_REFINE = 4  # recall@5 at sf0.01: 0.60 ADC-only, 0.68 with refine
 
 
-def _pq_books() -> list[list[list[float]]]:
+def _pq_books(sf_dir: str | None = None) -> list[list[list[float]]]:
     import json
     import os
 
+    name = "pq_codebooks_trained.json"  # the sf0.01 (oracle-gate) books
+    if sf_dir is not None and "sf0.01" not in sf_dir:
+        # serve larger corpora with their own trained quantizer; the
+        # derived 10x ramp data (benchdata/sf1) perturbs sf0.1 vectors,
+        # so the sf0.1 books are its natural quantizer too
+        name = "pq_codebooks_trained_sf0.1.json"
     p = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "tools", "pq_codebooks_trained.json",
+        os.path.dirname(os.path.abspath(__file__)), "tools", name
     )
     with open(p) as f:
         return json.load(f)["codebooks"]
@@ -453,12 +462,12 @@ def _pq_books() -> list[list[list[float]]]:
 
 def _q_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-k over PQ codes only (similarity.py:knn_pq): the corpus
-    scan carries 32x less data than raw vectors; scoring decodes each
+    scan carries 16x less data than raw vectors; scoring decodes each
     candidate's codebook entries and runs the pinned-parity cosine
     kernel against the reconstruction."""
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
-    return sim.knn_pq(emb, queries, _pq_books(), k=5)
+    return sim.knn_pq(emb, queries, _pq_books(sf_dir), k=5)
 
 
 def _q_knn_ivf_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,7 +485,7 @@ def _q_knn_ivf_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
     cents = _ivf_trained_cents()
-    books = _pq_books()
+    books = _pq_books(sf_dir)
     path = os.path.join(tempfile.mkdtemp(prefix="ivf_pq_clustered_"), "store")
     sim.ivf_write_clustered(emb, cents, path, codebooks=books)
     return sim.knn_ivf_pq_clustered(
@@ -502,7 +511,7 @@ def _q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb,
         queries,
         _ivf_trained_cents(),
-        _pq_books(),
+        _pq_books(sf_dir),
         k=5,
         nprobe=_PQ_IVFPQ_NPROBE,
         refine_factor=_PQ_REFINE,
@@ -541,12 +550,12 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_trained": sim.knn_ivf(
             emb, queries, _ivf_trained_cents(), k=5, nprobe=_IVF_TRAINED_NPROBE
         ),
-        "pq": sim.knn_pq(emb, queries, _pq_books(), k=5),
+        "pq": sim.knn_pq(emb, queries, _pq_books(sf_dir), k=5),
         "ivf_pq": sim.knn_ivf_pq(
             emb,
             queries,
             _ivf_trained_cents(),
-            _pq_books(),
+            _pq_books(sf_dir),
             k=5,
             nprobe=_PQ_IVFPQ_NPROBE,
             refine_factor=_PQ_REFINE,

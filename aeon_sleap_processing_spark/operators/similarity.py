@@ -672,10 +672,11 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Compress the corpus to PQ codes: (id, array<int> of m codes).
-    This is the 100 TB memory story — m bytes-scale codes replace the
-    full vector (64 float32 → 8 small ints here, ~32× less to scan,
-    shuffle, or cache), and every downstream ADC scan reads ONLY this
-    table; the raw vectors are touched again only by an exact refine."""
+    This is the 100 TB memory story — m small codes replace the full
+    vector (64 float32 → 32 4-bit codes at the driver contract's shape:
+    ~16× less to scan, shuffle, or cache), and every downstream ADC scan
+    reads ONLY this table; the raw vectors are touched again only by an
+    exact refine."""
     enc = _pq_encode_udf(codebooks)
     return corpus.select(
         F.col(id_col), enc(F.col(vec_col)).alias("codes")
@@ -735,7 +736,8 @@ def knn_ivf_pq(
     architecture, composed from this module's pieces: the coarse
     quantizer prunes to ``nprobe`` cells (partition pruning when the
     store is laid out by :func:`ivf_write_clustered`), ADC scores the
-    probed cells over PQ CODES (≈32× less data than raw vectors), the
+    probed cells over PQ CODES (≈16× less data than raw vectors at the
+    driver contract's m=32 codebooks), the
     top ``k*refine_factor`` ADC candidates per query are then re-ranked
     by exact cosine against the raw vectors (a broadcast join of the
     tiny candidate set back to the corpus). Only the refine ever reads
@@ -815,7 +817,7 @@ def knn_ivf_pq_clustered(
     - the probed-cell ``IN`` filter prunes partitions at file-listing
       time (nprobe/n_cells of the store listed/read);
     - the ADC scan selects only (id, codes, cell), so parquet COLUMN
-      pruning skips the raw-vector column entirely (~32x less data off
+      pruning skips the raw-vector column entirely (~16x less data off
       disk than the vectors it ranks);
     - the refine re-reads the probed cells' (id, vector) columns only
       for the broadcast candidate-id set.
