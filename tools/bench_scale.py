@@ -49,6 +49,10 @@ HEAVY = [
     "q_knn_ivf_pq",
     "q_knn_ivf_clustered",
     "q_knn_ivf_pq_clustered",
+    # r9 additions round 2: the vectorized Hilbert fold and the
+    # shuffle+shard assignment (a full-corpus window per shard)
+    "q_hilbert_stats",
+    "q_corpus_shards",
 ]
 
 
