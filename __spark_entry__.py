@@ -416,16 +416,27 @@ def _q_knn_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe, and query set as q_knn_ivf_trained, so the results — and the
     oracle — are identical; what this row certifies is the store
     write + pruned read path end-to-end."""
-    import os
-    import tempfile
-
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
     cents = _ivf_trained_cents()
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_clustered_"), "store")
+    path = _scratch_store("ivf_clustered", sf_dir)
     sim.ivf_write_clustered(emb, cents, path)
     return sim.knn_ivf_clustered(
         spark, path, cents, queries, k=5, nprobe=_IVF_TRAINED_NPROBE
+    )
+
+
+def _scratch_store(kind: str, sf_dir: str) -> str:
+    """Deterministic per-(query, SF) scratch path for the store-writing
+    driver queries: the write is mode=overwrite, so repeated driver/bench
+    runs REUSE one directory instead of accumulating a fresh mkdtemp copy
+    of the corpus per invocation (disk usage stays bounded)."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(
+        tempfile.gettempdir(), f"aeon_spark_{kind}_{tag}", "store"
     )
 
 
@@ -479,14 +490,11 @@ def _q_knn_ivf_pq_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates only. Same params as q_knn_ivf_pq — results and oracle
     identical; this row certifies the store write + pruned,
     column-pruned read path end-to-end."""
-    import os
-    import tempfile
-
     emb = load_table(spark, "embeddings", sf_dir)
     queries = emb.where(emb.vec_id < 10)
     cents = _ivf_trained_cents()
     books = _pq_books(sf_dir)
-    path = os.path.join(tempfile.mkdtemp(prefix="ivf_pq_clustered_"), "store")
+    path = _scratch_store("ivf_pq_clustered", sf_dir)
     sim.ivf_write_clustered(emb, cents, path, codebooks=books)
     return sim.knn_ivf_pq_clustered(
         spark,
@@ -868,9 +876,12 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # LTR-accumulated cosines against the broadcast corpus matrix —
     # bit-identical pair set to the pairwise-kernel join at 6.5x less
     # wall (the kernel form moved 2M x 2 vectors through Arrow)
+    # the sweep feeds TWO plan references (n_pairs agg + the hits
+    # semi-join); localCheckpoint runs it once instead of twice — Spark
+    # does not dedupe common subplans (same device as q_knn_recall)
     true_pairs = sim.neardup_pairs_bruteforce(
         emb, threshold=_NEARDUP_THRESHOLD
-    )
+    ).localCheckpoint(eager=False)
     hits = true_pairs.join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
     return (
         true_pairs.select(F.lit("lsh_neardup").alias("method"), F.lit(1).alias("__t"))

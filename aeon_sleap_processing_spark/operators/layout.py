@@ -296,7 +296,15 @@ def parquet_skipping_stats(path: str, box: dict[str, tuple]) -> dict:
     # all-zero counts (reading as "everything skipped"). Mirror
     # _list_data_files and audit every leaf; raise if nothing matches.
     files = sorted(
-        glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        f
+        for f in glob.glob(
+            os.path.join(path, "**", "*.parquet"), recursive=True
+        )
+        # exclude compactor staging dirs: a crashed compact_parquet
+        # leaves leaf__precompact (recovered on its next run) and an
+        # in-flight one keeps leaf__compacting — counting those would
+        # double every row in the audit
+        if "__precompact" not in f and "__compacting" not in f
     )
     if not files:
         raise FileNotFoundError(

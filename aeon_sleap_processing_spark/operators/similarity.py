@@ -189,6 +189,27 @@ def knn_bruteforce(
     return _topk(sims, k)
 
 
+def _split_tables(
+    hyperplanes: list[list[float]], n_tables: int
+) -> list[list[list[float]]]:
+    """Split the plane list into n_tables contiguous groups, refusing any
+    (L, T) whose ceil split would leave a trailing EMPTY table: an empty
+    group hashes every vector to bucket 0, so that table 'collides' ALL
+    pairs and candidate generation silently degenerates to the full
+    n(n-1)/2 cross product (e.g. L=24, T=7 → per=4 → group 6 empty)."""
+    if n_tables < 1 or n_tables > len(hyperplanes):
+        raise ValueError(f"n_tables must be in [1, {len(hyperplanes)}]")
+    per = (len(hyperplanes) + n_tables - 1) // n_tables
+    groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
+    if any(not g for g in groups):
+        raise ValueError(
+            f"{len(hyperplanes)} planes split into {n_tables} tables of "
+            f"{per} leaves an empty table (an all-pairs collider); use a "
+            f"divisor-friendly n_tables"
+        )
+    return groups
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -207,11 +228,7 @@ def knn_lsh(
     recall, more planes per table cut candidates). Candidates = (table,
     bucket) equi-join, dedup, exact cosine re-rank.
     Recall < 1.0 by construction — tested against knn_bruteforce."""
-    if n_tables < 1 or n_tables > len(hyperplanes):
-        raise ValueError(f"n_tables must be in [1, {len(hyperplanes)}]")
-    per = (len(hyperplanes) + n_tables - 1) // n_tables
-    groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
-    bucket = _bucket_udf(groups)
+    bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
 
     def membered(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         return df.select(
@@ -380,11 +397,7 @@ def embedding_near_dups(
 
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
-    if n_tables < 1 or n_tables > len(hyperplanes):
-        raise ValueError(f"n_tables must be in [1, {len(hyperplanes)}]")
-    per = (len(hyperplanes) + n_tables - 1) // n_tables
-    groups = [hyperplanes[t * per : (t + 1) * per] for t in range(n_tables)]
-    bucket = _bucket_udf(groups)
+    bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
     if n_tables == 1:
         # single table: a pair can collide at most once — verify inline
         c = corpus.select(
@@ -638,7 +651,9 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
             for t in range(1, sub):
                 acc = acc + vj[:, t : t + 1] * cb[j][None, :, t]
             score = half[j][None, :] - acc
-            codes[:, j] = np.argsort(score, axis=1, kind="stable")[:, 0]
+            # argmin returns the FIRST minimum — the smaller-code tie
+            # rule — at O(ksub), unlike a full stable argsort
+            codes[:, j] = np.argmin(score, axis=1)
         return pd.Series(list(codes))
 
     return k
@@ -700,9 +715,12 @@ def knn_pq(
     (:func:`knn_ivf_pq`) when true distances matter."""
     enc = _pq_encode_udf(codebooks)
     rec = _pq_recon_udf(codebooks)
+    # decode BEFORE the query join: once per corpus row, not once per
+    # (query, neighbor) pair — same stage (queries broadcast, the corpus
+    # side never shuffles), so the reconstruction never crosses the wire
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        enc(F.col(vec_col)).alias("__codes"),
+        rec(enc(F.col(vec_col))).alias("__recon"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -714,7 +732,7 @@ def knn_pq(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_kernel(F.col("__qvec"), rec(F.col("__codes"))), 6
+                cosine_kernel(F.col("__qvec"), F.col("__recon")), 6
             ).alias("cosine"),
         )
     )
@@ -749,9 +767,10 @@ def knn_ivf_pq(
     cellN = _probe_udf(c_arr, nprobe)
     enc = _pq_encode_udf(codebooks)
     rec = _pq_recon_udf(codebooks)
+    # decode pre-join: once per corpus row, not once per collision
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        enc(F.col(vec_col)).alias("__codes"),
+        rec(enc(F.col(vec_col))).alias("__recon"),
         F.element_at(cell1(F.col(vec_col)), 1).alias("cell"),
     )
     q = queries.select(
@@ -766,7 +785,7 @@ def knn_ivf_pq(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_kernel(F.col("__qvec"), rec(F.col("__codes"))), 6
+                cosine_kernel(F.col("__qvec"), F.col("__recon")), 6
             ).alias("adc"),
         )
     )
@@ -837,9 +856,11 @@ def knn_ivf_pq_clustered(
     # bounded collect: one int per (query, probe); ANN queries are a batch
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     store = spark.read.parquet(path)
+    # decode right after the (column-pruned) scan: once per stored row,
+    # not once per (query, neighbor) collision
     codes_scan = store.where(F.col("cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col("codes"),
+        rec(F.col("codes")).alias("__recon"),
         F.col("cell").cast("int").alias("cell"),
     )
     adc = (
@@ -849,7 +870,7 @@ def knn_ivf_pq_clustered(
             "query_id",
             "neighbor_id",
             F.round(
-                cosine_kernel(F.col("__qvec"), rec(F.col("codes"))), 6
+                cosine_kernel(F.col("__qvec"), F.col("__recon")), 6
             ).alias("adc"),
         )
     )
@@ -904,7 +925,21 @@ def neardup_pairs_bruteforce(
     sf0.1 corpus (the kernel materializes 2M x 2 vectors through Arrow;
     the sweep moves each vector once).
 
+    NULL embeddings are dropped on both sides before the sweep — a null
+    vector has no cosine, so it can never be a near-dup (the LSH path
+    reaches the same outcome via NaN >= threshold being false). Ids must
+    be integral (the output schema is ``id_a long, id_b long``, matching
+    every oracle); a non-integer ``id_col`` raises instead of silently
+    casting.
+
     Returns (id_a, id_b) with id_a < id_b, cosine >= ``threshold``."""
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"{id_col} must be an integral column (got {id_type}); the "
+            "sweep's output schema is id_a/id_b long"
+        )
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     pdf = corpus.select(id_col, vec_col).toPandas()
     ids_np = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)

@@ -498,6 +498,8 @@ def stream_semantic_dedup(
             and int(st.getPath().getName().split("=", 1)[1]) < batch_id
         ]
 
+    bucket = sim._bucket_udf(sim._split_tables(hyperplanes, n_tables))
+
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(F.col(id_col), F.col(vec_col)).dropDuplicates(
             [id_col]
@@ -512,41 +514,45 @@ def stream_semantic_dedup(
             )
         else:
             pool = batch.withColumn("__rep", F.lit(False))
-        pairs = sim.embedding_near_dups(
-            pool,
-            hyperplanes,
-            threshold=threshold,
-            id_col=id_col,
-            vec_col=vec_col,
-            n_tables=n_tables,
+        # ASYMMETRIC candidate join: only BATCH rows on the left, so
+        # rep-rep collisions are never generated, let alone verified —
+        # per-batch work is batch-vs-pool collisions, independent of the
+        # store's internal collision count. Right side takes any rep
+        # (drop the batch row) or a LARGER-id batch row (drop that one).
+        keys = pool.select(
+            F.col(id_col).alias("__kid"),
+            F.col("__rep"),
+            F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
         )
-        flags = pool.select(F.col(id_col).alias("__fid"), "__rep")
-        p = pairs.join(
-            flags.select(
-                F.col("__fid").alias("id_a"), F.col("__rep").alias("__rep_a")
-            ),
-            "id_a",
-        ).join(
-            flags.select(
-                F.col("__fid").alias("id_b"), F.col("__rep").alias("__rep_b")
-            ),
-            "id_b",
+        a = keys.where(~F.col("__rep")).select(
+            F.col("__kid").alias("id_a"), "t", "h"
         )
-        # drop the batch side of rep-batch edges; the larger id of
-        # batch-batch edges; nothing on rep-rep edges (mutually non-dup
-        # by construction — guard anyway)
-        drop_ids = (
-            p.where(F.col("__rep_a") & ~F.col("__rep_b"))
-            .select(F.col("id_b").alias(id_col))
-            .unionByName(
-                p.where(F.col("__rep_b") & ~F.col("__rep_a")).select(
-                    F.col("id_a").alias(id_col)
-                )
+        b = keys.select(
+            F.col("__kid").alias("id_b"), F.col("__rep").alias("rep_b"), "t", "h"
+        )
+        cand = (
+            a.join(
+                b,
+                (a["t"] == b["t"])
+                & (a["h"] == b["h"])
+                & (F.col("rep_b") | (F.col("id_a") < F.col("id_b"))),
             )
+            .select("id_a", "id_b", "rep_b")
+            .distinct()
+        )
+        va = pool.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = pool.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        p = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .where(
+                sim.cosine_kernel(F.col("__va"), F.col("__vb")) >= threshold
+            )
+        )
+        drop_ids = (
+            p.where(F.col("rep_b")).select(F.col("id_a").alias(id_col))
             .unionByName(
-                p.where(~F.col("__rep_a") & ~F.col("__rep_b")).select(
-                    F.col("id_b").alias(id_col)
-                )
+                p.where(~F.col("rep_b")).select(F.col("id_b").alias(id_col))
             )
             .distinct()
         )

@@ -488,3 +488,18 @@ class TestProductQuantization:
         # the vector column entirely
         schemas = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert any("codes" in s and "embedding" not in s for s in schemas)
+
+
+def test_lsh_split_rejects_empty_tables(spark, emb):
+    """A (planes, n_tables) combination whose ceil split leaves an empty
+    trailing table must raise: an empty table buckets every vector to 0
+    and silently degenerates candidate generation to all-pairs."""
+    rng = np.random.default_rng(0)
+    planes5 = _planes(5, rng)
+    q = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="empty table"):
+        S.knn_lsh(emb, q, planes5, n_tables=4)
+    with pytest.raises(ValueError, match="empty table"):
+        S.embedding_near_dups(emb, planes5, n_tables=4)
+    # divisor-friendly splits still work
+    assert S._split_tables(planes5, 5) and S._split_tables(planes5, 1)

@@ -57,14 +57,24 @@ HEAVY = [
 
 
 def main() -> None:
-    # usage: bench_scale.py [runs] [--only q_a,q_b]  (--only merges the
-    # named queries into the existing scale_ramp.json instead of
-    # re-running the whole list)
-    args = [a for a in sys.argv[1:] if not a.startswith("--only")]
-    only = None
-    for a in sys.argv[1:]:
+    # usage: bench_scale.py [runs] [--only=q_a,q_b | --only q_a,q_b]
+    # (--only merges the named queries into the existing scale_ramp.json
+    # instead of re-running the whole list)
+    argv = sys.argv[1:]
+    args, only, i = [], None, 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--only"):
-            only = a.split("=", 1)[1].split(",") if "=" in a else None
+            if "=" in a:
+                only = a.split("=", 1)[1].split(",")
+            else:
+                i += 1
+                if i >= len(argv):
+                    raise SystemExit("--only needs a comma-separated list")
+                only = argv[i].split(",")
+        else:
+            args.append(a)
+        i += 1
     runs = int(args[0]) if args else 3
 
     import importlib.util
