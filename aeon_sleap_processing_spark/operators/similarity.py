@@ -105,6 +105,15 @@ def _cosine_kernel():
             if len(a) == 0:
                 return pd.Series([], dtype="float64")
             av, bv = _stack(a), _stack(b)
+            if av.shape[1] != bv.shape[1]:
+                # one side's batch was ALL null, so _stack had no row to
+                # take the width from — widen it to NaN rows of the
+                # other side's width (the cosine is NaN → SQL NULL)
+                w = max(av.shape[1], bv.shape[1])
+                if av.shape[1] != w:
+                    av = np.full((len(av), w), np.nan)
+                else:
+                    bv = np.full((len(bv), w), np.nan)
             cos = _dot_ltr(av, bv) / (np.sqrt(_dot_ltr(av, av)) * np.sqrt(_dot_ltr(bv, bv)))
             return pd.Series(cos)
 
@@ -644,6 +653,10 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
         if len(v) == 0:
             return pd.Series([], dtype="object")
         vm = _stack(v)
+        if vm.shape[1] != m * sub:
+            # every row in this batch is NULL: _stack had no non-null
+            # row to take the width from — all codes are NULL
+            return pd.Series([None] * len(v), dtype="object")
         codes = np.empty((len(vm), m), dtype=np.int32)
         for j in range(m):
             vj = vm[:, j * sub : (j + 1) * sub]
@@ -654,7 +667,16 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
             # argmin returns the FIRST minimum — the smaller-code tie
             # rule — at O(ksub), unlike a full stable argsort
             codes[:, j] = np.argmin(score, axis=1)
-        return pd.Series(list(codes))
+        # NULL vectors (NaN rows after _stack) must encode to NULL codes
+        # — argmin over NaN scores would silently yield code 0, i.e. a
+        # FAKE but finite reconstruction that could surface as a top-k
+        # neighbor; null codes decode to null and the cosine's SQL NULL
+        # sorts out of every top-k, matching the raw-vector paths
+        null_rows = np.isnan(vm).any(axis=1)
+        out = list(codes)
+        for i in np.nonzero(null_rows)[0]:
+            out[i] = None
+        return pd.Series(out, dtype="object")
 
     return k
 
@@ -673,9 +695,19 @@ def _pq_recon_udf(codebooks: list[list[list[float]]]):
     def k(codes: pd.Series) -> pd.Series:
         if len(codes) == 0:
             return pd.Series([], dtype="object")
-        cm = np.stack(codes.to_numpy()).astype(np.int64)  # (n, m)
+        vals = codes.to_numpy()
+        nulls = np.array([c is None for c in vals])
+        if nulls.all():
+            return pd.Series([None] * len(vals), dtype="object")
+        fill = np.zeros(m, dtype=np.int64)
+        cm = np.stack(
+            [fill if c is None else np.asarray(c) for c in vals]
+        ).astype(np.int64)  # (n, m)
         recon = np.concatenate([cb[j][cm[:, j]] for j in range(m)], axis=1)
-        return pd.Series(list(recon))
+        out = list(recon)
+        for i in np.nonzero(nulls)[0]:
+            out[i] = None
+        return pd.Series(out, dtype="object")
 
     return k
 

@@ -503,3 +503,23 @@ def test_lsh_split_rejects_empty_tables(spark, emb):
         S.embedding_near_dups(emb, planes5, n_tables=4)
     # divisor-friendly splits still work
     assert S._split_tables(planes5, 5) and S._split_tables(planes5, 1)
+
+
+def test_pq_null_embedding_never_surfaces_as_neighbor(spark):
+    """A NULL corpus vector must encode to NULL codes (not silently to
+    code 0's fake reconstruction) and never appear in any PQ top-k."""
+    import pandas as pd
+
+    rng = np.random.default_rng(9)
+    vecs = [list(map(float, rng.standard_normal(DIM))) for _ in range(20)]
+    pdf = pd.DataFrame({"vec_id": list(range(20)), "embedding": vecs})
+    df = spark.createDataFrame(pdf)
+    nulled = df.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 7, F.lit(None)).otherwise(F.col("embedding")),
+    )
+    books = S.pq_codebooks(8, 4, DIM, seed=1)
+    codes = {r.vec_id: r.codes for r in S.pq_encode(nulled, books).collect()}
+    assert codes[7] is None and codes[0] is not None
+    got = S.knn_pq(nulled, nulled.where(F.col("vec_id") < 3), books, k=10)
+    assert got.where(F.col("neighbor_id") == 7).count() == 0
