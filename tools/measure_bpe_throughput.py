@@ -22,8 +22,11 @@ correctness input — the driver queries always run on the table as-is).
 """
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from aeon_sleap_processing_spark.operators.text import bpe_train
 from aeon_sleap_processing_spark.session import get_spark
