@@ -115,6 +115,20 @@ def stream_sessionize_stateful(
     gap_us = int(gap * 1_000_000)
 
     def fn(key, pdfs, state):
+        def arm_timeout(last_us: int) -> None:
+            # A key whose last event trails the stream's max by more than
+            # the gap has last+gap BELOW the current watermark — Spark
+            # rejects a timeout in the past (INVALID_TIMEOUT_TIMESTAMP and
+            # the query DIES; first seen at 10M rows where file order !=
+            # time order, tools/measure_stream_throughput.py). Clamp to
+            # watermark+1ms: the session is already closeable, so the
+            # earliest legal timeout fires it in the next (or trailing
+            # no-data) micro-batch — same emission the un-clamped
+            # timestamp would have produced.
+            state.setTimeoutTimestamp(
+                max((last_us + gap_us) // 1000, state.getCurrentWatermarkMs() + 1)
+            )
+
         def to_row(start_us: int, last_us: int, n: int) -> dict:
             return {
                 partition_by: key[0],
@@ -138,7 +152,7 @@ def stream_sessionize_stateful(
         if len(us) == 0:  # spurious invocation: keep state, re-arm timeout
             if last_us is not None:
                 state.update((start_us, last_us, n))
-                state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+                arm_timeout(last_us)
             return
         closed: list[dict] = []
         # vectorized run split: session boundaries where the sorted gap
@@ -159,7 +173,7 @@ def stream_sessionize_stateful(
                 start_us, last_us, n = s, e, cnt
         state.update((start_us, last_us, n))
         # close the open session once no on-time row can still extend it
-        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
+        arm_timeout(last_us)
         if closed:
             yield pd.DataFrame(closed)
 

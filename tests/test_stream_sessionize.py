@@ -120,6 +120,70 @@ class TestStreamSessionizeStateful:
         assert u7b.session_start.iloc[0] == T0 + pd.Timedelta(minutes=90)
         assert u7b.session_end.iloc[0] == T0 + pd.Timedelta(minutes=92)
 
+    def test_key_lagging_watermark_does_not_kill_query(self, spark, tmp_path):
+        """A group whose micro-batch rows are ALL late-filtered is still
+        invoked — with EMPTY input. The spurious-invocation re-arm used the
+        stale state's ``last_us + gap``, which sits BELOW the watermark once
+        another key pushed it ahead: INVALID_TIMEOUT_TIMESTAMP and the whole
+        query died (first seen at 10M rows in
+        tools/measure_stream_throughput.py, where file order != time
+        order). The clamp must close the stale session via timeout
+        instead of crashing."""
+        import time as _time
+
+        src = str(tmp_path / "lag_src")
+        ckpt = str(tmp_path / "lag_ckpt")
+
+        def drop(rows, part):
+            pdf = pd.DataFrame(
+                {"time": [T0 + pd.Timedelta(minutes=m) for m, _ in rows],
+                 "user_id": [u for _, u in rows]}
+            )
+            # exactly ONE file per drop: with maxFilesPerTrigger=1 each
+            # drop is its own micro-batch, in mtime order
+            spark.createDataFrame(pdf).coalesce(1).write.parquet(
+                f"{src}/batch={part}"
+            )
+            _time.sleep(1.1)
+
+        # batch 1: user 2 opens a session at T0; user 1's event at T0+10h
+        # pushes the watermark (0 s lag) to T0+10h for batch 2 — 9.5 h
+        # past user 2's last + gap
+        drop([(0, 2), (600, 1)], 1)
+        # batch 2: user 2's row at T0+1min is late -> filtered -> EMPTY
+        # group invocation against the stale (last=T0) state
+        drop([(1, 2), (601, 1)], 2)
+
+        stream = (
+            spark.readStream.schema("time timestamp, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sessions = stream_sessionize_stateful(
+            stream, gap=1800.0, partition_by="user_id", watermark="0 seconds"
+        )
+        rows: list = []
+        q = (
+            sessions.writeStream.foreachBatch(
+                lambda df, _bid: rows.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)  # un-clamped, this raised STREAM_FAILED
+        got = pd.DataFrame([r.asDict() for r in rows])
+        u2 = got[got.user_id == 2]
+        # emission SHAPE is engine-timing dependent (whether u2's pending
+        # timeout fires in the same batch its late row arrives: one
+        # (T0..T0+1, n=2) session, or (T0,n=1) + (T0+1,n=1)); the
+        # regression property is the query SURVIVING and every u2 event
+        # landing in some closed session
+        assert len(u2) in (1, 2)
+        assert u2.n_events.sum() == 2
+        assert u2.session_start.min() == T0
+
 
 class TestStreamWindowedAgg:
     def test_hopping_counts_match_batch(self, spark, tmp_path):

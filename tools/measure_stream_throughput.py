@@ -1,0 +1,173 @@
+"""Streaming ingest throughput at scale — committed rows/sec for the
+streaming wing (streaming/watch.py), which until now had correctness +
+restart tests but no throughput evidence.
+
+Drives the sf10 ramp tables (tools/make_scale_data.py at scale=100:
+10M events, 500k documents) through real file-source streams split into
+micro-batches (maxFilesPerTrigger), Trigger.AvailableNow, so state
+genuinely crosses batch boundaries — not one giant batch in disguise:
+
+- dedup:            stream_dedup (dropDuplicatesWithinWatermark) -> noop
+- sessionize_sql:   stream_sessionize (JVM session_window agg)   -> noop
+- sessionize_state: stream_sessionize_stateful
+                    (applyInPandasWithState, Arrow)              -> noop
+- pack:             stream_pack_sequences (stateful packing)     -> noop
+- compacted_sink:   stream_append_compacted (parquet tier with
+                    built-in small-file compaction)              -> disk
+
+The sql-vs-state sessionize pair doubles as the committed JVM-vs-Python
+stateful-operator throughput comparison. Writes
+bench_runs_r9/stream_throughput.json and prints a table.
+Run ISOLATED (no concurrent Spark jobs) per the bench protocol.
+
+Usage: python tools/measure_stream_throughput.py
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.path.join(REPO, "benchdata", "sf10")
+
+N_FILES = 16
+FILES_PER_TRIGGER = 2  # -> 8 micro-batches per pipeline
+
+
+def main() -> None:
+    if not os.path.isdir(SF10):
+        raise SystemExit(
+            "benchdata/sf10 missing — python tools/make_scale_data.py 100 "
+            "benchdata/sf10"
+        )
+
+    from pyspark.sql import functions as F
+
+    from aeon_sleap_processing_spark.session import get_spark
+    from aeon_sleap_processing_spark.sources import load_table
+    from aeon_sleap_processing_spark.streaming import watch as W
+
+    spark = get_spark(app_name="stream-throughput", shuffle_partitions=32)
+    work = tempfile.mkdtemp(prefix="stream_tput_")
+
+    # --- stage the file-stream sources (not part of the measurement) ---
+    ev = load_table(spark, "events", SF10).select(
+        F.col("ts").alias("time"), "user_id", "event_id"
+    )
+    n_events = ev.count()
+    ev_src = os.path.join(work, "events_src")
+    ev.repartition(N_FILES).write.parquet(ev_src)
+
+    docs = load_table(spark, "documents", SF10).select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        (F.greatest(F.col("n_chars") / 4, F.lit(1))).cast("int").alias("n_tokens"),
+    )
+    n_docs = docs.count()
+    doc_src = os.path.join(work, "docs_src")
+    docs.repartition(N_FILES).write.parquet(doc_src)
+
+    def file_stream(src: str, schema: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(src)
+        )
+
+    EV_SCHEMA = "time timestamp, user_id long, event_id long"
+    DOC_SCHEMA = "doc_id long, shard long, n_tokens int"
+
+    out = {
+        "n_events": n_events,
+        "n_docs": n_docs,
+        "micro_batches": N_FILES // FILES_PER_TRIGGER,
+        "pipelines": {},
+    }
+
+    def run(name: str, n_rows: int, start_query) -> None:
+        ckpt = os.path.join(work, f"ckpt_{name}")
+        t0 = time.monotonic()
+        q = start_query(ckpt)
+        q.awaitTermination()
+        dt = time.monotonic() - t0
+        out["pipelines"][name] = {
+            "rows": n_rows,
+            "sec": round(dt, 1),
+            "rows_per_sec": int(n_rows / dt),
+        }
+        print(
+            f"{name:18s} {n_rows:>9,} rows  {dt:7.1f} s  "
+            f"{int(n_rows / dt):>9,} rows/s",
+            flush=True,
+        )
+
+    def noop(df, ckpt, mode="append"):
+        return (
+            df.writeStream.format("noop")
+            .outputMode(mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    run(
+        "dedup", n_events,
+        lambda ckpt: noop(
+            W.stream_dedup(file_stream(ev_src, EV_SCHEMA), keys=["event_id"]),
+            ckpt,
+        ),
+    )
+    run(
+        "sessionize_sql", n_events,
+        lambda ckpt: noop(
+            W.stream_sessionize(
+                file_stream(ev_src, EV_SCHEMA),
+                gap="30 minutes", partition_by="user_id", watermark="1 hour",
+            ),
+            ckpt,  # session_window aggs support append (with watermark) only
+        ),
+    )
+    run(
+        "sessionize_state", n_events,
+        lambda ckpt: noop(
+            W.stream_sessionize_stateful(
+                file_stream(ev_src, EV_SCHEMA),
+                gap=1800.0, partition_by="user_id", watermark="1 hour",
+            ),
+            ckpt,
+        ),
+    )
+    run(
+        "pack", n_docs,
+        lambda ckpt: noop(
+            W.stream_pack_sequences(
+                file_stream(doc_src, DOC_SCHEMA), capacity=512
+            ),
+            ckpt,
+        ),
+    )
+    sink_dir = os.path.join(work, "compacted_out")
+    run(
+        "compacted_sink", n_events,
+        lambda ckpt: W.stream_append_compacted(
+            file_stream(ev_src, EV_SCHEMA), sink_dir, ckpt, compact_every=4
+        ),
+    )
+    # sanity: the compacted tier holds every ingested row exactly once
+    got = W.read_compacted_store(spark, sink_dir).count()
+    assert got == n_events, f"compacted sink row loss: {got} != {n_events}"
+
+    path = os.path.join(REPO, "bench_runs_r9", "stream_throughput.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+    shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
