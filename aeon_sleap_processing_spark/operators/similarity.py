@@ -106,14 +106,22 @@ def _cosine_kernel():
                 return pd.Series([], dtype="float64")
             av, bv = _stack(a), _stack(b)
             if av.shape[1] != bv.shape[1]:
-                # one side's batch was ALL null, so _stack had no row to
-                # take the width from — widen it to NaN rows of the
-                # other side's width (the cosine is NaN → SQL NULL)
+                # widen ONLY a side whose batch was ALL null (then _stack
+                # had no row to take the width from — the cosine is NaN →
+                # SQL NULL). Two genuinely different vector widths are a
+                # caller bug (e.g. queries embedded with a different model
+                # than the corpus): raise instead of silently NULLing the
+                # whole batch.
                 w = max(av.shape[1], bv.shape[1])
-                if av.shape[1] != w:
+                if av.shape[1] != w and a.isna().all():
                     av = np.full((len(av), w), np.nan)
-                else:
+                elif bv.shape[1] != w and b.isna().all():
                     bv = np.full((len(bv), w), np.nan)
+                else:
+                    raise ValueError(
+                        f"cosine_kernel: vector width mismatch "
+                        f"{av.shape[1]} vs {bv.shape[1]} on non-null input"
+                    )
             cos = _dot_ltr(av, bv) / (np.sqrt(_dot_ltr(av, av)) * np.sqrt(_dot_ltr(bv, bv)))
             return pd.Series(cos)
 
@@ -654,9 +662,17 @@ def _pq_encode_udf(codebooks: list[list[list[float]]]):
             return pd.Series([], dtype="object")
         vm = _stack(v)
         if vm.shape[1] != m * sub:
-            # every row in this batch is NULL: _stack had no non-null
-            # row to take the width from — all codes are NULL
-            return pd.Series([None] * len(v), dtype="object")
+            if v.isna().all():
+                # every row in this batch is NULL: _stack had no non-null
+                # row to take the width from — all codes are NULL
+                return pd.Series([None] * len(v), dtype="object")
+            # non-null vectors of the wrong width = wrong codebook set
+            # for this corpus: raise instead of silently writing a fully
+            # NULL codes column that every ADC scan would then "search"
+            raise ValueError(
+                f"pq_encode: vector width {vm.shape[1]} != codebooks' "
+                f"m*sub = {m * sub} on non-null input"
+            )
         codes = np.empty((len(vm), m), dtype=np.int32)
         for j in range(m):
             vj = vm[:, j * sub : (j + 1) * sub]

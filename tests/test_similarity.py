@@ -505,6 +505,30 @@ def test_lsh_split_rejects_empty_tables(spark, emb):
     assert S._split_tables(planes5, 5) and S._split_tables(planes5, 1)
 
 
+def test_width_mismatch_raises_instead_of_nulling(spark):
+    """Vectors of the wrong width (queries embedded with a different model,
+    or the wrong codebook set) must RAISE, not silently NULL the whole
+    batch — the all-null widening paths are only for genuinely null
+    batches."""
+    import pandas as pd
+    import pytest
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "a": [list(map(float, rng.standard_normal(8)))] * 2,
+            "b": [list(map(float, rng.standard_normal(4)))] * 2,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    with pytest.raises(Exception, match="width mismatch"):
+        df.select(S.cosine_kernel(F.col("a"), F.col("b")).alias("c")).collect()
+    books = S.pq_codebooks(4, 4, 16, seed=1)  # expects dim 16, data is 8
+    with pytest.raises(Exception, match="pq_encode"):
+        S.pq_encode(df.select("vec_id", F.col("a").alias("embedding")), books).collect()
+
+
 def test_pq_null_embedding_never_surfaces_as_neighbor(spark):
     """A NULL corpus vector must encode to NULL codes (not silently to
     code 0's fake reconstruction) and never appear in any PQ top-k."""

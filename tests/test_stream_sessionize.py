@@ -172,7 +172,10 @@ class TestStreamSessionizeStateful:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)  # un-clamped, this raised STREAM_FAILED
+        # un-clamped, this raised STREAM_FAILED; False = still running
+        # after 120 s, which would make the assertions below read a
+        # partially-filled rows list — fail loudly instead
+        assert q.awaitTermination(120)
         got = pd.DataFrame([r.asDict() for r in rows])
         u2 = got[got.user_id == 2]
         # emission SHAPE is engine-timing dependent (whether u2's pending

@@ -56,6 +56,32 @@ HEAVY = [
 ]
 
 
+def time_queries(spark, qs, names, legs, runs: int) -> dict:
+    """Shared ramp loop (also used by bench_scale100.py): noop-write each
+    query ``runs`` times per leg, report per-leg medians + the
+    last-leg/first-leg ratio."""
+    out = {}
+    (lo_label, _), (hi_label, _) = legs[0], legs[-1]
+    for name in names:
+        fn = qs[name]
+        rec = {}
+        for label, sf_dir in legs:
+            times = []
+            for _ in range(runs):
+                t0 = time.monotonic()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                times.append(time.monotonic() - t0)
+            rec[label] = round(statistics.median(times), 2)
+        rec["ratio"] = round(rec[hi_label] / rec[lo_label], 1)
+        out[name] = rec
+        print(
+            f"{name:28s} {lo_label}={rec[lo_label]:7.2f}s  "
+            f"{hi_label}={rec[hi_label]:8.2f}s  ratio={rec['ratio']:5.1f}x",
+            flush=True,
+        )
+    return out
+
+
 def main() -> None:
     # usage: bench_scale.py [runs] [--only=q_a,q_b | --only q_a,q_b]
     # (--only merges the named queries into the existing scale_ramp.json
@@ -95,20 +121,9 @@ def main() -> None:
     if only and os.path.exists(path):
         with open(path) as f:
             out["queries"] = json.load(f)["queries"]
-    for name in (only or HEAVY):
-        fn = qs[name]
-        rec = {}
-        for label, sf_dir in (("sf0.1", SF01), ("sf1", SF1)):
-            times = []
-            for _ in range(runs):
-                t0 = time.monotonic()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                times.append(time.monotonic() - t0)
-            rec[label] = round(statistics.median(times), 2)
-        rec["ratio"] = round(rec["sf1"] / rec["sf0.1"], 1)
-        out["queries"][name] = rec
-        print(f"{name:28s} sf0.1={rec['sf0.1']:6.2f}s  sf1={rec['sf1']:7.2f}s"
-              f"  ratio={rec['ratio']:5.1f}x", flush=True)
+    out["queries"].update(
+        time_queries(spark, qs, only or HEAVY, (("sf0.1", SF01), ("sf1", SF1)), runs)
+    )
 
     os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
     with open(path, "w") as f:

@@ -26,12 +26,11 @@ Usage: python tools/bench_scale100.py [runs]
 
 import json
 import os
-import statistics
 import subprocess
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # tools/ for bench_scale
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1 = os.path.join(REPO, "benchdata", "sf1")
@@ -79,22 +78,14 @@ def main() -> None:
     spark = get_spark(app_name="bench-scale-100x", shuffle_partitions=32)
     qs = entry.queries()
 
-    out = {"runs": runs, "sf1_dir": SF1, "sf10_dir": SF10, "queries": {}}
-    for name in CLIQUE_SAFE:
-        fn = qs[name]
-        rec = {}
-        for label, sf_dir in (("sf1", SF1), ("sf10", SF10)):
-            times = []
-            for _ in range(runs):
-                t0 = time.monotonic()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                times.append(time.monotonic() - t0)
-            rec[label] = round(statistics.median(times), 2)
-        rec["ratio"] = round(rec["sf10"] / rec["sf1"], 1)
-        out["queries"][name] = rec
-        print(f"{name:28s} sf1={rec['sf1']:7.2f}s  sf10={rec['sf10']:8.2f}s"
-              f"  ratio={rec['ratio']:5.1f}x", flush=True)
+    from bench_scale import time_queries
 
+    out = {"runs": runs, "sf1_dir": SF1, "sf10_dir": SF10, "queries": {}}
+    out["queries"] = time_queries(
+        spark, qs, CLIQUE_SAFE, (("sf1", SF1), ("sf10", SF10)), runs
+    )
+
+    os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
     path = os.path.join(REPO, "bench_runs_r9", "scale_ramp_100x.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)

@@ -51,14 +51,23 @@ def main() -> None:
             "benchdata/sf10"
         )
 
-    from pyspark.sql import functions as F
-
     from aeon_sleap_processing_spark.session import get_spark
-    from aeon_sleap_processing_spark.sources import load_table
-    from aeon_sleap_processing_spark.streaming import watch as W
 
     spark = get_spark(app_name="stream-throughput", shuffle_partitions=32)
+    # the staging dir holds full repartitioned copies of the sf10 tables
+    # (GBs) — remove it on EVERY exit path, not just success
     work = tempfile.mkdtemp(prefix="stream_tput_")
+    try:
+        _measure(spark, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _measure(spark, work: str) -> None:
+    from pyspark.sql import functions as F
+
+    from aeon_sleap_processing_spark.sources import load_table
+    from aeon_sleap_processing_spark.streaming import watch as W
 
     # --- stage the file-stream sources (not part of the measurement) ---
     ev = load_table(spark, "events", SF10).select(
@@ -199,11 +208,11 @@ def main() -> None:
     out["semantic_reps"] = reps
     out["semantic_dedup_recall"] = round((n_vecs - reps) / (n_vecs - 2000), 5)
 
+    os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
     path = os.path.join(REPO, "bench_runs_r9", "stream_throughput.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
-    shutil.rmtree(work, ignore_errors=True)
 
 
 if __name__ == "__main__":
