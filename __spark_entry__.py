@@ -1004,6 +1004,14 @@ def _q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.dup_span_stats(load_table(spark, "documents", sf_dir), k=5)
 
 
+def _q_dup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL (text.py:dup_span_cut): cut
+    every non-keeper occurrence of a corpus-duplicated 5-shingle and return
+    the rewritten text per document — the action companion to
+    q_dup_span_stats (Lee et al. 2022's cut, positional-shingle form)."""
+    return tx.dup_span_cut(load_table(spark, "documents", sf_dir), k=5)
+
+
 def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-cut sequence packing at a 512-token context window:
     per-sequence doc/token/boundary stats (the pretraining shard layout)."""
@@ -2372,7 +2380,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # q_embedding_neardup/q_semantic_dedup, the extended recall audit ->
     # q_knn_recall, the fixed-round BPE schedule ->
     # q_bpe_merges/q_bpe_merges_batched/q_bpe_encode) sits inside the
-    # window.
+    # window. Late-r9 addition: q_dup_span_cut (the ExactSubstr REMOVAL
+    # companion to q_dup_span_stats) rotates IN next to its stats sibling;
+    # q_binary_meta (driver-green r7 AND r8, multimodal plan untouched in
+    # r9) rotates OUT to keep the window at 50.
     # Rotated-out queries keep their driver-green history and remain
     # covered by the committed full-suite local artifact
     # (CORRECTNESS_LOCAL_r09.json) and tools/check_correctness.py.
@@ -2388,6 +2399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_paragraph_dedup": _q_paragraph_dedup,
         "q_domain_mixture": _q_domain_mixture,
         "q_dup_span_stats": _q_dup_span_stats,
+        "q_dup_span_cut": _q_dup_span_cut,
         "q_interpolate": ep.q_interpolate,
         "q_semantic_dedup": _q_semantic_dedup,
         # --- rotated in round 7 ------------------------------------------
@@ -2425,7 +2437,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_recall": _q_neardup_recall,
         "q_embedding_stats": _q_embedding_stats,
-        "q_binary_meta": _q_binary_meta,
         "q_kmeans_step": _q_kmeans_step,
         # --- aeon detection pipelines over committed pose fixtures ------
         "q_tube_candidates": _q_tube_candidates,
@@ -2434,6 +2445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
         # --- rotated out r9 (driver-green r7 AND r8, untouched in r9) ----
+        "q_binary_meta": _q_binary_meta,  # rotated out for q_dup_span_cut
         "q_json_roundtrip": _q_json_roundtrip,
         "q_video_frame_stats": _q_video_frame_stats,
         "q_repetition_stats": _q_repetition_stats,  # green r6+r7+r8
@@ -3360,6 +3372,52 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(max_dup_run, 0) AS max_dup_run
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN pd USING (doc_id) LEFT JOIN mr USING (doc_id)
+        """,
+        "q_dup_span_cut": f"""
+            WITH t AS (SELECT doc_id, {_WORDS} AS words FROM documents),
+            p AS (
+              SELECT doc_id,
+                     unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i,
+                     words
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     array_to_string(words[i : i + 4], ' ') AS sg
+              FROM p
+            ),
+            f AS (
+              SELECT doc_id, pos,
+                     count(*) OVER (PARTITION BY sg) AS occ,
+                     row_number() OVER (PARTITION BY sg ORDER BY doc_id, pos) AS rk
+              FROM g
+            ),
+            cut AS (
+              SELECT DISTINCT doc_id, wi FROM (
+                SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS wi
+                FROM f WHERE occ > 1 AND rk > 1
+              )
+            ),
+            w AS (
+              SELECT doc_id, i - 1 AS wi, words[i] AS word
+              FROM (SELECT doc_id, words,
+                           unnest(generate_series(1, len(words))) AS i
+                    FROM t)
+            ),
+            kept AS (
+              SELECT w.doc_id, w.wi, w.word FROM w
+              ANTI JOIN cut ON w.doc_id = cut.doc_id AND w.wi = cut.wi
+            ),
+            agg AS (
+              SELECT doc_id, string_agg(word, ' ' ORDER BY wi) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(agg.text, '') AS text,
+                   CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(len(t.words) - coalesce(n_kept, 0) AS BIGINT) AS n_cut
+            FROM t LEFT JOIN agg USING (doc_id)
         """,
         "q_json_roundtrip": """
             WITH j AS (

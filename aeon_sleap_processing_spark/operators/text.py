@@ -48,6 +48,7 @@ __all__ = [
     "length_percentiles",
     "minhash_est_vs_exact",
     "dup_span_stats",
+    "dup_span_cut",
     "cdc_chunk_stats",
     "bpe_train",
     "bpe_encode_token_counts",
@@ -863,6 +864,82 @@ def dup_span_stats(
             F.round(F.col("n_dup") / F.col("n_shingles"), 6).alias("dup_frac"),
             F.coalesce("max_dup_run", F.lit(0)).alias("max_dup_run"),
         )
+    )
+
+
+def dup_span_cut(
+    docs: DataFrame, k: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """ExactSubstr-style duplicate-span REMOVAL — the action companion to
+    :func:`dup_span_stats` (Lee et al. 2022 cut all-but-one occurrence of
+    every long duplicated substring; this is the same positional-shingle
+    approximation acting on the text instead of reporting on it).
+
+    Policy (deterministic, total): a position's k-word shingle is
+    *duplicated* when the identical shingle occurs anywhere else in the
+    corpus; the corpus-wide FIRST occurrence (minimum ``(doc_id, pos)``) is
+    the keeper, every other occurrence marks its k covered word indices for
+    removal. A word survives iff no non-keeper duplicated shingle covers
+    it. Returns one row per input document::
+
+        doc_id, text (kept words joined by ' '), n_kept, n_cut
+
+    Docs with < k words have no shingles and pass through intact (modulo
+    whitespace normalization — reconstruction joins the tokenized words, so
+    runs of whitespace collapse; the oracle reconstructs identically).
+
+    Scale: shingle occurrence count AND keeper are one map-side-combinable
+    ``groupBy(shingle)`` (``min(struct(doc_id, pos))`` — no shingle-keyed
+    window, so a hot stopword run skews only the join fanout, which AQE
+    skew-join splits), one shuffle-join back on the shingle, a distinct on
+    (doc, word-index), one anti-join, and a per-doc ``collect_list`` bounded
+    by document length — the same envelope as ``dup_span_stats`` plus the
+    reconstruction groupBy."""
+    base = ensure_min_parallelism(docs.select(id_col, text_col), id_col)
+    rows = shingle_rows(base, text_col, id_col, k, with_pos=True)
+    occ = rows.groupBy("__sg").agg(
+        F.count(F.lit(1)).alias("__occ"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("__pos").alias("p"))).alias(
+            "__keep"
+        ),
+    )
+    cut = (
+        rows.join(occ, "__sg")
+        .where(
+            (F.col("__occ") > 1)
+            & ~(
+                (F.col(id_col) == F.col("__keep.d"))
+                & (F.col("__pos") == F.col("__keep.p"))
+            )
+        )
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(k - 1))
+            ).alias("__wi"),
+        )
+        .distinct()
+    )
+    words = base.select(
+        F.col(id_col), F.posexplode(tokenize(F.col(text_col))).alias("__wi", "__w")
+    )
+    kept = words.join(cut, [id_col, "__wi"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__wi", "__w"))),
+                lambda s: s["__w"],
+            ),
+            " ",
+        ).alias("__text"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    n_words = F.size(tokenize(F.col(text_col)))
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        F.coalesce("__text", F.lit("")).alias(text_col),
+        F.coalesce("__kept", F.lit(0)).cast("long").alias("n_kept"),
+        (n_words - F.coalesce("__kept", F.lit(0))).cast("long").alias("n_cut"),
     )
 
 

@@ -333,6 +333,68 @@ class TestDupSpanStats:
         assert pd.isna(got.dup_frac[0])
 
 
+class TestDupSpanCut:
+    def test_keeper_survives_cut(self, spark):
+        from aeon_sleap_processing_spark.operators.text import dup_span_cut
+
+        shared = "alpha beta gamma delta epsilon zeta eta"  # 7 words
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "unique0 words0 here0 " + shared + " tail0 only0 mine0",
+                        "different head1 words1 " + shared + " closing1 text1",
+                        "no overlap at all in this one document",
+                    ],
+                }
+            )
+        )
+        got = dup_span_cut(docs, k=5).toPandas().set_index("doc_id").sort_index()
+        # doc 0 holds the corpus-first occurrence of every shared shingle
+        assert got.loc[0, "text"] == "unique0 words0 here0 " + shared + " tail0 only0 mine0"
+        assert got.loc[0, "n_cut"] == 0
+        # doc 1 loses exactly the 7 shared words (3 dup shingles cover 3+5-1)
+        assert got.loc[1, "text"] == "different head1 words1 closing1 text1"
+        assert got.loc[1, "n_cut"] == 7 and got.loc[1, "n_kept"] == 5
+        # untouched doc passes through
+        assert got.loc[2, "n_cut"] == 0
+        assert got.loc[2, "text"] == "no overlap at all in this one document"
+
+    def test_within_doc_repeat_keeps_first(self, spark):
+        from aeon_sleap_processing_spark.operators.text import dup_span_cut
+
+        span = "one two three four five"
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0], "text": [span + " junk " + span]})
+        )
+        got = dup_span_cut(docs, k=5).toPandas()
+        assert got.text[0] == span + " junk"
+        assert got.n_cut[0] == 5 and got.n_kept[0] == 6
+
+    def test_short_doc_untouched_and_word_accounting(self, spark):
+        from aeon_sleap_processing_spark.operators.text import dup_span_cut
+
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": ["just four words here", "a b c d e"]})
+        )
+        got = dup_span_cut(docs, k=5).toPandas().set_index("doc_id").sort_index()
+        assert got.loc[0, "text"] == "just four words here"
+        assert (got.n_kept + got.n_cut).tolist() == [4, 5]
+
+    def test_fully_duplicated_doc_emptied(self, spark):
+        from aeon_sleap_processing_spark.operators.text import dup_span_cut
+
+        span = "p q r s t"
+        docs = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [0, 1], "text": [span, span]})
+        )
+        got = dup_span_cut(docs, k=5).toPandas().set_index("doc_id").sort_index()
+        assert got.loc[0, "text"] == span  # keeper
+        assert got.loc[1, "text"] == "" and got.loc[1, "n_kept"] == 0
+        assert got.loc[1, "n_cut"] == 5
+
+
 class TestCdcChunkStats:
     def test_shift_robustness_and_counts(self, spark):
         """The CDC property fixed blocks lack: prepending one char to a
