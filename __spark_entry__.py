@@ -427,17 +427,24 @@ def _q_knn_ivf_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch_store(kind: str, sf_dir: str) -> str:
-    """Deterministic per-(query, SF) scratch path for the store-writing
-    driver queries: the write is mode=overwrite, so repeated driver/bench
-    runs REUSE one directory instead of accumulating a fresh mkdtemp copy
-    of the corpus per invocation (disk usage stays bounded)."""
+    """Deterministic per-(query, SF, process) scratch path for the
+    store-writing driver queries: the write is mode=overwrite, so repeated
+    runs IN ONE PROCESS reuse one directory instead of accumulating a
+    fresh mkdtemp copy of the corpus per invocation. The pid suffix keeps
+    concurrent processes (a driver gate beside a bench run) from
+    overwriting each other's store mid-read; an atexit hook removes the
+    process's copies so disk usage stays bounded across runs."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(
-        tempfile.gettempdir(), f"aeon_spark_{kind}_{tag}", "store"
+    root = os.path.join(
+        tempfile.gettempdir(), f"aeon_spark_{kind}_{tag}_{os.getpid()}"
     )
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return os.path.join(root, "store")
 
 
 # PRODUCT QUANTIZATION (r9): codebooks fitted per 2-dim subspace with

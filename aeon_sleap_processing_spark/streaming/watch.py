@@ -445,6 +445,39 @@ def stream_dedup(
     return stream.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def _rep_dirs_with_data(spark, reps_root: str, before_batch: int) -> list[str]:
+    """``batch=N`` dirs under ``reps_root`` with ``N < before_batch`` that
+    contain at least one data file. Spark's parquet writer preserves the
+    schema on empty writes (an all-dropped batch dir holds a 0-row part
+    file — tested), but a sink/filesystem that skips empty files would
+    leave a ``_SUCCESS``-only dir, and reading a file-less dir set cannot
+    infer a parquet schema — it would wedge every checkpoint replay on
+    the same crash. File-less dirs hold no reps, so skipping them is
+    exact, not an approximation."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, Path, _ = _hadoop_fs(spark, reps_root)
+    root = Path(reps_root)
+    if not fs.exists(root):
+        return []
+    dirs = [
+        st.getPath()
+        for st in fs.listStatus(root)
+        if st.isDirectory()
+        and st.getPath().getName().startswith("batch=")
+        and int(st.getPath().getName().split("=", 1)[1]) < before_batch
+    ]
+    return [
+        str(d.toUri())
+        for d in dirs
+        if any(
+            not f.getPath().getName().startswith(("_", "."))
+            for f in fs.listStatus(d)
+            if f.isFile()
+        )
+    ]
+
+
 def stream_semantic_dedup(
     stream: DataFrame,
     out_path: str,
@@ -494,31 +527,16 @@ def stream_semantic_dedup(
     remains the end-of-corpus authority. Read the kept set with
     :func:`read_semantic_reps`."""
     from ..operators import similarity as sim
-    from ..sources.sinks import _hadoop_fs
 
     spark = stream.sparkSession
     reps_root = out_path.rstrip("/") + "/reps"
-
-    def _earlier_rep_dirs(batch_id: int) -> list[str]:
-        fs, Path, _ = _hadoop_fs(spark, out_path)
-        root = Path(reps_root)
-        if not fs.exists(root):
-            return []
-        return [
-            str(st.getPath().toUri())
-            for st in fs.listStatus(root)
-            if st.isDirectory()
-            and st.getPath().getName().startswith("batch=")
-            and int(st.getPath().getName().split("=", 1)[1]) < batch_id
-        ]
-
     bucket = sim._bucket_udf(sim._split_tables(hyperplanes, n_tables))
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(F.col(id_col), F.col(vec_col)).dropDuplicates(
             [id_col]
         )
-        dirs = _earlier_rep_dirs(batch_id)
+        dirs = _rep_dirs_with_data(spark, reps_root, batch_id)
         if dirs:
             reps = spark.read.parquet(*dirs).select(id_col, vec_col)
             # at-least-once redelivery of an already-kept id: no-op
@@ -554,22 +572,31 @@ def stream_semantic_dedup(
             .select("id_a", "id_b", "rep_b")
             .distinct()
         )
-        va = pool.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        # id_a is always a batch row (a is built from ~__rep and the store
+        # anti-join keeps batch ids disjoint from rep ids) — project the
+        # left vectors from the BATCH, not the pool, so the rep store's
+        # vectors are scanned once per micro-batch (vb), not twice
+        va = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         vb = pool.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
         p = (
             cand.join(va, "id_a")
             .join(vb, "id_b")
+            # round-then-compare matches the batch authority
+            # (embedding_near_dups) at threshold-boundary cosines
             .where(
-                sim.cosine_kernel(F.col("__va"), F.col("__vb")) >= threshold
+                F.round(sim.cosine_kernel(F.col("__va"), F.col("__vb")), 6)
+                >= threshold
             )
         )
-        drop_ids = (
-            p.where(F.col("rep_b")).select(F.col("id_a").alias(id_col))
-            .unionByName(
-                p.where(~F.col("rep_b")).select(F.col("id_b").alias(id_col))
-            )
-            .distinct()
-        )
+        # rep_b → the right side survives (it's a rep), drop the batch row
+        # id_a; both-batch → drop the larger id (id_a < id_b enforced in
+        # cand). One projection, not two filtered re-evaluations of the
+        # candidate pipeline — Spark does not dedupe common subplans.
+        drop_ids = p.select(
+            F.when(F.col("rep_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
         kept = batch.join(drop_ids, id_col, "left_anti")
         kept.write.mode("overwrite").parquet(f"{reps_root}/batch={batch_id}")
 

@@ -89,6 +89,73 @@ class TestStreamSemanticDedup:
             r.vec_id for r in read_semantic_reps(spark, out).collect()
         ) == [1, 2, 7, 9]
 
+    def test_fileless_rep_dirs_skipped(self, spark, tmp_path):
+        """An all-dropped micro-batch writes a batch dir holding only
+        _SUCCESS; later batches must skip it (a file-less dir set cannot
+        infer a parquet schema) — both the helper's contract and the
+        end-to-end stream survive it."""
+        from aeon_sleap_processing_spark.streaming.watch import (
+            _rep_dirs_with_data,
+        )
+
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        _drop(spark, src, [1], [_vec(0)], 1)
+        _drop(spark, src, [11], [_vec(0, 4.0)], 2)  # all-dropped batch
+        _drop(spark, src, [12], [_vec(1)], 3)
+        _run(spark, src, out, ckpt)
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1, 12]
+        # Spark's parquet writer preserves schema on empty writes (the
+        # all-dropped batch dir holds a 0-row part file), so every real
+        # batch dir qualifies; the file-less guard is defensive against
+        # sinks/filesystems that skip empty files
+        dirs = _rep_dirs_with_data(spark, f"{out}/reps", 99)
+        assert len(dirs) == 3
+        # a dir tree of ONLY file-less dirs yields [] (not a crash)
+        import os
+
+        empty_root = str(tmp_path / "empty_reps")
+        os.makedirs(f"{empty_root}/batch=0")
+        open(f"{empty_root}/batch=0/_SUCCESS", "w").close()
+        assert _rep_dirs_with_data(spark, empty_root, 99) == []
+
+    def test_threshold_boundary_rounds_like_batch(self, spark, tmp_path):
+        """A pair at raw cosine just UNDER threshold that rounds to it at 6
+        digits must be dropped, matching the batch authority's
+        round-then-compare (embedding_near_dups)."""
+        import math
+
+        from aeon_sleap_processing_spark.operators.similarity import (
+            embedding_near_dups,
+        )
+
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        c = 0.9499996  # rounds to 0.950000 at 6 digits
+        b = [c, math.sqrt(1.0 - c * c)] + [0.0] * (DIM - 2)
+        ids, vecs = [1, 2], [_vec(0), b]
+        # precondition: the batch authority generates and drops the pair
+        batch = spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": vecs})
+        )
+        pairs = embedding_near_dups(
+            batch, PLANES, threshold=0.95, n_tables=3
+        ).collect()
+        assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+        _drop(spark, src, ids, vecs, 1)
+        _run(spark, src, out, ckpt)
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1]
+
     def test_batch_operator_is_the_corpus_authority(self, spark, tmp_path):
         """Same data, one batch: the streaming greedy result equals the
         batch semantic_dedup representative set when every chain fits in

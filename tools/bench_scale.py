@@ -103,13 +103,7 @@ def main() -> None:
         i += 1
     runs = int(args[0]) if args else 3
 
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "entry", os.path.join(REPO, "__spark_entry__.py")
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
+    import __spark_entry__ as entry  # REPO is on sys.path (line 20)
 
     from aeon_sleap_processing_spark.session import get_spark
 

@@ -65,13 +65,7 @@ def main() -> None:
             check=True,
         )
 
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location(
-        "entry", os.path.join(REPO, "__spark_entry__.py")
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
+    import __spark_entry__ as entry  # REPO is on sys.path (line 32)
 
     from aeon_sleap_processing_spark.session import get_spark
 

@@ -32,17 +32,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
-    import importlib.util
+    import __spark_entry__ as entry  # REPO is on sys.path (line 29)
 
     from pyspark.sql.classic.dataframe import DataFrame
 
     from aeon_sleap_processing_spark.session import get_spark
-
-    spec = importlib.util.spec_from_file_location(
-        "entry", os.path.join(REPO, "__spark_entry__.py")
-    )
-    entry = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(entry)
 
     spark = get_spark(app_name="fight-chunked-floor", shuffle_partitions=32)
     q = entry.queries()["q_fight_sessions_chunked"]
