@@ -53,6 +53,9 @@ HEAVY = [
     # shuffle+shard assignment (a full-corpus window per shard)
     "q_hilbert_stats",
     "q_corpus_shards",
+    # late r9: ExactSubstr span removal (shingle join + covered-index
+    # distinct + anti-join + per-doc reconstruction)
+    "q_dup_span_cut",
 ]
 
 
