@@ -436,6 +436,7 @@ def compact_parquet(
             "files_after": 0,
             "bytes": 0,
             "compacted": False,
+            "skipped_concurrent": [],
         }
     bases = set()
     for leaf in _leaf_data_dirs(fs, Path, root):

@@ -459,6 +459,20 @@ class TestCompactConcurrentWriterGuard:
         import glob as _glob
         assert not _glob.glob(str(tmp_path / "store__compacting"))
 
+    def test_missing_root_returns_stable_shape(self, spark, tmp_path):
+        """A nonexistent store returns the same dict shape as a real run,
+        so callers can index skipped_concurrent unconditionally."""
+        from aeon_sleap_processing_spark.sources.sinks import compact_parquet
+
+        res = compact_parquet(spark, str(tmp_path / "never_written"))
+        assert res == {
+            "files_before": 0,
+            "files_after": 0,
+            "bytes": 0,
+            "compacted": False,
+            "skipped_concurrent": [],
+        }
+
     def test_unchanged_leaf_still_compacts(self, spark, tmp_path):
         """No concurrent writer: the guard must not block normal
         compaction."""
