@@ -701,8 +701,16 @@ def _pq_sql_fragments() -> tuple[str, str]:
     """(codebook VALUES literal, sub-dim) shared by every PQ oracle. The
     half-norm literal comes from the SAME similarity.pq_half_norms the
     Spark encode kernel embeds, so both engines evaluate
-    ``argmin (half - <v_sub, c>)`` over identical floats."""
-    books = _pq_books()
+    ``argmin (half - <v_sub, c>)`` over identical floats.
+
+    ``oracle_sql()`` takes no sf_dir (driver contract), but the Spark
+    legs resolve codebooks PER sf_dir — so a checker pointed at a
+    non-default corpus must export ``SPARK_GRAFT_ORACLE_SF_DIR`` (as
+    tools/check_correctness.py does from --sf-dir) or the two engines
+    quantize with different books and every PQ leg reds spuriously."""
+    import os
+
+    books = _pq_books(os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR"))
     halves = sim.pq_half_norms(books)
     sub = len(books[0][0])
     values = ", ".join(
@@ -890,28 +898,21 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=_NEARDUP_THRESHOLD
     ).localCheckpoint(eager=False)
     hits = true_pairs.join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
-    return (
-        true_pairs.select(F.lit("lsh_neardup").alias("method"), F.lit(1).alias("__t"))
-        .groupBy("method")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .join(
-            hits.select(F.lit("lsh_neardup").alias("method"))
-            .groupBy("method")
-            .agg(F.count(F.lit(1)).alias("n_recovered")),
-            "method",
-            "left",
-        )
-        .select(
-            "method",
-            "n_pairs",
-            F.coalesce("n_recovered", F.lit(0)).alias("n_recovered"),
-            F.round(F.coalesce("n_recovered", F.lit(0)) / F.col("n_pairs"), 6).alias(
-                "recall"
-            ),
-            (F.coalesce("n_recovered", F.lit(0)) / F.col("n_pairs") >= _RECALL_FLOOR).alias(
-                "meets_floor"
-            ),
-        )
+    # GLOBAL aggregates (not groupBy on a lit key): each side emits exactly
+    # one row even when the truth pair set is empty, matching the oracle's
+    # ungrouped SELECT shape (a groupBy over an empty frame emits 0 rows —
+    # a row-count mismatch the gate would read as a red). On zero pairs
+    # both engines yield NULL recall/meets_floor (0/0 is NULL in each).
+    n_pairs = true_pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
+    n_rec = hits.agg(F.count(F.lit(1)).alias("n_recovered"))
+    return n_pairs.crossJoin(n_rec).select(
+        F.lit("lsh_neardup").alias("method"),
+        "n_pairs",
+        "n_recovered",
+        F.round(F.col("n_recovered") / F.col("n_pairs"), 6).alias("recall"),
+        (F.col("n_recovered") / F.col("n_pairs") >= _RECALL_FLOOR).alias(
+            "meets_floor"
+        ),
     )
 
 

@@ -279,10 +279,6 @@ def paragraph_dedup(
     return reassembled.select(id_col, "n_blocks", "n_kept", "dedup_text")
 
 
-# RE2-compatible (no lookaround/backreferences) so the identical strings run
-# under Java regex (Spark) and RE2 (DuckDB oracle). Order matters for
-# redaction: emails before phones so the digits of "user123@x.com" are not
-# half-eaten by the phone pattern.
 def shuffle_shards(
     docs: DataFrame,
     n_shards: int = 8,
@@ -318,6 +314,10 @@ def shuffle_shards(
     )
 
 
+# RE2-compatible (no lookaround/backreferences) so the identical strings run
+# under Java regex (Spark) and RE2 (DuckDB oracle). Order matters for
+# redaction: emails before phones so the digits of "user123@x.com" are not
+# half-eaten by the phone pattern.
 PII_PATTERNS = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("phone", r"\+?[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),

@@ -331,6 +331,24 @@ def _probe_udf(centroids: np.ndarray, nprobe: int):
     return k
 
 
+def _cell_rerank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared IVF re-rank tail: probed-cell equi-join (queries broadcast),
+    exact cosine, per-query top-k. Used by BOTH :func:`knn_ivf` (logical
+    corpus) and :func:`knn_ivf_clustered` (physical store) — each has its
+    own DuckDB oracle, so a tie-rule change must land in both in lockstep;
+    a single tail makes divergence impossible."""
+    sims = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
+        )
+    )
+    return _topk(sims, k)
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -365,16 +383,7 @@ def knn_ivf(
         F.col(vec_col).alias("__qvec"),
         F.explode(cellN(F.col(vec_col))).alias("cell"),
     )
-    sims = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
-        )
-    )
-    return _topk(sims, k)
+    return _cell_rerank(c, q, k)
 
 
 def embedding_near_dups(
@@ -553,11 +562,16 @@ def knn_ivf_clustered(
     if not 1 <= nprobe <= len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
     cellN = _probe_udf(np.asarray(centroids, dtype=np.float64), nprobe)
+    # eager checkpoint: q feeds TWO plan references (the probed-cell
+    # collect below and the broadcast side of the join) — without it the
+    # query scan + probe UDF run twice (Spark does not dedupe common
+    # subplans); the batch is small by ANN's contract, so the
+    # materialization is bounded
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.explode(cellN(F.col(vec_col))).alias("cell"),
-    )
+    ).localCheckpoint(eager=True)
     # bounded collect: one int per (query, probe); ANN queries are a batch
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
@@ -569,18 +583,7 @@ def knn_ivf_clustered(
             F.col("cell").cast("int").alias("cell"),
         )
     )
-    sims = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias(
-                "cosine"
-            ),
-        )
-    )
-    return _topk(sims, k)
+    return _cell_rerank(c, q, k)
 
 
 def pq_codebooks(
@@ -787,6 +790,59 @@ def knn_pq(
     return _topk(sims, k)
 
 
+def _adc_refine(
+    codes: DataFrame,
+    q: DataFrame,
+    truth: DataFrame,
+    qv: DataFrame,
+    k: int,
+    refine_factor: int,
+) -> DataFrame:
+    """Shared IVF-PQ tail: ADC-score PQ reconstructions over the probed
+    cells (queries broadcast), keep the top ``k*refine_factor`` ADC
+    candidates per query (ties broken by neighbor_id asc), exact-cosine
+    re-rank the candidates against raw vectors, per-query top-k. Used by
+    BOTH :func:`knn_ivf_pq` (logical corpus) and
+    :func:`knn_ivf_pq_clustered` (physical store) — each has its own
+    DuckDB oracle, so the tie rules and refine cut must change in
+    lockstep; a single tail makes divergence impossible.
+
+    ``codes``: (neighbor_id, __recon, cell); ``q``: (query_id, __qvec,
+    cell) probe-exploded; ``truth``: (neighbor_id, __cvec) raw vectors;
+    ``qv``: (query_id, __qvec)."""
+    adc = (
+        codes.join(F.broadcast(q), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_kernel(F.col("__qvec"), F.col("__recon")), 6
+            ).alias("adc"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id").asc()
+    )
+    cand = (
+        adc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k * refine_factor)
+        .select("query_id", "neighbor_id")
+    )
+    sims = (
+        truth.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6
+            ).alias("cosine"),
+        )
+    )
+    return _topk(sims, k)
+
+
 def knn_ivf_pq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -826,43 +882,13 @@ def knn_ivf_pq(
         F.col(vec_col).alias("__qvec"),
         F.explode(cellN(F.col(vec_col))).alias("cell"),
     )
-    adc = (
-        c.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_kernel(F.col("__qvec"), F.col("__recon")), 6
-            ).alias("adc"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc()
-    )
-    cand = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k * refine_factor)
-        .select("query_id", "neighbor_id")
-    )
     truth = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    sims = (
-        truth.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6
-            ).alias("cosine"),
-        )
-    )
-    return _topk(sims, k)
+    return _adc_refine(c, q, truth, qv, k, refine_factor)
 
 
 def knn_ivf_pq_clustered(
@@ -896,11 +922,13 @@ def knn_ivf_pq_clustered(
         raise ValueError(f"nprobe must be in [1, {len(centroids)}]")
     cellN = _probe_udf(np.asarray(centroids, dtype=np.float64), nprobe)
     rec = _pq_recon_udf(codebooks)
+    # eager checkpoint: q feeds TWO plan references (probed-cell collect +
+    # broadcast join side) — see knn_ivf_clustered
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.explode(cellN(F.col(vec_col))).alias("cell"),
-    )
+    ).localCheckpoint(eager=True)
     # bounded collect: one int per (query, probe); ANN queries are a batch
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     store = spark.read.parquet(path)
@@ -911,43 +939,13 @@ def knn_ivf_pq_clustered(
         rec(F.col("codes")).alias("__recon"),
         F.col("cell").cast("int").alias("cell"),
     )
-    adc = (
-        codes_scan.join(F.broadcast(q), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_kernel(F.col("__qvec"), F.col("__recon")), 6
-            ).alias("adc"),
-        )
-    )
-    w = W.partitionBy("query_id").orderBy(
-        F.col("adc").desc(), F.col("neighbor_id").asc()
-    )
-    cand = (
-        adc.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k * refine_factor)
-        .select("query_id", "neighbor_id")
-    )
     truth = store.where(F.col("cell").isin(probed)).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
     )
-    sims = (
-        truth.join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6
-            ).alias("cosine"),
-        )
-    )
-    return _topk(sims, k)
+    return _adc_refine(codes_scan, q, truth, qv, k, refine_factor)
 
 
 def neardup_pairs_bruteforce(
@@ -989,6 +987,11 @@ def neardup_pairs_bruteforce(
         )
     corpus = corpus.where(F.col(vec_col).isNotNull())
     pdf = corpus.select(id_col, vec_col).toPandas()
+    if len(pdf) == 0:
+        # an empty (or all-NULL-embedding) corpus has zero pairs; np.stack
+        # on an empty sequence would raise instead
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], schema="id_a long, id_b long")
     ids_np = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
     spark = corpus.sparkSession

@@ -299,6 +299,18 @@ def test_neardup_bruteforce_sweep_equals_pairwise_kernel(spark, emb):
     assert sweep == kern and len(sweep) > 0
 
 
+def test_neardup_bruteforce_empty_corpus_yields_zero_pairs(spark):
+    """An empty corpus — or one whose embeddings are ALL NULL, which the
+    sweep filters out first — must return an empty pair frame, not crash
+    in np.stack (the audit leg runs on samples, and a sample can be
+    empty)."""
+    schema = "vec_id long, embedding array<double>"
+    empty = spark.createDataFrame([], schema=schema)
+    assert S.neardup_pairs_bruteforce(empty).count() == 0
+    allnull = spark.createDataFrame([(1, None), (2, None)], schema=schema)
+    assert S.neardup_pairs_bruteforce(allnull).count() == 0
+
+
 class TestIvfClusteredLayout:
     def test_partition_pruning_and_result_parity(self, spark, emb, tmp_path):
         """Cluster-by-cell layout: (a) a cell filter on the store reads

@@ -74,8 +74,14 @@ def time_queries(spark, qs, names, legs, runs: int) -> dict:
                 t0 = time.monotonic()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 times.append(time.monotonic() - t0)
-            rec[label] = round(statistics.median(times), 2)
-        rec["ratio"] = round(rec[hi_label] / rec[lo_label], 1)
+            # keep the unrounded median for the ratio: a sub-5ms leg rounds
+            # to 0.00 and would ZeroDivisionError after the expensive legs
+            # already ran
+            rec[f"__{label}"] = statistics.median(times)
+            rec[label] = round(rec[f"__{label}"], 2)
+        rec["ratio"] = round(rec[f"__{hi_label}"] / rec[f"__{lo_label}"], 1)
+        for label, _ in legs:
+            del rec[f"__{label}"]
         out[name] = rec
         print(
             f"{name:28s} {lo_label}={rec[lo_label]:7.2f}s  "

@@ -96,6 +96,10 @@ def main() -> int:
     ap.add_argument("--json-out", default=None)
     args = ap.parse_args()
 
+    # sf-dependent oracle literals (the PQ codebooks) must quantize the
+    # SAME corpus the Spark legs load — see __spark_entry__._pq_sql_fragments
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = args.sf_dir
+
     import __spark_entry__ as entry_mod
     from aeon_sleap_processing_spark.session import get_spark
 
