@@ -50,6 +50,8 @@ CLIQUE_SAFE = [
     "q_skew_salted_agg",    # two-stage salted agg at 60M rows
     "q_hilbert_stats",      # vectorized Hilbert fold over 60M rows
     "q_knn_pq",             # ADC scan over 200k PQ codes
+    "q_knn_ivf_clustered",  # store write + partition-pruned probe read
+    "q_knn_ivf_pq_clustered",  # store write + pruned, column-pruned ADC
 ]
 
 
