@@ -882,7 +882,8 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's eval-metric harness, `sleap_optuna_train.py:126-156`).
     The brute-force leg is the audit's cost (run on a sample at 100 TB);
     verified candidates are a subset of true pairs by construction, so
-    the semi-join is belt-and-braces against a verify-step regression."""
+    the hit-marker join is belt-and-braces against a verify-step
+    regression."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, "embeddings", sf_dir)
@@ -890,22 +891,26 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matrix-sweep brute force (similarity.py:neardup_pairs_bruteforce):
     # LTR-accumulated cosines against the broadcast corpus matrix —
     # bit-identical pair set to the pairwise-kernel join at 6.5x less
-    # wall (the kernel form moved 2M x 2 vectors through Arrow)
-    # the sweep feeds TWO plan references (n_pairs agg + the hits
-    # semi-join); localCheckpoint runs it once instead of twice — Spark
-    # does not dedupe common subplans (same device as q_knn_recall)
-    true_pairs = sim.neardup_pairs_bruteforce(
-        emb, threshold=_NEARDUP_THRESHOLD
-    ).localCheckpoint(eager=False)
-    hits = true_pairs.join(F.broadcast(cand), ["id_a", "id_b"], "left_semi")
-    # GLOBAL aggregates (not groupBy on a lit key): each side emits exactly
-    # one row even when the truth pair set is empty, matching the oracle's
-    # ungrouped SELECT shape (a groupBy over an empty frame emits 0 rows —
-    # a row-count mismatch the gate would read as a red). On zero pairs
-    # both engines yield NULL recall/meets_floor (0/0 is NULL in each).
-    n_pairs = true_pairs.agg(F.count(F.lit(1)).alias("n_pairs"))
-    n_rec = hits.agg(F.count(F.lit(1)).alias("n_recovered"))
-    return n_pairs.crossJoin(n_rec).select(
+    # wall (the kernel form moved 2M x 2 vectors through Arrow).
+    # SHAPE: one left join with a hit marker + ONE ungrouped aggregate —
+    # the oracle's exact structure (FROM tru LEFT JOIN cand + ungrouped
+    # counts). A global agg emits exactly one row even on an empty truth
+    # set (a groupBy on a lit key emits 0 rows there — a row-count
+    # mismatch the gate would read as a red), the truth leg is scanned
+    # ONCE (no second plan reference, so no checkpoint needed), and the
+    # single final one-row exchange stays under the explain_audit
+    # threshold. On zero pairs both engines yield NULL recall/meets_floor
+    # (0/0 is NULL in each).
+    true_pairs = sim.neardup_pairs_bruteforce(emb, threshold=_NEARDUP_THRESHOLD)
+    matched = true_pairs.join(
+        F.broadcast(cand.withColumn("__hit", F.lit(1))),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count("__hit").alias("n_recovered"),
+    ).select(
         F.lit("lsh_neardup").alias("method"),
         "n_pairs",
         "n_recovered",
