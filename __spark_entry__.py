@@ -896,12 +896,20 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle's exact structure (FROM tru LEFT JOIN cand + ungrouped
     # counts). A global agg emits exactly one row even on an empty truth
     # set (a groupBy on a lit key emits 0 rows there — a row-count
-    # mismatch the gate would read as a red), the truth leg is scanned
-    # ONCE (no second plan reference, so no checkpoint needed), and the
-    # single final one-row exchange stays under the explain_audit
-    # threshold. On zero pairs both engines yield NULL recall/meets_floor
-    # (0/0 is NULL in each).
-    true_pairs = sim.neardup_pairs_bruteforce(emb, threshold=_NEARDUP_THRESHOLD)
+    # mismatch the gate would read as a red), and the single final
+    # one-row exchange stays under the explain_audit threshold. The
+    # localCheckpoint is a MEASURED overlap device, not a dedup one (the
+    # truth leg has only one plan reference here): without it the
+    # broadcast subquery (cand — the OR-amplified generator, ~2.6 s of
+    # Python kernel work) must materialize before the probe stage
+    # containing the sweep starts, serializing the two Python-heavy legs
+    # (6.3 s warm); the checkpoint makes the sweep an independent job
+    # that overlaps the broadcast build (4.6 s warm, A/B-measured).
+    # On zero pairs both engines yield NULL recall/meets_floor (0/0 is
+    # NULL in each).
+    true_pairs = sim.neardup_pairs_bruteforce(
+        emb, threshold=_NEARDUP_THRESHOLD
+    ).localCheckpoint(eager=False)
     matched = true_pairs.join(
         F.broadcast(cand.withColumn("__hit", F.lit(1))),
         ["id_a", "id_b"],
