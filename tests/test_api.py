@@ -119,3 +119,29 @@ class TestDriverContract:
         # no duplicates anywhere, every oracle key is a registered query
         assert len(names) == len(set(names))
         assert set(oracles) <= set(names)
+
+    def test_pq_oracle_books_follow_checker_sf_dir(self, monkeypatch):
+        """The PQ oracles embed codebook literals; the Spark legs resolve
+        books per sf_dir. check_correctness exports
+        SPARK_GRAFT_ORACLE_SF_DIR from --sf-dir so both engines quantize
+        with the SAME books at any corpus — pin that the env var actually
+        switches the embedded literals (and that the default is the
+        sf0.01 gate books)."""
+        import __spark_entry__ as em
+
+        monkeypatch.delenv("SPARK_GRAFT_ORACLE_SF_DIR", raising=False)
+        default_values, _ = em._pq_sql_fragments()
+        monkeypatch.setenv(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
+        gate_values, _ = em._pq_sql_fragments()
+        assert default_values == gate_values  # default IS the gate corpus
+        monkeypatch.setenv(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.1"
+        )
+        sf01_values, _ = em._pq_sql_fragments()
+        assert sf01_values != default_values  # per-corpus books differ
+        # and they match what the Spark legs load for the same dir
+        assert em._pq_books("/root/testdata/sf0.1") != em._pq_books(
+            "/root/testdata/sf0.01"
+        )
