@@ -38,6 +38,7 @@ __all__ = [
     "embedding_near_dups",
     "semantic_dedup",
     "neardup_pairs_bruteforce",
+    "neardup_sample_predicate",
     "ivf_write_clustered",
     "knn_ivf_clustered",
     "pq_codebooks",
@@ -244,7 +245,13 @@ def knn_lsh(
     anything colliding in ANY table (1-(1-p^b)^L recall — more tables raise
     recall, more planes per table cut candidates). Candidates = (table,
     bucket) equi-join, dedup, exact cosine re-rank.
-    Recall < 1.0 by construction — tested against knn_bruteforce."""
+    Recall < 1.0 by construction — tested against knn_bruteforce.
+
+    CHANGED (r9): (len(hyperplanes), n_tables) combinations whose ceil
+    split leaves an empty trailing group (e.g. 24 planes, 7 tables) now
+    raise ValueError instead of silently degrading — an empty table
+    hashed every vector to bucket 0, i.e. an all-pairs collider. Callers
+    hitting the new error should pick a divisor-friendly ``n_tables``."""
     bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
 
     def membered(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
@@ -421,8 +428,19 @@ def embedding_near_dups(
     partitioning. The dedup shuffle itself is scalar id pairs — cheap at
     any scale.
 
+    NULL embeddings are filtered BEFORE bucketing: a null vector hashes
+    to bucket 0 in every table (NaN sign-tests are all false), so on a
+    corpus with many nulls — routine at 100 TB — the null population
+    would collide with itself and with the genuine bucket-0 rows in ALL
+    ``n_tables`` tables, reintroducing an O(n_nulls²) candidate product
+    that the NULL cosine only filters after it has been generated,
+    deduped, and vector-joined. A null vector can never pass the cosine
+    threshold, so dropping it up front leaves the result unchanged (the
+    DuckDB oracles produce no rows for NULL cosines either).
+
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
+    corpus = corpus.where(F.col(vec_col).isNotNull())
     bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
     if n_tables == 1:
         # single table: a pair can collide at most once — verify inline
@@ -615,7 +633,13 @@ def pq_fit_codebooks(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    dim = len(corpus.select(vec_col).first()[0])
+    first = corpus.where(F.col(vec_col).isNotNull()).select(vec_col).first()
+    if first is None:
+        raise ValueError(
+            f"pq_fit_codebooks: no non-NULL {vec_col!r} row to derive the "
+            "vector dim from (empty corpus or all-NULL embeddings)"
+        )
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -948,28 +972,73 @@ def knn_ivf_pq_clustered(
     return _adc_refine(codes_scan, q, truth, qv, k, refine_factor)
 
 
+def neardup_sample_predicate(
+    id_col: str = "vec_id",
+    sample_frac: float = 1.0,
+    sample_salt: str = "0",
+) -> Column:
+    """Deterministic salted-hash sample predicate shared by
+    :func:`neardup_pairs_bruteforce` and its DuckDB oracles: keep a row
+    iff the first 8 hex digits of ``md5(salt|id)`` — a uniform 32-bit
+    integer — fall below ``frac * 2^32``. Cross-engine mirror (DuckDB)::
+
+        CAST('0x' || substring(md5('<salt>|' || id), 1, 8) AS UBIGINT)
+            < CAST(<frac> * 4294967296 AS UBIGINT)
+
+    Hash-of-id (not RNG) so the SAME rows are sampled on every engine,
+    run, and partitioning — recall-on-a-deterministic-sample stays an
+    oracle-able quantity (the :func:`sample_n_per_bin` discipline)."""
+    if not (0.0 < sample_frac <= 1.0):
+        raise ValueError(f"sample_frac must be in (0, 1], got {sample_frac}")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(sample_salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h < int(sample_frac * 4294967296)
+
+
 def neardup_pairs_bruteforce(
     corpus: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int = 200_000,
+    sample_frac: float | None = None,
+    sample_salt: str = "0",
 ) -> DataFrame:
     """EXACT all-pairs near-dup ground truth — the audit/oracle leg behind
     q_neardup_recall (run it on a sample at 100 TB; the LSH path is the
     production generator).
 
     One matrix SWEEP instead of 2 per-pair kernel rows per pair: the
-    corpus (ids, matrix) is collected and broadcast — BOUNDED BY
-    CONTRACT, this is the brute-force audit, its input is sample-sized by
-    definition — and each Arrow batch computes its (k x n) cosine block
-    against the full matrix, accumulating LEFT-TO-RIGHT over dimensions
-    (bit-identical to :func:`cosine_kernel` / the SQL oracle's
-    list_inner_product; np.dot's pairwise summation would not be).
-    Rounding to 6 digits uses floor(c*1e6+0.5)/1e6 — HALF_UP, matching
-    Spark's F.round for the positive cosines a threshold filter sees.
-    Measured 6.5x faster than the pairwise-kernel form on the 2k-vector
-    sf0.1 corpus (the kernel materializes 2M x 2 vectors through Arrow;
-    the sweep moves each vector once).
+    corpus (ids, matrix) is collected and broadcast, and each Arrow batch
+    computes its (k x n) cosine block against the full matrix,
+    accumulating LEFT-TO-RIGHT over dimensions (bit-identical to
+    :func:`cosine_kernel` / the SQL oracle's list_inner_product; np.dot's
+    pairwise summation would not be). Rounding to 6 digits uses
+    floor(c*1e6+0.5)/1e6 — HALF_UP, matching Spark's F.round for the
+    positive cosines a threshold filter sees. Measured 6.5x faster than
+    the pairwise-kernel form on the 2k-vector sf0.1 corpus (the kernel
+    materializes 2M x 2 vectors through Arrow; the sweep moves each
+    vector once).
+
+    BOUNDED BY CONSTRUCTION, not by prose: the collect is guarded by
+    ``max_rows`` — a ``limit(max_rows+1)`` probe (the
+    ``connected_components`` driver-threshold discipline, graph.py) that
+    never counts more than max_rows+1 rows even on a 100 TB corpus, and
+    raises with the fix spelled out instead of OOM-ing the driver. At
+    corpus sizes above the guard, pass ``sample_frac``: a DETERMINISTIC
+    salted-hash sample (:func:`neardup_sample_predicate`, md5-prefix —
+    reproducible across engines/runs, DuckDB-mirrorable) taken BEFORE the
+    guard, so the audit stays runnable at any corpus size and recall on
+    the sample remains an oracle-able quantity. This mirrors the
+    reference's eval-metric discipline (metrics computed on a held split,
+    never the full stream — `sleap_optuna_train.py:126-156`).
 
     NULL embeddings are dropped on both sides before the sweep — a null
     vector has no cosine, so it can never be a near-dup (the LSH path
@@ -986,6 +1055,23 @@ def neardup_pairs_bruteforce(
             "sweep's output schema is id_a/id_b long"
         )
     corpus = corpus.where(F.col(vec_col).isNotNull())
+    if sample_frac is not None:
+        corpus = corpus.where(
+            neardup_sample_predicate(id_col, sample_frac, sample_salt)
+        )
+    if max_rows is not None:
+        # bounded probe: limit(max_rows+1) never scans past the guard
+        # even on a huge corpus — the same shape as the CC driver probe
+        n_probe = corpus.select(id_col).limit(max_rows + 1).count()
+        if n_probe > max_rows:
+            raise ValueError(
+                f"neardup_pairs_bruteforce: corpus has > {max_rows} rows "
+                "after filters — the brute-force audit collects its input "
+                "to the driver and sweeps O(n²) cosines, which does not "
+                "scale past a sample. Pass sample_frac=<f> for a "
+                "deterministic salted-hash sample, or raise max_rows "
+                "deliberately."
+            )
     pdf = corpus.select(id_col, vec_col).toPandas()
     if len(pdf) == 0:
         # an empty (or all-NULL-embedding) corpus has zero pairs; np.stack

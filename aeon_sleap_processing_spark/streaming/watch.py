@@ -467,15 +467,67 @@ def _rep_dirs_with_data(spark, reps_root: str, before_batch: int) -> list[str]:
         and st.getPath().getName().startswith("batch=")
         and int(st.getPath().getName().split("=", 1)[1]) < before_batch
     ]
-    return [
-        str(d.toUri())
-        for d in dirs
-        if any(
-            not f.getPath().getName().startswith(("_", "."))
-            for f in fs.listStatus(d)
-            if f.isFile()
-        )
+    # recursive emptiness check: the bucketed layout nests vp=/t=/hp=
+    # partition dirs under each batch dir
+    return [str(d.toUri()) for d in _dirs_with_data(fs, dirs, 2)]
+
+
+def _dirs_with_data(fs, dirs, depth: int = 2):
+    """Subset of ``dirs`` (Hadoop Paths) holding at least one data file at
+    any depth up to ``depth`` — the :func:`_rep_dirs_with_data` emptiness
+    rule generalized to Hive-partitioned batch dirs (``vp=``/``t=``/``hp=``
+    nesting), so file-less dirs never wedge a parquet schema inference."""
+    out = []
+    for d in dirs:
+        stack = [(d, 0)]
+        found = False
+        while stack and not found:
+            cur, lvl = stack.pop()
+            for st in fs.listStatus(cur):
+                name = st.getPath().getName()
+                if st.isFile() and not name.startswith(("_", ".")):
+                    found = True
+                    break
+                if st.isDirectory() and lvl < depth:
+                    stack.append((st.getPath(), lvl + 1))
+        if found:
+            out.append(d)
+    return out
+
+
+def _part_dirs(spark, root: str, before_batch: int, levels: int):
+    """Enumerate Hive partition leaf dirs of the first ``levels`` partition
+    keys under ``root``'s ``batch=N`` dirs with N < ``before_batch``.
+    Returns (partition-values-tuple, leaf Path) pairs — partition values
+    parsed as ints. Listing is metadata-only: batches x fan-out entries,
+    never a data read; the caller prunes this list against the
+    micro-batch's key set BEFORE any parquet scan."""
+    from ..sources.sinks import _hadoop_fs
+
+    fs, Path, _ = _hadoop_fs(spark, root)
+    if not fs.exists(Path(root)):
+        return fs, []
+    batch_dirs = [
+        st.getPath()
+        for st in fs.listStatus(Path(root))
+        if st.isDirectory()
+        and st.getPath().getName().startswith("batch=")
+        and int(st.getPath().getName().split("=", 1)[1]) < before_batch
     ]
+    leaves = []
+
+    def walk(d, vals, lvl):
+        if lvl == levels:
+            leaves.append((tuple(vals), d))
+            return
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if st.isDirectory() and "=" in name:
+                walk(st.getPath(), vals + [int(name.split("=", 1)[1])], lvl + 1)
+
+    for b in batch_dirs:
+        walk(b, [], 0)
+    return fs, leaves
 
 
 def stream_semantic_dedup(
@@ -488,6 +540,7 @@ def stream_semantic_dedup(
     vec_col: str = "embedding",
     n_tables: int = 6,
     trigger: dict | None = None,
+    store_partitions: int = 16,
 ) -> StreamingQuery:
     """Streaming semantic (embedding) dedup — the ingest twin of
     ``operators.similarity.semantic_dedup``: each arriving vector is kept
@@ -502,10 +555,38 @@ def stream_semantic_dedup(
     generation of ``embedding_near_dups``, same planes/tables/threshold
     semantics), so per-batch work is batch-vs-store collisions — never an
     all-pairs product, and executor memory stays O(batch + collisions)
-    regardless of store size. At a 100 TB store the scan itself is the
-    cost; lay the store out by bucket/cell (``ivf_write_clustered``) and
-    compact it (``compact_parquet``) offline — the read here is a plain
-    parquet scan either way.
+    regardless of store size.
+
+    BUCKET-PARTITIONED STORE (``store_partitions`` = P > 0, the default):
+    the store is two tiers, both Hive-partitioned so each micro-batch
+    reads only the store fraction its own keys can collide with —
+    file-listing-level pruning, no full-store scan per batch:
+
+    - ``reps/batch=B/vp=<xxhash64(id) mod P>`` — (id, vector), each rep
+      once. Read twice per batch, both times pruned: the redelivery
+      anti-join touches only the batch's own vp cells (ids column only,
+      parquet column pruning), the verify fetch only the colliding reps'
+      cells.
+    - ``repkeys/batch=B/t=<table>/hp=<bucket mod P>`` — (id, h) scalar
+      LSH keys, n_tables rows per rep (vectors are NOT duplicated).
+      Candidate generation reads only the (t, hp) cells present in the
+      batch — ≤ n_tables·P dirs however big the store grows.
+
+    Partition values to prune on are collected per batch, each bounded
+    by P or n_tables·P (never row data); the colliding-candidate set is
+    persisted for the one extra pass that derives the verify cells. With
+    P = 0 the pre-r10 single-tier layout (``reps/batch=B``, full-store
+    scan every batch — throughput decays linearly with store size) is
+    kept for comparison; tools/measure_repstore_layout.py commits the
+    curve. Listing cost grows with the batch-dir count — fold old batch
+    dirs with ``compact_parquet`` offline when micro-batches are small.
+
+    NULL embeddings (routine at 100 TB) are kept — a null vector has no
+    cosine, so it is never anyone's near-dup — but carry NO LSH keys: left
+    unfiltered they hash to bucket 0 in every table and collide with the
+    entire bucket-0 population (the O(n_nulls²) product the ADVICE r9
+    audit flagged); here they bypass candidate generation entirely and go
+    straight to the kept set.
 
     Exactly-once across restarts, by the strictly-earlier argument of
     :func:`stream_append_compacted`: batch B reads only ``batch=<id> < B``
@@ -530,9 +611,36 @@ def stream_semantic_dedup(
 
     spark = stream.sparkSession
     reps_root = out_path.rstrip("/") + "/reps"
+    keys_root = out_path.rstrip("/") + "/repkeys"
     bucket = sim._bucket_udf(sim._split_tables(hyperplanes, n_tables))
+    P = store_partitions
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
+    def _verify_and_keep(batch, cand, va, vb):
+        # shared verify/drop tail: cand = (id_a batch-row, id_b, rep_b).
+        # round-then-compare matches the batch authority
+        # (embedding_near_dups) at threshold-boundary cosines
+        p = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .where(
+                F.round(sim.cosine_kernel(F.col("__va"), F.col("__vb")), 6)
+                >= threshold
+            )
+        )
+        # rep_b → the right side survives (it's a rep), drop the batch row
+        # id_a; both-batch → drop the larger id (id_a < id_b enforced in
+        # cand). One projection, not two filtered re-evaluations of the
+        # candidate pipeline — Spark does not dedupe common subplans.
+        drop_ids = p.select(
+            F.when(F.col("rep_b"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias(id_col)
+        ).distinct()
+        return batch.join(drop_ids, id_col, "left_anti")
+
+    def _process_flat(batch_df: DataFrame, batch_id: int) -> None:
+        # legacy single-tier layout (store_partitions=0): every batch
+        # scans the whole rep store — kept for the layout A/B measurement
         batch = batch_df.select(F.col(id_col), F.col(vec_col)).dropDuplicates(
             [id_col]
         )
@@ -551,7 +659,9 @@ def stream_semantic_dedup(
         # per-batch work is batch-vs-pool collisions, independent of the
         # store's internal collision count. Right side takes any rep
         # (drop the batch row) or a LARGER-id batch row (drop that one).
-        keys = pool.select(
+        # NULL vectors carry no keys (ADVICE r9: unfiltered they bucket
+        # to 0 in every table) and reach the kept set unconditionally.
+        keys = pool.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("__kid"),
             F.col("__rep"),
             F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
@@ -578,30 +688,132 @@ def stream_semantic_dedup(
         # vectors are scanned once per micro-batch (vb), not twice
         va = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         vb = pool.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
-        p = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            # round-then-compare matches the batch authority
-            # (embedding_near_dups) at threshold-boundary cosines
-            .where(
-                F.round(sim.cosine_kernel(F.col("__va"), F.col("__vb")), 6)
-                >= threshold
-            )
-        )
-        # rep_b → the right side survives (it's a rep), drop the batch row
-        # id_a; both-batch → drop the larger id (id_a < id_b enforced in
-        # cand). One projection, not two filtered re-evaluations of the
-        # candidate pipeline — Spark does not dedupe common subplans.
-        drop_ids = p.select(
-            F.when(F.col("rep_b"), F.col("id_a"))
-            .otherwise(F.col("id_b"))
-            .alias(id_col)
-        ).distinct()
-        kept = batch.join(drop_ids, id_col, "left_anti")
+        kept = _verify_and_keep(batch, cand, va, vb)
         kept.write.mode("overwrite").parquet(f"{reps_root}/batch={batch_id}")
 
+    def _process_bucketed(batch_df: DataFrame, batch_id: int) -> None:
+        pinned = []
+
+        def pin(df):
+            pinned.append(df.persist())
+            return pinned[-1]
+
+        batch = pin(
+            batch_df.select(F.col(id_col), F.col(vec_col))
+            .dropDuplicates([id_col])
+            .withColumn("vp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)))
+        )
+        try:
+            fs, vec_leaves = _part_dirs(spark, reps_root, batch_id, 1)
+            # (vp → leaf uris) map, empty leaves dropped
+            vec_map: dict[int, list[str]] = {}
+            nonempty = {
+                str(d.toUri())
+                for d in _dirs_with_data(fs, [d for _, d in vec_leaves], 1)
+            }
+            for vals, d in vec_leaves:
+                u = str(d.toUri())
+                if u in nonempty:
+                    vec_map.setdefault(vals[0], []).append(u)
+            if vec_map:
+                # redelivery anti-join pruned to the batch's OWN vp cells:
+                # ids column only — parquet reads nothing else
+                bvps = {
+                    r[0] for r in batch.select("vp").distinct().collect()
+                }
+                paths = [u for vp in sorted(bvps) for u in vec_map.get(vp, [])]
+                if paths:
+                    prior_ids = (
+                        spark.read.option("basePath", reps_root)
+                        .parquet(*paths)
+                        .select(id_col)
+                    )
+                    batch = pin(batch.join(prior_ids, id_col, "left_anti"))
+            # batch-side LSH keys (non-null vectors only)
+            bkeys = pin(
+                batch.where(F.col(vec_col).isNotNull())
+                .select(
+                    F.col(id_col).alias("id_a"),
+                    F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
+                )
+                .withColumn("hp", F.pmod(F.col("h"), F.lit(P)))
+            )
+            thps = {(r.t, r.hp) for r in bkeys.select("t", "hp").distinct().collect()}
+            _, key_leaves = _part_dirs(spark, keys_root, batch_id, 2)
+            kpaths = [
+                str(d.toUri()) for vals, d in key_leaves if (vals[0], vals[1]) in thps
+            ]
+            right = bkeys.select(
+                F.col("id_a").alias("id_b"), "t", "h"
+            ).withColumn("rep_b", F.lit(False))
+            if kpaths:
+                rkeys = (
+                    spark.read.option("basePath", keys_root)
+                    .parquet(*kpaths)
+                    .select(
+                        F.col(id_col).alias("id_b"),
+                        F.col("t").cast("int"),
+                        F.col("h"),
+                        F.lit(True).alias("rep_b"),
+                    )
+                )
+                right = right.unionByName(rkeys)
+            a = bkeys.select("id_a", "t", "h")
+            cand = pin(
+                a.join(
+                    right,
+                    (a["t"] == right["t"])
+                    & (a["h"] == right["h"])
+                    & (F.col("rep_b") | (F.col("id_a") < F.col("id_b"))),
+                )
+                .select("id_a", "id_b", "rep_b")
+                .distinct()
+            )
+            # verify fetch pruned to the COLLIDING reps' vp cells — vp is
+            # derivable from the id (pmod(xxhash64,P)), never stored twice.
+            # The collect is partition VALUES (≤ P ints), not row data.
+            rvps = {
+                r[0]
+                for r in cand.where("rep_b")
+                .select(F.pmod(F.xxhash64(F.col("id_b")), F.lit(P)))
+                .distinct()
+                .collect()
+            }
+            rpaths = [u for vp in sorted(rvps) for u in vec_map.get(vp, [])]
+            vb = batch.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+            if rpaths:
+                vb = vb.unionByName(
+                    spark.read.option("basePath", reps_root)
+                    .parquet(*rpaths)
+                    .select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+                )
+            va = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+            kept = pin(_verify_and_keep(batch, cand, va, vb))
+            kept.write.partitionBy("vp").mode("overwrite").parquet(
+                f"{reps_root}/batch={batch_id}"
+            )
+            (
+                kept.where(F.col(vec_col).isNotNull())
+                .select(
+                    F.col(id_col),
+                    F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
+                )
+                .withColumn("hp", F.pmod(F.col("h"), F.lit(P)))
+                .write.partitionBy("t", "hp")
+                .mode("overwrite")
+                .parquet(f"{keys_root}/batch={batch_id}")
+            )
+        finally:
+            for df in pinned:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
     return (
-        stream.writeStream.foreachBatch(_process)
+        stream.writeStream.foreachBatch(
+            _process_bucketed if P > 0 else _process_flat
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
@@ -610,15 +822,20 @@ def stream_semantic_dedup(
 
 def read_semantic_reps(spark: SparkSession, out_path: str) -> DataFrame:
     """All representatives kept by :func:`stream_semantic_dedup` (each id
-    appears in exactly one batch dir)."""
+    appears in exactly one batch dir). Handles both store layouts: the
+    bucketed two-tier store (``batch``/``vp`` partition cols dropped; the
+    ``repkeys`` tier is an internal index, never surfaced) and the flat
+    pre-r10 layout (``batch`` only)."""
     from ..sources.sinks import _hadoop_fs
 
     reps_root = out_path.rstrip("/") + "/reps"
     fs, Path, _ = _hadoop_fs(spark, out_path)
     if not fs.exists(Path(reps_root)):
         raise FileNotFoundError(f"no reps tier under {out_path}")
-    return spark.read.option("basePath", reps_root).parquet(reps_root).drop(
-        "batch"
+    return (
+        spark.read.option("basePath", reps_root)
+        .parquet(reps_root)
+        .drop("batch", "vp")
     )
 
 

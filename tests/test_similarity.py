@@ -559,3 +559,108 @@ def test_pq_null_embedding_never_surfaces_as_neighbor(spark):
     assert codes[7] is None and codes[0] is not None
     got = S.knn_pq(nulled, nulled.where(F.col("vec_id") < 3), books, k=10)
     assert got.where(F.col("neighbor_id") == 7).count() == 0
+
+
+class TestNeardupBruteforceBounds:
+    """r10: the audit leg is bounded by construction — max_rows raise-guard
+    (the connected_components driver-threshold discipline) plus a
+    deterministic salted-hash sample for any-scale corpora."""
+
+    def test_max_rows_guard_raises_with_actionable_message(self, spark, emb):
+        n = emb.count()
+        with pytest.raises(ValueError, match="sample_frac"):
+            S.neardup_pairs_bruteforce(emb, 0.25, max_rows=n - 1).count()
+        # exactly at the bound: allowed
+        assert (
+            S.neardup_pairs_bruteforce(emb, 0.99, max_rows=n).count() >= 0
+        )
+
+    def test_sample_is_deterministic_and_subset(self, spark, emb):
+        a = {
+            (r.id_a, r.id_b)
+            for r in S.neardup_pairs_bruteforce(
+                emb, 0.2, sample_frac=0.5, sample_salt="s1"
+            ).collect()
+        }
+        b = {
+            (r.id_a, r.id_b)
+            for r in S.neardup_pairs_bruteforce(
+                emb, 0.2, sample_frac=0.5, sample_salt="s1"
+            ).collect()
+        }
+        full = {
+            (r.id_a, r.id_b)
+            for r in S.neardup_pairs_bruteforce(emb, 0.2).collect()
+        }
+        assert a == b  # reproducible across runs (hash-of-id, not RNG)
+        assert a <= full and 0 < len(a) < len(full)
+
+    def test_sample_predicate_mirrors_duckdb(self, spark, emb, sf_dir):
+        """The md5-prefix predicate must select the SAME ids in Spark and
+        DuckDB — that is what keeps recall-on-a-sample oracle-able."""
+        import duckdb
+
+        frac, salt = 0.37, "7"
+        got = sorted(
+            r.vec_id
+            for r in emb.where(
+                S.neardup_sample_predicate("vec_id", frac, salt)
+            ).collect()
+        )
+        want = [
+            r[0]
+            for r in duckdb.sql(
+                f"""
+                SELECT vec_id FROM '{sf_dir}/embeddings.parquet'
+                WHERE CAST('0x' || substring(md5('{salt}|' || vec_id), 1, 8)
+                           AS UBIGINT)
+                      < CAST({frac} * 4294967296 AS UBIGINT)
+                ORDER BY vec_id
+                """
+            ).fetchall()
+        ]
+        assert got == want and 0 < len(got) < emb.count()
+
+
+def test_near_dups_null_vectors_filtered_before_bucketing(spark):
+    """ADVICE r9: NULL embeddings hash to bucket 0 in EVERY table, so
+    without the up-front filter an n_nulls-heavy corpus regenerates the
+    all-pairs product before the NULL cosine filters it. The filter must
+    not change results: null rows can never be near-dups, and
+    semantic_dedup still returns them as their own singleton clusters."""
+    rng = np.random.default_rng(11)
+    planes = _planes(12, rng)
+    v = rng.standard_normal(DIM)
+    rows = [
+        (1, (v / np.linalg.norm(v)).tolist()),
+        (2, (1.01 * v / np.linalg.norm(v)).tolist()),  # planted dup of 1
+        (3, None),
+        (4, None),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = S.embedding_near_dups(df, planes, 0.95, n_tables=3).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {(1, 2)}
+    clusters = S.semantic_dedup(df, planes, 0.95, n_tables=3).collect()
+    got = {r.vec_id: (r.cluster, r.is_representative) for r in clusters}
+    assert got == {
+        1: (1, True),
+        2: (1, False),
+        3: (3, True),
+        4: (4, True),
+        5: (5, True),
+    }
+    # plan-shape: the scan side of candidate generation carries the
+    # isnotnull(embedding) predicate (pushed, not post-bucket)
+    plan = S.embedding_near_dups(df, planes, 0.95, n_tables=3)._jdf.queryExecution().toString()
+    assert "isnotnull(embedding" in plan
+
+
+def test_pq_fit_codebooks_rejects_empty_and_allnull(spark):
+    schema = "vec_id long, embedding array<double>"
+    with pytest.raises(ValueError, match="non-NULL"):
+        S.pq_fit_codebooks(spark.createDataFrame([], schema=schema))
+    with pytest.raises(ValueError, match="non-NULL"):
+        S.pq_fit_codebooks(
+            spark.createDataFrame([(1, None)], schema=schema)
+        )

@@ -110,12 +110,11 @@ class TestStreamSemanticDedup:
         assert sorted(
             r.vec_id for r in read_semantic_reps(spark, out).collect()
         ) == [1, 12]
-        # Spark's parquet writer preserves schema on empty writes (the
-        # all-dropped batch dir holds a 0-row part file), so every real
-        # batch dir qualifies; the file-less guard is defensive against
-        # sinks/filesystems that skip empty files
+        # bucketed layout: an all-dropped batch's partitionBy write emits
+        # NO part files (unlike the flat layout's schema-preserving 0-row
+        # file), so exactly the two batches with kept rows qualify
         dirs = _rep_dirs_with_data(spark, f"{out}/reps", 99)
-        assert len(dirs) == 3
+        assert len(dirs) == 2
         # a dir tree of ONLY file-less dirs yields [] (not a crash)
         import os
 
@@ -186,3 +185,78 @@ class TestStreamSemanticDedup:
             .collect()
         )
         assert stream_kept == batch_kept == [1, 3, 5]
+
+
+class TestBucketedStoreLayout:
+    """r10: the rep store is two bucket-partitioned tiers so each
+    micro-batch prunes to colliding cells instead of scanning the whole
+    store; the flat pre-r10 layout (store_partitions=0) must stay
+    byte-equivalent in kept-set semantics."""
+
+    def _run_p(self, spark, src, out, ckpt, p):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_semantic_dedup(
+            stream, out, ckpt, PLANES, threshold=0.95, n_tables=3,
+            store_partitions=p,
+        )
+        q.awaitTermination(180)
+
+    def test_flat_and_bucketed_layouts_agree(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        _drop(spark, src, [1, 2, 3], [_vec(0), _vec(1), _vec(0, 2.0)], 1)
+        _drop(spark, src, [4, 5, 6], [_vec(0, 3.0), _vec(2), _vec(1, 0.5)], 2)
+        _drop(spark, src, [7, 8], [_vec(2, 4.0), _vec(3)], 3)
+        kept = {}
+        for p in (0, 16):
+            out, ckpt = str(tmp_path / f"out{p}"), str(tmp_path / f"ckpt{p}")
+            self._run_p(spark, src, out, ckpt, p)
+            kept[p] = sorted(
+                r.vec_id for r in read_semantic_reps(spark, out).collect()
+            )
+        assert kept[0] == kept[16] == [1, 2, 5, 8]
+        # bucketed store has both tiers, vp/t/hp partition dirs
+        import os
+
+        vec_parts = os.listdir(f"{tmp_path}/out16/reps/batch=1")
+        assert any(d.startswith("vp=") for d in vec_parts)
+        key_parts = os.listdir(f"{tmp_path}/out16/repkeys/batch=1")
+        assert any(d.startswith("t=") for d in key_parts)
+
+    def test_bucketed_restart_redelivery(self, spark, tmp_path):
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        _drop(spark, src, [1, 2], [_vec(0), _vec(1)], 1)
+        self._run_p(spark, src, out, ckpt, 8)
+        _drop(spark, src, [2, 7, 8], [_vec(1), _vec(3), _vec(0, 5.0)], 2)
+        self._run_p(spark, src, out, ckpt, 8)
+        got = [r.vec_id for r in read_semantic_reps(spark, out).collect()]
+        assert sorted(got) == [1, 2, 7] and len(got) == len(set(got))
+
+    def test_null_vectors_kept_without_keys(self, spark, tmp_path):
+        """NULL embeddings are kept (never anyone's near-dup) but write NO
+        LSH keys — unfiltered they would bucket to 0 in every table and
+        collide with the whole bucket-0 population (ADVICE r9)."""
+        src, out, ckpt = (
+            str(tmp_path / "src"),
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+        )
+        _drop(spark, src, [1, 2], [_vec(0), None], 1)
+        _drop(spark, src, [3, 4], [_vec(0, 2.0), None], 2)  # 3 drops vs 1
+        self._run_p(spark, src, out, ckpt, 8)
+        reps = read_semantic_reps(spark, out)
+        got = {r.vec_id: r.embedding for r in reps.collect()}
+        assert sorted(got) == [1, 2, 4]
+        assert got[2] is None and got[4] is None
+        # the keys tier indexes ONLY the non-null rep
+        keys = spark.read.option(
+            "basePath", f"{out}/repkeys"
+        ).parquet(f"{out}/repkeys")
+        assert {r.vec_id for r in keys.select("vec_id").distinct().collect()} == {1}
