@@ -35,6 +35,11 @@ __all__ = [
     "compact_parquet",
     "optimize_parquet",
     "retention_sweep",
+    "manifest_commit",
+    "write_manifested",
+    "read_manifested",
+    "compact_manifested",
+    "vacuum_manifested",
 ]
 
 # engine-internal → reference CSV header names (`social_behaviour_detection.py:733-757`)
@@ -392,13 +397,18 @@ def compact_parquet(
     to the store (the streaming sink ``stream_append_compacted`` enforces
     this by construction with batch-id dirs). As a guard against
     violations, each leaf's file set is SNAPSHOTTED before the rewrite
-    (the rewrite reads exactly the snapshot files) and RE-LISTED
-    immediately before the stage-out rename: if the set changed — a
-    concurrent append — the staged rewrite is discarded and the leaf is
-    skipped untouched (reported in ``skipped_concurrent``), so the new
-    file's rows are never silently dropped. The guard shrinks the race
-    window from the whole rewrite job to the list→rename gap; it does
-    not replace the contract (only a manifest table format can).
+    (the rewrite reads exactly the snapshot files), RE-LISTED
+    immediately before the stage-out rename, and re-checked AGAIN after
+    it (a file appended in the list→rename gap travels with the leaf
+    into ``__precompact`` — the post-rename compare rolls the leaf back
+    before anything is deleted): if the set changed — a concurrent
+    append — the staged rewrite is discarded and the leaf is skipped
+    untouched (reported in ``skipped_concurrent``), so the new file's
+    rows are never silently dropped. The guard's residual window is the
+    rename's own atomicity; it does not replace the contract — for true
+    multi-writer stores use the manifest protocol
+    (:func:`write_manifested` / :func:`compact_manifested`), which
+    needs no ``skipped_concurrent`` at all.
 
     Returns {files_before, files_after, bytes, compacted,
     skipped_concurrent}."""
@@ -488,6 +498,26 @@ def compact_parquet(
         if not fs.rename(leaf, old):
             fs.delete(tmp, True)
             raise IOError(f"compact_parquet: stage-out failed for {leaf_uri}")
+        # POST-rename guard (ADVICE r9): a file appended between the
+        # re-list above and the rename traveled WITH the leaf into
+        # `old` and would be deleted below — silent row loss. Re-list
+        # `old` and compare by (name, len) (the URI prefix changed with
+        # the rename); on mismatch roll the leaf back and skip it. This
+        # closes the window to the rename's own atomicity.
+        snap_names = {(u.rsplit("/", 1)[-1], ln) for u, ln in snapshot}
+        old_names = {
+            (st.getPath().getName(), st.getLen())
+            for st in _list_data_files(fs, old)
+        }
+        if old_names != snap_names:
+            if not fs.rename(old, leaf):
+                raise IOError(
+                    f"compact_parquet: rollback failed for {leaf_uri}; "
+                    "original data is intact under __precompact"
+                )
+            fs.delete(tmp, True)
+            skipped_concurrent.append(leaf_uri)
+            continue
         if not fs.rename(tmp, leaf):
             fs.rename(old, leaf)  # restore; staged dir left for inspection
             raise IOError(f"compact_parquet: swap failed for {leaf_uri}")
@@ -565,3 +595,393 @@ def retention_sweep(
             fs.delete(st.getPath(), True)
             deleted.append(value)
     return deleted
+
+
+# --------------------------------------------------------------------------
+# Manifest-committed store (r10): the minimal transaction log that closes
+# compact_parquet's residual list→rename race and gives readers snapshot
+# isolation during compaction — the one capability the directory-listing
+# store lacked vs a table format. Strictly dominates the reference's
+# existence-check/empty-marker protocol (`combine_pose_id_chunk.py:245-249,
+# 284-288`): that records "this chunk was processed"; the manifest records
+# exactly WHICH files are live, atomically, with history.
+#
+# Layout:   <root>/_manifests/<version 20-digit>.json   (the log)
+#           <root>/<partition dirs>/data-<token>-<i>.parquet (immutable data)
+#           <root>/_staging/<token>/                    (writer scratch)
+# A manifest is {"version", "token", "files": [{"path": rel, "bytes": n}]}.
+# Readers resolve ONLY through the newest parseable manifest — a data file
+# not (yet) referenced is invisible, so a crashed writer can never corrupt
+# a read and compaction's swap is one atomic commit, not N dir renames.
+#
+# Commit concurrency: a version file is written to a hidden tmp name and
+# RENAMED into its slot — readers can never observe a half-written
+# manifest (create-then-write would expose partial JSON on every
+# filesystem, and a racer reading a partial head builds on a stale file
+# set: a lost add). The rename is the CAS: on HDFS it fails if the slot
+# is taken; on raw local file:// rename overwrites, so commits also hold
+# a per-store in-process lock (Spark commits are driver-side, and one
+# driver per store is the normal file:// deployment) and re-read the slot
+# to verify their embedded token — a loser rebuilds against the winner's
+# head and retries, so a lost race is a retry, never a lost row. True
+# multi-DRIVER commit safety needs a filesystem whose rename (HDFS) or
+# conditional put (S3) is exclusive — same contract as every table
+# format. Readers skip unparseable manifests (walk down from the head);
+# committers slot PAST any corpse.
+# --------------------------------------------------------------------------
+
+_MANIFEST_DIR = "_manifests"
+_MANIFEST_LOCKS: dict = {}
+_MANIFEST_LOCKS_GUARD = __import__("threading").Lock()
+
+
+def _manifest_lock(root_str: str):
+    with _MANIFEST_LOCKS_GUARD:
+        return _MANIFEST_LOCKS.setdefault(
+            root_str, __import__("threading").Lock()
+        )
+
+
+def _canon_uri(fs, jpath) -> str:
+    """Canonical qualified URI string for ``jpath``. ALWAYS compare/slice
+    paths through this: the empty-authority local scheme renders as
+    ``file:///tmp/...`` from a freshly-qualified Path but ``file:/tmp/...``
+    from a FileStatus (makeQualified does not normalize an existing
+    scheme), and a raw string slice between the two forms silently eats
+    or leaves scheme characters (measured: partition dirs became ``=2``).
+    Non-empty-authority schemes (hdfs://nn/, s3a://bucket/) render
+    consistently and pass through untouched."""
+    s = str(fs.makeQualified(jpath).toUri())
+    if s.startswith("file:///"):
+        s = "file:/" + s[len("file:///"):]
+    return s
+
+
+def _raw_fs(fs):
+    """The checksum-free filesystem under a local ChecksumFileSystem, else
+    ``fs`` itself. Manifest files are read/written RAW: the checksum layer
+    pairs every file with a ``.crc`` sibling, and the (file, crc) rename
+    pair is not atomic — a reader catching the gap gets a spurious
+    ChecksumException, reads a STALE head, and a racing committer would
+    build on it (a lost add). Raw I/O makes the tmp→slot rename the single
+    atomic event; HDFS/object stores have no such wrapper and fall
+    through."""
+    try:
+        return fs.getRawFileSystem()
+    except Exception:
+        return fs
+
+
+def _manifest_read_text(spark, fs, jpath) -> str:
+    stream = _raw_fs(fs).open(jpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _manifest_versions(fs, Path, root_str: str) -> list[int]:
+    mdir = Path(f"{root_str}/{_MANIFEST_DIR}")
+    if not fs.exists(mdir):
+        return []
+    vs = []
+    for st in fs.listStatus(mdir):
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".json") and name[:-5].isdigit():
+            vs.append(int(name[:-5]))
+    return sorted(vs)
+
+
+def _manifest_head(spark, fs, Path, root_str: str):
+    """Newest PARSEABLE manifest as (head_version, doc, next_free_slot) —
+    walks down past any corrupt version file a lost commit race left
+    behind. CRITICAL: head and next slot come from the SAME directory
+    listing — sampling them separately lets a version land in the gap and
+    be slotted PAST without ever being read, committing a head that drops
+    its changes. (-1, None, 0) on a store with no manifests yet."""
+    versions = _manifest_versions(fs, Path, root_str)
+    next_slot = (versions[-1] + 1) if versions else 0
+    for v in reversed(versions):
+        p = Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json")
+        try:
+            doc = json.loads(_manifest_read_text(spark, fs, p))
+            if isinstance(doc.get("files"), list):
+                return v, doc, next_slot
+        except Exception:
+            continue
+    return -1, None, next_slot
+
+
+def manifest_commit(
+    spark: SparkSession,
+    path: str,
+    add: list[tuple[str, int]] = (),
+    remove: list[str] = (),
+    max_retries: int = 50,
+) -> int:
+    """Atomically commit a file-set change to the manifest log: the new
+    head = newest parseable head minus ``remove`` (relative paths) plus
+    ``add`` ((relative path, bytes) pairs). Optimistic CAS loop — on a
+    lost race the change is rebuilt against the winner's head, so
+    concurrent writers/compactors compose instead of clobbering.
+    Returns the committed version number."""
+    import uuid
+
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    fs.mkdirs(Path(f"{root_str}/{_MANIFEST_DIR}"))
+    drop = set(remove)
+    for _ in range(max_retries):
+        # head and target slot from ONE listing (see _manifest_head); the
+        # slot is past every existing version file, parseable or not — a
+        # corrupt corpse must be slotted over, not retried into forever
+        head_v, head, next_v = _manifest_head(spark, fs, Path, root_str)
+        cur = {f["path"]: f["bytes"] for f in (head["files"] if head else [])}
+        nxt = {p: b for p, b in cur.items() if p not in drop}
+        for p, b in add:
+            nxt[p] = b
+        token = uuid.uuid4().hex
+        doc = json.dumps(
+            {
+                "version": next_v,
+                "token": token,
+                "files": [
+                    {"path": p, "bytes": nxt[p]} for p in sorted(nxt)
+                ],
+            }
+        ).encode()
+        target = Path(f"{root_str}/{_MANIFEST_DIR}/{next_v:020d}.json")
+        tmp = Path(f"{root_str}/{_MANIFEST_DIR}/.tmp-{token}.json")
+        rfs = _raw_fs(fs)
+        with _manifest_lock(root_str):
+            if rfs.exists(target):
+                continue  # slot taken while we built our doc — rebuild
+            out = rfs.create(tmp, True)
+            try:
+                out.write(bytearray(doc))
+            finally:
+                out.close()
+            # rename INTO the slot: readers never see partial JSON, and
+            # on HDFS a taken slot makes the rename fail (the CAS)
+            if not rfs.rename(tmp, target):
+                rfs.delete(tmp, False)
+                continue
+        # local-fs hedge (rename overwrites there): verify our token won
+        try:
+            back = json.loads(_manifest_read_text(spark, fs, target))
+        except Exception:
+            continue
+        if back.get("token") == token:
+            return next_v
+    raise IOError(
+        f"manifest_commit: lost {max_retries} consecutive commit races "
+        f"under {path} — check for a runaway writer loop"
+    )
+
+
+def write_manifested(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+) -> list[str]:
+    """Append ``df`` to a manifest-committed store: stage the write under
+    ``_staging/<token>``, move the part files into their final (partition)
+    directories under unique token names, then make them live with ONE
+    :func:`manifest_commit`. A crash anywhere before the commit leaves
+    only invisible orphans (vacuum reclaims them) — readers never see a
+    partial append. Returns the committed relative paths."""
+    import uuid
+
+    token = uuid.uuid4().hex
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    stage_str = f"{root_str}/_staging/{token}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage_str)
+    adds: list[tuple[str, int]] = []
+    for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
+        src = st.getPath()
+        # partition subpath between the staging root and the file
+        rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
+        name = f"data-{token}-{i:05d}.parquet"
+        rel = f"{rel_dir}/{name}" if rel_dir else name
+        dest = Path(f"{root_str}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if not fs.rename(src, dest):
+            raise IOError(f"write_manifested: rename failed for {rel}")
+        adds.append((rel, st.getLen()))
+    fs.delete(Path(stage_str), True)
+    manifest_commit(spark, path, add=adds)
+    return [p for p, _ in adds]
+
+
+def read_manifested(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a manifest-committed store AS OF its newest manifest (or a
+    pinned ``version`` — snapshot isolation: a compaction committing
+    mid-read swaps the head but never deletes files a retained manifest
+    references until :func:`vacuum_manifested`). Hive partition columns
+    are recovered via basePath, exactly as a directory-listing read
+    would."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    if version is None:
+        version, head, _ = _manifest_head(spark, fs, Path, root_str)
+        if head is None:
+            raise FileNotFoundError(f"no manifest under {path}")
+    else:
+        p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
+        head = json.loads(_manifest_read_text(spark, fs, p))
+    files = [f["path"] for f in head["files"]]
+    if not files:
+        raise ValueError(
+            f"manifest v{version} of {path} lists no files (empty store)"
+        )
+    return spark.read.option("basePath", root_str).parquet(
+        *[f"{root_str}/{p}" for p in files]
+    )
+
+
+def compact_manifested(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+    _before_commit=None,
+) -> dict:
+    """:func:`compact_parquet` for a manifest-committed store — and the
+    reason the manifest exists: the rewrite stages NEW files next to the
+    old ones and swaps them in with ONE CAS commit, so
+
+    - a concurrent :func:`write_manifested` composes instead of being
+      skipped: if it wins the version race, the compactor's retry
+      rebuilds on the writer's head (its files survive untouched — they
+      are not in the compactor's remove-set); zero loss, zero
+      ``skipped_concurrent``, no single-writer contract;
+    - readers keep snapshot isolation: pre-swap manifests still resolve
+      to the old files, which stay on disk until
+      :func:`vacuum_manifested`.
+
+    ``_before_commit`` is a test seam (fires between staging and commit —
+    the window every interleaving bug lives in).
+    Returns {files_before, files_after, bytes, compacted, version}."""
+    import math
+    import uuid
+
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        return {
+            "files_before": 0, "files_after": 0, "bytes": 0,
+            "compacted": False, "version": head_v,
+        }
+    files = [(f["path"], f["bytes"]) for f in head["files"]]
+    by_leaf: dict[str, list[tuple[str, int]]] = {}
+    for rel, b in files:
+        leaf = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        by_leaf.setdefault(leaf, []).append((rel, b))
+    adds: list[tuple[str, int]] = []
+    removes: list[str] = []
+    for leaf, members in sorted(by_leaf.items()):
+        if len(members) < min_files_to_compact:
+            continue
+        leaf_bytes = sum(b for _, b in members)
+        n_out = max(1, math.ceil(leaf_bytes / target_bytes))
+        token = uuid.uuid4().hex
+        stage_str = f"{root_str}/_staging/{token}"
+        # plain read of the member FILES (no basePath): partition values
+        # stay in the directory name, never absorbed into data files
+        (
+            spark.read.parquet(*[f"{root_str}/{r}" for r, _ in members])
+            .repartition(n_out)
+            .write.mode("overwrite")
+            .parquet(stage_str)
+        )
+        for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
+            name = f"data-{token}-{i:05d}.parquet"
+            rel = f"{leaf}/{name}" if leaf else name
+            dest = Path(f"{root_str}/{rel}")
+            fs.mkdirs(dest.getParent())
+            if not fs.rename(st.getPath(), dest):
+                raise IOError(f"compact_manifested: rename failed for {rel}")
+            adds.append((rel, st.getLen()))
+        fs.delete(Path(stage_str), True)
+        removes.extend(r for r, _ in members)
+    if not removes:
+        return {
+            "files_before": len(files), "files_after": len(files),
+            "bytes": sum(b for _, b in files), "compacted": False,
+            "version": head_v,
+        }
+    if _before_commit is not None:
+        _before_commit()
+    v = manifest_commit(spark, path, add=adds, remove=removes)
+    _, new_head, _ = _manifest_head(spark, fs, Path, root_str)
+    return {
+        "files_before": len(files),
+        "files_after": len(new_head["files"]),
+        "bytes": sum(b for _, b in files),
+        "compacted": True,
+        "version": v,
+    }
+
+
+def vacuum_manifested(
+    spark: SparkSession, path: str, keep_versions: int = 2
+) -> dict:
+    """Reclaim files no retained manifest references: keeps the newest
+    ``keep_versions`` manifests' file sets live (the snapshot-isolation
+    grace window for readers pinned to a recent version), deletes every
+    other data file, older manifest versions, and _staging leftovers.
+
+    CONTRACT: run with no IN-FLIGHT writer (one that has renamed files in
+    but not yet committed — its uncommitted files look like orphans).
+    That is vacuum's contract in every table format; appends themselves
+    need no such fence."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    versions = _manifest_versions(fs, Path, root_str)
+    if not versions:
+        return {"deleted_files": 0, "deleted_manifests": 0}
+    keep = set(versions[-keep_versions:])
+    live: set[str] = set()
+    for v in keep:
+        try:
+            doc = json.loads(
+                _manifest_read_text(
+                    spark, fs,
+                    Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json"),
+                )
+            )
+            live.update(f["path"] for f in doc["files"])
+        except Exception:
+            continue
+    deleted_files = 0
+    for st in _list_data_files(fs, root):
+        rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+        if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")):
+            continue
+        if rel not in live:
+            fs.delete(st.getPath(), False)
+            deleted_files += 1
+    deleted_manifests = 0
+    for v in versions:
+        if v not in keep:
+            fs.delete(
+                Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json"), False
+            )
+            deleted_manifests += 1
+    staging = Path(f"{root_str}/_staging")
+    if fs.exists(staging):
+        fs.delete(staging, True)
+    return {
+        "deleted_files": deleted_files,
+        "deleted_manifests": deleted_manifests,
+    }

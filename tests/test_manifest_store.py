@@ -1,0 +1,175 @@
+"""Manifest-committed chunk store (r10): atomic append visibility, CAS
+commit under contention, compaction that composes with concurrent writers
+(zero loss, zero skipped_concurrent), reader snapshot isolation, vacuum."""
+
+import json
+
+import pytest
+
+from aeon_sleap_processing_spark.sources.sinks import (
+    compact_manifested,
+    manifest_commit,
+    read_manifested,
+    vacuum_manifested,
+    write_manifested,
+)
+
+
+def _ids(df):
+    return sorted(r.id for r in df.select("id").collect())
+
+
+class TestManifestWriteRead:
+    def test_roundtrip_and_uncommitted_invisibility(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 10), path)
+        write_manifested(spark, spark.range(10, 20), path)
+        assert _ids(read_manifested(spark, path)) == list(range(20))
+        # a data file present on disk but in NO manifest (crashed writer
+        # that died before its commit) is invisible to manifest readers —
+        # the atomic-append property a directory listing cannot give
+        spark.range(1000, 1010).coalesce(1).write.mode("append").parquet(path)
+        assert _ids(read_manifested(spark, path)) == list(range(20))
+
+    def test_hive_partitions_recovered(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        df = spark.range(0, 40).withColumn("p", F.pmod("id", F.lit(4)))
+        write_manifested(spark, df, path, partition_by=["p"])
+        back = read_manifested(spark, path)
+        assert "p" in back.columns
+        assert back.where("p = 2").count() == 10
+        assert _ids(back) == list(range(40))
+
+    def test_empty_store_raises_clearly(self, spark, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            read_manifested(spark, str(tmp_path / "nothing"))
+
+
+class TestManifestCommitCAS:
+    def test_concurrent_commits_all_survive(self, spark, tmp_path):
+        """N threads racing manifest_commit: every add must be in the final
+        head (losers rebuild on the winner's head), versions contiguous."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 1), path)
+
+        def add(i):
+            return manifest_commit(
+                spark, path, add=[(f"fake-{i}.parquet", 100 + i)]
+            )
+
+        with ThreadPoolExecutor(6) as ex:
+            versions = list(ex.map(add, range(12)))
+        assert sorted(versions) == list(range(1, 13))  # contiguous, no dupes
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _hadoop_fs,
+            _manifest_head,
+        )
+
+        fs, Path, root = _hadoop_fs(spark, path)
+        _, head, _ = _manifest_head(spark, fs, Path, str(root.toUri()))
+        paths = {f["path"] for f in head["files"]}
+        assert {f"fake-{i}.parquet" for i in range(12)} <= paths
+
+    def test_corrupt_manifest_is_skipped(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        # a lost local-fs commit race can leave a garbage version file:
+        # readers and committers walk past it
+        with open(f"{path}/_manifests/{1:020d}.json", "w") as f:
+            f.write("{ not json")
+        assert _ids(read_manifested(spark, path)) == list(range(5))
+        v = manifest_commit(spark, path, add=[("x.parquet", 1)])
+        assert v == 2  # committed PAST the corpse, built on v0
+
+
+class TestManifestCompaction:
+    def test_compact_reduces_files_keeps_rows(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        for i in range(6):
+            write_manifested(spark, spark.range(i * 10, (i + 1) * 10), path)
+        res = compact_manifested(spark, path)
+        assert res["compacted"] and res["files_after"] < res["files_before"]
+        assert _ids(read_manifested(spark, path)) == list(range(60))
+
+    def test_interleaved_writer_compactor_reader_zero_loss(
+        self, spark, tmp_path
+    ):
+        """THE manifest property: a writer landing a commit inside
+        compaction's stage→commit window composes — the compactor's CAS
+        retry rebuilds on the writer's head. Zero loss, zero double-reads,
+        and no skipped_concurrent concept at all."""
+        path = str(tmp_path / "store")
+        for i in range(5):
+            write_manifested(spark, spark.range(i * 10, (i + 1) * 10), path)
+        pre = read_manifested(spark, path)  # reader pinned pre-compaction
+
+        def concurrent_append():
+            write_manifested(spark, spark.range(500, 510), path)
+
+        res = compact_manifested(
+            spark, path, _before_commit=concurrent_append
+        )
+        assert res["compacted"]
+        got = _ids(read_manifested(spark, path))
+        assert got == list(range(50)) + list(range(500, 510))  # exactly once
+        # snapshot isolation: the pinned reader still resolves (old files
+        # remain on disk until vacuum)
+        assert _ids(pre) == list(range(50))
+
+    def test_below_threshold_is_noop(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 10).coalesce(2), path)
+        res = compact_manifested(spark, path, min_files_to_compact=4)
+        assert not res["compacted"]
+        assert res["files_before"] == res["files_after"]
+
+    def test_partitioned_store_compacts_per_leaf(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        for i in range(4):
+            df = spark.range(i * 10, (i + 1) * 10).withColumn(
+                "p", F.pmod("id", F.lit(2))
+            )
+            write_manifested(spark, df, path, partition_by=["p"])
+        res = compact_manifested(spark, path, min_files_to_compact=2)
+        assert res["compacted"]
+        back = read_manifested(spark, path)
+        assert _ids(back) == list(range(40))
+        assert back.where("p = 1").count() == 20  # partition col preserved
+
+
+class TestManifestVacuum:
+    def test_vacuum_reclaims_replaced_and_orphans(self, spark, tmp_path):
+        import glob
+
+        path = str(tmp_path / "store")
+        for i in range(5):
+            write_manifested(spark, spark.range(i * 10, (i + 1) * 10), path)
+        # orphan: renamed-in but never committed
+        spark.range(9000, 9010).coalesce(1).write.mode("append").parquet(path)
+        compact_manifested(spark, path)
+        n_before = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        res = vacuum_manifested(spark, path, keep_versions=1)
+        n_after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
+        assert res["deleted_files"] > 0 and n_after < n_before
+        assert res["deleted_manifests"] > 0
+        assert _ids(read_manifested(spark, path)) == list(range(50))
+
+    def test_keep_versions_grace_window(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        for i in range(4):
+            write_manifested(spark, spark.range(i * 10, (i + 1) * 10), path)
+        fs_head = json.load(
+            open(sorted(__import__("glob").glob(f"{path}/_manifests/*.json"))[-1])
+        )
+        pin_version = fs_head["version"]
+        pinned = read_manifested(spark, path, version=pin_version)
+        compact_manifested(spark, path)
+        vacuum_manifested(spark, path, keep_versions=2)
+        # keep_versions=2 retains the pre-compaction head's files
+        assert _ids(pinned) == list(range(40))

@@ -487,3 +487,56 @@ class TestCompactConcurrentWriterGuard:
         assert res["compacted"] and not res["skipped_concurrent"]
         got = sorted(r.id for r in spark.read.parquet(path).collect())
         assert got == list(range(40))
+
+
+class TestCompactPostRenameGuard:
+    def test_append_in_list_to_rename_gap_rolls_back(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """ADVICE r9: a file landing AFTER the pre-rename re-list but
+        BEFORE the stage-out rename travels with the leaf into
+        __precompact and used to be deleted with it — silent row loss.
+        The post-rename compare must roll the leaf back, discard the
+        stage, and report the leaf skipped."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        for i in range(4):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+
+        real_list = sinks._list_data_files
+        calls = {"n": 0}
+
+        def listing_with_gap_append(fs, jpath):
+            out = real_list(fs, jpath)
+            calls["n"] += 1
+            # call sequence: 1 recovery _leaf_data_dirs, 2 stats_before,
+            # 3 loop _leaf_data_dirs, 4 leaf snapshot, 5 pre-rename guard
+            if calls["n"] == 5:  # the pre-rename guard re-list
+                # concurrent writer lands inside the list->rename gap:
+                # the returned (pre-append) snapshot still matches
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        pd.DataFrame({"id": [2000, 2001]})
+                    ),
+                    f"{path}/part-gap.parquet",
+                )
+            return out
+
+        monkeypatch.setattr(sinks, "_list_data_files", listing_with_gap_append)
+        res = sinks.compact_parquet(
+            spark, path, target_bytes=64 * 1024 * 1024
+        )
+        assert res["skipped_concurrent"] and not res["compacted"]
+        got = sorted(r.id for r in spark.read.parquet(path).collect())
+        assert got == list(range(40)) + [2000, 2001]  # zero row loss
+        import glob as _glob
+
+        assert not _glob.glob(str(tmp_path / "store__precompact"))
+        assert not _glob.glob(str(tmp_path / "store__compacting"))
