@@ -613,7 +613,7 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_recall_sql() -> str:
+def _knn_recall_sql(sf_dir: str | None = None) -> str:
     def pairs(sql: str) -> str:
         return f"SELECT query_id, neighbor_id FROM ({sql})"
 
@@ -622,8 +622,8 @@ def _knn_recall_sql() -> str:
         ("lsh", _knn_lsh_sql()),
         ("ivf", _knn_ivf_sql()),
         ("ivf_trained", _knn_ivf_sql(_ivf_trained_cents(), _IVF_TRAINED_NPROBE)),
-        ("pq", _knn_pq_sql()),
-        ("ivf_pq", _knn_ivf_pq_sql()),
+        ("pq", _knn_pq_sql(sf_dir)),
+        ("ivf_pq", _knn_ivf_pq_sql(sf_dir)),
     ):
         legs.append(f"""
           SELECT '{method}' AS method,
@@ -697,20 +697,22 @@ def _knn_ivf_sql(cents: list | None = None, nprobe: int | None = None) -> str:
     """
 
 
-def _pq_sql_fragments() -> tuple[str, str]:
+def _pq_sql_fragments(sf_dir: str | None = None) -> tuple[str, str]:
     """(codebook VALUES literal, sub-dim) shared by every PQ oracle. The
     half-norm literal comes from the SAME similarity.pq_half_norms the
     Spark encode kernel embeds, so both engines evaluate
     ``argmin (half - <v_sub, c>)`` over identical floats.
 
-    ``oracle_sql()`` takes no sf_dir (driver contract), but the Spark
-    legs resolve codebooks PER sf_dir — so a checker pointed at a
-    non-default corpus must export ``SPARK_GRAFT_ORACLE_SF_DIR`` (as
-    tools/check_correctness.py does from --sf-dir) or the two engines
-    quantize with different books and every PQ leg reds spuriously."""
+    The Spark legs resolve codebooks PER sf_dir, so the oracle must
+    quantize with the same books or every PQ leg reds spuriously.
+    Callers that know the corpus pass ``sf_dir`` (oracle_sql threads its
+    optional parameter down here — ADVICE r9: make the dependency
+    visible in the signature); the driver calls ``oracle_sql()`` bare,
+    for which the ``SPARK_GRAFT_ORACLE_SF_DIR`` env var remains the
+    fallback (tools/check_correctness.py exports it from --sf-dir)."""
     import os
 
-    books = _pq_books(os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR"))
+    books = _pq_books(sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR"))
     halves = sim.pq_half_norms(books)
     sub = len(books[0][0])
     values = ", ".join(
@@ -721,14 +723,14 @@ def _pq_sql_fragments() -> tuple[str, str]:
     return values, sub
 
 
-def _pq_recon_ctes() -> str:
+def _pq_recon_ctes(sf_dir: str | None = None) -> str:
     """The encode + decode CTE chain every PQ oracle starts from: PQ
     codes per (vector, subspace) via the shared argmin, then the
     reconstructed vector as flatten(list(cv ORDER BY j)) — one 64-dim
     left-to-right list_inner_product per ADC score downstream, the same
     evaluation order as the Spark kernels (recon is mathematically the
     ADC lookup-table sum)."""
-    values, sub = _pq_sql_fragments()
+    values, sub = _pq_sql_fragments(sf_dir)
     return f"""
         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         cb(j, cid, cv, half) AS (VALUES {values}),
@@ -747,11 +749,11 @@ def _pq_recon_ctes() -> str:
           FROM pq_codes GROUP BY vec_id)"""
 
 
-def _knn_pq_sql() -> str:
+def _knn_pq_sql(sf_dir: str | None = None) -> str:
     """Oracle for ADC top-k: encode with the pinned codebook literals,
     score cos(q, reconstruction), rank exactly like the other ANN legs."""
     return f"""
-        WITH {_pq_recon_ctes()},
+        WITH {_pq_recon_ctes(sf_dir)},
         q AS (SELECT vec_id, v FROM c WHERE vec_id < 10),
         sims AS (
           SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
@@ -767,7 +769,7 @@ def _knn_pq_sql() -> str:
     """
 
 
-def _knn_ivf_pq_sql() -> str:
+def _knn_ivf_pq_sql(sf_dir: str | None = None) -> str:
     """Oracle for IVF-PQ + exact refine: trained-centroid cells and
     probes (as q_knn_ivf_trained), ADC over reconstructions within the
     probed cells, top k*refine ADC candidates per query, exact cosine
@@ -778,7 +780,7 @@ def _knn_ivf_pq_sql() -> str:
         for cid, cv in enumerate(cents)
     )
     return f"""
-        WITH {_pq_recon_ctes()},
+        WITH {_pq_recon_ctes(sf_dir)},
         cent(ccid, ccv) AS (VALUES {cev}),
         ranked AS (
           SELECT vec_id, v, ccid, row_number() OVER (
@@ -945,6 +947,100 @@ def _neardup_recall_sql() -> str:
           WHERE {_NEARDUP_COS} >= {_NEARDUP_THRESHOLD}
         )
         SELECT 'lsh_neardup' AS method,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(cand.id_a) AS BIGINT) AS n_recovered,
+               round(count(cand.id_a)::DOUBLE / count(*), 6) AS recall,
+               count(cand.id_a)::DOUBLE / count(*) >= {_RECALL_FLOOR} AS meets_floor
+        FROM tru LEFT JOIN cand USING (id_a, id_b)
+    """
+
+
+# deterministic salted-hash sample for the ANY-SCALE form of the recall
+# audit (r10: the brute-force truth leg is now bounded by construction —
+# max_rows raise-guard + this sample keeps the audit runnable at any
+# corpus size; recall-on-a-deterministic-sample is still oracle-able)
+_NEARDUP_SAMPLE_FRAC = 0.6
+_NEARDUP_SAMPLE_SALT = "r10"
+
+
+def _neardup_sample_pred_sql() -> str:
+    """DuckDB mirror of similarity.neardup_sample_predicate: keep vec_id
+    iff the first 8 md5 hex digits of 'salt|id' (a uniform 32-bit int)
+    fall under frac * 2^32. The threshold integer is computed ONCE in
+    Python and embedded — CASTing frac*2^32 in SQL would ROUND where
+    Python int() truncates, an off-by-one disagreement at the boundary
+    hash."""
+    thresh = int(_NEARDUP_SAMPLE_FRAC * 4294967296)
+    return (
+        f"CAST('0x' || substring(md5('{_NEARDUP_SAMPLE_SALT}|' || vec_id), 1, 8) "
+        f"AS UBIGINT) < {thresh}"
+    )
+
+
+def _q_neardup_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_neardup_recall at ANY corpus size: both legs — the OR-amplified
+    candidate generator AND the brute-force truth sweep — run over the
+    SAME deterministic salted-hash sample (md5-prefix, engine-portable),
+    so the audit's driver-side collect is bounded by frac*|corpus| no
+    matter how big the store grows. This is the production form of the
+    audit (the unsampled q_neardup_recall stays the gate-corpus
+    authority); mirrors the reference's eval-on-a-held-split discipline
+    (`sleap_optuna_train.py:126-156`)."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    sampled = emb.where(
+        sim.neardup_sample_predicate(
+            "vec_id", _NEARDUP_SAMPLE_FRAC, _NEARDUP_SAMPLE_SALT
+        )
+    )
+    cand = sim.embedding_near_dups(
+        sampled, _lsh_planes(), threshold=_NEARDUP_THRESHOLD,
+        n_tables=_NEARDUP_TABLES,
+    ).select("id_a", "id_b")
+    true_pairs = sim.neardup_pairs_bruteforce(
+        emb,
+        threshold=_NEARDUP_THRESHOLD,
+        sample_frac=_NEARDUP_SAMPLE_FRAC,
+        sample_salt=_NEARDUP_SAMPLE_SALT,
+    )
+    matched = true_pairs.join(
+        F.broadcast(cand.withColumn("__hit", F.lit(1))),
+        ["id_a", "id_b"],
+        "left",
+    )
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count("__hit").alias("n_recovered"),
+    ).select(
+        F.lit("lsh_neardup_sampled").alias("method"),
+        "n_pairs",
+        "n_recovered",
+        F.round(F.col("n_recovered") / F.col("n_pairs"), 6).alias("recall"),
+        (F.col("n_recovered") / F.col("n_pairs") >= _RECALL_FLOOR).alias(
+            "meets_floor"
+        ),
+    )
+
+
+def _neardup_recall_sampled_sql() -> str:
+    exprs, collide = _neardup_bucket_sql()
+    return f"""
+        WITH c AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE {_neardup_sample_pred_sql()}),
+        b AS (SELECT vec_id, v, {exprs} FROM c),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM b a JOIN b b2 ON ({collide}) AND a.vec_id < b2.vec_id
+          WHERE {_NEARDUP_COS} >= {_NEARDUP_THRESHOLD}
+        ),
+        tru AS (
+          SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM c a JOIN c b2 ON a.vec_id < b2.vec_id
+          WHERE {_NEARDUP_COS} >= {_NEARDUP_THRESHOLD}
+        )
+        SELECT 'lsh_neardup_sampled' AS method,
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(count(cand.id_a) AS BIGINT) AS n_recovered,
                round(count(cand.id_a)::DOUBLE / count(*), 6) AS recall,
@@ -2405,6 +2501,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # companion to q_dup_span_stats) rotates IN next to its stats sibling;
     # q_binary_meta (driver-green r7 AND r8, multimodal plan untouched in
     # r9) rotates OUT to keep the window at 50.
+    # Round 10 rotates IN q_neardup_recall_sampled (the any-scale sampled
+    # form of the recall audit — both legs over the same deterministic
+    # md5-prefix sample, full DuckDB oracle) and rotates OUT q_kmeans_step
+    # (driver-green r8 AND r9, untouched by r10). Every query r10 touched
+    # stays in the window: the null-filtered near-dup generator
+    # (q_embedding_neardup/q_semantic_dedup), the guarded truth leg
+    # (q_neardup_recall), and the sf_dir-threaded PQ oracles
+    # (q_knn_pq/q_knn_ivf_pq/q_knn_ivf_pq_clustered/q_knn_recall).
     # Rotated-out queries keep their driver-green history and remain
     # covered by the committed full-suite local artifact
     # (CORRECTNESS_LOCAL_r09.json) and tools/check_correctness.py.
@@ -2457,14 +2561,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_knn_recall": _q_knn_recall,
         "q_embedding_neardup": _q_embedding_neardup,
         "q_neardup_recall": _q_neardup_recall,
+        "q_neardup_recall_sampled": _q_neardup_recall_sampled,  # new r10
         "q_embedding_stats": _q_embedding_stats,
-        "q_kmeans_step": _q_kmeans_step,
         # --- aeon detection pipelines over committed pose fixtures ------
         "q_tube_candidates": _q_tube_candidates,
         "q_fight_sessions": _q_fight_sessions,
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- rotated out r10 (driver-green r8 AND r9, untouched in r10) --
+        "q_kmeans_step": _q_kmeans_step,  # rotated out for q_neardup_recall_sampled
         # --- rotated out r9 (driver-green r7 AND r8, untouched in r9) ----
         "q_binary_meta": _q_binary_meta,  # rotated out for q_dup_span_cut
         "q_json_roundtrip": _q_json_roundtrip,
@@ -2567,7 +2673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    # sf_dir is OPTIONAL (the driver calls oracle_sql() bare): it only
+    # affects the PQ legs, whose codebook literals are per-corpus; bare
+    # calls fall back to SPARK_GRAFT_ORACLE_SF_DIR, then the sf0.01
+    # gate books (_pq_sql_fragments)
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -3283,13 +3393,14 @@ def oracle_sql() -> dict[str, str]:
         "q_knn_ivf_clustered": _knn_ivf_sql(
             _ivf_trained_cents(), _IVF_TRAINED_NPROBE
         ),
-        "q_knn_pq": _knn_pq_sql(),
-        "q_knn_ivf_pq": _knn_ivf_pq_sql(),
+        "q_knn_pq": _knn_pq_sql(sf_dir),
+        "q_knn_ivf_pq": _knn_ivf_pq_sql(sf_dir),
         # identical search semantics through the code-carrying store
-        "q_knn_ivf_pq_clustered": _knn_ivf_pq_sql(),
-        "q_knn_recall": _knn_recall_sql(),
+        "q_knn_ivf_pq_clustered": _knn_ivf_pq_sql(sf_dir),
+        "q_knn_recall": _knn_recall_sql(sf_dir),
         "q_embedding_neardup": _embedding_neardup_sql(),
         "q_neardup_recall": _neardup_recall_sql(),
+        "q_neardup_recall_sampled": _neardup_recall_sampled_sql(),
         "q_semantic_dedup": _semantic_dedup_sql(),
         "q_decontaminate": _decontaminate_sql(),
         "q_pack_sequences": f"""

@@ -980,10 +980,12 @@ def neardup_sample_predicate(
     """Deterministic salted-hash sample predicate shared by
     :func:`neardup_pairs_bruteforce` and its DuckDB oracles: keep a row
     iff the first 8 hex digits of ``md5(salt|id)`` — a uniform 32-bit
-    integer — fall below ``frac * 2^32``. Cross-engine mirror (DuckDB)::
+    integer — fall below ``int(frac * 2^32)``. Cross-engine mirror
+    (DuckDB; embed the PYTHON-truncated threshold integer — a SQL
+    ``CAST(frac * 2^32 AS UBIGINT)`` rounds where ``int()`` truncates)::
 
         CAST('0x' || substring(md5('<salt>|' || id), 1, 8) AS UBIGINT)
-            < CAST(<frac> * 4294967296 AS UBIGINT)
+            < <int(frac * 4294967296)>
 
     Hash-of-id (not RNG) so the SAME rows are sampled on every engine,
     run, and partitioning — recall-on-a-deterministic-sample stays an

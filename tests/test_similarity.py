@@ -607,6 +607,9 @@ class TestNeardupBruteforceBounds:
                 S.neardup_sample_predicate("vec_id", frac, salt)
             ).collect()
         )
+        # the threshold integer is computed ONCE in Python and embedded:
+        # CAST(frac * 2^32 AS UBIGINT) in SQL would ROUND where Python
+        # int() truncates — an off-by-one disagreement at a boundary hash
         want = [
             r[0]
             for r in duckdb.sql(
@@ -614,7 +617,7 @@ class TestNeardupBruteforceBounds:
                 SELECT vec_id FROM '{sf_dir}/embeddings.parquet'
                 WHERE CAST('0x' || substring(md5('{salt}|' || vec_id), 1, 8)
                            AS UBIGINT)
-                      < CAST({frac} * 4294967296 AS UBIGINT)
+                      < {int(frac * 4294967296)}
                 ORDER BY vec_id
                 """
             ).fetchall()
