@@ -1,0 +1,127 @@
+"""Environment-controlled round-over-round bench (r9 VERDICT task 5).
+
+The r8->r9 comparison was salvageable only because the judge re-ran it:
+committed medians from different wall-clock sessions drift 1.3x with the
+machine, not the code. This harness makes the comparison self-evident:
+it checks out a BASELINE git rev into a worktree and interleaves full
+bench.py runs of both trees in ONE session (A B B A A B ... — balanced
+order so slow machine phases hit both sides equally), each run a fresh
+subprocess/JVM with identical config. Output: paired per-query medians
+and ratios over the shared query set.
+
+Usage:
+  python tools/bench_ab.py <baseline-rev> [reps=3]
+Writes bench_runs_r10/bench_ab.json. Run ISOLATED per the bench protocol.
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_once(tree: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    out = subprocess.run(
+        [sys.executable, os.path.join(tree, "bench.py")],
+        cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not last:
+        raise RuntimeError(
+            f"bench.py in {tree} produced no JSON line:\n{out.stderr[-2000:]}"
+        )
+    return json.loads(last[-1])
+
+
+def main():
+    if len(sys.argv) < 2:
+        sys.exit("usage: bench_ab.py <baseline-rev> [reps]")
+    base_rev = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    wt = os.path.join(REPO, ".bench_ab_worktree")
+    subprocess.run(
+        ["git", "worktree", "remove", "--force", wt],
+        cwd=REPO, capture_output=True,
+    )
+    subprocess.run(
+        ["git", "worktree", "add", "--detach", wt, base_rev],
+        cwd=REPO, check=True,
+    )
+    try:
+        runs = {"A": [], "B": []}
+        # balanced interleave: ABBA ABBA ... cancels linear drift
+        order = []
+        for i in range(reps):
+            order += ["A", "B"] if i % 2 == 0 else ["B", "A"]
+        for side in order:
+            tree = wt if side == "A" else REPO
+            r = bench_once(tree)
+            runs[side].append(r)
+            print(
+                f"{side} ({'baseline' if side == 'A' else 'HEAD'}): "
+                f"total {r['value']}s / {len(r['queries'])} queries",
+                flush=True,
+            )
+
+        def med(side):
+            qs = {}
+            for name in runs[side][0]["queries"]:
+                vals = [
+                    r["queries"][name]
+                    for r in runs[side]
+                    if name in r["queries"]
+                ]
+                qs[name] = round(statistics.median(vals), 3)
+            return qs
+
+        a, b = med("A"), med("B")
+        shared = sorted(set(a) & set(b))
+        ratios = {q: round(b[q] / a[q], 3) if a[q] > 0 else None for q in shared}
+        rvals = sorted(v for v in ratios.values() if v)
+        n = len(rvals)
+        summary = {
+            "baseline_rev": base_rev,
+            "reps_per_side": reps,
+            "interleave": "".join(order),
+            "shared_queries": len(shared),
+            "new_queries": sorted(set(b) - set(a)),
+            "removed_queries": sorted(set(a) - set(b)),
+            "total_baseline_sec": round(sum(a[q] for q in shared), 1),
+            "total_head_sec": round(sum(b[q] for q in shared), 1),
+            "total_ratio": round(
+                sum(b[q] for q in shared) / sum(a[q] for q in shared), 3
+            ),
+            "ratio_median": rvals[n // 2],
+            "ratio_p10": rvals[max(0, int(0.10 * n) - 1)],
+            "ratio_p90": rvals[min(n - 1, int(0.90 * n))],
+            "worst_regressions": sorted(
+                ratios.items(), key=lambda kv: -(kv[1] or 0)
+            )[:8],
+            "per_query": {
+                q: {"baseline": a[q], "head": b[q], "ratio": ratios[q]}
+                for q in shared
+            },
+        }
+        os.makedirs(os.path.join(REPO, "bench_runs_r10"), exist_ok=True)
+        path = os.path.join(REPO, "bench_runs_r10", "bench_ab.json")
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(
+            f"\npaired ratio (HEAD/baseline) median {summary['ratio_median']} "
+            f"p10 {summary['ratio_p10']} p90 {summary['ratio_p90']} "
+            f"total {summary['total_ratio']}\nwrote {path}"
+        )
+    finally:
+        subprocess.run(
+            ["git", "worktree", "remove", "--force", wt],
+            cwd=REPO, capture_output=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
