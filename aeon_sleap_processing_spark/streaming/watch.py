@@ -577,9 +577,14 @@ def stream_semantic_dedup(
     persisted for the one extra pass that derives the verify cells. With
     P = 0 the pre-r10 single-tier layout (``reps/batch=B``, full-store
     scan every batch — throughput decays linearly with store size) is
-    kept for comparison; tools/measure_repstore_layout.py commits the
-    curve. Listing cost grows with the batch-dir count — fold old batch
-    dirs with ``compact_parquet`` offline when micro-batches are small.
+    kept for comparison. Measured curve
+    (tools/measure_repstore_layout.py, bench_runs_r10): 2k-vector probe
+    vs 50k/200k/800k stores — flat 3.8/4.0/20.9 s, bucketed
+    7.9/8.9/10.6 s; the bucketed tax is ~5 s of fixed per-batch work,
+    so the crossover is ~300k stored vectors — pass 0 only for small
+    BOUNDED corpora. Listing cost grows with the batch-dir count — fold
+    old batch dirs with ``compact_parquet`` offline when micro-batches
+    are small.
 
     NULL embeddings (routine at 100 TB) are kept — a null vector has no
     cosine, so it is never anyone's near-dup — but carry NO LSH keys: left
@@ -789,8 +794,16 @@ def stream_semantic_dedup(
                 )
             va = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
             kept = pin(_verify_and_keep(batch, cand, va, vb))
-            kept.write.partitionBy("vp").mode("overwrite").parquet(
-                f"{reps_root}/batch={batch_id}"
+            # repartition ON the partition columns before partitionBy:
+            # without it every task writes a file into every cell it
+            # touches — n_tasks x n_cells tiny files PER BATCH (measured
+            # 5x the flat layout's wall from write amplification alone);
+            # with it, file count per batch = touched cells
+            (
+                kept.repartition(F.col("vp"))
+                .write.partitionBy("vp")
+                .mode("overwrite")
+                .parquet(f"{reps_root}/batch={batch_id}")
             )
             (
                 kept.where(F.col(vec_col).isNotNull())
@@ -799,6 +812,7 @@ def stream_semantic_dedup(
                     F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
                 )
                 .withColumn("hp", F.pmod(F.col("h"), F.lit(P)))
+                .repartition(F.col("t"), F.col("hp"))
                 .write.partitionBy("t", "hp")
                 .mode("overwrite")
                 .parquet(f"{keys_root}/batch={batch_id}")

@@ -81,6 +81,7 @@ def seed_store(spark, out, vecs, planes, bucketed: bool):
     bucket = sim._bucket_udf(sim._split_tables(planes, N_TABLES))
     (
         vecs.withColumn("vp", F.pmod(F.xxhash64("vec_id"), F.lit(P)))
+        .repartition(F.col("vp"))
         .write.partitionBy("vp")
         .mode("append")
         .parquet(reps0)
@@ -90,6 +91,7 @@ def seed_store(spark, out, vecs, planes, bucketed: bool):
             "vec_id", F.posexplode(bucket(F.col("embedding"))).alias("t", "h")
         )
         .withColumn("hp", F.pmod(F.col("h"), F.lit(P)))
+        .repartition(F.col("t"), F.col("hp"))
         .write.partitionBy("t", "hp")
         .mode("append")
         .parquet(f"{out}/repkeys/batch=0")
