@@ -882,10 +882,11 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brute-force pair set at the driver threshold, with a pinned floor
     — the q_knn_recall discipline applied to dedup (mirrors the
     reference's eval-metric harness, `sleap_optuna_train.py:126-156`).
-    The brute-force leg is the audit's cost (run on a sample at 100 TB);
-    verified candidates are a subset of true pairs by construction, so
-    the hit-marker join is belt-and-braces against a verify-step
-    regression."""
+    The brute-force leg is the audit's cost — bounded by construction
+    since r10 (max_rows limit-probe guard; at 100 TB run the sampled
+    twin q_neardup_recall_sampled); verified candidates are a subset of
+    true pairs by construction, so the hit-marker join is
+    belt-and-braces against a verify-step regression."""
     from pyspark.sql import functions as F
 
     emb = load_table(spark, "embeddings", sf_dir)

@@ -263,27 +263,63 @@ def decode_png(b: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
+def encode_avi(
+    frames: np.ndarray,
+    fps: float = 50.0,
+    codec: str = "raw",
+    quality: int = 85,
+) -> bytes:
     """uint8 frames → AVI bytes. ``(n, h, w)`` grayscale (channel-expanded)
     or ``(n, h, w, 3)`` RGB — the PNG codec's channel convention, so the two
-    codecs compose without swaps; the on-disk DIB layout is BGR per spec
-    (the byte flip happens here). Uncompressed DIB video stream at ``fps``."""
+    codecs compose without swaps.
+
+    ``codec="raw"`` (default): uncompressed 24-bit DIB ('00db' chunks,
+    BGR bottom-up per spec — the byte flip happens here; what
+    cv2.VideoWriter(fourcc=0) produces). ``codec="mjpeg"`` (r10): each
+    frame a baseline 4:2:0 JPEG in a '00dc' chunk under fourcc 'MJPG' —
+    the camera-rig format the reference probes with cv2.VideoCapture
+    (`detect_fights_all_epochs.py:53-79`), ~10-20x smaller at the cost
+    of quantization error; pure numpy (operators/jpeg.py), no OpenCV."""
     a = np.ascontiguousarray(frames, dtype=np.uint8)
     if a.ndim == 3:
         a = np.repeat(a[..., None], 3, axis=3)
     if a.ndim != 4 or a.shape[3] != 3:
         raise ValueError(f"expected (n,h,w) or (n,h,w,3) uint8, got {frames.shape}")
-    a = a[..., ::-1]  # RGB in-memory -> BGR on disk (DIB byte order)
+    if codec not in ("raw", "mjpeg"):
+        raise ValueError(f"codec must be 'raw' or 'mjpeg', got {codec!r}")
+    mjpeg = codec == "mjpeg"
     n, h, w = a.shape[:3]
     row_bytes = w * 3
     pad = (-row_bytes) % 4
-    frame_size = (row_bytes + pad) * h
 
-    def lst(tag: bytes, body: bytes) -> bytes:
-        return b"LIST" + struct.pack("<I", len(body) + 4) + tag + body
+    payloads: list[bytes] = []
+    if mjpeg:
+        from .jpeg import encode_jpeg
 
-    def chk(tag: bytes, body: bytes) -> bytes:
-        return tag + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
+        for i in range(n):
+            payloads.append(encode_jpeg(a[i], quality=quality, subsample=True))
+    else:
+        bgr = a[..., ::-1]  # RGB in-memory -> BGR on disk (DIB byte order)
+        pad_row = b"\x00" * pad
+        for i in range(n):
+            # DIB: bottom-up rows, BGR byte order, 4-byte-aligned
+            rows = np.ascontiguousarray(bgr[i, ::-1]).reshape(h, row_bytes).tobytes()
+            if pad:
+                rows = b"".join(
+                    rows[r * row_bytes : (r + 1) * row_bytes] + pad_row
+                    for r in range(h)
+                )
+            payloads.append(rows)
+    frame_size = max((len(p) for p in payloads), default=(row_bytes + pad) * h)
+    tag = b"00dc" if mjpeg else b"00db"
+    handler = b"MJPG" if mjpeg else b"DIB "
+    compression = int.from_bytes(b"MJPG", "little") if mjpeg else 0
+
+    def lst(tag_: bytes, body: bytes) -> bytes:
+        return b"LIST" + struct.pack("<I", len(body) + 4) + tag_ + body
+
+    def chk(tag_: bytes, body: bytes) -> bytes:
+        return tag_ + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) % 2))
 
     rate = max(1, int(round(fps * 1000)))
     avih = struct.pack(
@@ -293,25 +329,20 @@ def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1000, rate, 0, n, frame_size, 0, 0,
+        b"vids", handler, 0, 0, 0, 0, 1000, rate, 0, n, frame_size, 0, 0,
         0, 0, int(w), int(h),
     )
-    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
+    )
     hdrl = lst(b"hdrl", chk(b"avih", avih) + lst(b"strl", chk(b"strh", strh) + chk(b"strf", strf)))
 
     movi_items, idx = [], []
     off = 4  # idx1 offsets count from the 'movi' tag
-    pad_row = b"\x00" * pad
-    for i in range(n):
-        # DIB: bottom-up rows, BGR byte order (flipped above), 4-byte-aligned
-        rows = np.ascontiguousarray(a[i, ::-1]).reshape(h, row_bytes).tobytes()
-        if pad:
-            rows = b"".join(
-                rows[r * row_bytes : (r + 1) * row_bytes] + pad_row for r in range(h)
-            )
-        movi_items.append(chk(b"00db", rows))
-        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, frame_size))
-        off += 8 + frame_size + (frame_size % 2)
+    for p in payloads:
+        movi_items.append(chk(tag, p))
+        idx.append(struct.pack("<4sIII", tag, 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) % 2)
     movi = lst(b"movi", b"".join(movi_items))
     idx1 = chk(b"idx1", b"".join(idx))
     body = b"AVI " + hdrl + movi + idx1
@@ -320,12 +351,16 @@ def encode_avi(frames: np.ndarray, fps: float = 50.0) -> bytes:
 
 def decode_avi(b: bytes, every_n: int = 1) -> tuple[np.ndarray, float]:
     """AVI bytes → (frames ``(n, h, w, 3)`` uint8 RGB, fps). Supports the
-    uncompressed-DIB layout ``encode_avi`` writes (and cv2 fourcc=0); the
+    uncompressed-DIB layout ``encode_avi`` writes (and cv2 fourcc=0) — the
     on-disk BGR bytes are flipped to RGB here, so round-trips with the PNG
-    codec need no channel swaps. ``every_n`` keeps frames 0, n, 2n, … and
-    skips the numpy conversion of the rest (chunk headers are still walked
-    — that is the cheap part). Raises ValueError on corrupt/truncated
-    input; embedded size fields are bounds-checked, never trusted."""
+    codec need no channel swaps — AND (r10) MJPEG streams: '00dc' chunks
+    whose payload is a baseline JPEG (SOI-sniffed) decode through the
+    pure-numpy codec in operators/jpeg.py, the camera-rig format the
+    reference probes with cv2.VideoCapture. ``every_n`` keeps frames 0,
+    n, 2n, … and skips the decode of the rest (chunk headers are still
+    walked — that is the cheap part). Raises ValueError on
+    corrupt/truncated input; embedded size fields are bounds-checked,
+    never trusted."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n!r}")
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
@@ -363,6 +398,24 @@ def decode_avi(b: bytes, every_n: int = 1) -> tuple[np.ndarray, float]:
                         raise ValueError("AVI frame has wrong length")
                     img = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[::-1]
                     frames.append(img[:, :, ::-1].copy())  # BGR disk -> RGB
+                seen += 1
+            elif tag == b"00dc":
+                # compressed stream: baseline JPEG payloads (MJPEG).
+                # JPEG output is top-down RGB already — no DIB flip.
+                if seen % every_n == 0:
+                    payload = b[body_lo : body_lo + size]
+                    if payload[:2] != b"\xff\xd8":
+                        raise ValueError(
+                            "compressed AVI frame is not MJPEG (only "
+                            "baseline-JPEG '00dc' streams are supported "
+                            "without OpenCV; transcode H.264 upstream)"
+                        )
+                    from .jpeg import decode_jpeg
+
+                    img = decode_jpeg(payload)
+                    if img.ndim == 2:
+                        img = np.repeat(img[..., None], 3, axis=2)
+                    frames.append(img)
                 seen += 1
             pos = body_lo + size + (size % 2)
 

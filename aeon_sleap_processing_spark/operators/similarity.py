@@ -414,6 +414,17 @@ def embedding_near_dups(
     6 tables x 4 planes recover 55.6% probing ~32% of all pairs
     (q_neardup_recall pins the floor).
 
+    SIZE BANDS WITH THE CORPUS (the r10 second-decade finding,
+    tools/measure_neardup_threshold_100x.py): random near-orthogonal
+    pairs collide per table w.p. ~2^-b, so the random-candidate floor is
+    T·2^-b·n(n-1)/2 — QUADRATIC in n at fixed b. At n=200k, b=16 the
+    floor (~1.8M) overtakes the true pairs (900k) and wall goes
+    super-linear; the production rule is b ≈ log2(n) + margin so the
+    floor stays a fixed fraction of n (at cosine ≥ 0.99 the true-pair
+    per-table collision p^b degrades gently — p=0.9955 gives p^20=0.91,
+    six tables miss 4e-7). Committed two-decade numbers:
+    bench_runs_r10/neardup_threshold_100x.json.
+
     VERIFY-LAST ORDER (the r9 scale-ramp finding): amplified candidates
     are deduped to UNIQUE (id_a, id_b) pairs BEFORE the exact-cosine
     verify, then the vectors are joined back by id. True near-dup
@@ -1083,28 +1094,63 @@ def neardup_pairs_bruteforce(
     ids_np = pdf[id_col].to_numpy()
     mat = np.stack(pdf[vec_col].map(np.asarray).to_numpy()).astype(np.float64)
     spark = corpus.sparkSession
-    bc = spark.sparkContext.broadcast((ids_np, mat))
+    # broadcast the TRANSPOSED matrix (dim, n) C-contiguous: the sweep
+    # reads one dimension of all corpus vectors per accumulate step, and
+    # m[:, j] on the (n, dim) layout is a strided gather
+    bc = spark.sparkContext.broadcast((ids_np, np.ascontiguousarray(mat.T)))
 
     def sweep(batches):
-        ids_all, m = bc.value
-        norms = np.sqrt(_dot_ltr(m, m))
+        ids_all, mt = bc.value  # (dim, n)
+        dim, n = mt.shape
+        norms = np.sqrt(_dot_ltr(mt.T, mt.T)) if n else np.zeros(0)
+        # TWO-LEVEL blocking, caught live by the 100x measurement: the
+        # naive (arrow_batch x n) block is a multi-GB temporary PER
+        # DIMENSION STEP (swap death at 32 tasks), and even a row-chunked
+        # form streams rows x n x dim x ~24 B through memory (~60 TB at
+        # 200k x 200k — bandwidth-bound for ~20 min). Chunking BOTH axes
+        # keeps the accumulator (64 x 1024 = 0.5 MB, L2-resident — block
+        # sizes measured: 0.5 MB beats 4 MB by 1.3x under 32 concurrent
+        # workers sharing L3) across the dim loop, so the corpus matrix
+        # is read once per row block instead of once per dimension.
+        # Accumulation order per OUTPUT ELEMENT is unchanged
+        # (j = 0..dim-1, left-to-right) — bit-identical to cosine_kernel
+        # and the SQL oracles (test-pinned against the pairwise-kernel
+        # join). Measured: 200k x 200k sweep ~103 s/task single-core,
+        # 2-4 min wall on local[32].
+        row_blk = 64
+        col_blk = 1024
         for b in batches:
             if len(b) == 0:
                 continue
-            a = _stack(b[vec_col])
-            a_ids = b[id_col].to_numpy()
-            acc = a[:, 0:1] * m[None, :, 0]
-            for j in range(1, a.shape[1]):
-                acc = acc + a[:, j : j + 1] * m[None, :, j]
-            a_norm = np.sqrt(_dot_ltr(a, a))
-            cos = acc / (a_norm[:, None] * norms[None, :])
-            cos = np.floor(cos * 1e6 + 0.5) / 1e6
-            hit = (cos >= threshold) & (a_ids[:, None] < ids_all[None, :])
-            r, c = np.nonzero(hit)
-            yield pd.DataFrame(
-                {"id_a": a_ids[r].astype(np.int64),
-                 "id_b": ids_all[c].astype(np.int64)}
-            )
+            a_full = _stack(b[vec_col])
+            ids_full = b[id_col].to_numpy()
+            for lo in range(0, len(a_full), row_blk):
+                a = a_full[lo : lo + row_blk]
+                a_ids = ids_full[lo : lo + row_blk]
+                a_norm = np.sqrt(_dot_ltr(a, a))
+                out_r: list[np.ndarray] = []
+                out_c: list[np.ndarray] = []
+                for cl in range(0, n, col_blk):
+                    ch = min(cl + col_blk, n)
+                    acc = a[:, 0:1] * mt[0, cl:ch][None, :]
+                    for j in range(1, dim):
+                        acc += a[:, j : j + 1] * mt[j, cl:ch][None, :]
+                    cos = acc / (a_norm[:, None] * norms[cl:ch][None, :])
+                    cos = np.floor(cos * 1e6 + 0.5) / 1e6
+                    hit = (cos >= threshold) & (
+                        a_ids[:, None] < ids_all[cl:ch][None, :]
+                    )
+                    r, c = np.nonzero(hit)
+                    out_r.append(a_ids[r])
+                    out_c.append(ids_all[cl:ch][c])
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_r).astype(np.int64)
+                        if out_r else np.zeros(0, np.int64),
+                        "id_b": np.concatenate(out_c).astype(np.int64)
+                        if out_c else np.zeros(0, np.int64),
+                    }
+                )
 
     return corpus.select(id_col, vec_col).mapInPandas(
         sweep, schema="id_a long, id_b long"

@@ -151,6 +151,37 @@ def main() -> None:
             },
         }
         if name == "200k":
+            # THE second-decade finding: at fixed b=16 the random-collision
+            # floor (6 tables x 2^-16 x n(n-1)/2 ~ 1.8M candidates at
+            # n=200k) overtakes the 900k true pairs — candidates go
+            # quadratic exactly as 1-(1-p^b)^T predicts. The production
+            # rule is b ~ log2(n) + margin: re-measure with b=20
+            # (6 x 20 planes; clique-pair collision p^20 = 0.9955^20 =
+            # 0.914 per table, miss (1-0.914)^6 ~ 4e-7) and record the
+            # wall coming back toward linear.
+            planes20 = (
+                np.random.default_rng(7)
+                .standard_normal((N_TABLES * 20, DIM))
+                .tolist()
+            )
+            walls20, n_found20 = [], 0
+            for _ in range(runs):
+                t0 = time.monotonic()
+                found20 = sim.embedding_near_dups(
+                    df, planes20, threshold=THRESHOLD, n_tables=N_TABLES
+                )
+                n_found20 = found20.count()
+                walls20.append(time.monotonic() - t0)
+            hits20 = truth.join(
+                found20.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi"
+            ).count()
+            entry["near_dups_b20"] = {
+                "planes_per_table": 20,
+                "found_pairs": n_found20,
+                "recall": round(hits20 / n_truth, 4) if n_truth else None,
+                "walls_sec": [round(w, 2) for w in walls20],
+                "median_sec": round(statistics.median(walls20), 2),
+            }
             # r10 sampled-truth estimator vs the full truth it estimates
             t0 = time.monotonic()
             struth = sim.neardup_pairs_bruteforce(
