@@ -52,9 +52,9 @@ def main() -> None:
     from aeon_sleap_processing_spark.operators import similarity as sim
     from aeon_sleap_processing_spark.session import get_spark
     from aeon_sleap_processing_spark.sources import load_table
-    from measure_neardup_threshold_100x import corpus_df
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from measure_neardup_threshold_100x import corpus_df
     spark = get_spark(shuffle_partitions=32)
     spark.sparkContext.setLogLevel("ERROR")
 
