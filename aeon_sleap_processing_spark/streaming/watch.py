@@ -853,6 +853,89 @@ def read_semantic_reps(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def compact_rep_store(
+    spark: SparkSession,
+    out_path: str,
+    hyperplanes: list[list[float]],
+    n_tables: int = 6,
+    store_partitions: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Offline housekeeping for :func:`stream_semantic_dedup`'s bucketed
+    store: FOLD every existing ``batch=N`` dir of both tiers into a
+    single ``batch=0`` (rewriting per-cell files at full size), so the
+    per-micro-batch file-listing cost — which grows with the batch-dir
+    count, the one documented growth term of the bucketed layout —
+    resets to one dir per tier.
+
+    OFFLINE CONTRACT (same as ``compact_parquet``'s single-writer rule):
+    run while the stream is stopped. Correctness is layout-independent:
+    readers consume dirs with batch id strictly below the CURRENT batch,
+    and the checkpoint's next batch id only grows, so folding history
+    into batch=0 preserves the strictly-earlier property; the kept set
+    is unchanged (asserted by the test via read_semantic_reps parity).
+    Keys are REGENERATED from the folded vectors with the stream's own
+    plane split rather than copied — one code path to trust, and it
+    makes the fold idempotent after a crash (re-run rewrites both tiers
+    from the vector tier, the durable source of truth).
+
+    Returns {batches_folded, reps}."""
+    from ..operators import similarity as sim
+    from ..sources.sinks import _hadoop_fs
+
+    reps_root = out_path.rstrip("/") + "/reps"
+    keys_root = out_path.rstrip("/") + "/repkeys"
+    fs, Path, _ = _hadoop_fs(spark, out_path)
+    if not fs.exists(Path(reps_root)):
+        raise FileNotFoundError(f"no reps tier under {out_path}")
+    batch_dirs = [
+        st.getPath().getName()
+        for st in fs.listStatus(Path(reps_root))
+        if st.isDirectory() and st.getPath().getName().startswith("batch=")
+    ]
+    n_batches = len(batch_dirs)
+    if n_batches <= 1:
+        kept = read_semantic_reps(spark, out_path).count()
+        return {"batches_folded": 0, "reps": kept}
+    P = store_partitions
+    kept = read_semantic_reps(spark, out_path).localCheckpoint()
+    n_reps = kept.count()
+    bucket = sim._bucket_udf(sim._split_tables(hyperplanes, n_tables))
+    stage_reps = f"{reps_root.rstrip('/')}__folding"
+    (
+        kept.withColumn("vp", F.pmod(F.xxhash64(F.col(id_col)), F.lit(P)))
+        .repartition(F.col("vp"))
+        .write.partitionBy("vp")
+        .mode("overwrite")
+        .parquet(f"{stage_reps}/batch=0")
+    )
+    stage_keys = f"{keys_root.rstrip('/')}__folding"
+    (
+        kept.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col), F.posexplode(bucket(F.col(vec_col))).alias("t", "h")
+        )
+        .withColumn("hp", F.pmod(F.col("h"), F.lit(P)))
+        .repartition(F.col("t"), F.col("hp"))
+        .write.partitionBy("t", "hp")
+        .mode("overwrite")
+        .parquet(f"{stage_keys}/batch=0")
+    )
+    # swap: stage dirs become the tiers (crash between the two swaps is
+    # repaired by re-running the fold — the vector tier is authoritative)
+    for root, stage in ((reps_root, stage_reps), (keys_root, stage_keys)):
+        old = Path(root + "__prefold")
+        if fs.exists(Path(root)):
+            if not fs.rename(Path(root), old):
+                raise IOError(f"compact_rep_store: stage-out failed for {root}")
+        if not fs.rename(Path(stage), Path(root)):
+            fs.rename(old, Path(root))
+            raise IOError(f"compact_rep_store: swap failed for {root}")
+        fs.delete(old, True)
+    return {"batches_folded": n_batches, "reps": n_reps}
+
+
 def stream_pack_sequences(
     stream: DataFrame,
     capacity: int = 512,

@@ -260,3 +260,42 @@ class TestBucketedStoreLayout:
             "basePath", f"{out}/repkeys"
         ).parquet(f"{out}/repkeys")
         assert {r.vec_id for r in keys.select("vec_id").distinct().collect()} == {1}
+
+
+def test_compact_rep_store_folds_batches_and_preserves_reps(spark, tmp_path):
+    """Offline fold: N batch dirs -> one, kept set identical, stream
+    resumes cleanly against the folded store (strictly-earlier reads are
+    layout-independent), and a flat store comes out CONVERTED to the
+    bucketed layout."""
+    import os
+
+    from aeon_sleap_processing_spark.streaming.watch import compact_rep_store
+
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _drop(spark, src, [1, 2], [_vec(0), _vec(1)], 1)
+    _drop(spark, src, [3, 4], [_vec(2), _vec(0, 2.0)], 2)
+    _drop(spark, src, [5], [_vec(3)], 3)
+    _run(spark, src, out, ckpt)
+    before = sorted(r.vec_id for r in read_semantic_reps(spark, out).collect())
+    assert before == [1, 2, 3, 5]
+    res = compact_rep_store(spark, out, PLANES, n_tables=3)
+    assert res["batches_folded"] == 3 and res["reps"] == 4
+    after = sorted(r.vec_id for r in read_semantic_reps(spark, out).collect())
+    assert after == before
+    assert os.listdir(f"{out}/reps") == ["batch=0"]
+    # resumed stream still dedups against the folded history
+    _drop(spark, src, [6, 7], [_vec(3, 5.0), _vec(4)], 4)  # 6 dups rep 5
+    _run(spark, src, out, ckpt)
+    assert sorted(
+        r.vec_id for r in read_semantic_reps(spark, out).collect()
+    ) == [1, 2, 3, 5, 7]
+    # idempotent re-run (crash-repair path)
+    res2 = compact_rep_store(spark, out, PLANES, n_tables=3)
+    assert res2["reps"] == 5
+    assert sorted(
+        r.vec_id for r in read_semantic_reps(spark, out).collect()
+    ) == [1, 2, 3, 5, 7]
