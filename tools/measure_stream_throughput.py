@@ -22,7 +22,7 @@ The sql-vs-state sessionize pair doubles as the committed JVM-vs-Python
 stateful-operator throughput comparison. The semantic leg asserts the
 planted structure back out: 200k vectors in 2,000 cliques (copies at
 cosine ~0.9999) must dedup to exactly 2,000 representatives. Writes
-bench_runs_r9/stream_throughput.json and prints a table.
+bench_runs_r10/stream_throughput.json and prints a table.
 Run ISOLATED (no concurrent Spark jobs) per the bench protocol.
 
 Usage: python tools/measure_stream_throughput.py
@@ -188,28 +188,34 @@ def _measure(spark, work: str) -> None:
     # 6 * 2^-16 — candidates stay linear-ish per batch (the
     # measure_neardup_threshold.py regime, not the 4-plane driver bands)
     planes = np.random.default_rng(7).standard_normal((96, dim)).tolist()
-    sem_out = os.path.join(work, "sem_out")
-    run(
-        "semantic_dedup", n_vecs,
-        lambda ckpt: W.stream_semantic_dedup(
-            file_stream(emb_src, f"vec_id long, embedding array<float>"),
-            sem_out, ckpt, planes, threshold=0.95, n_tables=6,
-        ),
-    )
-    reps = W.read_semantic_reps(spark, sem_out).count()
-    # 2,000 cliques of 100 (make_scale_data at scale=100): one rep each.
-    # An LSH candidate MISS surfaces here as an extra rep — inherent to
-    # any LSH generator (measured 2,033 on the first run: per-vector miss
-    # ~1.7e-4 at these bands). Assert no clique LOST (reps >= cliques)
-    # and miss rate under 1%; report the measured dedup recall.
-    assert 2000 <= reps <= 2000 + (n_vecs - 2000) // 100, (
-        f"semantic dedup kept {reps} reps, expected ~2000"
-    )
-    out["semantic_reps"] = reps
-    out["semantic_dedup_recall"] = round((n_vecs - reps) / (n_vecs - 2000), 5)
+    # r10: BOTH rep-store layouts — the flat r9 layout (full-store scan
+    # per batch; wins below the ~300k crossover this 200k corpus sits
+    # under) and the bucketed default (the unbounded-store scale path;
+    # pays its fixed per-batch pruning/write tax here). The layout curve
+    # itself is bench_runs_r10/repstore_layout.json.
+    for leg, p in (("semantic_dedup_flat", 0), ("semantic_dedup_bucketed", 16)):
+        sem_out = os.path.join(work, f"sem_out_{p}")
+        run(
+            leg, n_vecs,
+            lambda ckpt, _o=sem_out, _p=p: W.stream_semantic_dedup(
+                file_stream(emb_src, "vec_id long, embedding array<float>"),
+                _o, ckpt, planes, threshold=0.95, n_tables=6,
+                store_partitions=_p,
+            ),
+        )
+        reps = W.read_semantic_reps(spark, sem_out).count()
+        # 2,000 cliques of 100 (make_scale_data at scale=100): one rep
+        # each. An LSH candidate MISS surfaces here as an extra rep —
+        # inherent to any LSH generator. Assert no clique LOST
+        # (reps >= cliques) and miss rate under 1%; report the recall.
+        assert 2000 <= reps <= 2000 + (n_vecs - 2000) // 100, (
+            f"{leg} kept {reps} reps, expected ~2000"
+        )
+        out[f"{leg}_reps"] = reps
+        out[f"{leg}_recall"] = round((n_vecs - reps) / (n_vecs - 2000), 5)
 
-    os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
-    path = os.path.join(REPO, "bench_runs_r9", "stream_throughput.json")
+    os.makedirs(os.path.join(REPO, "bench_runs_r10"), exist_ok=True)
+    path = os.path.join(REPO, "bench_runs_r10", "stream_throughput.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
