@@ -900,19 +900,19 @@ def _q_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts). A global agg emits exactly one row even on an empty truth
     # set (a groupBy on a lit key emits 0 rows there — a row-count
     # mismatch the gate would read as a red), and the single final
-    # one-row exchange stays under the explain_audit threshold. The
-    # localCheckpoint is a MEASURED overlap device, not a dedup one (the
-    # truth leg has only one plan reference here): without it the
-    # broadcast subquery (cand — the OR-amplified generator, ~2.6 s of
-    # Python kernel work) must materialize before the probe stage
-    # containing the sweep starts, serializing the two Python-heavy legs
-    # (6.3 s warm); the checkpoint makes the sweep an independent job
-    # that overlaps the broadcast build (4.6 s warm, A/B-measured).
-    # On zero pairs both engines yield NULL recall/meets_floor (0/0 is
-    # NULL in each).
+    # one-row exchange stays under the explain_audit threshold.
+    # HISTORY: r9 wrapped the truth leg in localCheckpoint(eager=False)
+    # as a measured overlap device (6.3 s → 4.6 s when the sweep was the
+    # bottleneck); the r10 cache-blocked sweep removed the gap — re-A/B
+    # at sf0.1 (3 alternating pairs): ckpt median 4.71 s vs plain
+    # 4.68 s, indistinguishable — so the scheduling-by-side-effect
+    # device is deleted (the repo's own r7 finding stands: lazy
+    # checkpoints are not lineage devices, and an unjustified one is
+    # a wart). On zero pairs both engines yield NULL recall/meets_floor
+    # (0/0 is NULL in each).
     true_pairs = sim.neardup_pairs_bruteforce(
         emb, threshold=_NEARDUP_THRESHOLD
-    ).localCheckpoint(eager=False)
+    )
     matched = true_pairs.join(
         F.broadcast(cand.withColumn("__hit", F.lit(1))),
         ["id_a", "id_b"],
