@@ -39,6 +39,7 @@ __all__ = [
     "write_manifested",
     "read_manifested",
     "compact_manifested",
+    "optimize_manifested",
     "vacuum_manifested",
 ]
 
@@ -854,6 +855,7 @@ def compact_manifested(
     target_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 4,
     _before_commit=None,
+    _plan_fn=None,
 ) -> dict:
     """:func:`compact_parquet` for a manifest-committed store — and the
     reason the manifest exists: the rewrite stages NEW files next to the
@@ -898,12 +900,14 @@ def compact_manifested(
         stage_str = f"{root_str}/_staging/{token}"
         # plain read of the member FILES (no basePath): partition values
         # stay in the directory name, never absorbed into data files
-        (
-            spark.read.parquet(*[f"{root_str}/{r}" for r, _ in members])
-            .repartition(n_out)
-            .write.mode("overwrite")
-            .parquet(stage_str)
+        leaf_df = spark.read.parquet(
+            *[f"{root_str}/{r}" for r, _ in members]
         )
+        planned = (
+            _plan_fn(leaf_df, n_out) if _plan_fn is not None
+            else leaf_df.repartition(n_out)
+        )
+        planned.write.mode("overwrite").parquet(stage_str)
         for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
             name = f"data-{token}-{i:05d}.parquet"
             rel = f"{leaf}/{name}" if leaf else name
@@ -985,3 +989,33 @@ def vacuum_manifested(
         "deleted_files": deleted_files,
         "deleted_manifests": deleted_manifests,
     }
+
+
+def optimize_manifested(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    curve: str = "hilbert",
+    bits: int = 16,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """:func:`optimize_parquet` for a manifest-committed store — the
+    OPTIMIZE-ZORDER rewrite (cluster every leaf's files along the
+    space-filling curve of ``cols``) with the manifest's commit
+    semantics instead of directory renames: readers keep snapshot
+    isolation through the swap, a concurrent append composes via the
+    CAS retry, and old files survive for pinned readers until
+    :func:`vacuum_manifested`. Every leaf rewrites regardless of file
+    count (the point is the layout, not the count)."""
+    from ..operators.layout import hilbert_layout, zorder_layout
+
+    if curve == "hilbert":
+        plan = lambda df, n: hilbert_layout(df, cols, bits, num_partitions=n)
+    elif curve == "zorder":
+        plan = lambda df, n: zorder_layout(df, cols, bits, num_partitions=n)
+    else:
+        raise ValueError(f"unknown curve {curve!r}")
+    return compact_manifested(
+        spark, path, target_bytes=target_bytes,
+        min_files_to_compact=1, _plan_fn=plan,
+    )

@@ -173,3 +173,36 @@ class TestManifestVacuum:
         vacuum_manifested(spark, path, keep_versions=2)
         # keep_versions=2 retains the pre-compaction head's files
         assert _ids(pinned) == list(range(40))
+
+
+class TestManifestOptimize:
+    def test_optimize_clusters_and_commits_atomically(self, spark, tmp_path):
+        """optimize_manifested = OPTIMIZE-ZORDER with manifest commit
+        semantics: rows preserved, files re-clustered (per-file key
+        spans shrink vs the random layout), pinned reader unaffected."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            optimize_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        # two appends with interleaved keys -> random layout
+        df = (
+            spark.range(0, 4000)
+            .withColumn("x", (F.col("id") * 7919) % 1000)
+            .withColumn("y", (F.col("id") * 104729) % 1000)
+        )
+        write_manifested(spark, df.repartition(8), path)
+        pre = read_manifested(spark, path)
+        res = optimize_manifested(
+            spark, path, ["x", "y"], curve="zorder", target_bytes=64 * 1024
+        )
+        assert res["compacted"]
+        back = read_manifested(spark, path)
+        assert back.count() == 4000
+        assert sorted(r.id for r in back.select("id").collect()) == list(
+            range(4000)
+        )
+        # pinned pre-optimize reader still resolves (snapshot isolation)
+        assert pre.count() == 4000
