@@ -229,6 +229,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             break
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
         if marker == 0xDB:  # DQT
             i = 0
             while i < len(seg):

@@ -889,13 +889,21 @@ def compact_rep_store(
     fs, Path, _ = _hadoop_fs(spark, out_path)
     if not fs.exists(Path(reps_root)):
         raise FileNotFoundError(f"no reps tier under {out_path}")
-    batch_dirs = [
-        st.getPath().getName()
-        for st in fs.listStatus(Path(reps_root))
-        if st.isDirectory() and st.getPath().getName().startswith("batch=")
-    ]
-    n_batches = len(batch_dirs)
-    if n_batches <= 1:
+    def _batches(root: str) -> int:
+        p = Path(root)
+        if not fs.exists(p):
+            return 0
+        return sum(
+            1
+            for st in fs.listStatus(p)
+            if st.isDirectory() and st.getPath().getName().startswith("batch=")
+        )
+
+    n_batches = _batches(reps_root)
+    # already folded ONLY if the keys tier is folded too — a crash
+    # between the two tier swaps leaves vectors folded but keys
+    # stale/missing, and the repair is exactly a re-run
+    if n_batches <= 1 and _batches(keys_root) == n_batches:
         kept = read_semantic_reps(spark, out_path).count()
         return {"batches_folded": 0, "reps": kept}
     P = store_partitions

@@ -649,3 +649,78 @@ class TestJpegCodec:
         mj[i + 2 : i + 4] = b"\x00\x00"  # not a JPEG anymore
         with pytest.raises(ValueError, match="MJPEG"):
             decode_avi(bytes(mj))
+
+
+class TestJpegProperties:
+    """Property coverage in the PNG/AVI-codec style: encoder output
+    always decodes, truncation always raises ValueError (never garbage
+    or a non-ValueError crash), and flat-color fidelity is tight."""
+
+    def test_roundtrip_decodes_for_generated_shapes(self):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=25, deadline=None)
+        @given(
+            h=st.integers(1, 40),
+            w=st.integers(1, 40),
+            color=st.booleans(),
+            sub=st.booleans(),
+            q=st.integers(30, 95),
+            seed=st.integers(0, 10**6),
+        )
+        def prop(h, w, color, sub, q, seed):
+            rng = np.random.default_rng(seed)
+            # piecewise-smooth image: base gradient + one random rect
+            y, x = np.mgrid[0:h, 0:w]
+            base = ((x * 3 + y * 2) % 256).astype(np.uint8)
+            img = np.stack([base] * 3, axis=-1) if color else base
+            b = encode_jpeg(img, quality=q, subsample=sub and color)
+            back = decode_jpeg(b)
+            assert back.shape == img.shape and back.dtype == np.uint8
+
+        prop()
+
+    def test_truncation_always_raises_valueerror(self):
+        import numpy as np
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        y, x = np.mgrid[0:24, 0:24]
+        img = np.stack([(x * 9) % 256, (y * 7) % 256, (x + y) % 256], -1).astype(
+            np.uint8
+        )
+        b = encode_jpeg(img, quality=80)
+        # every strict prefix either raises ValueError or (for prefixes
+        # cut inside the entropy segment, where T.81 allows 1-bit
+        # padding) decodes to a correctly-shaped frame — never another
+        # exception type, never garbage shapes
+        for k in range(2, len(b), 7):
+            try:
+                out = decode_jpeg(b[:k])
+            except ValueError:
+                continue
+            assert out.shape == img.shape
+
+    def test_flat_color_is_near_exact_at_high_quality(self):
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.jpeg import (
+            decode_jpeg,
+            encode_jpeg,
+        )
+
+        for val in (0, 77, 128, 255):
+            img = np.full((24, 24, 3), val, np.uint8)
+            back = decode_jpeg(encode_jpeg(img, quality=95))
+            assert np.abs(back.astype(int) - val).max() <= 2, val

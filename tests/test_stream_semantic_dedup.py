@@ -299,3 +299,35 @@ def test_compact_rep_store_folds_batches_and_preserves_reps(spark, tmp_path):
     assert sorted(
         r.vec_id for r in read_semantic_reps(spark, out).collect()
     ) == [1, 2, 3, 5, 7]
+
+
+def test_compact_rep_store_repairs_lost_keys_tier(spark, tmp_path):
+    """Crash between the fold's two tier swaps leaves vectors folded but
+    keys stale/missing; re-running the fold regenerates keys from the
+    vector tier (the durable source of truth) and the stream dedups
+    correctly afterwards."""
+    import shutil
+
+    from aeon_sleap_processing_spark.streaming.watch import compact_rep_store
+
+    src, out, ckpt = (
+        str(tmp_path / "src"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    _drop(spark, src, [1], [_vec(0)], 1)
+    _drop(spark, src, [2], [_vec(1)], 2)
+    _run(spark, src, out, ckpt)
+    compact_rep_store(spark, out, PLANES, n_tables=3)
+    shutil.rmtree(f"{out}/repkeys")  # simulated crash after the reps swap
+    res = compact_rep_store(spark, out, PLANES, n_tables=3)
+    assert res["reps"] == 2
+    import os
+
+    assert os.path.isdir(f"{out}/repkeys/batch=0")
+    # stream resumes: near-dup of rep 1 must still drop (keys tier live)
+    _drop(spark, src, [3, 4], [_vec(0, 3.0), _vec(2)], 3)
+    _run(spark, src, out, ckpt)
+    assert sorted(
+        r.vec_id for r in read_semantic_reps(spark, out).collect()
+    ) == [1, 2, 4]
