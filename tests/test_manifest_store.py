@@ -206,3 +206,24 @@ class TestManifestOptimize:
         )
         # pinned pre-optimize reader still resolves (snapshot isolation)
         assert pre.count() == 4000
+
+
+def test_concurrent_write_manifested_all_rows_exactly_once(spark, tmp_path):
+    """Full-path contention (stage -> rename-in -> CAS commit) from 4
+    threads: every append's rows land exactly once, no orphans left
+    referenced, and the store reads clean after a vacuum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    path = str(tmp_path / "store")
+
+    def append(i):
+        return write_manifested(
+            spark, spark.range(i * 100, (i + 1) * 100).coalesce(1), path
+        )
+
+    with ThreadPoolExecutor(4) as ex:
+        rels = list(ex.map(append, range(8)))
+    assert all(r for r in rels)
+    assert _ids(read_manifested(spark, path)) == list(range(800))
+    vacuum_manifested(spark, path, keep_versions=1)
+    assert _ids(read_manifested(spark, path)) == list(range(800))
