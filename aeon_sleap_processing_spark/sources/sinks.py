@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +42,8 @@ __all__ = [
     "compact_manifested",
     "optimize_manifested",
     "vacuum_manifested",
+    "is_manifested",
+    "maintain",
 ]
 
 # engine-internal → reference CSV header names (`social_behaviour_detection.py:733-757`)
@@ -720,27 +723,43 @@ def manifest_commit(
     path: str,
     add: list[tuple[str, int]] = (),
     remove: list[str] = (),
+    remove_prefixes: list[str] = (),
     max_retries: int = 50,
 ) -> int:
     """Atomically commit a file-set change to the manifest log: the new
-    head = newest parseable head minus ``remove`` (relative paths) plus
-    ``add`` ((relative path, bytes) pairs). Optimistic CAS loop — on a
-    lost race the change is rebuilt against the winner's head, so
-    concurrent writers/compactors compose instead of clobbering.
-    Returns the committed version number."""
+    head = newest parseable head minus ``remove`` (relative paths) minus
+    every path starting with one of ``remove_prefixes`` plus ``add``
+    ((relative path, bytes) pairs). Optimistic CAS loop — on a lost race
+    the change is rebuilt against the winner's head, so concurrent
+    writers/compactors compose instead of clobbering.
+
+    ``remove_prefixes`` is the dynamic-partition-overwrite primitive: a
+    static ``remove`` list names exactly the files the caller READ, while
+    a prefix drops whatever files live under a partition/batch dir AT
+    COMMIT TIME — re-evaluated on every CAS rebuild, so "replace chunk X"
+    stays correct even when a racing writer appended to chunk X between
+    our build and our commit (the racer's files are under the prefix and
+    are replaced, exactly the last-writer-wins contract of a partition
+    overwrite). Returns the committed version number."""
     import uuid
 
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     fs.mkdirs(Path(f"{root_str}/{_MANIFEST_DIR}"))
     drop = set(remove)
+    prefixes = tuple(remove_prefixes)
     for _ in range(max_retries):
         # head and target slot from ONE listing (see _manifest_head); the
         # slot is past every existing version file, parseable or not — a
         # corrupt corpse must be slotted over, not retried into forever
         head_v, head, next_v = _manifest_head(spark, fs, Path, root_str)
         cur = {f["path"]: f["bytes"] for f in (head["files"] if head else [])}
-        nxt = {p: b for p, b in cur.items() if p not in drop}
+        nxt = {
+            p: b
+            for p, b in cur.items()
+            if p not in drop
+            and not (prefixes and p.startswith(prefixes))
+        }
         for p, b in add:
             nxt[p] = b
         token = uuid.uuid4().hex
@@ -787,13 +806,32 @@ def write_manifested(
     df: DataFrame,
     path: str,
     partition_by: list[str] | None = None,
+    filename_prefix: str = "",
+    replace: str | None = None,
+    remove_prefixes: list[str] = (),
 ) -> list[str]:
     """Append ``df`` to a manifest-committed store: stage the write under
     ``_staging/<token>``, move the part files into their final (partition)
     directories under unique token names, then make them live with ONE
     :func:`manifest_commit`. A crash anywhere before the commit leaves
     only invisible orphans (vacuum reclaims them) — readers never see a
-    partial append. Returns the committed relative paths."""
+    partial append. Returns the committed relative paths.
+
+    ``replace`` selects the overwrite semantics of the commit:
+
+    - ``None`` (default): pure append.
+    - ``"partitions"``: dynamic partition overwrite — every partition
+      directory this write STAGED has its pre-existing manifest entries
+      dropped in the same commit (Spark's partitionOverwriteMode=dynamic,
+      but atomic and composable with concurrent appends to OTHER
+      partitions via the CAS rebuild). Unpartitioned writes degrade to
+      full replace, exactly like mode=overwrite.
+    - ``"all"``: full-store replace in one commit.
+
+    ``filename_prefix`` namespaces this write's files (e.g. a streaming
+    sink's ``b<batch_id>-``) so an idempotent replay can drop exactly its
+    own earlier attempt via ``remove_prefixes`` — extra prefixes are
+    passed through to :func:`manifest_commit` untouched."""
     import uuid
 
     token = uuid.uuid4().hex
@@ -805,11 +843,13 @@ def write_manifested(
         w = w.partitionBy(*partition_by)
     w.parquet(stage_str)
     adds: list[tuple[str, int]] = []
+    staged_dirs: set[str] = set()
     for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
         src = st.getPath()
         # partition subpath between the staging root and the file
         rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
-        name = f"data-{token}-{i:05d}.parquet"
+        staged_dirs.add(f"{rel_dir}/" if rel_dir else "")
+        name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
         rel = f"{rel_dir}/{name}" if rel_dir else name
         dest = Path(f"{root_str}/{rel}")
         fs.mkdirs(dest.getParent())
@@ -817,19 +857,42 @@ def write_manifested(
             raise IOError(f"write_manifested: rename failed for {rel}")
         adds.append((rel, st.getLen()))
     fs.delete(Path(stage_str), True)
-    manifest_commit(spark, path, add=adds)
+    if replace is None:
+        drop_pre = list(remove_prefixes)
+    elif replace == "partitions":
+        drop_pre = sorted(staged_dirs) + list(remove_prefixes)
+    elif replace == "all":
+        drop_pre = [""]
+    else:
+        raise ValueError(f"unknown replace mode {replace!r}")
+    # our own files must survive their covering prefix: commit drops the
+    # prefix set first, then adds — manifest_commit applies add AFTER the
+    # removes, so the staged files always land in the new head
+    manifest_commit(spark, path, add=adds, remove_prefixes=drop_pre)
     return [p for p, _ in adds]
 
 
 def read_manifested(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prefixes: list[str] | None = None,
 ) -> DataFrame:
     """Read a manifest-committed store AS OF its newest manifest (or a
     pinned ``version`` — snapshot isolation: a compaction committing
     mid-read swaps the head but never deletes files a retained manifest
     references until :func:`vacuum_manifested`). Hive partition columns
     are recovered via basePath, exactly as a directory-listing read
-    would."""
+    would.
+
+    ``prefixes`` prunes the file set MANIFEST-SIDE before Spark ever sees
+    it: only files whose relative path starts with one of the prefixes
+    (e.g. ``["stream=5/camera=Top/", "cell=3/"]``) enter the scan. At
+    100 TB this is the point of the manifest — partition pruning becomes
+    an O(head) string filter on the driver instead of a recursive
+    directory listing; Catalyst still sees the partition values (from the
+    paths, via basePath) for any residual pruning. An empty selection
+    raises rather than returning a schemaless scan."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     if version is None:
@@ -840,13 +903,28 @@ def read_manifested(
         p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
         head = json.loads(_manifest_read_text(spark, fs, p))
     files = [f["path"] for f in head["files"]]
+    if prefixes is not None:
+        pre = tuple(prefixes)
+        files = [p for p in files if p.startswith(pre)]
     if not files:
         raise ValueError(
-            f"manifest v{version} of {path} lists no files (empty store)"
+            f"manifest v{version} of {path} lists no files"
+            + (f" under prefixes {list(prefixes)}" if prefixes is not None
+               else " (empty store)")
         )
     return spark.read.option("basePath", root_str).parquet(
         *[f"{root_str}/{p}" for p in files]
     )
+
+
+def is_manifested(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a manifest-committed store (has a
+    ``_manifests`` log dir) — the auto-detect used by every engine read
+    path so listing-committed and manifest-committed stores share one
+    reader API."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    return bool(fs.exists(Path(f"{root_str}/{_MANIFEST_DIR}")))
 
 
 def compact_manifested(
@@ -938,25 +1016,40 @@ def compact_manifested(
 
 
 def vacuum_manifested(
-    spark: SparkSession, path: str, keep_versions: int = 2
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 2,
+    orphan_grace_seconds: float = 1800.0,
 ) -> dict:
     """Reclaim files no retained manifest references: keeps the newest
     ``keep_versions`` manifests' file sets live (the snapshot-isolation
     grace window for readers pinned to a recent version), deletes every
     other data file, older manifest versions, and _staging leftovers.
 
-    CONTRACT: run with no IN-FLIGHT writer (one that has renamed files in
-    but not yet committed — its uncommitted files look like orphans).
-    That is vacuum's contract in every table format; appends themselves
-    need no such fence."""
+    IN-FLIGHT-WRITER FENCE (the Delta/Iceberg convention, r11): a file
+    that is (a) referenced by NO manifest version at all — so it was
+    never committed, i.e. it may belong to a writer that has renamed
+    files in but not yet won its commit — and (b) younger than
+    ``orphan_grace_seconds`` by filesystem mtime, is SKIPPED; so are
+    ``_staging/<token>`` dirs younger than the grace. Files an existing
+    manifest once committed and a later commit replaced carry no such
+    ambiguity (no writer still owns them) and are reclaimed regardless of
+    age. A routine vacuum therefore cannot eat a slow writer's files as
+    long as the writer's stage→rename→commit span stays under the grace
+    window; truly-orphaned crash debris is reclaimed by any vacuum run
+    after the grace expires. Set ``orphan_grace_seconds=0`` only when the
+    caller externally guarantees no in-flight writer."""
+    import time
+
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     versions = _manifest_versions(fs, Path, root_str)
     if not versions:
-        return {"deleted_files": 0, "deleted_manifests": 0}
+        return {"deleted_files": 0, "deleted_manifests": 0, "skipped_in_flight": 0}
     keep = set(versions[-keep_versions:])
     live: set[str] = set()
-    for v in keep:
+    ever_committed: set[str] = set()
+    for v in versions:
         try:
             doc = json.loads(
                 _manifest_read_text(
@@ -964,17 +1057,25 @@ def vacuum_manifested(
                     Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json"),
                 )
             )
-            live.update(f["path"] for f in doc["files"])
         except Exception:
             continue
+        ever_committed.update(f["path"] for f in doc["files"])
+        if v in keep:
+            live.update(f["path"] for f in doc["files"])
+    cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
     deleted_files = 0
+    skipped_in_flight = 0
     for st in _list_data_files(fs, root):
         rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
         if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")):
             continue
-        if rel not in live:
-            fs.delete(st.getPath(), False)
-            deleted_files += 1
+        if rel in live:
+            continue
+        if rel not in ever_committed and st.getModificationTime() > cutoff_ms:
+            skipped_in_flight += 1  # possibly an uncommitted in-flight write
+            continue
+        fs.delete(st.getPath(), False)
+        deleted_files += 1
     deleted_manifests = 0
     for v in versions:
         if v not in keep:
@@ -984,10 +1085,15 @@ def vacuum_manifested(
             deleted_manifests += 1
     staging = Path(f"{root_str}/_staging")
     if fs.exists(staging):
-        fs.delete(staging, True)
+        for st in fs.listStatus(staging):
+            if st.getModificationTime() > cutoff_ms:
+                skipped_in_flight += 1  # a writer still staging
+                continue
+            fs.delete(st.getPath(), True)
     return {
         "deleted_files": deleted_files,
         "deleted_manifests": deleted_manifests,
+        "skipped_in_flight": skipped_in_flight,
     }
 
 
@@ -1019,3 +1125,127 @@ def optimize_manifested(
         spark, path, target_bytes=target_bytes,
         min_files_to_compact=1, _plan_fn=plan,
     )
+
+
+def maintain(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 4,
+    optimize_cols: list[str] | None = None,
+    curve: str = "hilbert",
+    keep_versions: int = 2,
+    orphan_grace_seconds: float = 1800.0,
+    max_age: "pd.Timedelta | str | None" = None,
+    time_col: str = "time",
+    dry_run: bool = False,
+) -> dict:
+    """ONE housekeeping entry point for a manifest-committed store — the
+    scheduled-job analog of the reference's operational polling + cleanup
+    loop (`detect_fights_all_epochs.py` run-forever maintenance): in
+    order, (1) small-file compaction — or the OPTIMIZE-ZORDER rewrite
+    when ``optimize_cols`` is given, (2) retention expiry of rows older
+    than ``max_age`` on ``time_col`` (skipped when ``max_age`` is None),
+    (3) vacuum with the in-flight-writer grace fence. Every step uses the
+    manifest commit path, so the whole job composes with concurrent
+    writers and readers keep snapshot isolation throughout.
+
+    ``dry_run=True`` mutates NOTHING and returns the report a real run
+    would act on: per-leaf file counts/bytes and which leaves are
+    compaction-eligible, the rows/files the retention step would expire,
+    and the files/manifests vacuum would reclaim (honoring the same
+    grace fence). Returns {"dry_run", "compact"|"optimize", "retention",
+    "vacuum"}."""
+    import time
+
+    report: dict = {"dry_run": dry_run}
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"maintain: no manifest under {path}")
+
+    if dry_run:
+        by_leaf: dict[str, list[int]] = {}
+        for f in head["files"]:
+            leaf = f["path"].rsplit("/", 1)[0] if "/" in f["path"] else ""
+            by_leaf.setdefault(leaf, []).append(f["bytes"])
+        eligible = {
+            leaf: {"files": len(bs), "bytes": sum(bs)}
+            for leaf, bs in sorted(by_leaf.items())
+            if len(bs) >= (1 if optimize_cols else min_files_to_compact)
+        }
+        report["compact" if optimize_cols is None else "optimize"] = {
+            "leaves": len(by_leaf),
+            "eligible_leaves": eligible,
+            "files": sum(len(bs) for bs in by_leaf.values()),
+        }
+        if max_age is not None:
+            cutoff = pd.Timestamp.now() - pd.Timedelta(max_age)
+            expired = (
+                read_manifested(spark, path)
+                .where(F.col(time_col) < F.lit(cutoff))
+                .count()
+            )
+            report["retention"] = {"rows_expired": int(expired),
+                                   "cutoff": str(cutoff)}
+        else:
+            report["retention"] = None
+        # vacuum preview: same candidate walk as the real pass, no deletes
+        versions = _manifest_versions(fs, Path, root_str)
+        keep = set(versions[-keep_versions:])
+        live: set[str] = set()
+        ever: set[str] = set()
+        for v in versions:
+            try:
+                doc = json.loads(_manifest_read_text(
+                    spark, fs,
+                    Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json")))
+            except Exception:
+                continue
+            ever.update(f["path"] for f in doc["files"])
+            if v in keep:
+                live.update(f["path"] for f in doc["files"])
+        cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
+        would_delete = would_skip = 0
+        for st in _list_data_files(fs, root):
+            rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+            if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")) or rel in live:
+                continue
+            if rel not in ever and st.getModificationTime() > cutoff_ms:
+                would_skip += 1
+            else:
+                would_delete += 1
+        report["vacuum"] = {
+            "would_delete_files": would_delete,
+            "would_skip_in_flight": would_skip,
+            "would_delete_manifests": len(versions) - len(keep),
+        }
+        return report
+
+    if optimize_cols is not None:
+        report["optimize"] = optimize_manifested(
+            spark, path, optimize_cols, curve=curve, target_bytes=target_bytes
+        )
+    else:
+        report["compact"] = compact_manifested(
+            spark, path, target_bytes=target_bytes,
+            min_files_to_compact=min_files_to_compact,
+        )
+    if max_age is not None:
+        cutoff = pd.Timestamp.now() - pd.Timedelta(max_age)
+        kept = read_manifested(spark, path).where(
+            F.col(time_col) >= F.lit(cutoff)
+        )
+        before = read_manifested(spark, path).count()
+        write_manifested(spark, kept, path, replace="all")
+        after = read_manifested(spark, path).count()
+        report["retention"] = {"rows_expired": int(before - after),
+                               "cutoff": str(cutoff)}
+    else:
+        report["retention"] = None
+    report["vacuum"] = vacuum_manifested(
+        spark, path, keep_versions=keep_versions,
+        orphan_grace_seconds=orphan_grace_seconds,
+    )
+    return report
