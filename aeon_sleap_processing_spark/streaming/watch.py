@@ -227,13 +227,35 @@ def stream_append_compacted(
     target_bytes: int = 128 * 1024 * 1024,
     max_segments: int = 8,
     trigger: dict | None = None,
+    commit: str = "manifest",
 ) -> StreamingQuery:
     """Parquet append sink with BUILT-IN small-file compaction — the watch
     loop no longer accumulates one small file per micro-batch forever
     (the r7 compactor existed but was standalone; this wires it into the
     stream on a batch-count cadence).
 
-    Two-tier layout, exactly-once across restarts:
+    ``commit="manifest"`` (the r11 default — engine-created stores use the
+    multi-writer-safe protocol by default): every micro-batch lands as ONE
+    atomic :func:`~..sources.sinks.write_manifested` commit of flat
+    ``b<batch_id>-data-*.parquet`` files whose replay (crash after write,
+    before checkpoint commit) drops its own earlier attempt via the
+    ``b<batch_id>-`` remove-prefix — exactly-once without batch-id dirs.
+    Every ``compact_every`` batches, :func:`_fold_manifested` rewrites all
+    committed-by-construction files (``b<j>-`` with j < current batch, plus
+    prior ``seg-`` outputs) into ~``target_bytes`` ``seg-`` files and swaps
+    them in with ONE CAS commit, so — unlike the listing layout below —
+    readers keep SNAPSHOT ISOLATION through the fold (the r≤10 documented
+    transient-double-read tradeoff is gone), and a concurrent external
+    :func:`write_manifested` append composes via the CAS rebuild instead of
+    being lost or skipped. Old files stay for pinned readers until
+    :func:`~..sources.sinks.vacuum_manifested` (run it on the maintenance
+    cadence; its in-flight grace fence keeps it safe beside the stream).
+    ``max_segments`` is moot here — every fold already absorbs prior
+    ``seg-`` files, and boundedness comes from the manifest, not dir
+    counts.
+
+    ``commit="listing"`` keeps the r≤10 two-tier directory layout,
+    exactly-once across restarts:
 
     - ``out_path/ingest/batch=<id>``: each micro-batch written with
       OVERWRITE into its own batch-id dir, so a replayed batch (crash
@@ -259,29 +281,112 @@ def stream_append_compacted(
     row in both the new segment and a not-yet-deleted source (no
     snapshot isolation without a manifest table format — documented
     tradeoff; folds are idempotent so the store always converges).
-    Read the store with :func:`read_compacted_store` (the two tiers have
-    different partition dir names, so a naive root read would trip
-    partition inference). All directory ops go through the Hadoop
-    FileSystem API — local/HDFS/S3A alike."""
+    Read the store with :func:`read_compacted_store` (it auto-detects the
+    protocol; under listing the two tiers have different partition dir
+    names, so a naive root read would trip partition inference). All
+    directory ops go through the Hadoop FileSystem API — local/HDFS/S3A
+    alike."""
+    if commit not in ("manifest", "listing"):
+        raise ValueError(f"unknown commit protocol {commit!r}")
     spark = stream.sparkSession
     ingest = out_path.rstrip("/") + "/ingest"
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.write.mode("overwrite")
-            .parquet(f"{ingest}/batch={batch_id}")
-        )
-        if compact_every > 0 and batch_id > 0 and batch_id % compact_every == 0:
-            _fold_compacted(
-                spark, out_path, batch_id, compact_every,
-                target_bytes, max_segments,
+        if commit == "manifest":
+            from ..sources.sinks import write_manifested
+
+            write_manifested(
+                spark, batch_df, out_path,
+                filename_prefix=f"b{batch_id}-",
+                remove_prefixes=[f"b{batch_id}-"],  # replay drops its own retry
             )
+        else:
+            (
+                batch_df.write.mode("overwrite")
+                .parquet(f"{ingest}/batch={batch_id}")
+            )
+        if compact_every > 0 and batch_id > 0 and batch_id % compact_every == 0:
+            if commit == "manifest":
+                _fold_manifested(spark, out_path, batch_id, target_bytes)
+            else:
+                _fold_compacted(
+                    spark, out_path, batch_id, compact_every,
+                    target_bytes, max_segments,
+                )
 
     return (
         stream.writeStream.foreachBatch(_process)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
+    )
+
+
+def _fold_manifested(
+    spark: SparkSession,
+    out_path: str,
+    batch_id: int,
+    target_bytes: int,
+    _before_commit=None,
+) -> None:
+    """The fold step of :func:`stream_append_compacted` under the manifest
+    protocol: rewrite every head file from a STRICTLY-EARLIER batch
+    (``b<j>-`` with j < ``batch_id`` — earlier ⇒ its micro-batch is
+    checkpoint-committed, never replayed) plus every prior fold output
+    (``seg-`` — committed by definition) into ~``target_bytes`` ``seg-``
+    files, and swap them in with ONE CAS commit. Replay-safe from any
+    crash point: pre-commit crashes leave only invisible staged orphans
+    (vacuum's grace fence reclaims them later), and a re-run recomputes
+    the same fold from the unchanged head. Concurrent appends compose —
+    the remove-set names exactly the files this fold READ, so the CAS
+    rebuild keeps a racing writer's files untouched. ``_before_commit``
+    is the test seam (fires between staging and commit — the window every
+    interleaving bug lives in)."""
+    import math
+    import re
+    import uuid
+
+    from ..sources.sinks import (
+        _canon_uri, _hadoop_fs, _list_data_files, _manifest_head,
+        manifest_commit,
+    )
+
+    fs, Path, root = _hadoop_fs(spark, out_path)
+    root_str = _canon_uri(fs, root)
+    _, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        return
+    committed = re.compile(r"^(?:b(\d+)-|seg-)")
+    sources = []
+    for f in head["files"]:
+        m = committed.match(f["path"])
+        if not m:
+            continue  # an external append — not this fold's to rewrite
+        if m.group(1) is not None and int(m.group(1)) >= batch_id:
+            continue  # current/replayable batch: leave for a later fold
+        sources.append((f["path"], f["bytes"]))
+    if len(sources) <= 1:
+        return
+    n_out = max(1, math.ceil(sum(b for _, b in sources) / target_bytes))
+    token = uuid.uuid4().hex
+    stage_str = f"{root_str}/_staging/{token}"
+    (
+        spark.read.parquet(*[f"{root_str}/{p}" for p, _ in sources])
+        .repartition(n_out)
+        .write.mode("overwrite")
+        .parquet(stage_str)
+    )
+    adds = []
+    for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
+        rel = f"seg-{token}-{i:05d}.parquet"
+        if not fs.rename(st.getPath(), Path(f"{root_str}/{rel}")):
+            raise IOError(f"_fold_manifested: rename failed for {rel}")
+        adds.append((rel, st.getLen()))
+    fs.delete(Path(stage_str), True)
+    if _before_commit is not None:
+        _before_commit()
+    manifest_commit(
+        spark, out_path, add=adds, remove=[p for p, _ in sources]
     )
 
 
@@ -365,9 +470,15 @@ def _fold_compacted(
 
 
 def read_compacted_store(spark: SparkSession, out_path: str) -> DataFrame:
-    """Union view over both tiers of a :func:`stream_append_compacted`
-    store (missing tiers contribute nothing)."""
-    from ..sources.sinks import _hadoop_fs
+    """Snapshot view over a :func:`stream_append_compacted` store. Auto-
+    detects the protocol: a manifest-committed store resolves ONE
+    consistent snapshot from the manifest head (immune to a concurrent
+    fold — snapshot isolation); a listing store unions both tiers
+    (missing tiers contribute nothing)."""
+    from ..sources.sinks import _hadoop_fs, is_manifested, read_manifested
+
+    if is_manifested(spark, out_path):
+        return read_manifested(spark, out_path)
 
     fs, Path, _ = _hadoop_fs(spark, out_path)
     parts = []

@@ -19,7 +19,10 @@ def _data_files(root):
 
 
 class TestStreamAppendCompacted:
-    def _run(self, spark, src, out, ckpt, max_segments=8):
+    # the layout-pinning tests below exercise the r≤10 LISTING protocol's
+    # two-tier internals explicitly; the manifest protocol (r11 default)
+    # has its own class underneath
+    def _run(self, spark, src, out, ckpt, max_segments=8, commit="listing"):
         stream = (
             spark.readStream.schema("id long")
             .option("maxFilesPerTrigger", 1)
@@ -28,6 +31,7 @@ class TestStreamAppendCompacted:
         q = stream_append_compacted(
             stream, out, ckpt, compact_every=3,
             target_bytes=64 * 1024 * 1024, max_segments=max_segments,
+            commit=commit,
         )
         q.awaitTermination(120)
 
@@ -145,3 +149,168 @@ class TestStreamAppendCompacted:
         assert after == list(range(70))
         assert not glob.glob(os.path.join(out, "compacted", "seg=3"))
         assert glob.glob(os.path.join(out, "compacted", "seg=6"))
+
+class TestStreamAppendManifest:
+    """r11: the streaming sink through the manifest commit protocol (the
+    new default) — restart-cycle exactly-once, bounded flat layout, fold
+    snapshot isolation, and writer/fold interleaving with zero loss."""
+
+    def _run(self, spark, src, out, ckpt):
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_append_compacted(
+            stream, out, ckpt, compact_every=3,
+            target_bytes=64 * 1024 * 1024,
+        )
+        q.awaitTermination(120)
+
+    def test_restart_cycles_exactly_once_and_bounded(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in range(7):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        self._run(spark, src, out, ckpt)
+        assert sorted(
+            r.id for r in read_compacted_store(spark, out).collect()
+        ) == list(range(70))
+        # restart cycle: same checkpoint, 5 new source files — batch ids
+        # continue, nothing replays, folds keep absorbing
+        for i in range(7, 12):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        self._run(spark, src, out, ckpt)
+        assert sorted(
+            r.id for r in read_compacted_store(spark, out).collect()
+        ) == list(range(120))
+        # LIVE file set (manifest head) is bounded: folds absorbed the
+        # earlier batches; old files may linger for pinned readers until
+        # vacuum, but the snapshot itself stays small
+        import json as _json
+
+        head = _json.load(
+            open(sorted(glob.glob(f"{out}/_manifests/*.json"))[-1])
+        )
+        assert len(head["files"]) < 12, head["files"]
+        assert all(
+            f["path"].startswith(("b", "seg-")) and "/" not in f["path"]
+            for f in head["files"]
+        )
+
+    def test_batch_replay_drops_its_own_retry(self, spark, tmp_path):
+        """Crash after the batch's manifest commit but before the stream
+        checkpoint commit ⇒ the batch replays: the b<id>- remove-prefix
+        must drop the first attempt's files in the same commit, keeping
+        rows exactly-once."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+
+        out = str(tmp_path / "store")
+        df = spark.range(0, 25)
+        write_manifested(
+            spark, df, out, filename_prefix="b4-", remove_prefixes=["b4-"]
+        )
+        write_manifested(  # the replay
+            spark, df, out, filename_prefix="b4-", remove_prefixes=["b4-"]
+        )
+        assert sorted(
+            r.id for r in read_manifested(spark, out).collect()
+        ) == list(range(25))
+
+    def test_fold_composes_with_concurrent_append(self, spark, tmp_path):
+        """An external write_manifested landing INSIDE the fold's
+        stage→commit window (the _before_commit seam): the fold's CAS
+        retry must rebuild on the writer's head — zero loss, zero
+        double-reads, and the appended rows survive the fold's commit."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+        from aeon_sleap_processing_spark.streaming.watch import (
+            _fold_manifested,
+        )
+
+        out = str(tmp_path / "store")
+        for b in range(3):
+            write_manifested(
+                spark, spark.range(b * 10, (b + 1) * 10), out,
+                filename_prefix=f"b{b}-", remove_prefixes=[f"b{b}-"],
+            )
+
+        def racing_append():
+            write_manifested(
+                spark, spark.range(500, 510).coalesce(1), out,
+                filename_prefix="b3-", remove_prefixes=["b3-"],
+            )
+
+        _fold_manifested(
+            spark, out, batch_id=3, target_bytes=64 * 1024 * 1024,
+            _before_commit=racing_append,
+        )
+        got = sorted(r.id for r in read_manifested(spark, out).collect())
+        assert got == list(range(30)) + list(range(500, 510))
+        # the fold really ran: b0..b2 replaced by seg- files, b3 untouched
+        import json as _json
+
+        head = _json.load(
+            open(sorted(glob.glob(f"{out}/_manifests/*.json"))[-1])
+        )
+        names = [f["path"] for f in head["files"]]
+        assert any(p.startswith("seg-") for p in names)
+        assert not any(p.startswith(("b0-", "b1-", "b2-")) for p in names)
+        assert any(p.startswith("b3-") for p in names)
+
+    def test_fold_crash_before_commit_is_invisible_and_replayable(
+        self, spark, tmp_path
+    ):
+        """Crash between the fold's seg-file renames and its commit: the
+        seg orphans are invisible to readers; the replayed fold re-runs
+        from the unchanged head and converges; vacuum(grace=0) reclaims
+        the orphaned first attempt."""
+        import pytest
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, vacuum_manifested, write_manifested,
+        )
+        from aeon_sleap_processing_spark.streaming.watch import (
+            _fold_manifested,
+        )
+
+        out = str(tmp_path / "store")
+        for b in range(3):
+            write_manifested(
+                spark, spark.range(b * 10, (b + 1) * 10), out,
+                filename_prefix=f"b{b}-", remove_prefixes=[f"b{b}-"],
+            )
+
+        class Crash(RuntimeError):
+            pass
+
+        def boom():
+            raise Crash()
+
+        with pytest.raises(Crash):
+            _fold_manifested(
+                spark, out, batch_id=3, target_bytes=64 * 1024 * 1024,
+                _before_commit=boom,
+            )
+        assert sorted(
+            r.id for r in read_manifested(spark, out).collect()
+        ) == list(range(30))
+        _fold_manifested(spark, out, batch_id=3, target_bytes=64 * 1024 * 1024)
+        assert sorted(
+            r.id for r in read_manifested(spark, out).collect()
+        ) == list(range(30))
+        res = vacuum_manifested(
+            spark, out, keep_versions=1, orphan_grace_seconds=0
+        )
+        assert res["deleted_files"] >= 1  # the crashed attempt's seg orphans
+        assert sorted(
+            r.id for r in read_manifested(spark, out).collect()
+        ) == list(range(30))
