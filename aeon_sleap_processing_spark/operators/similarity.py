@@ -514,6 +514,7 @@ def ivf_write_clustered(
     vec_col: str = "embedding",
     files_per_cell: int = 1,
     codebooks: list[list[list[float]]] | None = None,
+    commit: str = "manifest",
 ) -> None:
     """Materialize the corpus in CLUSTER-BY-CELL layout: one Hive
     partition directory per IVF cell (argmax inner product against the
@@ -543,7 +544,14 @@ def ivf_write_clustered(
     the IVF-PQ deployment layout: codes are encoded once at write time
     (never per query), ADC scans read only (id, codes) via parquet
     column pruning, and the raw vector column is touched exclusively by
-    the exact refine. See :func:`knn_ivf_pq_clustered`."""
+    the exact refine. See :func:`knn_ivf_pq_clustered`.
+
+    ``commit="manifest"`` (the r11 default): the whole clustered layout
+    lands as ONE atomic manifest commit (full-store replace), so a
+    re-cluster composes with concurrent readers (snapshot isolation) and
+    probe-time pruning becomes a MANIFEST-SIDE prefix filter on
+    ``cell=<c>/`` — no directory listing at all; ``"listing"`` keeps the
+    plain dynamic-overwrite layout. Readers auto-detect either."""
     cell1 = _probe_udf(np.asarray(centroids, dtype=np.float64), 1)
     cols = [
         F.col(id_col),
@@ -564,11 +572,37 @@ def ivf_write_clustered(
             F.col("cell"),
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
         )
+    if commit == "manifest":
+        from ..sources.sinks import write_manifested
+
+        write_manifested(
+            corpus.sparkSession, assigned, path,
+            partition_by=["cell"], replace="all",
+        )
+        return
+    if commit != "listing":
+        raise ValueError(f"unknown commit protocol {commit!r}")
     (
         assigned.write.partitionBy("cell")
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def _read_clustered(spark, path: str, probed: list[int]) -> DataFrame:
+    """Scan of an :func:`ivf_write_clustered` store restricted to the
+    ``probed`` cells. Manifest-committed stores prune the file set
+    DRIVER-SIDE from the manifest head (an O(head) prefix filter — no
+    directory listing, and a concurrent re-cluster can't tear the read);
+    listing stores rely on Catalyst partition pruning from the ``isin``
+    filter the callers apply. Both return the same columns."""
+    from ..sources.sinks import is_manifested, read_manifested
+
+    if is_manifested(spark, path):
+        return read_manifested(
+            spark, path, prefixes=[f"cell={c}/" for c in probed]
+        )
+    return spark.read.parquet(path)
 
 
 def knn_ivf_clustered(
@@ -604,8 +638,8 @@ def knn_ivf_clustered(
     # bounded collect: one int per (query, probe); ANN queries are a batch
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
     c = (
-        spark.read.parquet(path)
-        .where(F.col("cell").isin(probed))  # partition pruning
+        _read_clustered(spark, path, probed)
+        .where(F.col("cell").isin(probed))  # partition pruning (residual on manifest)
         .select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cvec"),
@@ -966,7 +1000,7 @@ def knn_ivf_pq_clustered(
     ).localCheckpoint(eager=True)
     # bounded collect: one int per (query, probe); ANN queries are a batch
     probed = sorted({r["cell"] for r in q.select("cell").distinct().collect()})
-    store = spark.read.parquet(path)
+    store = _read_clustered(spark, path, probed)
     # decode right after the (column-pruned) scan: once per stored row,
     # not once per (query, neighbor) collision
     codes_scan = store.where(F.col("cell").isin(probed)).select(

@@ -44,6 +44,7 @@ __all__ = [
     "vacuum_manifested",
     "is_manifested",
     "maintain",
+    "ManifestConflict",
 ]
 
 # engine-internal → reference CSV header names (`social_behaviour_detection.py:733-757`)
@@ -718,6 +719,15 @@ def _manifest_head(spark, fs, Path, root_str: str):
     return -1, None, next_slot
 
 
+class ManifestConflict(RuntimeError):
+    """A rewrite commit's read snapshot was invalidated: some file it
+    rewrote was removed/replaced by a concurrent commit. The rewrite's
+    output is stale — committing it would RESURRECT replaced rows — so
+    the caller must discard it (the files stay invisible orphans for
+    vacuum) and retry from the new head if still worthwhile. Appends
+    never see this; it is the Delta/Iceberg rewrite-validation rule."""
+
+
 def manifest_commit(
     spark: SparkSession,
     path: str,
@@ -725,6 +735,7 @@ def manifest_commit(
     remove: list[str] = (),
     remove_prefixes: list[str] = (),
     max_retries: int = 50,
+    require_remove_present: bool = False,
 ) -> int:
     """Atomically commit a file-set change to the manifest log: the new
     head = newest parseable head minus ``remove`` (relative paths) minus
@@ -740,7 +751,14 @@ def manifest_commit(
     stays correct even when a racing writer appended to chunk X between
     our build and our commit (the racer's files are under the prefix and
     are replaced, exactly the last-writer-wins contract of a partition
-    overwrite). Returns the committed version number."""
+    overwrite).
+
+    ``require_remove_present=True`` is for REWRITE commits (compaction,
+    optimize, the streaming fold): if any path in ``remove`` is already
+    gone from the head at commit time, a concurrent commit replaced a
+    file this rewrite read — its staged output would resurrect replaced
+    rows — so :class:`ManifestConflict` is raised instead of committing.
+    Returns the committed version number."""
     import uuid
 
     fs, Path, root = _hadoop_fs(spark, path)
@@ -754,6 +772,14 @@ def manifest_commit(
         # corrupt corpse must be slotted over, not retried into forever
         head_v, head, next_v = _manifest_head(spark, fs, Path, root_str)
         cur = {f["path"]: f["bytes"] for f in (head["files"] if head else [])}
+        if require_remove_present:
+            gone = sorted(drop - set(cur))
+            if gone:
+                raise ManifestConflict(
+                    f"rewrite under {path} is stale: {len(gone)} of its "
+                    f"source files were replaced by a concurrent commit "
+                    f"(e.g. {gone[0]!r}) — discarding the rewrite"
+                )
         nxt = {
             p: b
             for p, b in cur.items()
@@ -1004,7 +1030,22 @@ def compact_manifested(
         }
     if _before_commit is not None:
         _before_commit()
-    v = manifest_commit(spark, path, add=adds, remove=removes)
+    try:
+        # rewrite validation: if a concurrent commit replaced any source
+        # file (e.g. a chunk overwrite landed mid-compaction), committing
+        # the fold would resurrect the replaced rows — abort instead; the
+        # staged files stay invisible orphans for vacuum, and the next
+        # maintenance pass compacts the new head
+        v = manifest_commit(
+            spark, path, add=adds, remove=removes,
+            require_remove_present=True,
+        )
+    except ManifestConflict:
+        return {
+            "files_before": len(files), "files_after": len(files),
+            "bytes": sum(b for _, b in files), "compacted": False,
+            "version": head_v, "conflict": True,
+        }
     _, new_head, _ = _manifest_head(spark, fs, Path, root_str)
     return {
         "files_before": len(files),

@@ -385,9 +385,19 @@ def _fold_manifested(
     fs.delete(Path(stage_str), True)
     if _before_commit is not None:
         _before_commit()
-    manifest_commit(
-        spark, out_path, add=adds, remove=[p for p, _ in sources]
-    )
+    from ..sources.sinks import ManifestConflict
+
+    try:
+        # rewrite validation: a concurrent commit replacing one of the
+        # fold's sources (external chunk-replace tooling, say) makes this
+        # fold stale — drop it (staged segs stay invisible orphans for
+        # vacuum) and let the next fold cadence redo it from the new head
+        manifest_commit(
+            spark, out_path, add=adds, remove=[p for p, _ in sources],
+            require_remove_present=True,
+        )
+    except ManifestConflict:
+        return
 
 
 def _fold_compacted(

@@ -168,3 +168,93 @@ class TestOrcChunkStore:
         df = spark.createDataFrame(pd.DataFrame({"time": [pd.Timestamp("2024-01-01")], "v": [1]}))
         with pytest.raises(ValueError, match="unsupported"):
             write_chunked(df, "/tmp/x", "CameraTop", 202, file_format="avro")
+
+
+class TestChunkStoreManifestContention:
+    """r11 done-criterion: interleaved writer + compactor + reader on the
+    CHUNK store itself (not just the standalone manifest store) — zero
+    loss, zero double-reads, snapshot-isolated reads."""
+
+    def test_concurrent_chunk_writers_compose(self, spark, tmp_path):
+        """4 threads each writing a DIFFERENT hour chunk of the same
+        camera, racing a compactor: every row lands exactly once."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            list_chunks, load_chunked, write_chunked,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import (
+            compact_manifested, is_manifested,
+        )
+
+        root = str(tmp_path / "store")
+
+        def write_hour(h):
+            pdf = pd.DataFrame({
+                "time": pd.date_range(
+                    f"2024-03-01 {h:02d}:00", periods=50, freq="10s"
+                ),
+                "v": range(h * 1000, h * 1000 + 50),
+            })
+            write_chunked(
+                spark.createDataFrame(pdf), root, "CameraTop", 200
+            )
+
+        with ThreadPoolExecutor(4) as ex:
+            list(ex.map(write_hour, range(4)))
+            fut = ex.submit(compact_manifested, spark, root, 1 << 20, 2)
+            fut.result()
+        assert is_manifested(spark, root)
+        got = load_chunked(spark, root, 200, "CameraTop").toPandas()
+        assert sorted(got["v"]) == sorted(
+            v for h in range(4) for v in range(h * 1000, h * 1000 + 50)
+        )
+        assert list_chunks(spark, root, 200, "CameraTop") == [
+            f"2024-03-01T{h:02d}-00-00" for h in range(4)
+        ]
+
+    def test_chunk_replace_races_compactor_last_writer_wins(
+        self, spark, tmp_path
+    ):
+        """A chunk REWRITE landing inside the compactor's stage→commit
+        window: the compactor's CAS rebuild must not resurrect the
+        replaced files — the rewrite's rows win, exactly once."""
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            load_chunked, write_chunked,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import (
+            compact_manifested,
+        )
+
+        root = str(tmp_path / "store")
+
+        def mk(v0):
+            return spark.createDataFrame(pd.DataFrame({
+                "time": pd.date_range("2024-03-01 10:00", periods=40, freq="10s"),
+                "v": range(v0, v0 + 40),
+            }))
+
+        # several small appends into ONE chunk -> compactable leaf
+        write_chunked(mk(0), root, "CameraTop", 200)
+        write_chunked(mk(100), root, "CameraTop", 200, mode="append")
+        write_chunked(mk(200), root, "CameraTop", 200, mode="append")
+
+        def racing_replace():
+            write_chunked(mk(9000), root, "CameraTop", 200)  # overwrite chunk
+
+        res = compact_manifested(
+            spark, root, target_bytes=1 << 20, min_files_to_compact=2,
+            _before_commit=racing_replace,
+        )
+        # the replace invalidated the compactor's read snapshot: rewrite
+        # validation must ABORT the fold (conflict), never commit staged
+        # output that would resurrect the replaced chunk's old rows
+        assert res.get("conflict") is True and not res["compacted"], res
+        got = load_chunked(spark, root, 200, "CameraTop").toPandas()
+        assert sorted(got["v"]) == list(range(9000, 9040)), (
+            "stale fold resurrected replaced rows"
+        )

@@ -227,3 +227,74 @@ def test_concurrent_write_manifested_all_rows_exactly_once(spark, tmp_path):
     assert _ids(read_manifested(spark, path)) == list(range(800))
     vacuum_manifested(spark, path, keep_versions=1)
     assert _ids(read_manifested(spark, path)) == list(range(800))
+
+
+class TestVacuumInFlightFence:
+    """r11: vacuum's orphan grace window — a slow writer's renamed-in but
+    not-yet-committed files must survive a routine vacuum (the
+    Delta/Iceberg staging-mtime convention)."""
+
+    def test_vacuum_interleaved_with_slow_writer(self, spark, tmp_path):
+        """Interleave: writer stages + renames in → VACUUM runs → writer
+        commits. With the default grace the commit must land intact; with
+        grace=0 the same vacuum would have eaten the files (pinned)."""
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 10), path)
+
+        # -- slow writer, step 1+2: stage and rename in (write_manifested
+        # decomposed so the vacuum can land exactly in the commit gap)
+        import glob
+        import shutil
+
+        stage = f"{path}/_staging/slowtoken"
+        spark.range(100, 110).coalesce(1).write.parquet(stage)
+        part = [
+            f for f in glob.glob(f"{stage}/*.parquet")
+            if not f.split("/")[-1].startswith(("_", "."))
+        ][0]
+        rel = "data-slowtoken-00000.parquet"
+        nbytes = __import__("os").path.getsize(part)
+        shutil.move(part, f"{path}/{rel}")
+
+        # -- routine vacuum lands in the gap: must skip the young orphan
+        # AND the young staging dir
+        res = vacuum_manifested(spark, path, keep_versions=1)
+        assert res["skipped_in_flight"] >= 1, res
+        assert __import__("os").path.exists(f"{path}/{rel}")
+
+        # -- writer finishes: commit succeeds, rows intact
+        manifest_commit(spark, path, add=[(rel, nbytes)])
+        assert _ids(read_manifested(spark, path)) == list(range(10)) + list(
+            range(100, 110)
+        )
+
+        # pinned contrast: with the fence off, the same in-flight state
+        # would have been reclaimed (fresh uncommitted file + grace=0)
+        spark.range(999, 1000).coalesce(1).write.mode("append").parquet(path)
+        res0 = vacuum_manifested(
+            spark, path, keep_versions=1, orphan_grace_seconds=0
+        )
+        assert res0["deleted_files"] >= 1
+        assert _ids(read_manifested(spark, path)) == list(range(10)) + list(
+            range(100, 110)
+        )
+
+    def test_old_orphans_reclaimed_after_grace(self, spark, tmp_path):
+        """Crash debris older than the grace is reclaimed even though it
+        was never committed (mtime back-dated to simulate age)."""
+        import os
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 10), path)
+        spark.range(50, 60).coalesce(1).write.mode("append").parquet(path)
+        old = __import__("time").time() - 7200
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                os.utime(os.path.join(path, f), (old, old))
+        # files committed in the manifest are LIVE regardless of mtime;
+        # only the never-committed debris goes
+        res = vacuum_manifested(
+            spark, path, keep_versions=1, orphan_grace_seconds=1800
+        )
+        assert res["deleted_files"] == 1, res
+        assert _ids(read_manifested(spark, path)) == list(range(10))
