@@ -393,13 +393,71 @@ def knn_ivf(
     return _cell_rerank(c, q, k)
 
 
+def lsh_planes_for(
+    n_rows: int,
+    dim: int,
+    threshold: float = 0.95,
+    target_recall: float = 0.95,
+    margin: int = 2,
+    max_tables: int = 64,
+    seed: int = 0,
+) -> tuple[list[list[float]], int]:
+    """Size a sign-LSH plan from the corpus — the r10 second-decade
+    scaling law as CODE instead of a docstring rule
+    (bench_runs_r10/neardup_threshold_100x.json):
+
+    - ``planes_per_table b = ceil(log2(n_rows)) + margin``: random
+      near-orthogonal pairs collide per table w.p. ~2^-b, so the
+      random-candidate floor T·2^-b·n(n-1)/2 — QUADRATIC in n at fixed
+      b — stays a bounded multiple (~T/2^(margin+1)) of n. The measured
+      anchor this reproduces: n=200k at fixed b=16 went 18x/decade; b=20
+      (= ceil(log2(200000)) + 2) restored 5.48 s at recall 1.0.
+    - ``n_tables T`` from the amplification identity: a true pair at
+      cosine ≥ ``threshold`` collides per table w.p. p^b for
+      p = 1 - arccos(threshold)/pi, so T = ceil(ln(1-target_recall) /
+      ln(1-p^b)) tables give OR-amplified recall ≥ ``target_recall``
+      (capped at ``max_tables`` — if the cap binds, the achievable
+      recall is 1-(1-p^b)^max_tables; tighten ``threshold`` or accept).
+
+    Returns ``(hyperplanes, n_tables)`` ready for
+    :func:`embedding_near_dups` / :func:`semantic_dedup` /
+    ``stream_semantic_dedup`` — the planes list is ``T*b`` rows of
+    ``dim`` (split back into tables by :func:`_split_tables`), generated
+    from ``seed`` so plans are reproducible across runs and engines."""
+    import math
+
+    if n_rows < 1:
+        raise ValueError(f"n_rows must be >= 1, got {n_rows}")
+    if not -1.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be a cosine in [-1, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    b = max(4, math.ceil(math.log2(max(n_rows, 2))) + margin)
+    p = 1.0 - math.acos(threshold) / math.pi
+    hit = p**b
+    if hit >= 1.0:
+        n_tables = 1
+    else:
+        n_tables = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+        n_tables = min(max(n_tables, 1), max_tables)
+    planes = (
+        np.random.default_rng(seed)
+        .standard_normal((n_tables * b, dim))
+        .tolist()
+    )
+    return planes, n_tables
+
+
 def embedding_near_dups(
     corpus: DataFrame,
-    hyperplanes: list[list[float]],
+    hyperplanes: list[list[float]] | None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    auto_bands: bool = False,
+    target_recall: float = 0.95,
+    seed: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of MinHash
     dedup): candidate pairs come from shared sign-LSH buckets (never an
@@ -423,7 +481,13 @@ def embedding_near_dups(
     floor stays a fixed fraction of n (at cosine ≥ 0.99 the true-pair
     per-table collision p^b degrades gently — p=0.9955 gives p^20=0.91,
     six tables miss 4e-7). Committed two-decade numbers:
-    bench_runs_r10/neardup_threshold_100x.json.
+    bench_runs_r10/neardup_threshold_100x.json. The law is CODE, not
+    prose: :func:`lsh_planes_for` sizes (planes, tables) from
+    (n_rows, threshold, target_recall), and ``auto_bands=True`` applies
+    it here directly — the corpus is counted once, ``dim`` read from the
+    first vector, and ``hyperplanes``/``n_tables`` arguments ignored in
+    favor of the sized plan. Deployments with a pinned plan (the driver
+    queries) keep passing explicit planes.
 
     VERIFY-LAST ORDER (the r9 scale-ramp finding): amplified candidates
     are deduped to UNIQUE (id_a, id_b) pairs BEFORE the exact-cosine
@@ -452,6 +516,21 @@ def embedding_near_dups(
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
+    if auto_bands:
+        # one count + one first() — O(1) driver work against any corpus
+        # size; both run on the null-filtered view the plan will hash
+        n_rows = corpus.count()
+        if n_rows == 0:
+            raise ValueError(
+                "auto_bands: corpus has no non-null embeddings to size a plan from"
+            )
+        dim = len(corpus.select(vec_col).first()[0])
+        hyperplanes, n_tables = lsh_planes_for(
+            n_rows, dim, threshold=threshold,
+            target_recall=target_recall, seed=seed,
+        )
+    elif hyperplanes is None:
+        raise ValueError("pass hyperplanes or set auto_bands=True")
     bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
     if n_tables == 1:
         # single table: a pair can collide at most once — verify inline
@@ -1193,11 +1272,14 @@ def neardup_pairs_bruteforce(
 
 def semantic_dedup(
     corpus: DataFrame,
-    hyperplanes: list[list[float]],
+    hyperplanes: list[list[float]] | None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    auto_bands: bool = False,
+    target_recall: float = 0.95,
+    seed: int = 0,
 ) -> DataFrame:
     """Embedding-space near-duplicate CLUSTERING — the semantic analog of
     MinHash ``dedup_clusters``: sign-LSH-bucketed cosine pairs at
@@ -1214,11 +1296,13 @@ def semantic_dedup(
     the candidate generator exactly as in :func:`embedding_near_dups` —
     a missed pair here silently leaves a duplicate in the "deduplicated"
     corpus, so production passes should amplify and audit recall
-    (q_neardup_recall's pattern)."""
+    (q_neardup_recall's pattern) — or pass ``auto_bands=True`` to size
+    (planes, tables) from the corpus via :func:`lsh_planes_for`."""
     from .graph import connected_components
 
     pairs = embedding_near_dups(
-        corpus, hyperplanes, threshold, id_col, vec_col, n_tables
+        corpus, hyperplanes, threshold, id_col, vec_col, n_tables,
+        auto_bands=auto_bands, target_recall=target_recall, seed=seed,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

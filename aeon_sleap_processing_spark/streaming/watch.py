@@ -704,8 +704,13 @@ def stream_semantic_dedup(
     7.9/8.9/10.6 s; the bucketed tax is ~5 s of fixed per-batch work,
     so the crossover is ~300k stored vectors — pass 0 only for small
     BOUNDED corpora. Listing cost grows with the batch-dir count — fold
-    old batch dirs with ``compact_parquet`` offline when micro-batches
-    are small.
+    old batch dirs with :func:`compact_rep_store` on the maintenance
+    cadence when micro-batches are small. Size ``hyperplanes``/
+    ``n_tables`` for the EXPECTED FINAL corpus with
+    ``operators.similarity.lsh_planes_for(expected_rows, dim,
+    threshold)`` — the store only grows, and under-banding shows up as
+    the quadratic random-collision floor of the r10 second-decade
+    measurement.
 
     NULL embeddings (routine at 100 TB) are kept — a null vector has no
     cosine, so it is never anyone's near-dup — but carry NO LSH keys: left

@@ -667,3 +667,124 @@ def test_pq_fit_codebooks_rejects_empty_and_allnull(spark):
         S.pq_fit_codebooks(
             spark.createDataFrame([(1, None)], schema=schema)
         )
+
+
+class TestLshPlanesFor:
+    """r11: the b ≈ log2(n)+margin law as code, pinned to the committed
+    r10 second-decade artifact (bench_runs_r10/neardup_threshold_100x.json)."""
+
+    def test_reproduces_the_200k_artifact_point(self):
+        """The artifact's cure for the 18x/decade blowup was b=20 at
+        n=200k; the helper must reproduce exactly that sizing."""
+        import json
+        import math
+        import os
+
+        from aeon_sleap_processing_spark.operators.similarity import (
+            lsh_planes_for,
+        )
+
+        art = json.load(
+            open(
+                os.path.join(
+                    os.path.dirname(__file__), "..",
+                    "bench_runs_r10", "neardup_threshold_100x.json",
+                )
+            )
+        )
+        n = art["200k"]["n_vectors"]
+        b_fixed = art["planes_per_table"]          # 16: the blowup config
+        b_cured = art["200k"]["near_dups_b20"]["planes_per_table"]  # 20
+        planes, n_tables = lsh_planes_for(
+            n, dim=64, threshold=art["threshold"], target_recall=0.95
+        )
+        b = len(planes) // n_tables
+        assert b == b_cured == math.ceil(math.log2(n)) + 2
+        assert b > b_fixed
+        # the random-collision floor the sizing controls: expected random
+        # candidates PER ROW (T*2^-b*n/2) is bounded by T/4 independent
+        # of n — LINEAR total, the quadratic blowup is gone; at fixed
+        # b=16 the same quantity is 2^4 = 16x worse
+        floor_per_row = n_tables * 2.0 ** (-b) * n / 2
+        assert floor_per_row <= n_tables / 4, floor_per_row
+        planes10, T10 = lsh_planes_for(
+            10 * n, dim=64, threshold=art["threshold"], target_recall=0.95
+        )
+        b10 = len(planes10) // T10
+        assert T10 * 2.0 ** (-b10) * 10 * n / 2 <= T10 / 4  # still bounded at 10x
+
+    def test_tables_sized_by_recall_identity(self):
+        import math
+
+        from aeon_sleap_processing_spark.operators.similarity import (
+            lsh_planes_for,
+        )
+
+        for thr, rec in [(0.9, 0.95), (0.95, 0.9), (0.99, 0.99)]:
+            planes, T = lsh_planes_for(50_000, dim=32, threshold=thr,
+                                       target_recall=rec)
+            b = len(planes) // T
+            p = 1 - math.acos(thr) / math.pi
+            achieved = 1 - (1 - p**b) ** T
+            assert achieved >= rec, (thr, rec, b, T, achieved)
+            # and not absurdly oversized: T-1 tables would miss the target
+            if T > 1:
+                assert 1 - (1 - p**b) ** (T - 1) < rec
+
+    def test_monotone_in_corpus_size_and_validates(self):
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.similarity import (
+            lsh_planes_for,
+        )
+
+        bs = []
+        for n in (1_000, 100_000, 10_000_000, 1_000_000_000):
+            planes, T = lsh_planes_for(n, dim=16, threshold=0.95)
+            bs.append(len(planes) // T)
+        assert bs == sorted(bs) and bs[-1] - bs[0] >= 18  # ~log2 growth
+        with pytest.raises(ValueError):
+            lsh_planes_for(0, dim=8)
+        with pytest.raises(ValueError):
+            lsh_planes_for(10, dim=8, threshold=1.5)
+        with pytest.raises(ValueError):
+            lsh_planes_for(10, dim=8, target_recall=1.0)
+
+    def test_auto_bands_end_to_end_matches_manual(self, spark):
+        """auto_bands=True sizes the plan from the corpus and finds the
+        same planted near-dup pairs as an explicit (planes, tables) call
+        with the identical sized plan."""
+        import numpy as np
+
+        from aeon_sleap_processing_spark.operators.similarity import (
+            embedding_near_dups, lsh_planes_for, semantic_dedup,
+        )
+
+        rng = np.random.default_rng(7)
+        base = rng.standard_normal((40, 16))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((i * 2, (v / np.linalg.norm(v)).tolist()))
+            w = v + rng.standard_normal(16) * 0.01      # planted near-dup
+            rows.append((i * 2 + 1, (w / np.linalg.norm(w)).tolist()))
+        corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+        got = embedding_near_dups(
+            corpus, None, threshold=0.95, auto_bands=True, seed=3
+        ).collect()
+        planes, T = lsh_planes_for(80, 16, threshold=0.95, seed=3)
+        manual = embedding_near_dups(
+            corpus, planes, threshold=0.95, n_tables=T
+        ).collect()
+        key = lambda r: (r.id_a, r.id_b)
+        assert sorted(map(key, got)) == sorted(map(key, manual))
+        # every planted pair found (the sized plan's recall target)
+        found = {key(r) for r in got}
+        planted = {(2 * i, 2 * i + 1) for i in range(40)}
+        assert len(planted & found) >= 38  # >= 95% target recall
+
+        clusters = semantic_dedup(
+            corpus, None, threshold=0.95, auto_bands=True, seed=3
+        )
+        n_reps = clusters.where("is_representative").count()
+        assert n_reps <= 42  # ~40 clusters of 2
