@@ -298,3 +298,58 @@ class TestVacuumInFlightFence:
         )
         assert res["deleted_files"] == 1, res
         assert _ids(read_manifested(spark, path)) == list(range(10))
+
+
+class TestMaintain:
+    """r11: the one-call housekeeping entry point (compact/optimize +
+    retention + fenced vacuum, mirroring the reference's operational
+    polling+cleanup loop) — dry-run mutates nothing and reports what a
+    real run would do."""
+
+    def test_dry_run_reports_and_mutates_nothing(self, spark, tmp_path):
+        import glob
+
+        from aeon_sleap_processing_spark.sources.sinks import maintain
+
+        path = str(tmp_path / "store")
+        for i in range(5):
+            write_manifested(spark, spark.range(i * 10, (i + 1) * 10), path)
+        before = sorted(glob.glob(f"{path}/**/*", recursive=True))
+        rep = maintain(
+            spark, path, min_files_to_compact=4, dry_run=True,
+            orphan_grace_seconds=0,
+        )
+        assert rep["dry_run"] and rep["compact"]["files"] >= 5
+        assert rep["compact"]["eligible_leaves"], rep
+        assert rep["vacuum"]["would_delete_files"] == 0
+        assert sorted(glob.glob(f"{path}/**/*", recursive=True)) == before
+        assert _ids(read_manifested(spark, path)) == list(range(50))
+
+    def test_real_run_compacts_expires_and_vacuums(self, spark, tmp_path):
+        import pandas as pd
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import maintain
+
+        path = str(tmp_path / "store")
+        now = pd.Timestamp.now()
+        df = spark.range(0, 100).select(
+            "id",
+            (F.lit(now) - F.make_interval(hours=F.col("id"))).alias("time"),
+        )
+        for lo in range(0, 100, 25):
+            write_manifested(
+                spark, df.where(f"id >= {lo} AND id < {lo + 25}"), path
+            )
+        rep = maintain(
+            spark, path, min_files_to_compact=2, max_age="48h",
+            keep_versions=1, orphan_grace_seconds=0,
+        )
+        assert rep["compact"]["compacted"]
+        assert rep["retention"]["rows_expired"] > 0
+        back = read_manifested(spark, path)
+        ids = _ids(back)
+        # cutoff = maintain-time now - 48h, a hair after `now`: ids 0..47
+        # (strictly younger than 48h) survive, 48..99 expire
+        assert ids == list(range(48)), (len(ids), ids[-3:])
+        assert rep["vacuum"]["deleted_files"] > 0

@@ -1,0 +1,182 @@
+"""Paired A/B for the STREAMING surface (r10 VERDICT task #3) — the
+batch bench earned tools/bench_ab.py in r10 precisely because committed
+medians from different sessions drift with the machine; this extends the
+same discipline to the streaming legs, whose r9→r10 committed artifacts
+moved 74% on semantic_dedup_flat with no code explanation.
+
+Checks out TWO git revs into worktrees (rev "HEAD" = the live repo) and
+interleaves full leg-suite runs ABBA ABBA..., each run a fresh
+subprocess/JVM via tools/_stream_leg_runner.py, both sides reading the
+SAME pre-staged source files. Per-leg medians + ratios land in
+bench_runs_r11/stream_ab_<tag>.json.
+
+Usage:
+  python tools/bench_ab_stream.py <revA> <revB|HEAD> <tag> [reps=3] \
+      [legs=dedup,compacted_sink,semantic_flat,semantic_bucketed]
+Run ISOLATED per the bench protocol (memory: bench-variance-protocol).
+"""
+
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF10 = os.path.join(REPO, "benchdata", "sf10")
+N_FILES = 16
+FILES_PER_TRIGGER = 2
+
+
+def stage_sources(work: str) -> None:
+    """Stage identical file-stream sources once, outside the measurement."""
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from aeon_sleap_processing_spark.session import get_spark
+    from aeon_sleap_processing_spark.sources import load_table
+
+    spark = get_spark(app_name="stream-ab-stage", shuffle_partitions=32)
+    ev = load_table(spark, "events", SF10).select(
+        F.col("ts").alias("time"), "user_id", "event_id"
+    )
+    n_events = ev.count()
+    ev.repartition(N_FILES).write.parquet(os.path.join(work, "events_src"))
+    emb = load_table(spark, "embeddings", SF10).select("vec_id", "embedding")
+    n_vecs = emb.count()
+    dim = len(emb.select("embedding").first()[0])
+    emb.repartition(N_FILES).write.parquet(os.path.join(work, "emb_src"))
+    with open(os.path.join(work, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "n_events": n_events, "n_vecs": n_vecs, "dim": dim,
+                "files_per_trigger": FILES_PER_TRIGGER,
+            },
+            f,
+        )
+    spark.stop()
+
+
+def run_side(tree: str, work: str, legs: str) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "_stream_leg_runner.py"),
+            work, legs,
+        ],
+        cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.strip().splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"runner produced no RESULT in {tree}:\n{out.stdout[-1500:]}"
+        f"\n{out.stderr[-3000:]}"
+    )
+
+
+def main():
+    if len(sys.argv) < 4:
+        sys.exit("usage: bench_ab_stream.py <revA> <revB|HEAD> <tag> [reps] [legs]")
+    rev_a, rev_b, tag = sys.argv[1], sys.argv[2], sys.argv[3]
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    legs = (
+        sys.argv[5]
+        if len(sys.argv) > 5
+        else "dedup,compacted_sink,semantic_flat,semantic_bucketed"
+    )
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="stream_ab_src_")
+    trees, wts = {}, []
+    try:
+        stage_sources(work)
+        for side, rev in (("A", rev_a), ("B", rev_b)):
+            if rev == "HEAD":
+                trees[side] = REPO
+                continue
+            wt = os.path.join(REPO, f".stream_ab_{side}")
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=REPO, capture_output=True,
+            )
+            subprocess.run(
+                ["git", "worktree", "add", "--detach", wt, rev],
+                cwd=REPO, check=True,
+            )
+            trees[side], _ = wt, wts.append(wt)
+
+        runs = {"A": [], "B": []}
+        order = []
+        for i in range(reps):
+            order += ["A", "B"] if i % 2 == 0 else ["B", "A"]
+        for side in order:
+            r = run_side(trees[side], work, legs)
+            runs[side].append(r)
+            line = "  ".join(
+                f"{k}={v['sec']}s" for k, v in r["legs"].items()
+            )
+            print(f"{side} ({rev_a if side == 'A' else rev_b}): {line}",
+                  flush=True)
+
+        def med(side):
+            legs_seen = runs[side][0]["legs"]
+            return {
+                leg: round(
+                    statistics.median(
+                        r["legs"][leg]["sec"]
+                        for r in runs[side]
+                        if leg in r["legs"]
+                    ),
+                    2,
+                )
+                for leg in legs_seen
+            }
+
+        a, b = med("A"), med("B")
+        shared = sorted(set(a) & set(b))
+        reps_pin = {
+            leg: sorted(
+                {
+                    r["legs"][leg].get("reps")
+                    for side in ("A", "B")
+                    for r in runs[side]
+                    if leg in r["legs"]
+                }
+            )
+            for leg in shared
+            if any("reps" in r["legs"].get(leg, {}) for r in runs["A"])
+        }
+        summary = {
+            "rev_a": rev_a, "rev_b": rev_b, "reps_per_side": reps,
+            "interleave": "".join(order),
+            "legs_a_median_sec": a, "legs_b_median_sec": b,
+            "ratio_b_over_a": {
+                leg: round(b[leg] / a[leg], 3) for leg in shared if a[leg] > 0
+            },
+            "all_runs_a": [r["legs"] for r in runs["A"]],
+            "all_runs_b": [r["legs"] for r in runs["B"]],
+            "semantic_reps_outcome_pin": reps_pin,
+        }
+        outdir = os.path.join(REPO, "bench_runs_r11")
+        os.makedirs(outdir, exist_ok=True)
+        path = os.path.join(outdir, f"stream_ab_{tag}.json")
+        with open(path, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(json.dumps(summary["ratio_b_over_a"], indent=1))
+        print(f"wrote {path}")
+    finally:
+        for wt in wts:
+            subprocess.run(
+                ["git", "worktree", "remove", "--force", wt],
+                cwd=REPO, capture_output=True,
+            )
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
