@@ -112,7 +112,10 @@ class TestDriverContract:
             "q_tube_events",
             "q_fight_sessions",
             "q_fight_sessions_chunked",
-            "q_sessionize_unkeyed",
+            # r11: the codec wing rotates (back) in — q_sessionize_unkeyed
+            # rotated out (driver-green r9+r10, temporal plan untouched)
+            "q_video_frame_stats",
+            "q_mjpeg_frame_stats",
         ]:
             assert name in window, name
         assert "q1_pricing_summary" not in window
