@@ -11,7 +11,7 @@ and ratios over the shared query set.
 
 Usage:
   python tools/bench_ab.py <baseline-rev> [reps=3]
-Writes bench_runs_r10/bench_ab.json. Run ISOLATED per the bench protocol.
+Writes bench_runs_r{N}/bench_ab.json (round dir via BENCH_AB_OUTDIR, default bench_runs_r11). Run ISOLATED per the bench protocol.
 """
 
 import json
@@ -107,8 +107,9 @@ def main():
                 for q in shared
             },
         }
-        os.makedirs(os.path.join(REPO, "bench_runs_r10"), exist_ok=True)
-        path = os.path.join(REPO, "bench_runs_r10", "bench_ab.json")
+        outdir = os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r11")
+        os.makedirs(os.path.join(REPO, outdir), exist_ok=True)
+        path = os.path.join(REPO, outdir, "bench_ab.json")
         with open(path, "w") as f:
             json.dump(summary, f, indent=1)
         print(
