@@ -44,6 +44,7 @@ __all__ = [
     "vacuum_manifested",
     "is_manifested",
     "maintain",
+    "retention_sweep_manifested",
     "ManifestConflict",
 ]
 
@@ -1166,6 +1167,45 @@ def optimize_manifested(
         spark, path, target_bytes=target_bytes,
         min_files_to_compact=1, _plan_fn=plan,
     )
+
+
+def retention_sweep_manifested(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> list[str]:
+    """:func:`retention_sweep` for a manifest-committed store — TTL-expire
+    every ``partition_col=<value>`` whose value sorts below ``keep_from``
+    with ONE metadata-only commit (``remove_prefixes``): zero data I/O,
+    atomic (a reader never sees a chunk half-expired), snapshot-isolated
+    (pinned readers keep resolving the expired files until
+    :func:`vacuum_manifested` reclaims them), and composable — a writer
+    appending a LIVE chunk concurrently is untouched by the prefix drop,
+    while a straggler writing into an EXPIRED chunk loses to the sweep's
+    commit or re-adds past it (at which point the next sweep expires it
+    again — TTL converges). The partition may sit at ANY depth of the
+    Hive path (the chunk store's is stream=/camera=/chunk=). Values must
+    sort lexicographically (ISO timestamps, zero-padded ids), the same
+    contract as the listing form. Returns the expired partition values."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    _, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    pre = f"{partition_col}="
+    values: set[str] = set()
+    prefixes: set[str] = set()  # full path prefixes — the same chunk value
+    for f in head["files"]:     # can recur under many stream/camera dirs
+        parts = f["path"].split("/")[:-1]
+        for i, p in enumerate(parts):
+            if p.startswith(pre) and p[len(pre):] < keep_from:
+                values.add(p[len(pre):])
+                prefixes.add("/".join(parts[: i + 1]) + "/")
+    if not values:
+        return []
+    manifest_commit(spark, path, remove_prefixes=sorted(prefixes))
+    return sorted(values)
 
 
 def maintain(

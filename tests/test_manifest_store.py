@@ -353,3 +353,57 @@ class TestMaintain:
         # (strictly younger than 48h) survive, 48..99 expire
         assert ids == list(range(48)), (len(ids), ids[-3:])
         assert rep["vacuum"]["deleted_files"] > 0
+
+
+class TestRetentionSweepManifested:
+    def test_ttl_expires_chunks_metadata_only(self, spark, tmp_path):
+        """Whole-chunk TTL on a manifest chunk store: one metadata commit,
+        pinned pre-sweep readers keep resolving, vacuum reclaims."""
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            list_chunks, load_chunked, write_chunked,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import (
+            retention_sweep_manifested, vacuum_manifested,
+        )
+
+        root = str(tmp_path / "store")
+        for cam in ("CameraTop", "CameraSide"):
+            pdf = pd.DataFrame({
+                "time": pd.date_range("2024-03-01 08:00", periods=240, freq="1min"),
+                "v": range(240),
+            })
+            write_chunked(spark.createDataFrame(pdf), root, cam, 200)
+        pinned = load_chunked(spark, root, 200, "CameraTop")
+        assert pinned.count() == 240  # resolve the pre-sweep snapshot
+
+        expired = retention_sweep_manifested(
+            spark, root, "chunk", keep_from="2024-03-01T10-00-00"
+        )
+        assert expired == ["2024-03-01T08-00-00", "2024-03-01T09-00-00"]
+        for cam in ("CameraTop", "CameraSide"):  # both cameras' chunks expired
+            assert list_chunks(spark, root, 200, cam) == [
+                "2024-03-01T10-00-00", "2024-03-01T11-00-00",
+            ]
+            got = load_chunked(spark, root, 200, cam).toPandas()
+            assert sorted(got["v"]) == list(range(120, 240))
+        # snapshot isolation: the pinned pre-sweep reader still resolves
+        # (files stay on disk until vacuum)
+        assert pinned.count() == 240
+        vacuum_manifested(spark, root, keep_versions=1, orphan_grace_seconds=0)
+        assert load_chunked(spark, root, 200, "CameraTop").count() == 120
+
+    def test_nothing_expired_is_noop(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            retention_sweep_manifested, write_manifested, read_manifested,
+        )
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        df = spark.range(0, 20).withColumn(
+            "day", F.concat(F.lit("2024-01-0"), (F.col("id") % 2 + 1))
+        )
+        write_manifested(spark, df, path, partition_by=["day"])
+        assert retention_sweep_manifested(spark, path, "day", "2024-01-01") == []
+        assert read_manifested(spark, path).count() == 20
