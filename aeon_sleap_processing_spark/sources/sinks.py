@@ -1219,15 +1219,22 @@ def maintain(
     orphan_grace_seconds: float = 1800.0,
     max_age: "pd.Timedelta | str | None" = None,
     time_col: str = "time",
+    ttl_partition_col: str | None = None,
+    ttl_keep_from: str | None = None,
     dry_run: bool = False,
 ) -> dict:
     """ONE housekeeping entry point for a manifest-committed store — the
     scheduled-job analog of the reference's operational polling + cleanup
     loop (`detect_fights_all_epochs.py` run-forever maintenance): in
     order, (1) small-file compaction — or the OPTIMIZE-ZORDER rewrite
-    when ``optimize_cols`` is given, (2) retention expiry of rows older
-    than ``max_age`` on ``time_col`` (skipped when ``max_age`` is None),
-    (3) vacuum with the in-flight-writer grace fence. Every step uses the
+    when ``optimize_cols`` is given, (2) retention —
+    ``ttl_partition_col``/``ttl_keep_from`` runs the partition-aligned
+    form (:func:`retention_sweep_manifested`: whole partitions expire in
+    ONE metadata-only commit, zero data I/O — the right op for
+    chunk/time-partitioned stores), while ``max_age`` on ``time_col``
+    does row-level expiry via a full rewrite (only for stores whose
+    layout does not align with the TTL; both skipped when unset), (3)
+    vacuum with the in-flight-writer grace fence. Every step uses the
     manifest commit path, so the whole job composes with concurrent
     writers and readers keep snapshot isolation throughout.
 
@@ -1261,7 +1268,16 @@ def maintain(
             "eligible_leaves": eligible,
             "files": sum(len(bs) for bs in by_leaf.values()),
         }
-        if max_age is not None:
+        if ttl_partition_col is not None and ttl_keep_from is not None:
+            pre = f"{ttl_partition_col}="
+            vals = {
+                p[len(pre):]
+                for f in head["files"]
+                for p in f["path"].split("/")[:-1]
+                if p.startswith(pre) and p[len(pre):] < ttl_keep_from
+            }
+            report["retention"] = {"partitions_expired": sorted(vals)}
+        elif max_age is not None:
             cutoff = pd.Timestamp.now() - pd.Timedelta(max_age)
             expired = (
                 read_manifested(spark, path)
@@ -1313,7 +1329,13 @@ def maintain(
             spark, path, target_bytes=target_bytes,
             min_files_to_compact=min_files_to_compact,
         )
-    if max_age is not None:
+    if ttl_partition_col is not None and ttl_keep_from is not None:
+        report["retention"] = {
+            "partitions_expired": retention_sweep_manifested(
+                spark, path, ttl_partition_col, ttl_keep_from
+            )
+        }
+    elif max_age is not None:
         cutoff = pd.Timestamp.now() - pd.Timedelta(max_age)
         kept = read_manifested(spark, path).where(
             F.col(time_col) >= F.lit(cutoff)

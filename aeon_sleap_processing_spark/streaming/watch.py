@@ -655,13 +655,17 @@ def stream_semantic_dedup(
     stream: DataFrame,
     out_path: str,
     checkpoint_dir: str,
-    hyperplanes: list[list[float]],
+    hyperplanes: list[list[float]] | None,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 6,
     trigger: dict | None = None,
     store_partitions: int = 16,
+    expected_rows: int | None = None,
+    dim: int | None = None,
+    target_recall: float = 0.95,
+    plan_seed: int = 0,
 ) -> StreamingQuery:
     """Streaming semantic (embedding) dedup — the ingest twin of
     ``operators.similarity.semantic_dedup``: each arriving vector is kept
@@ -737,8 +741,27 @@ def stream_semantic_dedup(
     batches can over-drop relative to re-clustering history. Over-dropping
     near-dups is the conservative direction for dedup; the batch operator
     remains the end-of-corpus authority. Read the kept set with
-    :func:`read_semantic_reps`."""
+    :func:`read_semantic_reps`.
+
+    Pass ``hyperplanes=None`` with ``expected_rows`` + ``dim`` to size
+    the plan from the measured b ≈ log₂(n)+margin law
+    (``operators.similarity.lsh_planes_for`` — ``n_tables`` is then
+    derived from ``threshold``/``target_recall`` and the argument
+    ignored). A stream cannot count its corpus up front, so the EXPECTED
+    FINAL size is the caller's to provide — size for where the store
+    ends, not where it starts; the plan is fixed for the stream's
+    lifetime (keys are precomputed per plan, see the repkeys tier)."""
     from ..operators import similarity as sim
+
+    if hyperplanes is None:
+        if expected_rows is None or dim is None:
+            raise ValueError(
+                "pass hyperplanes, or expected_rows + dim to auto-size the plan"
+            )
+        hyperplanes, n_tables = sim.lsh_planes_for(
+            expected_rows, dim, threshold=threshold,
+            target_recall=target_recall, seed=plan_seed,
+        )
 
     spark = stream.sparkSession
     reps_root = out_path.rstrip("/") + "/reps"

@@ -407,3 +407,32 @@ class TestRetentionSweepManifested:
         write_manifested(spark, df, path, partition_by=["day"])
         assert retention_sweep_manifested(spark, path, "day", "2024-01-01") == []
         assert read_manifested(spark, path).count() == 20
+
+    def test_maintain_partition_ttl_is_metadata_only(self, spark, tmp_path):
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            load_chunked, write_chunked,
+        )
+        from aeon_sleap_processing_spark.sources.sinks import maintain
+
+        root = str(tmp_path / "store")
+        pdf = pd.DataFrame({
+            "time": pd.date_range("2024-03-01 08:00", periods=180, freq="1min"),
+            "v": range(180),
+        })
+        write_chunked(spark.createDataFrame(pdf), root, "CameraTop", 200)
+        dry = maintain(
+            spark, root, ttl_partition_col="chunk",
+            ttl_keep_from="2024-03-01T09-00-00", dry_run=True,
+        )
+        assert dry["retention"]["partitions_expired"] == ["2024-03-01T08-00-00"]
+        assert load_chunked(spark, root, 200, "CameraTop").count() == 180
+        rep = maintain(
+            spark, root, ttl_partition_col="chunk",
+            ttl_keep_from="2024-03-01T09-00-00",
+            min_files_to_compact=99, orphan_grace_seconds=0, keep_versions=1,
+        )
+        assert rep["retention"]["partitions_expired"] == ["2024-03-01T08-00-00"]
+        got = load_chunked(spark, root, 200, "CameraTop").toPandas()
+        assert sorted(got["v"]) == list(range(60, 180))

@@ -331,3 +331,47 @@ def test_compact_rep_store_repairs_lost_keys_tier(spark, tmp_path):
     assert sorted(
         r.vec_id for r in read_semantic_reps(spark, out).collect()
     ) == [1, 2, 4]
+
+
+def test_auto_sized_plan_from_expected_rows(spark, tmp_path):
+    """hyperplanes=None + expected_rows/dim: the stream sizes its LSH plan
+    from the measured law and still dedups planted near-dups."""
+    import numpy as np
+    import pandas as pd
+
+    from aeon_sleap_processing_spark.streaming.watch import (
+        read_semantic_reps, stream_semantic_dedup,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i * 2, (v / np.linalg.norm(v)).tolist()))
+        w = v + rng.standard_normal(16) * 0.005
+        rows.append((i * 2 + 1, (w / np.linalg.norm(w)).tolist()))
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_semantic_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        hyperplanes=None, threshold=0.95,
+        expected_rows=60, dim=16, store_partitions=4,
+    )
+    q.awaitTermination(120)
+    reps = read_semantic_reps(spark, str(tmp_path / "out")).count()
+    assert 30 <= reps <= 33, reps  # ~one rep per planted pair
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        stream_semantic_dedup(
+            stream, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
+            hyperplanes=None,
+        )
