@@ -94,6 +94,9 @@ def write_chunked(
             root,
             partition_by=["stream", "camera", "chunk"],
             replace="partitions" if mode == "overwrite" else None,
+            # per-file time min/max in the manifest: sub-chunk file
+            # skipping on time-range scans, straight from the head
+            stats_cols=[time_col],
         )
         return
     (
@@ -131,9 +134,22 @@ def load_chunked(
     if use_manifest:
         # scope to the stream/camera prefix manifest-side: schema inference
         # must see only this stream's files (streams differ in schema), and
-        # the prefix filter replaces the recursive listing wholesale
+        # the prefix filter replaces the recursive listing wholesale; the
+        # time range additionally skips FILES via the per-file stats the
+        # chunk writer records (sub-chunk granularity, zero footer reads) —
+        # the row-level predicates below still apply on what remains
+        skip = None
+        if start is not None or end is not None:
+            skip = {
+                time_col: (
+                    pd.Timestamp(start) if start is not None else None,
+                    pd.Timestamp(end) if end is not None else None,
+                )
+            }
         df = read_manifested(
-            spark, root, prefixes=[f"stream={register}/camera={camera}/"]
+            spark, root,
+            prefixes=[f"stream={register}/camera={camera}/"],
+            skip=skip,
         )
     else:
         # scope the scan to the stream/camera DIRECTORIES: streams have

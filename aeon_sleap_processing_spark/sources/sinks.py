@@ -772,7 +772,9 @@ def manifest_commit(
         # slot is past every existing version file, parseable or not — a
         # corrupt corpse must be slotted over, not retried into forever
         head_v, head, next_v = _manifest_head(spark, fs, Path, root_str)
-        cur = {f["path"]: f["bytes"] for f in (head["files"] if head else [])}
+        # full entries, not just bytes: per-file stats (and any future
+        # metadata) must survive commits that do not touch the file
+        cur = {f["path"]: f for f in (head["files"] if head else [])}
         if require_remove_present:
             gone = sorted(drop - set(cur))
             if gone:
@@ -782,21 +784,23 @@ def manifest_commit(
                     f"(e.g. {gone[0]!r}) — discarding the rewrite"
                 )
         nxt = {
-            p: b
-            for p, b in cur.items()
+            p: e
+            for p, e in cur.items()
             if p not in drop
             and not (prefixes and p.startswith(prefixes))
         }
-        for p, b in add:
-            nxt[p] = b
+        for item in add:
+            p, b = item[0], item[1]
+            entry = {"path": p, "bytes": b}
+            if len(item) > 2 and item[2]:
+                entry["stats"] = item[2]
+            nxt[p] = entry
         token = uuid.uuid4().hex
         doc = json.dumps(
             {
                 "version": next_v,
                 "token": token,
-                "files": [
-                    {"path": p, "bytes": nxt[p]} for p in sorted(nxt)
-                ],
+                "files": [nxt[p] for p in sorted(nxt)],
             }
         ).encode()
         target = Path(f"{root_str}/{_MANIFEST_DIR}/{next_v:020d}.json")
@@ -828,6 +832,19 @@ def manifest_commit(
     )
 
 
+def _stat_val(v):
+    """JSON-safe, ORDER-PRESERVING encoding for a per-file stat bound:
+    numbers stay numbers; timestamps/dates/strings become ISO-ish strings
+    whose lexicographic order matches their natural order (pandas
+    isoformat is zero-padded; a '.123456' fraction suffix still compares
+    correctly against its unfractioned prefix)."""
+    if v is None or isinstance(v, (int, float)):
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return str(v)
+
+
 def write_manifested(
     spark: SparkSession,
     df: DataFrame,
@@ -836,6 +853,7 @@ def write_manifested(
     filename_prefix: str = "",
     replace: str | None = None,
     remove_prefixes: list[str] = (),
+    stats_cols: list[str] | None = None,
 ) -> list[str]:
     """Append ``df`` to a manifest-committed store: stage the write under
     ``_staging/<token>``, move the part files into their final (partition)
@@ -858,7 +876,15 @@ def write_manifested(
     ``filename_prefix`` namespaces this write's files (e.g. a streaming
     sink's ``b<batch_id>-``) so an idempotent replay can drop exactly its
     own earlier attempt via ``remove_prefixes`` — extra prefixes are
-    passed through to :func:`manifest_commit` untouched."""
+    passed through to :func:`manifest_commit` untouched.
+
+    ``stats_cols`` records per-file min/max of the named columns IN THE
+    MANIFEST (the Iceberg manifest-stats idea): one extra Spark agg over
+    the staged files at write time buys readers predicate-based FILE
+    skipping from the head alone — no footer reads, no listing — via
+    :func:`read_manifested`'s ``skip``. Order-preserving encoding via
+    :func:`_stat_val`; files without stats are never skipped
+    (conservative — compaction output currently carries no stats)."""
     import uuid
 
     token = uuid.uuid4().hex
@@ -869,7 +895,25 @@ def write_manifested(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage_str)
+    stats_by_file: dict[str, dict] = {}
+    if stats_cols:
+        # one scan of the staged append (bounded by the append, never the
+        # store): per-file min/max keyed by the staged file URI
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        for row in (
+            spark.read.parquet(stage_str)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        ):
+            stats_by_file[row["__f"]] = {
+                c: [_stat_val(row[f"__lo_{c}"]), _stat_val(row[f"__hi_{c}"])]
+                for c in stats_cols
+            }
     adds: list[tuple[str, int]] = []
+    add_stats: dict[str, dict] = {}
     staged_dirs: set[str] = set()
     for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
         src = st.getPath()
@@ -880,6 +924,14 @@ def write_manifested(
         rel = f"{rel_dir}/{name}" if rel_dir else name
         dest = Path(f"{root_str}/{rel}")
         fs.mkdirs(dest.getParent())
+        if stats_by_file:
+            # input_file_name() and FileStatus render the same file with
+            # different scheme spellings — match canonically
+            src_uri = _canon_uri(fs, src)
+            for k, v in stats_by_file.items():
+                if _canon_uri(fs, Path(k)) == src_uri:
+                    add_stats[rel] = v
+                    break
         if not fs.rename(src, dest):
             raise IOError(f"write_manifested: rename failed for {rel}")
         adds.append((rel, st.getLen()))
@@ -895,7 +947,11 @@ def write_manifested(
     # our own files must survive their covering prefix: commit drops the
     # prefix set first, then adds — manifest_commit applies add AFTER the
     # removes, so the staged files always land in the new head
-    manifest_commit(spark, path, add=adds, remove_prefixes=drop_pre)
+    manifest_commit(
+        spark, path,
+        add=[(p, b, add_stats.get(p)) for p, b in adds],
+        remove_prefixes=drop_pre,
+    )
     return [p for p, _ in adds]
 
 
@@ -904,6 +960,7 @@ def read_manifested(
     path: str,
     version: int | None = None,
     prefixes: list[str] | None = None,
+    skip: dict | None = None,
 ) -> DataFrame:
     """Read a manifest-committed store AS OF its newest manifest (or a
     pinned ``version`` — snapshot isolation: a compaction committing
@@ -919,7 +976,19 @@ def read_manifested(
     an O(head) string filter on the driver instead of a recursive
     directory listing; Catalyst still sees the partition values (from the
     paths, via basePath) for any residual pruning. An empty selection
-    raises rather than returning a schemaless scan."""
+    raises rather than returning a schemaless scan.
+
+    ``skip`` prunes by PER-FILE COLUMN STATS recorded at write time
+    (``write_manifested(stats_cols=...)``): ``{col: (lo, hi)}`` drops
+    every file whose recorded [min, max] cannot intersect [lo, hi]
+    (either bound may be None for a half-open range). This is parquet
+    row-group skipping LIFTED INTO THE MANIFEST — the files are excluded
+    before Spark lists, opens, or footer-reads anything. Files without
+    stats for a named column are conservatively kept, so ``skip`` is a
+    pure optimization: callers must still apply the row-level predicate.
+    A fully-skipped selection returns an EMPTY DataFrame with the
+    store's schema (unlike prefixes, stats-skip expresses a row
+    predicate, and zero matching rows is a valid answer)."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     if version is None:
@@ -929,18 +998,43 @@ def read_manifested(
     else:
         p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
         head = json.loads(_manifest_read_text(spark, fs, p))
-    files = [f["path"] for f in head["files"]]
+    entries = list(head["files"])
     if prefixes is not None:
         pre = tuple(prefixes)
-        files = [p for p in files if p.startswith(pre)]
-    if not files:
+        entries = [f for f in entries if f["path"].startswith(pre)]
+    if not entries:
         raise ValueError(
             f"manifest v{version} of {path} lists no files"
             + (f" under prefixes {list(prefixes)}" if prefixes is not None
                else " (empty store)")
         )
+    kept = entries
+    if skip:
+        want = {c: (_stat_val(lo), _stat_val(hi)) for c, (lo, hi) in skip.items()}
+
+        def _live(f) -> bool:
+            st = f.get("stats") or {}
+            for c, (lo, hi) in want.items():
+                if c not in st:
+                    continue  # no stats recorded — keep (conservative)
+                fmin, fmax = st[c]
+                if fmin is None or fmax is None:
+                    continue  # nulls-only or unknown — keep
+                if lo is not None and fmax < lo:
+                    return False
+                if hi is not None and fmin > hi:
+                    return False
+            return True
+
+        kept = [f for f in entries if _live(f)]
+        if not kept:
+            # valid empty answer: derive the schema from one real file
+            probe = spark.read.option("basePath", root_str).parquet(
+                f"{root_str}/{entries[0]['path']}"
+            )
+            return probe.where(F.lit(False))
     return spark.read.option("basePath", root_str).parquet(
-        *[f"{root_str}/{p}" for p in files]
+        *[f"{root_str}/{f['path']}" for f in kept]
     )
 
 

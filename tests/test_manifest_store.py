@@ -436,3 +436,114 @@ class TestRetentionSweepManifested:
         assert rep["retention"]["partitions_expired"] == ["2024-03-01T08-00-00"]
         got = load_chunked(spark, root, 200, "CameraTop").toPandas()
         assert sorted(got["v"]) == list(range(60, 180))
+
+
+class TestManifestStats:
+    """r11: Iceberg-style per-file column stats in the manifest — file
+    skipping from the head alone, no listing, no footer reads."""
+
+    def test_skip_prunes_files_and_preserves_rows(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        for lo in (0, 100, 200, 300):
+            write_manifested(
+                spark, spark.range(lo, lo + 100).coalesce(1), path,
+                stats_cols=["id"],
+            )
+        full = read_manifested(spark, path)
+        assert len(full.inputFiles()) == 4
+        narrow = read_manifested(spark, path, skip={"id": (150, 160)})
+        assert len(narrow.inputFiles()) == 1  # 3 of 4 files skipped
+        assert _ids(narrow.where("id between 150 and 160")) == list(
+            range(150, 161)
+        )
+        half_open = read_manifested(spark, path, skip={"id": (250, None)})
+        assert len(half_open.inputFiles()) == 2
+
+    def test_fully_skipped_returns_empty_with_schema(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 10), path, stats_cols=["id"])
+        out = read_manifested(spark, path, skip={"id": (500, 600)})
+        assert out.columns == ["id"] and out.count() == 0
+
+    def test_stats_survive_unrelated_commits_and_drop_on_rewrite(
+        self, spark, tmp_path
+    ):
+        """Full-entry rebuild: a commit that does not touch a file keeps
+        its stats; compaction output carries none (conservative: never
+        skipped)."""
+        import glob
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            compact_manifested, manifest_commit, read_manifested,
+            write_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 50).coalesce(1), path, stats_cols=["id"]
+        )
+        manifest_commit(spark, path, add=[("unrelated.parquet", 1)])
+        head = json.load(
+            open(sorted(glob.glob(f"{path}/_manifests/*.json"))[-1])
+        )
+        with_stats = [f for f in head["files"] if "stats" in f]
+        assert len(with_stats) == 1
+        assert with_stats[0]["stats"]["id"] == [0, 49]
+        manifest_commit(spark, path, remove=["unrelated.parquet"])
+        # skipping still effective after the unrelated commits
+        assert (
+            len(read_manifested(spark, path, skip={"id": (500, None)})
+                .inputFiles()) == 0
+        )
+        for i in range(4):
+            write_manifested(
+                spark, spark.range(100 + i * 10, 110 + i * 10).coalesce(1),
+                path, stats_cols=["id"],
+            )
+        compact_manifested(spark, path, min_files_to_compact=2)
+        # compacted files have no stats -> conservatively KEPT (skip is a
+        # file-pruning optimization; the row predicate is the caller's)
+        out = read_manifested(spark, path, skip={"id": (500, 600)})
+        assert len(out.inputFiles()) >= 1
+        assert out.where("id BETWEEN 500 AND 600").count() == 0
+
+    def test_chunk_store_time_range_skips_files(self, spark, tmp_path):
+        """The chunk store records per-file time stats: a narrow
+        time-range scan reads fewer FILES than live in the chunk, not
+        just fewer row groups."""
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            load_chunked, write_chunked,
+        )
+
+        root = str(tmp_path / "store")
+        # 3 appends into the SAME hour chunk, disjoint 20-min spans
+        for i in range(3):
+            pdf = pd.DataFrame({
+                "time": pd.date_range(
+                    f"2024-03-01 10:{i * 20:02d}", periods=20, freq="1min"
+                ),
+                "v": range(i * 100, i * 100 + 20),
+            })
+            write_chunked(
+                spark.createDataFrame(pdf), root, "CameraTop", 200,
+                mode="append",
+            )
+        allf = load_chunked(spark, root, 200, "CameraTop")
+        assert allf.count() == 60 and len(allf.inputFiles()) == 3
+        mid = load_chunked(
+            spark, root, 200, "CameraTop",
+            start="2024-03-01 10:25", end="2024-03-01 10:35",
+        )
+        assert len(mid.inputFiles()) == 1  # two sibling files stat-skipped
+        got = mid.toPandas()
+        assert sorted(got["v"]) == list(range(105, 116))
