@@ -1084,23 +1084,37 @@ def compact_manifested(
             "compacted": False, "version": head_v,
         }
     files = [(f["path"], f["bytes"]) for f in head["files"]]
-    by_leaf: dict[str, list[tuple[str, int]]] = {}
-    for rel, b in files:
-        leaf = rel.rsplit("/", 1)[0] if "/" in rel else ""
-        by_leaf.setdefault(leaf, []).append((rel, b))
-    adds: list[tuple[str, int]] = []
+    by_leaf: dict[str, list[dict]] = {}
+    for f in head["files"]:
+        leaf = f["path"].rsplit("/", 1)[0] if "/" in f["path"] else ""
+        by_leaf.setdefault(leaf, []).append(f)
+    adds: list[tuple] = []
     removes: list[str] = []
     for leaf, members in sorted(by_leaf.items()):
         if len(members) < min_files_to_compact:
             continue
-        leaf_bytes = sum(b for _, b in members)
+        leaf_bytes = sum(m["bytes"] for m in members)
         n_out = max(1, math.ceil(leaf_bytes / target_bytes))
+        # carry stats forward WITHOUT a scan: when every member has stats
+        # for a column, the leaf's [min of mins, max of maxes] is a SOUND
+        # (leaf-granular) bound for every output file — min/max bounds
+        # need not be tight, only never-exclude; columns any member lacks
+        # are dropped (those rows' span is unknown)
+        leaf_stats: dict = {}
+        cols = set.intersection(
+            *[set((m.get("stats") or {})) for m in members]
+        ) if members else set()
+        for c in cols:
+            los = [m["stats"][c][0] for m in members]
+            his = [m["stats"][c][1] for m in members]
+            if None not in los and None not in his:
+                leaf_stats[c] = [min(los), max(his)]
         token = uuid.uuid4().hex
         stage_str = f"{root_str}/_staging/{token}"
         # plain read of the member FILES (no basePath): partition values
         # stay in the directory name, never absorbed into data files
         leaf_df = spark.read.parquet(
-            *[f"{root_str}/{r}" for r, _ in members]
+            *[f"{root_str}/{m['path']}" for m in members]
         )
         planned = (
             _plan_fn(leaf_df, n_out) if _plan_fn is not None
@@ -1114,9 +1128,9 @@ def compact_manifested(
             fs.mkdirs(dest.getParent())
             if not fs.rename(st.getPath(), dest):
                 raise IOError(f"compact_manifested: rename failed for {rel}")
-            adds.append((rel, st.getLen()))
+            adds.append((rel, st.getLen(), leaf_stats or None))
         fs.delete(Path(stage_str), True)
-        removes.extend(r for r, _ in members)
+        removes.extend(m["path"] for m in members)
     if not removes:
         return {
             "files_before": len(files), "files_after": len(files),

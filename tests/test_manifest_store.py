@@ -509,11 +509,16 @@ class TestManifestStats:
                 path, stats_cols=["id"],
             )
         compact_manifested(spark, path, min_files_to_compact=2)
-        # compacted files have no stats -> conservatively KEPT (skip is a
-        # file-pruning optimization; the row predicate is the caller's)
+        # compaction carries LEAF-SPAN stats forward without a scan: the
+        # folded files inherit [min of mins, max of maxes], so a probe
+        # outside the whole span still skips them; a probe inside one
+        # member's old span now reads the (coarser) folded file
         out = read_manifested(spark, path, skip={"id": (500, 600)})
-        assert len(out.inputFiles()) >= 1
-        assert out.where("id BETWEEN 500 AND 600").count() == 0
+        assert len(out.inputFiles()) == 0
+        assert out.count() == 0
+        inside = read_manifested(spark, path, skip={"id": (100, 101)})
+        assert len(inside.inputFiles()) >= 1
+        assert _ids(inside.where("id BETWEEN 100 AND 101")) == [100, 101]
 
     def test_chunk_store_time_range_skips_files(self, spark, tmp_path):
         """The chunk store records per-file time stats: a narrow
