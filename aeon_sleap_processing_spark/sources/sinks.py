@@ -1351,7 +1351,17 @@ def maintain(
     compaction-eligible, the rows/files the retention step would expire,
     and the files/manifests vacuum would reclaim (honoring the same
     grace fence). Returns {"dry_run", "compact"|"optimize", "retention",
-    "vacuum"}."""
+    "vacuum"}.
+
+    STREAMING-SINK CAVEAT: on a :func:`~..streaming.watch.stream_append_compacted`
+    store, run maintain's COMPACTION step only while the stream is
+    stopped after a clean drain (checkpoint fully committed): the sink's
+    replay idempotency drops a replayed batch's files by ``b<id>-``
+    prefix, and an external compaction that folded those files away
+    breaks that contract (the replay would re-add its rows beside the
+    fold). The sink's own in-stream fold is always safe (it folds only
+    strictly-earlier batches); vacuum composes with the running stream
+    (the grace fence covers its staging)."""
     import time
 
     report: dict = {"dry_run": dry_run}

@@ -552,3 +552,44 @@ class TestManifestStats:
         assert len(mid.inputFiles()) == 1  # two sibling files stat-skipped
         got = mid.toPandas()
         assert sorted(got["v"]) == list(range(105, 116))
+
+    def test_skip_soundness_over_random_ranges(self, spark, tmp_path):
+        """Soundness property: for ANY probe range, stats-skip + row
+        predicate returns exactly the rows the predicate alone returns —
+        skipping may only drop files that cannot contain matches.
+        Seeded-random file spans (overlapping, duplicated, reversed
+        insertion order) x 12 probe ranges incl. boundary-exact ones."""
+        import numpy as np
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+
+        rng = np.random.default_rng(42)
+        path = str(tmp_path / "store")
+        spans = []
+        for _ in range(8):
+            lo = int(rng.integers(0, 900))
+            hi = lo + int(rng.integers(1, 120))
+            spans.append((lo, hi))
+            write_manifested(
+                spark,
+                spark.range(lo, hi).coalesce(1),
+                path,
+                stats_cols=["id"],
+            )
+        full = read_manifested(spark, path)
+        probes = [tuple(sorted(rng.integers(0, 1000, 2))) for _ in range(8)]
+        probes += [spans[0], (spans[1][1], spans[1][1]),  # boundary-exact
+                   (0, 0), (999, 1500)]
+        for lo, hi in probes:
+            truth = sorted(
+                r.id for r in full.where(f"id >= {lo} AND id <= {hi}").collect()
+            )
+            pruned = read_manifested(spark, path, skip={"id": (int(lo), int(hi))})
+            got = sorted(
+                r.id
+                for r in pruned.where(f"id >= {lo} AND id <= {hi}").collect()
+            )
+            assert got == truth, (lo, hi)
+            assert len(pruned.inputFiles()) <= len(full.inputFiles())
