@@ -258,3 +258,39 @@ class TestChunkStoreManifestContention:
         assert sorted(got["v"]) == list(range(9000, 9040)), (
             "stale fold resurrected replaced rows"
         )
+
+    def test_same_chunk_replace_race_no_mixing(self, spark, tmp_path):
+        """Two threads overwriting the SAME chunk concurrently: the CAS
+        prefix-drop is re-evaluated on every rebuild, so the final head
+        must be exactly ONE writer's complete file set — never a mix of
+        the two, never a union."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            load_chunked, write_chunked,
+        )
+
+        root = str(tmp_path / "store")
+
+        def replace(v0):
+            pdf = pd.DataFrame({
+                "time": pd.date_range("2024-03-01 10:00", periods=30, freq="30s"),
+                "v": range(v0, v0 + 30),
+            })
+            # two files per write so a torn mix would be detectable
+            write_chunked(
+                spark.createDataFrame(pdf).repartition(2), root,
+                "CameraTop", 200,
+            )
+
+        for trial in range(3):
+            with ThreadPoolExecutor(2) as ex:
+                list(ex.map(replace, [1000 * (trial + 1), 5000 * (trial + 1)]))
+            got = sorted(
+                load_chunked(spark, root, 200, "CameraTop").toPandas()["v"]
+            )
+            a = list(range(1000 * (trial + 1), 1000 * (trial + 1) + 30))
+            b = list(range(5000 * (trial + 1), 5000 * (trial + 1) + 30))
+            assert got == a or got == b, (trial, got[:5], got[-5:], len(got))
