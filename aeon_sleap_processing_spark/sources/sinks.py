@@ -737,6 +737,8 @@ def manifest_commit(
     remove_prefixes: list[str] = (),
     max_retries: int = 50,
     require_remove_present: bool = False,
+    op: str = "append",
+    data_change: bool = True,
 ) -> int:
     """Atomically commit a file-set change to the manifest log: the new
     head = newest parseable head minus ``remove`` (relative paths) minus
@@ -759,7 +761,17 @@ def manifest_commit(
     gone from the head at commit time, a concurrent commit replaced a
     file this rewrite read — its staged output would resurrect replaced
     rows — so :class:`ManifestConflict` is raised instead of committing.
+
+    ``op``/``data_change`` are recorded in the manifest doc (plus a
+    wall-clock ``ts``) — the Delta/Iceberg ``dataChange`` convention.
+    ``data_change=False`` marks a REWRITE: the commit reorganizes bytes
+    (compaction, OPTIMIZE, the streaming fold) without changing the
+    logical row set, so :func:`read_manifested_changes` skips its adds
+    and does not treat its removes as replacements. Leave the default
+    for anything that adds/overwrites/expires rows. Manifests written
+    before these fields existed read back as data changes (conservative).
     Returns the committed version number."""
+    import time as _time
     import uuid
 
     fs, Path, root = _hadoop_fs(spark, path)
@@ -800,6 +812,9 @@ def manifest_commit(
             {
                 "version": next_v,
                 "token": token,
+                "op": op,
+                "dc": bool(data_change),
+                "ts": _time.time(),
                 "files": [nxt[p] for p in sorted(nxt)],
             }
         ).encode()
@@ -951,6 +966,7 @@ def write_manifested(
         spark, path,
         add=[(p, b, add_stats.get(p)) for p, b in adds],
         remove_prefixes=drop_pre,
+        op="append" if replace is None else f"overwrite-{replace}",
     )
     return [p for p, _ in adds]
 
@@ -1048,6 +1064,168 @@ def is_manifested(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(Path(f"{root_str}/{_MANIFEST_DIR}")))
 
 
+class ManifestCursorExpired(RuntimeError):
+    """An incremental consumer's cursor points below the store's retained
+    manifest history (``vacuum_manifested`` reclaimed the versions — or
+    the physical files — the changes walk needs). The consumer cannot
+    resume exactly-once; reprocess from scratch (``since_version=-1``)
+    or size ``vacuum_manifested(keep_versions=...)`` to cover the
+    consumer's worst-case lag — the same contract Delta/Iceberg CDC
+    places on log retention."""
+
+
+def _manifest_doc(spark, fs, Path, root_str: str, version: int):
+    """Parse one manifest version; None when missing/corrupt (a corpse a
+    lost commit race left — it was never an acknowledged head)."""
+    p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
+    try:
+        doc = json.loads(_manifest_read_text(spark, fs, p))
+        return doc if isinstance(doc.get("files"), list) else None
+    except Exception:
+        return None
+
+
+def manifest_history(spark: SparkSession, path: str) -> list[dict]:
+    """The store's commit log, oldest first: one dict per parseable
+    manifest version with ``{version, op, data_change, ts, files, bytes,
+    added, removed}`` where added/removed are the file-path deltas vs the
+    previous parseable version. Pre-r11 manifests (no op metadata) read
+    back as ``op="unknown", data_change=True, ts=None``. The walk is
+    O(retained versions) driver-side JSON reads — the observability
+    surface the reference's SLURM-email loop lacks entirely
+    (`detect_fights_all_epochs.py:226-236`)."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    out: list[dict] = []
+    prev: set[str] = set()
+    for v in _manifest_versions(fs, Path, root_str):
+        doc = _manifest_doc(spark, fs, Path, root_str, v)
+        if doc is None:
+            continue
+        paths = {f["path"] for f in doc["files"]}
+        out.append({
+            "version": v,
+            "op": doc.get("op", "unknown"),
+            "data_change": bool(doc.get("dc", True)),
+            "ts": doc.get("ts"),
+            "files": len(paths),
+            "bytes": sum(f["bytes"] for f in doc["files"]),
+            "added": len(paths - prev),
+            "removed": len(prev - paths),
+        })
+        prev = paths
+    return out
+
+
+def read_manifested_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int = -1,
+    until_version: int | None = None,
+) -> tuple[DataFrame | None, int]:
+    """Incremental (CDC-style) read of a manifest-committed store: the
+    rows ADDED by data-change commits in ``(since_version,
+    until_version]``, exactly once per logical row across maintenance.
+    Returns ``(df_or_None, until_version)`` — None when the range adds
+    nothing; commit the returned version as the next cursor.
+
+    This is the consumption path a directory-listing incremental source
+    CANNOT provide on a manifest store: Spark's file streaming source
+    sees a compaction/fold/OPTIMIZE output as brand-new files and
+    re-consumes every row it rewrites (and keeps seeing replaced files
+    until vacuum). Here maintenance is invisible by construction:
+
+    - adds from ``data_change=False`` commits (compact/optimize/fold)
+      are SKIPPED — they reorganize bytes, not rows;
+    - removes by ``data_change=False`` commits do NOT cancel a pending
+      candidate — the rows still owe a delivery, and the pre-rewrite
+      file stays on disk (vacuum's retained-manifest fence) so it is
+      still readable;
+    - removes by ``data_change=True`` commits (a partition overwrite, a
+      streaming replay's ``b<id>-`` self-replace, a TTL sweep) DO cancel
+      pending candidates — the rows were logically replaced/expired, and
+      their replacement (if any) is consumed instead.
+
+    At-least-once caveat inherited from upstream replays: a consumer
+    that already delivered attempt 1 of a batch before a replay replaced
+    it will also deliver attempt 2 (the replacement is a genuine
+    data-change add) — the same contract as ``foreachBatch``; dedup
+    downstream if the upstream can replay across consumer polls.
+
+    When ``since_version=-1`` on a store whose early history was
+    vacuumed, the oldest retained manifest is treated as the initial
+    snapshot (all its files are adds, even if that commit was a fold) —
+    a fresh consumer always sees the full logical row set. A cursor
+    BELOW the retained history raises :class:`ManifestCursorExpired`;
+    so does a candidate file vacuum already reclaimed.
+
+    Scale: the walk is O(versions in range) driver-side JSON reads plus
+    one explicit-paths parquet scan bounded by the CHANGED files — never
+    a listing or scan of the whole store."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    versions = [
+        v for v in _manifest_versions(fs, Path, root_str)
+        if _manifest_doc(spark, fs, Path, root_str, v) is not None
+    ]
+    if not versions:
+        raise FileNotFoundError(f"no manifest under {path}")
+    if until_version is None:
+        until_version = versions[-1]
+    if until_version <= since_version:
+        return None, since_version
+    if since_version >= 0:
+        bases = [v for v in versions if v <= since_version]
+        if not bases:
+            raise ManifestCursorExpired(
+                f"cursor v{since_version} of {path} predates the retained "
+                f"manifest history (oldest retained: v{versions[0]}) — "
+                f"vacuum reclaimed it; reprocess from since_version=-1 or "
+                f"raise vacuum keep_versions"
+            )
+        base = bases[-1]
+        prev = {
+            f["path"]
+            for f in _manifest_doc(spark, fs, Path, root_str, base)["files"]
+        }
+    else:
+        prev = set()
+    # candidates: rel path -> version that added it (insertion-ordered)
+    candidates: dict[str, int] = {}
+    first = True
+    for v in versions:
+        if v <= since_version or v > until_version:
+            continue
+        doc = _manifest_doc(spark, fs, Path, root_str, v)
+        paths = {f["path"] for f in doc["files"]}
+        # the oldest retained version doubles as the initial snapshot for
+        # a from-scratch consumer: its full file set IS the row set then,
+        # whatever op produced it
+        dc = True if (first and since_version < 0) else bool(doc.get("dc", True))
+        first = False
+        if dc:
+            for p in paths - prev:
+                candidates[p] = v
+            for p in prev - paths:
+                candidates.pop(p, None)  # logically replaced/expired
+        prev = paths
+    if not candidates:
+        return None, until_version
+    uris = [f"{root_str}/{p}" for p in candidates]
+    missing = [u for u in uris if not fs.exists(Path(u))]
+    if missing:
+        raise ManifestCursorExpired(
+            f"{len(missing)} changed file(s) under {path} were vacuumed "
+            f"before consumption (e.g. {missing[0]!r}) — the cursor lags "
+            f"past the vacuum retention; reprocess from since_version=-1 "
+            f"or raise vacuum keep_versions"
+        )
+    return (
+        spark.read.option("basePath", root_str).parquet(*uris),
+        until_version,
+    )
+
+
 def compact_manifested(
     spark: SparkSession,
     path: str,
@@ -1055,6 +1233,7 @@ def compact_manifested(
     min_files_to_compact: int = 4,
     _before_commit=None,
     _plan_fn=None,
+    _op: str = "compact",
 ) -> dict:
     """:func:`compact_parquet` for a manifest-committed store — and the
     reason the manifest exists: the rewrite stages NEW files next to the
@@ -1148,6 +1327,7 @@ def compact_manifested(
         v = manifest_commit(
             spark, path, add=adds, remove=removes,
             require_remove_present=True,
+            op=_op, data_change=False,
         )
     except ManifestConflict:
         return {
@@ -1273,7 +1453,7 @@ def optimize_manifested(
         raise ValueError(f"unknown curve {curve!r}")
     return compact_manifested(
         spark, path, target_bytes=target_bytes,
-        min_files_to_compact=1, _plan_fn=plan,
+        min_files_to_compact=1, _plan_fn=plan, _op="optimize",
     )
 
 
@@ -1312,7 +1492,9 @@ def retention_sweep_manifested(
                 prefixes.add("/".join(parts[: i + 1]) + "/")
     if not values:
         return []
-    manifest_commit(spark, path, remove_prefixes=sorted(prefixes))
+    manifest_commit(
+        spark, path, remove_prefixes=sorted(prefixes), op="ttl",
+    )
     return sorted(values)
 
 

@@ -200,6 +200,15 @@ def watch_chunk_store(
     ``trigger`` defaults to ``{"availableNow": True}`` (catch-up then stop);
     pass ``{"processingTime": "30 minutes"}`` for the reference's polling
     cadence.
+
+    MANIFEST-STORE CAVEAT: this is Spark's directory-listing file source.
+    On a manifest-committed store it stays exactly-once only while NO
+    maintenance rewrite runs: a ``compact_manifested``/``maintain`` fold
+    writes new physical files holding already-consumed rows, and the file
+    source would re-consume every one of them (it cannot see the
+    manifest's ``data_change=False``). Watch a manifest store with
+    :func:`watch_manifested` instead — it walks the commit log, so
+    compaction/OPTIMIZE/fold are invisible by construction.
     """
     stream = (
         spark.readStream.schema(schema)
@@ -217,6 +226,99 @@ def watch_chunk_store(
         .trigger(**(trigger or {"availableNow": True}))
     )
     return writer.start()
+
+
+def _read_manifest_cursor(spark: SparkSession, cursor_path: str) -> int:
+    """Last-committed manifest version from a cursor file, -1 when the
+    consumer has never committed (fresh start)."""
+    import json as _json
+
+    from ..sources.sinks import (
+        _canon_uri, _hadoop_fs, _manifest_read_text, _raw_fs,
+    )
+
+    fs, Path, p = _hadoop_fs(spark, cursor_path)
+    if not _raw_fs(fs).exists(Path(_canon_uri(fs, p))):
+        return -1
+    return int(_json.loads(
+        _manifest_read_text(spark, fs, Path(_canon_uri(fs, p)))
+    )["version"])
+
+
+def _write_manifest_cursor(
+    spark: SparkSession, cursor_path: str, version: int
+) -> None:
+    """Atomically persist the consumer cursor: tmp write + rename, raw fs
+    (same single-atomic-event argument as the manifest log itself)."""
+    import json as _json
+
+    from ..sources.sinks import _canon_uri, _hadoop_fs, _raw_fs
+
+    fs, Path, p = _hadoop_fs(spark, cursor_path)
+    target = _canon_uri(fs, p)
+    rfs = _raw_fs(fs)
+    rfs.mkdirs(Path(target).getParent())
+    tmp = Path(f"{target}.tmp-{version}")
+    out = rfs.create(tmp, True)
+    try:
+        out.write(bytearray(_json.dumps({"version": version}).encode()))
+    finally:
+        out.close()
+    rfs.delete(Path(target), False)
+    if not rfs.rename(tmp, Path(target)):
+        raise IOError(f"cursor rename failed for {cursor_path}")
+
+
+def watch_manifested(
+    spark: SparkSession,
+    path: str,
+    process_batch: Callable[[DataFrame, int], None],
+    cursor_path: str,
+    poll_interval: float | None = None,
+    max_polls: int | None = None,
+) -> dict:
+    """Incremental consumer for a MANIFEST-committed store — the
+    manifest-aware replacement for :func:`watch_chunk_store`'s
+    directory-listing file source (which re-consumes every compaction/
+    fold/OPTIMIZE output, see its caveat). Each poll reads the rows
+    added by data-change commits past the durable cursor
+    (:func:`~..sources.sinks.read_manifested_changes`), runs
+    ``process_batch(df, until_version)``, then advances the cursor file
+    — so maintenance rewrites are invisible and a restart resumes from
+    the last committed version.
+
+    Delivery is at-least-once at the poll boundary (cursor commits AFTER
+    ``process_batch`` returns — a crash between the two replays the
+    poll's rows, exactly the ``foreachBatch`` contract; make the sink
+    idempotent on ``until_version`` for exactly-once).
+
+    ``poll_interval=None`` (default) is availableNow semantics: drain
+    whatever is committed, then return. A float polls on that cadence —
+    the reference's 30-minute SLURM loop (`detect_fights_all_epochs.py`)
+    — until ``max_polls``. Returns {"polls", "batches", "cursor"}."""
+    import time as _time
+
+    from ..sources.sinks import read_manifested_changes
+
+    polls = batches = 0
+    cursor = _read_manifest_cursor(spark, cursor_path)
+    while True:
+        df, until = read_manifested_changes(spark, path, cursor)
+        polls += 1
+        if df is not None:
+            process_batch(df, until)
+            batches += 1
+        if until != cursor:
+            _write_manifest_cursor(spark, cursor_path, until)
+            cursor = until
+        if poll_interval is None:
+            if df is None:
+                break  # drained — availableNow semantics
+        else:
+            if max_polls is not None and polls >= max_polls:
+                break
+            _time.sleep(poll_interval)
+    return {"polls": polls, "batches": batches, "cursor": cursor}
 
 
 def stream_append_compacted(
@@ -395,6 +497,7 @@ def _fold_manifested(
         manifest_commit(
             spark, out_path, add=adds, remove=[p for p, _ in sources],
             require_remove_present=True,
+            op="fold", data_change=False,
         )
     except ManifestConflict:
         return
