@@ -1122,6 +1122,7 @@ def read_manifested_changes(
     path: str,
     since_version: int = -1,
     until_version: int | None = None,
+    prefixes: list[str] | None = None,
 ) -> tuple[DataFrame | None, int]:
     """Incremental (CDC-style) read of a manifest-committed store: the
     rows ADDED by data-change commits in ``(since_version,
@@ -1158,6 +1159,14 @@ def read_manifested_changes(
     a fresh consumer always sees the full logical row set. A cursor
     BELOW the retained history raises :class:`ManifestCursorExpired`;
     so does a candidate file vacuum already reclaimed.
+
+    ``prefixes`` prunes the delivered files by relative-path prefix, the
+    same manifest-side partition pruning as :func:`read_manifested` —
+    e.g. ``["stream=5/camera=Top/"]`` watches one register/camera slice
+    of the chunk store incrementally. The cursor stays GLOBAL (it is a
+    store version, not a per-slice offset), so one consumer per slice
+    each keeps its own cursor file and none of them ever scans another
+    slice's files.
 
     Scale: the walk is O(versions in range) driver-side JSON reads plus
     one explicit-paths parquet scan bounded by the CHANGED files — never
@@ -1209,6 +1218,9 @@ def read_manifested_changes(
             for p in prev - paths:
                 candidates.pop(p, None)  # logically replaced/expired
         prev = paths
+    if prefixes is not None:
+        pre = tuple(prefixes)
+        candidates = {p: v for p, v in candidates.items() if p.startswith(pre)}
     if not candidates:
         return None, until_version
     uris = [f"{root_str}/{p}" for p in candidates]

@@ -276,6 +276,7 @@ def watch_manifested(
     cursor_path: str,
     poll_interval: float | None = None,
     max_polls: int | None = None,
+    prefixes: list[str] | None = None,
 ) -> dict:
     """Incremental consumer for a MANIFEST-committed store — the
     manifest-aware replacement for :func:`watch_chunk_store`'s
@@ -295,7 +296,10 @@ def watch_manifested(
     ``poll_interval=None`` (default) is availableNow semantics: drain
     whatever is committed, then return. A float polls on that cadence —
     the reference's 30-minute SLURM loop (`detect_fights_all_epochs.py`)
-    — until ``max_polls``. Returns {"polls", "batches", "cursor"}."""
+    — until ``max_polls``. ``prefixes`` watches one partition slice
+    (e.g. ``["stream=5/camera=Top/"]`` — `watch_chunk_store`'s
+    register/camera selector, manifest-side): give each slice consumer
+    its own ``cursor_path``. Returns {"polls", "batches", "cursor"}."""
     import time as _time
 
     from ..sources.sinks import read_manifested_changes
@@ -303,7 +307,9 @@ def watch_manifested(
     polls = batches = 0
     cursor = _read_manifest_cursor(spark, cursor_path)
     while True:
-        df, until = read_manifested_changes(spark, path, cursor)
+        df, until = read_manifested_changes(
+            spark, path, cursor, prefixes=prefixes
+        )
         polls += 1
         if df is not None:
             process_batch(df, until)

@@ -211,6 +211,71 @@ class TestWatchManifested:
         assert seen == [list(range(6))]
 
 
+class TestSlicedConsumption:
+    def test_prefix_pruned_changes(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        df = spark.range(0, 20).withColumn("p", F.pmod("id", F.lit(2)))
+        write_manifested(spark, df, path, partition_by=["p"])
+        out, v = read_manifested_changes(spark, path, prefixes=["p=1/"])
+        assert _ids(out) == list(range(1, 20, 2))
+        # the slice consumer's cursor is global: caught up for its slice
+        out2, _ = read_manifested_changes(spark, path, since_version=v,
+                                          prefixes=["p=1/"])
+        assert out2 is None
+
+    def test_two_slice_watchers_cover_chunk_store(self, spark, tmp_path):
+        """Watch the ENGINE's chunk store (manifest commit is its default
+        protocol) one camera slice at a time: two watchers with their own
+        cursors, a fold between polls, union == every row exactly once."""
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import write_chunked
+
+        root = str(tmp_path / "chunks")
+        times = pd.date_range("2024-03-01", periods=8, freq="30min")
+        pdf = pd.DataFrame({"time": times, "x": range(8)})
+        df = spark.createDataFrame(pdf)
+        write_chunked(df, root, camera="Top", register=5)
+        write_chunked(df.withColumn("x", df.x + 100), root,
+                      camera="South", register=5)
+        got: dict[str, list[int]] = {"Top": [], "South": []}
+
+        def sink_for(cam):
+            return lambda d, v: got[cam].extend(
+                r.x for r in d.select("x").collect()
+            )
+
+        for cam in ("Top", "South"):
+            watch_manifested(
+                spark, root, sink_for(cam),
+                str(tmp_path / f"cursor_{cam}.json"),
+                prefixes=[f"stream=5/camera={cam}/"],
+            )
+        compact_manifested(spark, root, min_files_to_compact=1)
+        write_chunked(
+            df.withColumn("x", df.x + 200)
+            .withColumn("time", F_shift(df.time)),
+            root, camera="Top", register=5, mode="append",
+        )
+        for cam in ("Top", "South"):
+            watch_manifested(
+                spark, root, sink_for(cam),
+                str(tmp_path / f"cursor_{cam}.json"),
+                prefixes=[f"stream=5/camera={cam}/"],
+            )
+        assert sorted(got["Top"]) == list(range(8)) + list(range(200, 208))
+        assert sorted(got["South"]) == list(range(100, 108))
+
+
+def F_shift(col):
+    """+10 days — lands the appended rows in fresh chunks."""
+    from pyspark.sql import functions as F
+
+    return col + F.expr("INTERVAL 10 DAYS")
+
+
 class TestInterleavedWriterCompactorConsumer:
     def test_exactly_once_under_contention(self, spark, tmp_path):
         """Writers appending + a compactor folding + a consumer polling,
