@@ -977,6 +977,7 @@ def read_manifested(
     version: int | None = None,
     prefixes: list[str] | None = None,
     skip: dict | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read a manifest-committed store AS OF its newest manifest (or a
     pinned ``version`` — snapshot isolation: a compaction committing
@@ -1004,7 +1005,15 @@ def read_manifested(
     pure optimization: callers must still apply the row-level predicate.
     A fully-skipped selection returns an EMPTY DataFrame with the
     store's schema (unlike prefixes, stats-skip expresses a row
-    predicate, and zero matching rows is a valid answer)."""
+    predicate, and zero matching rows is a valid answer).
+
+    ``merge_schema=True`` reads the UNION schema across files (parquet
+    ``mergeSchema``) — required to see a column only some appends carry
+    on a schema-evolved store (rows from older files read NULL, the
+    Delta/Iceberg add-column semantics). Off by default: it footer-reads
+    every selected file at planning time, and an un-evolved store does
+    not need it. Maintenance rewrites (:func:`compact_manifested`,
+    the streaming fold) always merge — see there."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     if version is None:
@@ -1049,9 +1058,10 @@ def read_manifested(
                 f"{root_str}/{entries[0]['path']}"
             )
             return probe.where(F.lit(False))
-    return spark.read.option("basePath", root_str).parquet(
-        *[f"{root_str}/{f['path']}" for f in kept]
-    )
+    reader = spark.read.option("basePath", root_str)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[f"{root_str}/{f['path']}" for f in kept])
 
 
 def is_manifested(spark: SparkSession, path: str) -> bool:
@@ -1123,6 +1133,7 @@ def read_manifested_changes(
     since_version: int = -1,
     until_version: int | None = None,
     prefixes: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> tuple[DataFrame | None, int]:
     """Incremental (CDC-style) read of a manifest-committed store: the
     rows ADDED by data-change commits in ``(since_version,
@@ -1159,6 +1170,10 @@ def read_manifested_changes(
     a fresh consumer always sees the full logical row set. A cursor
     BELOW the retained history raises :class:`ManifestCursorExpired`;
     so does a candidate file vacuum already reclaimed.
+
+    ``merge_schema=True`` reads the union schema across the delta's
+    files (see :func:`read_manifested`) — use it when consuming across
+    a schema-evolving producer.
 
     ``prefixes`` prunes the delivered files by relative-path prefix, the
     same manifest-side partition pruning as :func:`read_manifested` —
@@ -1232,10 +1247,10 @@ def read_manifested_changes(
             f"past the vacuum retention; reprocess from since_version=-1 "
             f"or raise vacuum keep_versions"
         )
-    return (
-        spark.read.option("basePath", root_str).parquet(*uris),
-        until_version,
-    )
+    reader = spark.read.option("basePath", root_str)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*uris), until_version
 
 
 def compact_manifested(
@@ -1303,8 +1318,12 @@ def compact_manifested(
         token = uuid.uuid4().hex
         stage_str = f"{root_str}/_staging/{token}"
         # plain read of the member FILES (no basePath): partition values
-        # stay in the directory name, never absorbed into data files
-        leaf_df = spark.read.parquet(
+        # stay in the directory name, never absorbed into data files.
+        # mergeSchema ALWAYS: without it a mixed-schema leaf (a column
+        # added by a later append) is rewritten with ONE file's schema —
+        # the evolved column's data would be silently dropped. The cost
+        # is footer reads bounded by the leaf being rewritten anyway.
+        leaf_df = spark.read.option("mergeSchema", "true").parquet(
             *[f"{root_str}/{m['path']}" for m in members]
         )
         planned = (

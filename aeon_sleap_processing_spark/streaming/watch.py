@@ -479,7 +479,11 @@ def _fold_manifested(
     token = uuid.uuid4().hex
     stage_str = f"{root_str}/_staging/{token}"
     (
-        spark.read.parquet(*[f"{root_str}/{p}" for p, _ in sources])
+        # mergeSchema: an external append with a wider schema must not
+        # have its evolved column dropped by the fold's rewrite (same
+        # soundness rule as compact_manifested)
+        spark.read.option("mergeSchema", "true")
+        .parquet(*[f"{root_str}/{p}" for p, _ in sources])
         .repartition(n_out)
         .write.mode("overwrite")
         .parquet(stage_str)

@@ -330,6 +330,23 @@ class TestRetentionInterplay:
         assert _ids(read_manifested(spark, path)) == list(range(18))
 
 
+class TestChangesSchemaEvolution:
+    def test_delta_spanning_evolution_reads_union_schema(
+        self, spark, tmp_path
+    ):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 4), path)
+        write_manifested(
+            spark, spark.range(4, 8).withColumn("tag", F.lit("new")), path
+        )
+        df, _ = read_manifested_changes(spark, path, merge_schema=True)
+        assert set(df.columns) == {"id", "tag"}
+        assert df.where("tag IS NULL").count() == 4
+        assert df.where("tag = 'new'").count() == 4
+
+
 class TestHistoryAndCompat:
     def test_history_records_ops(self, spark, tmp_path):
         path = str(tmp_path / "store")

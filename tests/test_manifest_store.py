@@ -593,3 +593,42 @@ class TestManifestStats:
             )
             assert got == truth, (lo, hi)
             assert len(pruned.inputFiles()) <= len(full.inputFiles())
+
+
+class TestSchemaEvolution:
+    """Add-column evolution on a long-lived store: reads can opt into the
+    union schema, and maintenance rewrites must NEVER drop an evolved
+    column (a plain multi-file parquet read takes one file's schema — a
+    compaction doing that silently loses the column's data)."""
+
+    def test_merge_schema_read(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        write_manifested(
+            spark, spark.range(5, 10).withColumn("score", F.lit(0.5)), path
+        )
+        wide = read_manifested(spark, path, merge_schema=True)
+        assert set(wide.columns) == {"id", "score"}
+        assert wide.where("score IS NULL").count() == 5  # pre-evolution rows
+        assert wide.where("score = 0.5").count() == 5
+
+    def test_compaction_preserves_evolved_column(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        write_manifested(
+            spark, spark.range(5, 10).withColumn("score", F.lit(2.0)), path
+        )
+        res = compact_manifested(spark, path, min_files_to_compact=2)
+        assert res["compacted"]
+        back = read_manifested(spark, path, merge_schema=True)
+        assert set(back.columns) == {"id", "score"}
+        assert back.where("score = 2.0").count() == 5, (
+            "the fold must rewrite with the UNION schema, not one file's"
+        )
+        assert sorted(r.id for r in back.select("id").collect()) == list(
+            range(10)
+        )

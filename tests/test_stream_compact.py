@@ -314,3 +314,32 @@ class TestStreamAppendManifest:
         assert sorted(
             r.id for r in read_manifested(spark, out).collect()
         ) == list(range(30))
+
+
+class TestFoldSchemaEvolution:
+    def test_fold_preserves_wider_restart_schema(self, spark, tmp_path):
+        """A stream restarted with a wider schema leaves b<id>- files of
+        both shapes in the head; the fold must rewrite with the union
+        schema (a plain read would take one file's schema and silently
+        drop the new column's data)."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+        from aeon_sleap_processing_spark.streaming.watch import (
+            _fold_manifested,
+        )
+
+        path = str(tmp_path / "sink")
+        write_manifested(spark, spark.range(0, 4), path,
+                         filename_prefix="b0-")
+        write_manifested(
+            spark, spark.range(4, 8).withColumn("q", F.lit(9)), path,
+            filename_prefix="b1-",
+        )
+        _fold_manifested(spark, path, batch_id=2, target_bytes=1 << 30)
+        back = read_manifested(spark, path, merge_schema=True)
+        assert set(back.columns) == {"id", "q"}
+        assert back.where("q = 9").count() == 4
+        assert back.count() == 8
