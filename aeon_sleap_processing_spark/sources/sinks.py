@@ -860,6 +860,75 @@ def _stat_val(v):
     return str(v)
 
 
+def _stage_files(
+    spark: SparkSession,
+    df: DataFrame,
+    fs,
+    Path,
+    root_str: str,
+    partition_by: list[str] | None,
+    filename_prefix: str,
+    stats_cols: list[str] | None,
+) -> tuple[list[tuple[str, int]], dict[str, dict], set[str]]:
+    """Write ``df`` under ``_staging/<token>`` and move the part files to
+    their final (partition) dirs under unique token names — the shared
+    stage step of every data-adding commit (append/overwrite/merge/
+    delete). NOTHING becomes visible until the caller's
+    :func:`manifest_commit`; a crash leaves only invisible orphans for
+    vacuum. Returns (adds [(rel, bytes[, stats])-compatible pairs],
+    per-rel stats, staged partition dirs)."""
+    import uuid
+
+    token = uuid.uuid4().hex
+    stage_str = f"{root_str}/_staging/{token}"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage_str)
+    stats_by_file: dict[str, dict] = {}
+    if stats_cols:
+        # one scan of the staged write (bounded by it, never the store):
+        # per-file min/max keyed by the staged file URI
+        aggs = []
+        for c in stats_cols:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        for row in (
+            spark.read.parquet(stage_str)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        ):
+            stats_by_file[row["__f"]] = {
+                c: [_stat_val(row[f"__lo_{c}"]), _stat_val(row[f"__hi_{c}"])]
+                for c in stats_cols
+            }
+    adds: list[tuple[str, int]] = []
+    add_stats: dict[str, dict] = {}
+    staged_dirs: set[str] = set()
+    for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
+        src = st.getPath()
+        # partition subpath between the staging root and the file
+        rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
+        staged_dirs.add(f"{rel_dir}/" if rel_dir else "")
+        name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
+        rel = f"{rel_dir}/{name}" if rel_dir else name
+        dest = Path(f"{root_str}/{rel}")
+        fs.mkdirs(dest.getParent())
+        if stats_by_file:
+            # input_file_name() and FileStatus render the same file with
+            # different scheme spellings — match canonically
+            src_uri = _canon_uri(fs, src)
+            for k, v in stats_by_file.items():
+                if _canon_uri(fs, Path(k)) == src_uri:
+                    add_stats[rel] = v
+                    break
+        if not fs.rename(src, dest):
+            raise IOError(f"_stage_files: rename failed for {rel}")
+        adds.append((rel, st.getLen()))
+    fs.delete(Path(stage_str), True)
+    return adds, add_stats, staged_dirs
+
+
 def write_manifested(
     spark: SparkSession,
     df: DataFrame,
@@ -900,57 +969,12 @@ def write_manifested(
     :func:`read_manifested`'s ``skip``. Order-preserving encoding via
     :func:`_stat_val`; files without stats are never skipped
     (conservative — compaction output currently carries no stats)."""
-    import uuid
-
-    token = uuid.uuid4().hex
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
-    stage_str = f"{root_str}/_staging/{token}"
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(stage_str)
-    stats_by_file: dict[str, dict] = {}
-    if stats_cols:
-        # one scan of the staged append (bounded by the append, never the
-        # store): per-file min/max keyed by the staged file URI
-        aggs = []
-        for c in stats_cols:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-        for row in (
-            spark.read.parquet(stage_str)
-            .groupBy(F.input_file_name().alias("__f"))
-            .agg(*aggs)
-            .collect()
-        ):
-            stats_by_file[row["__f"]] = {
-                c: [_stat_val(row[f"__lo_{c}"]), _stat_val(row[f"__hi_{c}"])]
-                for c in stats_cols
-            }
-    adds: list[tuple[str, int]] = []
-    add_stats: dict[str, dict] = {}
-    staged_dirs: set[str] = set()
-    for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
-        src = st.getPath()
-        # partition subpath between the staging root and the file
-        rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
-        staged_dirs.add(f"{rel_dir}/" if rel_dir else "")
-        name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
-        rel = f"{rel_dir}/{name}" if rel_dir else name
-        dest = Path(f"{root_str}/{rel}")
-        fs.mkdirs(dest.getParent())
-        if stats_by_file:
-            # input_file_name() and FileStatus render the same file with
-            # different scheme spellings — match canonically
-            src_uri = _canon_uri(fs, src)
-            for k, v in stats_by_file.items():
-                if _canon_uri(fs, Path(k)) == src_uri:
-                    add_stats[rel] = v
-                    break
-        if not fs.rename(src, dest):
-            raise IOError(f"write_manifested: rename failed for {rel}")
-        adds.append((rel, st.getLen()))
-    fs.delete(Path(stage_str), True)
+    adds, add_stats, staged_dirs = _stage_files(
+        spark, df, fs, Path, root_str, partition_by, filename_prefix,
+        stats_cols,
+    )
     if replace is None:
         drop_pre = list(remove_prefixes)
     elif replace == "partitions":
@@ -1251,6 +1275,226 @@ def read_manifested_changes(
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
     return reader.parquet(*uris), until_version
+
+
+def _infer_partition_cols(entries: list[dict]) -> list[str]:
+    """Hive partition columns from a manifest entry's directory path —
+    engine-written stores are uniform, so the first entry is
+    authoritative. [] on an empty head (a fully-TTL'd store)."""
+    if not entries:
+        return []
+    parts = entries[0]["path"].split("/")[:-1]
+    return [p.split("=", 1)[0] for p in parts if "=" in p]
+
+
+def _entry_stats_cols(entries: list[dict]) -> list[str]:
+    """Union of stat columns any entry carries — the store's stats
+    discipline, carried forward onto rewrite output."""
+    cols: set[str] = set()
+    for e in entries:
+        cols.update(e.get("stats") or {})
+    return sorted(cols)
+
+
+def _touched_rel_paths(spark, fs, Path, root_str, uris) -> list[str]:
+    """input_file_name() URIs → manifest-relative paths (canonical-form
+    slice; the two APIs render the same file with different scheme
+    spellings)."""
+    rels = []
+    for u in uris:
+        cu = _canon_uri(fs, Path(u))
+        rels.append(cu[len(root_str):].strip("/"))
+    return rels
+
+
+def merge_manifested(
+    spark: SparkSession,
+    updates: DataFrame,
+    path: str,
+    key: str | list[str],
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    _before_commit=None,
+) -> dict:
+    """Copy-on-write MERGE (upsert) into a manifest-committed store — the
+    Delta/Iceberg ``MERGE INTO`` for the row-level fixups a training
+    corpus needs (relabel documents, patch metadata, backfill scores)
+    without rewriting the store: rows in ``updates`` REPLACE store rows
+    with the same ``key`` (whole-row update), unmatched update rows are
+    INSERTED, and only the files that actually contain a matched key are
+    rewritten — everything else is untouched manifest metadata.
+
+    Plan, all bounded by the MATCHED files, never the store:
+    (1) candidate files by manifest stats when a single ``key`` column
+    has recorded min/max (the updates' key span prunes manifest-side,
+    zero I/O); (2) touched files = candidates semi-joined to the
+    updates' keys (broadcast — updates are the small side by contract);
+    (3) rewrite = touched rows anti-join updates, union ALL updates;
+    (4) ONE CAS commit (add rewritten, remove touched,
+    ``require_remove_present`` — a concurrent commit replacing a touched
+    file raises :class:`ManifestConflict`: re-run the merge against the
+    new head, exactly the table-format rule).
+
+    ``updates`` must carry one row per key (duplicate update keys all
+    survive — Delta raises instead; here the caller owns dedup) and, on
+    a partitioned store, the partition columns. ``partition_by``/
+    ``stats_cols`` default to the store's own layout/stats discipline
+    (inferred from the head). An update row may MOVE a row across
+    partitions (the old copy's file is rewritten without it; the new row
+    lands under its new partition dir).
+
+    CDC interplay: a merge is a data change — its rewritten files are
+    re-delivered by :func:`read_manifested_changes` in full (survivor
+    rows included; file-level CDC cannot split a file, same behavior as
+    Delta CDC without the CDF column — dedup downstream on key).
+    Returns {"files_rewritten", "rows_matched", "updates_rows",
+    "version"}."""
+    keys = [key] if isinstance(key, str) else list(key)
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    entries = list(head["files"])
+    if partition_by is None:
+        partition_by = _infer_partition_cols(entries)
+    if stats_cols is None:
+        stats_cols = _entry_stats_cols(entries)
+    updates = updates.localCheckpoint(eager=True)  # reuse across 3 legs
+    n_updates = updates.count()
+    if n_updates == 0:
+        return {"files_rewritten": 0, "rows_matched": 0,
+                "updates_rows": 0, "version": head_v}
+    # manifest-side candidate pruning by the updates' key span
+    candidates = entries
+    if len(keys) == 1 and any(keys[0] in (e.get("stats") or {}) for e in entries):
+        k = keys[0]
+        b = updates.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
+        lo, hi = _stat_val(b["lo"]), _stat_val(b["hi"])
+        if lo is not None:
+            def _may_match(e) -> bool:
+                st = (e.get("stats") or {}).get(k)
+                if not st or st[0] is None or st[1] is None:
+                    return True  # no stats — conservative
+                return not (st[1] < lo or st[0] > hi)
+
+            candidates = [e for e in entries if _may_match(e)]
+    ukeys = updates.select(*keys).dropDuplicates()
+    touched_rel: list[str] = []
+    if candidates:
+        cand = spark.read.option("basePath", root_str).parquet(
+            *[f"{root_str}/{e['path']}" for e in candidates]
+        )
+        touched_uris = [
+            r["__f"]
+            for r in cand.withColumn("__f", F.input_file_name())
+            .join(F.broadcast(ukeys), on=keys, how="leftsemi")
+            .select("__f").distinct().collect()
+        ]
+        touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
+    rows_matched = 0
+    if touched_rel:
+        old = spark.read.option("basePath", root_str).option(
+            "mergeSchema", "true"
+        ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
+        survivors = old.join(F.broadcast(ukeys), on=keys, how="left_anti")
+        rows_matched = old.count() - survivors.count()
+        new_df = survivors.unionByName(updates, allowMissingColumns=True)
+    else:
+        new_df = updates
+    adds, add_stats, _ = _stage_files(
+        spark, new_df, fs, Path, root_str, partition_by or None, "",
+        stats_cols or None,
+    )
+    if _before_commit is not None:
+        _before_commit()
+    v = manifest_commit(
+        spark, path,
+        add=[(p, b, add_stats.get(p)) for p, b in adds],
+        remove=touched_rel,
+        require_remove_present=bool(touched_rel),
+        op="merge",
+    )
+    return {"files_rewritten": len(touched_rel), "rows_matched": rows_matched,
+            "updates_rows": n_updates, "version": v}
+
+
+def delete_manifested(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    skip: dict | None = None,
+) -> dict:
+    """Copy-on-write row-level DELETE from a manifest-committed store:
+    rewrite only the files containing a row matching the SQL
+    ``predicate``, drop those rows, ONE CAS commit (``op="delete"``,
+    rewrite-validated like :func:`merge_manifested`). Rows where the
+    predicate evaluates NULL survive (SQL semantics — DELETE removes
+    only WHERE-true rows). ``skip`` bounds the candidate scan by
+    manifest stats (``{col: (lo, hi)}``, as :func:`read_manifested`) —
+    give it whenever the predicate implies a span over a stats column;
+    without it the match scan reads every file ONCE (Catalyst still
+    prunes row-groups via parquet footers) but only matched files are
+    rewritten. Partition layout and stats discipline carry forward from
+    the head. The GDPR-style forget op: cost is O(files containing the
+    rows), not O(store). Returns {"files_rewritten", "rows_deleted",
+    "version"}."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    entries = list(head["files"])
+    partition_by = _infer_partition_cols(entries)
+    stats_cols = _entry_stats_cols(entries)
+    candidates = entries
+    if skip:
+        want = {c: (_stat_val(lo), _stat_val(hi)) for c, (lo, hi) in skip.items()}
+
+        def _may(e) -> bool:
+            st = e.get("stats") or {}
+            for c, (lo, hi) in want.items():
+                if c not in st or st[c][0] is None or st[c][1] is None:
+                    continue
+                if (lo is not None and st[c][1] < lo) or (
+                    hi is not None and st[c][0] > hi
+                ):
+                    return False
+            return True
+
+        candidates = [e for e in entries if _may(e)]
+    if not candidates:
+        return {"files_rewritten": 0, "rows_deleted": 0, "version": head_v}
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    cand = spark.read.option("basePath", root_str).option(
+        "mergeSchema", "true"
+    ).parquet(*[f"{root_str}/{e['path']}" for e in candidates])
+    touched_uris = [
+        r["__f"]
+        for r in cand.where(hit)
+        .select(F.input_file_name().alias("__f")).distinct().collect()
+    ]
+    if not touched_uris:
+        return {"files_rewritten": 0, "rows_deleted": 0, "version": head_v}
+    touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
+    old = spark.read.option("basePath", root_str).option(
+        "mergeSchema", "true"
+    ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
+    survivors = old.where(~hit)
+    rows_deleted = old.count() - survivors.count()
+    adds, add_stats, _ = _stage_files(
+        spark, survivors, fs, Path, root_str, partition_by or None, "",
+        stats_cols or None,
+    )
+    v = manifest_commit(
+        spark, path,
+        add=[(p, b, add_stats.get(p)) for p, b in adds],
+        remove=touched_rel,
+        require_remove_present=True,
+        op="delete",
+    )
+    return {"files_rewritten": len(touched_rel),
+            "rows_deleted": rows_deleted, "version": v}
 
 
 def compact_manifested(

@@ -1,0 +1,210 @@
+"""Copy-on-write MERGE (upsert) and row-level DELETE on the manifest
+store (r11): only the files containing a matched key/predicate are
+rewritten, one CAS commit, rewrite-validated against concurrent commits.
+The table-format ops (`MERGE INTO`, GDPR delete) the listing store cannot
+express atomically — and the row-level fixup path a training corpus needs
+(relabel, patch metadata, forget a source)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.sources.sinks import (
+    ManifestConflict,
+    delete_manifested,
+    manifest_commit,
+    manifest_history,
+    merge_manifested,
+    read_manifested,
+    read_manifested_changes,
+    write_manifested,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+class TestMergeBasic:
+    def test_update_and_insert(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        base = spark.range(0, 10).withColumn("v", F.lit("old"))
+        write_manifested(spark, base, path)
+        updates = spark.createDataFrame(
+            [(3, "new"), (7, "new"), (100, "ins")], "id long, v string"
+        )
+        res = merge_manifested(spark, updates, path, key="id")
+        assert res["rows_matched"] == 2 and res["updates_rows"] == 3
+        back = read_manifested(spark, path)
+        got = dict(_rows(back, "id", "v"))
+        assert got[3] == "new" and got[7] == "new" and got[100] == "ins"
+        assert got[0] == "old" and len(got) == 11
+
+    def test_pure_insert_no_rewrite(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        res = merge_manifested(
+            spark, spark.range(50, 55), path, key="id"
+        )
+        assert res["files_rewritten"] == 0 and res["rows_matched"] == 0
+        assert read_manifested(spark, path).count() == 10
+
+    def test_empty_updates_noop(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        res = merge_manifested(
+            spark, spark.range(0, 5).where("id < 0"), path, key="id"
+        )
+        assert res["files_rewritten"] == 0 and res["updates_rows"] == 0
+
+
+class TestMergeBounded:
+    def test_only_matched_files_rewritten_via_stats(self, spark, tmp_path):
+        """Disjoint-span appends with id stats: a merge touching one span
+        must leave every other span's file entries byte-identical in the
+        head (manifest-side pruning + semi-join — O(matched), not
+        O(store))."""
+        path = str(tmp_path / "store")
+        for lo in (0, 100, 200, 300):
+            write_manifested(
+                spark,
+                spark.range(lo, lo + 50).withColumn("v", F.lit("old"))
+                .coalesce(1),
+                path, stats_cols=["id"],
+            )
+        from aeon_sleap_processing_spark.sources.sinks import _manifest_head, _hadoop_fs, _canon_uri
+        fs, Path, root = _hadoop_fs(spark, path)
+        _, head0, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
+        before = {f["path"] for f in head0["files"]}
+        updates = spark.createDataFrame([(210, "new")], "id long, v string")
+        res = merge_manifested(spark, updates, path, key="id")
+        assert res["files_rewritten"] == 1
+        _, head1, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
+        after = {f["path"] for f in head1["files"]}
+        assert len(before & after) == 3  # three spans untouched
+        # rewritten file carries the store's stats discipline forward
+        new_entries = [f for f in head1["files"] if f["path"] not in before]
+        assert all("id" in (f.get("stats") or {}) for f in new_entries)
+        got = dict(_rows(read_manifested(spark, path), "id", "v"))
+        assert got[210] == "new" and got[209] == "old" and len(got) == 200
+
+    def test_partitioned_store_and_cross_partition_move(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        df = spark.range(0, 20).withColumn("p", F.pmod("id", F.lit(2)))
+        write_manifested(spark, df, path, partition_by=["p"])
+        # move id=4 from p=0 to p=1 (partition cols inferred from head)
+        updates = spark.createDataFrame([(4, 1)], "id long, p bigint")
+        res = merge_manifested(spark, updates, path, key="id")
+        assert res["rows_matched"] == 1
+        back = read_manifested(spark, path)
+        assert back.where("id = 4 AND p = 1").count() == 1
+        assert back.where("p = 0").count() == 9
+        assert back.count() == 20
+
+    def test_conflict_on_concurrent_replace(self, spark, tmp_path):
+        """A commit replacing a touched file between the merge's read and
+        its commit must raise ManifestConflict (never resurrect the
+        replaced rows)."""
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5).coalesce(1), path)
+
+        def race():
+            write_manifested(spark, spark.range(1000, 1005), path,
+                             replace="all")
+
+        with pytest.raises(ManifestConflict):
+            merge_manifested(
+                spark, spark.createDataFrame([(2,)], "id long"), path,
+                key="id", _before_commit=race,
+            )
+        assert sorted(
+            r.id for r in read_manifested(spark, path).collect()
+        ) == list(range(1000, 1005))
+
+
+class TestMergeSchemaAndCDC:
+    def test_updates_can_widen_schema(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 6).coalesce(1), path)
+        updates = spark.createDataFrame([(2, 0.9)], "id long, score double")
+        merge_manifested(spark, updates, path, key="id")
+        back = read_manifested(spark, path, merge_schema=True)
+        assert set(back.columns) == {"id", "score"}
+        assert back.where("score = 0.9").count() == 1
+        assert back.where("score IS NULL").count() == 5
+
+    def test_merge_is_a_data_change_for_consumers(self, spark, tmp_path):
+        """Documented CDC contract: the merge's rewritten files are
+        re-delivered in full (file-level CDC cannot split a file)."""
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 5).withColumn("v", F.lit("old"))
+            .coalesce(1), path,
+        )
+        _, cursor = read_manifested_changes(spark, path)
+        merge_manifested(
+            spark,
+            spark.createDataFrame([(1, "new")], "id long, v string"),
+            path, key="id",
+        )
+        df, _ = read_manifested_changes(spark, path, since_version=cursor)
+        got = dict(_rows(df, "id", "v"))
+        assert got[1] == "new" and len(got) == 5  # whole rewritten file
+        hist = manifest_history(spark, path)
+        assert hist[-1]["op"] == "merge" and hist[-1]["data_change"]
+
+
+class TestDelete:
+    def test_predicate_delete(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 20).withColumn("bad", F.col("id") % 5 == 0),
+            path,
+        )
+        res = delete_manifested(spark, path, "bad")
+        assert res["rows_deleted"] == 4
+        back = read_manifested(spark, path)
+        assert back.count() == 16 and back.where("bad").count() == 0
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, "x"), (2, None), (3, "drop")], "id long, tag string"
+        )
+        write_manifested(spark, df, path)
+        res = delete_manifested(spark, path, "tag = 'drop'")
+        assert res["rows_deleted"] == 1
+        assert sorted(
+            r.id for r in read_manifested(spark, path).collect()
+        ) == [1, 2], "NULL-evaluating rows must survive a DELETE"
+
+    def test_no_match_noop(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        res = delete_manifested(spark, path, "id > 1000")
+        assert res == {"files_rewritten": 0, "rows_deleted": 0,
+                       "version": res["version"]}
+
+    def test_stats_skip_bounds_candidates(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        for lo in (0, 100, 200):
+            write_manifested(
+                spark, spark.range(lo, lo + 50).coalesce(1), path,
+                stats_cols=["id"],
+            )
+        res = delete_manifested(
+            spark, path, "id BETWEEN 110 AND 120", skip={"id": (110, 120)}
+        )
+        assert res["files_rewritten"] == 1 and res["rows_deleted"] == 11
+        assert read_manifested(spark, path).count() == 139
+
+    def test_delete_whole_file_leaves_no_empty_add(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5).coalesce(1), path,
+                         stats_cols=["id"])
+        write_manifested(spark, spark.range(5, 10).coalesce(1), path,
+                         stats_cols=["id"])
+        res = delete_manifested(spark, path, "id < 5")
+        assert res["rows_deleted"] == 5
+        assert sorted(
+            r.id for r in read_manifested(spark, path).collect()
+        ) == list(range(5, 10))
