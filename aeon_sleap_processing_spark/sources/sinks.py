@@ -1497,6 +1497,51 @@ def delete_manifested(
             "rows_deleted": rows_deleted, "version": v}
 
 
+def restore_manifested(
+    spark: SparkSession,
+    path: str,
+    version: int,
+) -> dict:
+    """Roll the store back to snapshot ``version`` — ONE metadata-only
+    commit whose file set is the target manifest's (Delta ``RESTORE``):
+    zero data I/O, atomic, composable (a concurrent append between the
+    build and the CAS is replaced — restore is full-state by definition,
+    last-writer-wins). The bad-commit undo: a botched merge/delete/
+    overwrite is reverted in O(head) driver work as long as vacuum has
+    not reclaimed the target's files — every target file is existence-
+    checked first and :class:`ManifestCursorExpired` names the failure
+    (size ``keep_versions`` to the rollback window you want, the same
+    knob as consumer lag). CDC interplay: a restore is a data change —
+    rows it brings back are re-delivered, rows it un-commits cancel.
+    Returns {"version", "restored_from", "files"}."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    doc = _manifest_doc(spark, fs, Path, root_str, version)
+    if doc is None:
+        raise ManifestCursorExpired(
+            f"manifest v{version} of {path} is missing or corrupt — "
+            f"vacuum may have reclaimed it (retained: "
+            f"{_manifest_versions(fs, Path, root_str)[:3]}...)"
+        )
+    missing = [
+        f["path"] for f in doc["files"]
+        if not fs.exists(Path(f"{root_str}/{f['path']}"))
+    ]
+    if missing:
+        raise ManifestCursorExpired(
+            f"cannot restore {path} to v{version}: {len(missing)} of its "
+            f"files were vacuumed (e.g. {missing[0]!r})"
+        )
+    v = manifest_commit(
+        spark, path,
+        add=[(f["path"], f["bytes"], f.get("stats")) for f in doc["files"]],
+        remove_prefixes=[""],
+        op="restore",
+    )
+    return {"version": v, "restored_from": version,
+            "files": len(doc["files"])}
+
+
 def compact_manifested(
     spark: SparkSession,
     path: str,

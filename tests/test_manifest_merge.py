@@ -208,3 +208,41 @@ class TestDelete:
         assert sorted(
             r.id for r in read_manifested(spark, path).collect()
         ) == list(range(5, 10))
+
+
+class TestRestore:
+    def test_rollback_bad_delete(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            restore_manifested, vacuum_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 10), path)      # v0
+        write_manifested(spark, spark.range(10, 20), path)     # v1
+        delete_manifested(spark, path, "id >= 5")              # v2 (botched)
+        assert read_manifested(spark, path).count() == 5
+        res = restore_manifested(spark, path, 1)
+        assert res["restored_from"] == 1
+        assert sorted(
+            r.id for r in read_manifested(spark, path).collect()
+        ) == list(range(20))
+        hist = manifest_history(spark, path)
+        assert hist[-1]["op"] == "restore" and hist[-1]["data_change"]
+        # CDC: the restore re-delivers what it brought back
+        df, _ = read_manifested_changes(spark, path, since_version=2)
+        assert df.count() >= 15  # the files the delete had dropped/rewritten
+
+    def test_restore_past_vacuum_raises(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            ManifestCursorExpired, compact_manifested, restore_manifested,
+            vacuum_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        for i in range(5):
+            write_manifested(spark, spark.range(i * 2, i * 2 + 2), path)
+        compact_manifested(spark, path, min_files_to_compact=2)
+        vacuum_manifested(spark, path, keep_versions=1,
+                          orphan_grace_seconds=0.0)
+        with pytest.raises(ManifestCursorExpired):
+            restore_manifested(spark, path, 0)
