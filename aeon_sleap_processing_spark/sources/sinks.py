@@ -1497,6 +1497,94 @@ def delete_manifested(
             "rows_deleted": rows_deleted, "version": v}
 
 
+def update_manifested(
+    spark: SparkSession,
+    path: str,
+    predicate: str,
+    set: dict[str, str],
+    skip: dict | None = None,
+) -> dict:
+    """Copy-on-write row-level UPDATE: in files containing a WHERE-true
+    row, rewrite matched rows with each ``set`` column assigned its SQL
+    expression (evaluated per row; other rows and files untouched) —
+    Delta's ``UPDATE ... SET ... WHERE``. A ``set`` column not yet in
+    the store's schema is ADDED (non-matched rows read NULL — the same
+    add-column semantics as evolution). Candidate bounding, NULL
+    semantics, stats/partition carry-forward, rewrite validation and
+    the CDC re-delivery contract are exactly :func:`delete_manifested`'s.
+    Returns {"files_rewritten", "rows_updated", "version"}."""
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    entries = list(head["files"])
+    partition_by = _infer_partition_cols(entries)
+    stats_cols = _entry_stats_cols(entries)
+    candidates = entries
+    if skip:
+        want = {c: (_stat_val(lo), _stat_val(hi)) for c, (lo, hi) in skip.items()}
+
+        def _may(e) -> bool:
+            st = e.get("stats") or {}
+            for c, (lo, hi) in want.items():
+                if c not in st or st[c][0] is None or st[c][1] is None:
+                    continue
+                if (lo is not None and st[c][1] < lo) or (
+                    hi is not None and st[c][0] > hi
+                ):
+                    return False
+            return True
+
+        candidates = [e for e in entries if _may(e)]
+    if not candidates:
+        return {"files_rewritten": 0, "rows_updated": 0, "version": head_v}
+    hit = F.coalesce(F.expr(predicate), F.lit(False))
+    cand = spark.read.option("basePath", root_str).option(
+        "mergeSchema", "true"
+    ).parquet(*[f"{root_str}/{e['path']}" for e in candidates])
+    touched_uris = [
+        r["__f"]
+        for r in cand.where(hit)
+        .select(F.input_file_name().alias("__f")).distinct().collect()
+    ]
+    if not touched_uris:
+        return {"files_rewritten": 0, "rows_updated": 0, "version": head_v}
+    touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
+    old = spark.read.option("basePath", root_str).option(
+        "mergeSchema", "true"
+    ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
+    rows_updated = old.where(hit).count()
+    # every SET expression (and the predicate) evaluates against the
+    # ORIGINAL row — materialize them as temp columns BEFORE any target
+    # column changes (sequential withColumn on the targets would let a
+    # later SET read an earlier SET's result; Delta evaluates all against
+    # the pre-update row)
+    new_df = old.withColumn("__hit", hit)
+    tmp = {c: f"__set_{i}" for i, c in enumerate(set)}
+    for c, expr in set.items():
+        new_df = new_df.withColumn(tmp[c], F.expr(expr))
+    for c in set:
+        keep = F.col(c) if c in old.columns else F.lit(None)
+        new_df = new_df.withColumn(
+            c, F.when(F.col("__hit"), F.col(tmp[c])).otherwise(keep)
+        )
+    new_df = new_df.drop("__hit", *tmp.values())
+    adds, add_stats, _ = _stage_files(
+        spark, new_df, fs, Path, root_str, partition_by or None, "",
+        stats_cols or None,
+    )
+    v = manifest_commit(
+        spark, path,
+        add=[(p, b, add_stats.get(p)) for p, b in adds],
+        remove=touched_rel,
+        require_remove_present=True,
+        op="update",
+    )
+    return {"files_rewritten": len(touched_rel),
+            "rows_updated": rows_updated, "version": v}
+
+
 def restore_manifested(
     spark: SparkSession,
     path: str,

@@ -246,3 +246,100 @@ class TestRestore:
                           orphan_grace_seconds=0.0)
         with pytest.raises(ManifestCursorExpired):
             restore_manifested(spark, path, 0)
+
+
+class TestUpdate:
+    def test_predicate_update(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 10).withColumn("v", F.col("id") * 10), path,
+        )
+        res = update_manifested(
+            spark, path, "id >= 8", {"v": "v + 1"}
+        )
+        assert res["rows_updated"] == 2
+        got = dict(_rows(read_manifested(spark, path), "id", "v"))
+        assert got[8] == 81 and got[9] == 91 and got[0] == 0
+
+    def test_set_exprs_see_original_row(self, spark, tmp_path):
+        """UPDATE SET a = b, b = a must SWAP (both expressions evaluate
+        against the pre-update row, Delta semantics) — a sequential
+        rewrite would set both to the same value."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame([(1, 10, 20)], "id long, a long, b long")
+        write_manifested(spark, df, path)
+        update_manifested(spark, path, "id = 1", {"a": "b", "b": "a"})
+        row = read_manifested(spark, path).collect()[0]
+        assert (row.a, row.b) == (20, 10)
+
+    def test_update_can_add_column(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 4).coalesce(1), path)
+        res = update_manifested(
+            spark, path, "id = 2", {"flag": "'hot'"}
+        )
+        assert res["rows_updated"] == 1
+        back = read_manifested(spark, path, merge_schema=True)
+        assert back.where("flag = 'hot'").count() == 1
+        assert back.where("flag IS NULL").count() == 3
+
+    def test_untouched_files_not_rewritten(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        for lo in (0, 100):
+            write_manifested(spark, spark.range(lo, lo + 50).coalesce(1),
+                             path, stats_cols=["id"])
+        res = update_manifested(
+            spark, path, "id = 120", {"id": "id"}, skip={"id": (120, 120)}
+        )
+        assert res["files_rewritten"] == 1
+
+
+class TestConcurrentDisjointMerges:
+    def test_disjoint_key_merges_both_land(self, spark, tmp_path):
+        """Two merges touching DIFFERENT files racing at the commit: the
+        loser's CAS retry must rebuild on the winner's head (its removes
+        are still present) so both merges land — no ManifestConflict for
+        disjoint work."""
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 50).coalesce(1)
+                         .withColumn("v", F.lit("old")), path,
+                         stats_cols=["id"])
+        write_manifested(spark, spark.range(100, 150).coalesce(1)
+                         .withColumn("v", F.lit("old")), path,
+                         stats_cols=["id"])
+
+        fired = {"done": False}
+
+        def race():
+            # runs inside merge #1's commit window: merge #2 on the OTHER
+            # file completes entirely, committing first
+            if not fired["done"]:
+                fired["done"] = True
+                merge_manifested(
+                    spark,
+                    spark.createDataFrame([(110, "m2")], "id long, v string"),
+                    path, key="id",
+                )
+
+        merge_manifested(
+            spark, spark.createDataFrame([(10, "m1")], "id long, v string"),
+            path, key="id", _before_commit=race,
+        )
+        got = dict(_rows(read_manifested(spark, path), "id", "v"))
+        assert got[10] == "m1" and got[110] == "m2" and len(got) == 100
