@@ -668,6 +668,70 @@ def ivf_write_clustered(
     )
 
 
+def ivf_append_clustered(
+    new_vecs: DataFrame,
+    centroids: list[list[float]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    files_per_cell: int = 1,
+    codebooks: list[list[list[float]]] | None = None,
+) -> list[str]:
+    """INCREMENTAL index maintenance for an :func:`ivf_write_clustered`
+    store: assign ``new_vecs`` to the EXISTING trained ``centroids``
+    (identical argmax rule — searchability is immediate and exact w.r.t.
+    the coarse quantizer) and land them as ONE atomic manifest append
+    into the ``cell=<c>/`` partitions. No rebuild, no rewrite of the
+    existing corpus: the commit is O(new vectors), concurrent searches
+    keep snapshot isolation through it, and concurrent appends compose
+    via the CAS retry. This is the arrival path of a growing corpus —
+    pair with :func:`~..streaming.watch.watch_manifested` over the
+    upstream embedding store to keep the index continuously fresh (new
+    vectors consumed by cursor, appended here, per-cell small files
+    folded later by ``maintain()``'s compaction, which is invisible to
+    both searchers and CDC consumers).
+
+    ``codebooks`` must be passed iff the store was written with PQ codes
+    (the appended rows must carry the same columns). Centroid DRIFT is
+    deliberately out of scope: appends never re-train — when the
+    distribution moves, re-cluster with :func:`ivf_write_clustered`
+    (atomic full replace) using freshly fitted centroids; recall against
+    stale centroids degrades gracefully (assignment stays exact, cell
+    balance does not). Listing-layout stores are refused by name: a
+    directory append has no atomicity and its searchers no snapshot —
+    re-cluster to the manifest layout first. Returns the committed
+    relative paths."""
+    from ..sources.sinks import is_manifested, write_manifested
+
+    spark = new_vecs.sparkSession
+    if not is_manifested(spark, path):
+        raise ValueError(
+            f"ivf_append_clustered: {path} is a listing-layout store — "
+            f"incremental appends need the manifest protocol; re-cluster "
+            f"with ivf_write_clustered(commit='manifest') first"
+        )
+    cell1 = _probe_udf(np.asarray(centroids, dtype=np.float64), 1)
+    cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        F.element_at(cell1(F.col(vec_col)), 1).alias("cell"),
+    ]
+    if codebooks is not None:
+        cols.insert(2, _pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"))
+    assigned = new_vecs.select(*cols)
+    if files_per_cell <= 1:
+        assigned = assigned.repartition("cell")
+    else:
+        assigned = assigned.repartition(
+            len(centroids) * files_per_cell,
+            F.col("cell"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(files_per_cell)),
+        )
+    return write_manifested(
+        spark, assigned, path, partition_by=["cell"],
+    )
+
+
 def _read_clustered(spark, path: str, probed: list[int]) -> DataFrame:
     """Scan of an :func:`ivf_write_clustered` store restricted to the
     ``probed`` cells. Manifest-committed stores prune the file set
