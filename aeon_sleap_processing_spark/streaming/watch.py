@@ -327,6 +327,76 @@ def watch_manifested(
     return {"polls": polls, "batches": batches, "cursor": cursor}
 
 
+def relay_manifested(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    cursor_path: str,
+    transform: Callable[[DataFrame], DataFrame] | None = None,
+    prefixes: list[str] | None = None,
+    partition_by: list[str] | None = None,
+    poll_interval: float | None = None,
+    max_polls: int | None = None,
+) -> dict:
+    """EXACTLY-ONCE store→store relay: consume a manifest store's change
+    deltas by cursor, optionally ``transform`` each delta DataFrame, and
+    append it to another manifest store — the materialized-view /
+    derived-table primitive (filter a corpus into a curated store, project
+    pose features off raw ticks, fan a landing store out per team).
+
+    Exactly-once is BY CONSTRUCTION, not by luck: each poll's output
+    lands under a ``v<until_version>-`` filename prefix whose commit
+    drops that same prefix first (the streaming sink's replay rule) — a
+    crash AFTER the destination commit but BEFORE the cursor write
+    replays the poll, and the replay REPLACES its own earlier output
+    instead of duplicating it. The cursor advances only after the
+    destination commit, so no delta is ever skipped. (The bare
+    :func:`watch_manifested` leaves idempotency to the caller's sink;
+    this is the ready-made sink that has it.)
+
+    ``transform`` must be deterministic per delta for byte-stable
+    replays (a nondeterministic transform still lands exactly one
+    version of each poll — the replaced attempt vanishes atomically).
+    Maintenance on the SOURCE (compact/optimize/fold) delivers nothing,
+    so the relay copies each logical row once even across folds;
+    source-side merges re-deliver rewritten files (file-level CDC —
+    see :func:`~..sources.sinks.read_manifested_changes`), which the
+    version-prefix replace keeps idempotent per poll but a source DML
+    fixup DOES re-append its file's rows downstream: dedup there if the
+    source is DML-active. Returns {"polls", "batches", "cursor"}."""
+    import time as _time
+
+    from ..sources.sinks import read_manifested_changes, write_manifested
+
+    polls = batches = 0
+    cursor = _read_manifest_cursor(spark, cursor_path)
+    while True:
+        df, until = read_manifested_changes(
+            spark, src_path, cursor, prefixes=prefixes
+        )
+        polls += 1
+        if df is not None:
+            out = transform(df) if transform is not None else df
+            write_manifested(
+                spark, out, dest_path,
+                partition_by=partition_by,
+                filename_prefix=f"v{until}-",
+                remove_prefixes=[f"v{until}-"],  # replay replaces itself
+            )
+            batches += 1
+        if until != cursor:
+            _write_manifest_cursor(spark, cursor_path, until)
+            cursor = until
+        if poll_interval is None:
+            if df is None:
+                break
+        else:
+            if max_polls is not None and polls >= max_polls:
+                break
+            _time.sleep(poll_interval)
+    return {"polls": polls, "batches": batches, "cursor": cursor}
+
+
 def stream_append_compacted(
     stream: DataFrame,
     out_path: str,

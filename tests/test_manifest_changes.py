@@ -380,3 +380,54 @@ class TestHistoryAndCompat:
         assert all(h["op"] == "unknown" and h["data_change"] for h in hist)
         df, _ = read_manifested_changes(spark, path)
         assert _ids(df) == list(range(10))
+
+
+class TestRelayExactlyOnce:
+    def test_relay_with_transform_and_crash_replay(self, spark, tmp_path):
+        """Store->store relay: a crash AFTER the destination commit but
+        BEFORE the cursor write replays the poll; the replay must REPLACE
+        its earlier output (v<version>- prefix self-replace), landing
+        each source row exactly once downstream."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.streaming.watch import (
+            relay_manifested,
+        )
+
+        src = str(tmp_path / "src")
+        dest = str(tmp_path / "dest")
+        cursor = str(tmp_path / "cur.json")
+        write_manifested(spark, spark.range(0, 20), src)
+        double = lambda d: d.withColumn("y", F.col("id") * 2)
+        r1 = relay_manifested(spark, src, dest, cursor, transform=double)
+        assert r1["batches"] == 1
+        # simulate the crash window: wind the cursor back and relay again
+        from aeon_sleap_processing_spark.streaming.watch import (
+            _write_manifest_cursor,
+        )
+
+        _write_manifest_cursor(spark, cursor, -1)
+        r2 = relay_manifested(spark, src, dest, cursor, transform=double)
+        assert r2["batches"] == 1
+        out = read_manifested(spark, dest)
+        assert out.count() == 20, "replay must replace, not duplicate"
+        assert sorted(r.y for r in out.collect()) == list(range(0, 40, 2))
+
+    def test_relay_across_source_fold(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.streaming.watch import (
+            relay_manifested,
+        )
+
+        src = str(tmp_path / "src")
+        dest = str(tmp_path / "dest")
+        cursor = str(tmp_path / "cur.json")
+        for i in range(4):
+            write_manifested(spark, spark.range(i * 5, i * 5 + 5), src)
+        relay_manifested(spark, src, dest, cursor)
+        compact_manifested(spark, src, min_files_to_compact=2)
+        write_manifested(spark, spark.range(20, 25), src)
+        r = relay_manifested(spark, src, dest, cursor)
+        assert r["batches"] == 1  # only the post-fold append
+        assert sorted(
+            x.id for x in read_manifested(spark, dest).collect()
+        ) == list(range(25))
