@@ -615,10 +615,18 @@ def retention_sweep(
 # Layout:   <root>/_manifests/<version 20-digit>.json   (the log)
 #           <root>/<partition dirs>/data-<token>-<i>.parquet (immutable data)
 #           <root>/_staging/<token>/                    (writer scratch)
-# A manifest is {"version", "token", "files": [{"path": rel, "bytes": n}]}.
-# Readers resolve ONLY through the newest parseable manifest — a data file
-# not (yet) referenced is invisible, so a crashed writer can never corrupt
-# a read and compaction's swap is one atomic commit, not N dir renames.
+# A version doc is a CHECKPOINT {"version", "token", "op", "dc", "ts",
+# "files": [{"path", "bytes", "stats"?}]} or a DELTA (same metadata with
+# "add"/"removed" lists instead of "files") — the Delta-log design: every
+# _CHECKPOINT_INTERVAL-th commit embeds the full list, the rest record
+# only their resolved change, so commit cost is O(change) amortized (a
+# full-snapshot-every-commit log paid O(store) per append: measured 0.57 s
+# + a 5.9 MB doc rewrite per 1-file append at 100k files vs 0.10 s after —
+# bench_runs_r11/commit_cost.json). Readers resolve state by replaying
+# from the nearest checkpoint (≤ interval small doc reads, memoized —
+# version files are immutable once acknowledged). A data file not (yet)
+# referenced is invisible, so a crashed writer can never corrupt a read
+# and compaction's swap is one atomic commit, not N dir renames.
 #
 # Commit concurrency: a version file is written to a hidden tmp name and
 # RENAMED into its slot — readers can never observe a half-written
@@ -700,23 +708,127 @@ def _manifest_versions(fs, Path, root_str: str) -> list[int]:
     return sorted(vs)
 
 
+# Every _CHECKPOINT_INTERVAL-th commit embeds the FULL file list (a
+# checkpoint); the commits between record only their {add, removed}
+# delta — so commit cost is O(change) amortized, not O(store) always
+# (measured before the change, tools/measure_commit_cost.py: a 1-file
+# append against a 100k-file store cost 0.57 s and a 5.9 MB doc rewrite
+# — the Delta-log checkpoint+delta design removes exactly that term).
+_CHECKPOINT_INTERVAL = 16
+
+
+def _doc_is_valid(doc) -> bool:
+    """A committed doc is a CHECKPOINT (full ``files`` list — every
+    pre-delta-log doc is one) or a DELTA (explicit ``add``/``removed``
+    lists, resolved at commit time)."""
+    if not isinstance(doc, dict):
+        return False
+    if isinstance(doc.get("files"), list):
+        return True
+    return isinstance(doc.get("add"), list) and isinstance(
+        doc.get("removed"), list
+    )
+
+
+def _apply_doc(state: dict, doc: dict) -> dict:
+    """Replay one committed doc onto ``state`` (path -> entry). The
+    universal rule: a checkpoint RESETS state; a delta applies its
+    resolved removes then its adds (an add replacing the same path
+    overwrites by key)."""
+    if isinstance(doc.get("files"), list):
+        return {f["path"]: f for f in doc["files"]}
+    for p in doc["removed"]:
+        state.pop(p, None)
+    for f in doc["add"]:
+        state[f["path"]] = f
+    return state
+
+
+# resolved-state cache: an acknowledged version file is immutable (a slot
+# is written once via the rename CAS; local-fs rename-overwrite races are
+# the documented multi-PROCESS out-of-scope), so (store, version) →
+# resolved file list is a pure function — caching it turns the per-commit
+# O(head) re-parse in commit-heavy loops (the streaming sink: one commit
+# per micro-batch) into a dict hit. Tiny and bounded; thread-safe under
+# the GIL for the dict ops that matter.
+_STATE_CACHE: dict = {}
+_STATE_CACHE_MAX = 8
+
+
+def _resolve_state_at(spark, fs, Path, root_str: str, version: int,
+                      versions: list[int]):
+    """(files AS OF ``version``, deltas since the nearest checkpoint) —
+    the memoized replay core. None when the version's doc is
+    missing/corrupt or no checkpoint survives below it (vacuum retains
+    back to a checkpoint precisely so this cannot happen on a maintained
+    store). Corrupt docs mid-chain are skipped — they were never
+    acknowledged heads, so they carry no changes. Recursion depth is
+    bounded by the checkpoint interval."""
+    key = (root_str, version)
+    hit = _STATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    doc = _manifest_doc(spark, fs, Path, root_str, version)
+    if doc is None:
+        return None
+    if "files" in doc:
+        res = (list(doc["files"]), 0)
+    else:
+        sub = None
+        for v in reversed([x for x in versions if x < version]):
+            sub = _resolve_state_at(spark, fs, Path, root_str, v, versions)
+            if sub is not None:
+                break
+        if sub is None:
+            return None  # no checkpoint below — unresolvable
+        state = _apply_doc({f["path"]: f for f in sub[0]}, doc)
+        res = ([state[p] for p in sorted(state)], sub[1] + 1)
+    if len(_STATE_CACHE) >= _STATE_CACHE_MAX:
+        _STATE_CACHE.pop(next(iter(_STATE_CACHE)))
+    _STATE_CACHE[key] = res
+    return res
+
+
+def _resolve_files_at(spark, fs, Path, root_str: str, version: int,
+                      versions: list[int] | None = None):
+    """The store's full file state AS OF ``version`` (see
+    :func:`_resolve_state_at`); None when unresolvable."""
+    if versions is None:
+        versions = _manifest_versions(fs, Path, root_str)
+    res = _resolve_state_at(spark, fs, Path, root_str, version, versions)
+    return None if res is None else res[0]
+
+
 def _manifest_head(spark, fs, Path, root_str: str):
-    """Newest PARSEABLE manifest as (head_version, doc, next_free_slot) —
+    """Newest RESOLVABLE manifest as (head_version, doc, next_free_slot),
+    the doc's ``files`` materialized through the checkpoint+delta replay —
     walks down past any corrupt version file a lost commit race left
     behind. CRITICAL: head and next slot come from the SAME directory
     listing — sampling them separately lets a version land in the gap and
     be slotted PAST without ever being read, committing a head that drops
-    its changes. (-1, None, 0) on a store with no manifests yet."""
+    its changes. The returned doc carries ``_ckpt_dist`` (commits since
+    the newest checkpoint — the commit path's checkpoint cadence input).
+    (-1, None, 0) on a store with no manifests yet."""
     versions = _manifest_versions(fs, Path, root_str)
     next_slot = (versions[-1] + 1) if versions else 0
     for v in reversed(versions):
-        p = Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json")
-        try:
-            doc = json.loads(_manifest_read_text(spark, fs, p))
-            if isinstance(doc.get("files"), list):
-                return v, doc, next_slot
-        except Exception:
-            continue
+        doc = _manifest_doc(spark, fs, Path, root_str, v)
+        if doc is None:
+            continue  # corrupt corpse — never an acknowledged head
+        res = _resolve_state_at(spark, fs, Path, root_str, v, versions)
+        if res is None:
+            # a parseable delta with no checkpoint below: someone deleted
+            # log files by hand (vacuum retains back to a checkpoint).
+            # Treating this as an empty store would let the next commit
+            # checkpoint over the surviving history — refuse instead.
+            raise IOError(
+                f"manifest log under {root_str} has delta commits but no "
+                f"reachable checkpoint — the log was externally truncated"
+            )
+        out = dict(doc)
+        out["files"] = res[0]
+        out["_ckpt_dist"] = res[1]
+        return v, out, next_slot
     return -1, None, next_slot
 
 
@@ -801,23 +913,35 @@ def manifest_commit(
             if p not in drop
             and not (prefixes and p.startswith(prefixes))
         }
+        added_paths = []
         for item in add:
             p, b = item[0], item[1]
             entry = {"path": p, "bytes": b}
             if len(item) > 2 and item[2]:
                 entry["stats"] = item[2]
             nxt[p] = entry
+            added_paths.append(p)
         token = uuid.uuid4().hex
-        doc = json.dumps(
-            {
-                "version": next_v,
-                "token": token,
-                "op": op,
-                "dc": bool(data_change),
-                "ts": _time.time(),
-                "files": [nxt[p] for p in sorted(nxt)],
-            }
-        ).encode()
+        body = {
+            "version": next_v,
+            "token": token,
+            "op": op,
+            "dc": bool(data_change),
+            "ts": _time.time(),
+        }
+        if head is None or head["_ckpt_dist"] + 1 >= _CHECKPOINT_INTERVAL:
+            # checkpoint cadence: embed the full list so resolution stays
+            # O(interval) doc reads and vacuum can trim the log. The
+            # delta lists are OMITTED here — a checkpoint resets replay
+            # state, and the changes walk derives its delta by set-diff
+            # against the running state
+            body["files"] = [nxt[p] for p in sorted(nxt)]
+        else:
+            # the RESOLVED delta (prefix removes expanded against this
+            # head) — replayable without re-deriving anything
+            body["add"] = [nxt[p] for p in dict.fromkeys(added_paths)]
+            body["removed"] = sorted(p for p in cur if p not in nxt)
+        doc = json.dumps(body).encode()
         target = Path(f"{root_str}/{_MANIFEST_DIR}/{next_v:020d}.json")
         tmp = Path(f"{root_str}/{_MANIFEST_DIR}/.tmp-{token}.json")
         rfs = _raw_fs(fs)
@@ -1044,10 +1168,14 @@ def read_manifested(
         version, head, _ = _manifest_head(spark, fs, Path, root_str)
         if head is None:
             raise FileNotFoundError(f"no manifest under {path}")
+        entries = list(head["files"])
     else:
-        p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
-        head = json.loads(_manifest_read_text(spark, fs, p))
-    entries = list(head["files"])
+        entries = _resolve_files_at(spark, fs, Path, root_str, version)
+        if entries is None:
+            raise FileNotFoundError(
+                f"manifest v{version} of {path} is missing, corrupt, or "
+                f"unresolvable (vacuumed past its checkpoint)"
+            )
     if prefixes is not None:
         pre = tuple(prefixes)
         entries = [f for f in entries if f["path"].startswith(pre)]
@@ -1109,12 +1237,13 @@ class ManifestCursorExpired(RuntimeError):
 
 
 def _manifest_doc(spark, fs, Path, root_str: str, version: int):
-    """Parse one manifest version; None when missing/corrupt (a corpse a
-    lost commit race left — it was never an acknowledged head)."""
+    """Parse one manifest version (checkpoint or delta); None when
+    missing/corrupt (a corpse a lost commit race left — it was never an
+    acknowledged head)."""
     p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
     try:
         doc = json.loads(_manifest_read_text(spark, fs, p))
-        return doc if isinstance(doc.get("files"), list) else None
+        return doc if _doc_is_valid(doc) else None
     except Exception:
         return None
 
@@ -1132,20 +1261,27 @@ def manifest_history(spark: SparkSession, path: str) -> list[dict]:
     root_str = _canon_uri(fs, root)
     out: list[dict] = []
     prev: set[str] = set()
+    state: dict = {}
     for v in _manifest_versions(fs, Path, root_str):
         doc = _manifest_doc(spark, fs, Path, root_str, v)
         if doc is None:
             continue
-        paths = {f["path"] for f in doc["files"]}
+        state = _apply_doc(state, doc)
+        paths = set(state)
+        if isinstance(doc.get("add"), list):
+            added, removed = len(doc["add"]), len(doc["removed"])
+        else:  # pre-delta-log doc: derive from consecutive states
+            added, removed = len(paths - prev), len(prev - paths)
         out.append({
             "version": v,
             "op": doc.get("op", "unknown"),
             "data_change": bool(doc.get("dc", True)),
             "ts": doc.get("ts"),
-            "files": len(paths),
-            "bytes": sum(f["bytes"] for f in doc["files"]),
-            "added": len(paths - prev),
-            "removed": len(prev - paths),
+            "checkpoint": "files" in doc,
+            "files": len(state),
+            "bytes": sum(e["bytes"] for e in state.values()),
+            "added": added,
+            "removed": removed,
         })
         prev = paths
     return out
@@ -1188,12 +1324,13 @@ def read_manifested_changes(
     data-change add) — the same contract as ``foreachBatch``; dedup
     downstream if the upstream can replay across consumer polls.
 
-    When ``since_version=-1`` on a store whose early history was
-    vacuumed, the oldest retained manifest is treated as the initial
-    snapshot (all its files are adds, even if that commit was a fold) —
-    a fresh consumer always sees the full logical row set. A cursor
-    BELOW the retained history raises :class:`ManifestCursorExpired`;
-    so does a candidate file vacuum already reclaimed.
+    ``since_version=-1`` (a from-scratch consumer) delivers the INITIAL
+    SNAPSHOT: the full resolved state at ``until_version``, whole, in
+    one poll — then subsequent polls walk the log from there (the Delta
+    CDC rule; the snapshot's files are the live set, so a fresh
+    consumer never trips on vacuum). A cursor BELOW the retained log
+    raises :class:`ManifestCursorExpired`; so does a candidate file
+    vacuum already reclaimed.
 
     ``merge_schema=True`` reads the union schema across the delta's
     files (see :func:`read_manifested`) — use it when consuming across
@@ -1222,41 +1359,54 @@ def read_manifested_changes(
         until_version = versions[-1]
     if until_version <= since_version:
         return None, since_version
+    # candidates: rel path -> version that added it (insertion-ordered)
+    candidates: dict[str, int] = {}
     if since_version >= 0:
         bases = [v for v in versions if v <= since_version]
-        if not bases:
+        base_files = (
+            _resolve_files_at(spark, fs, Path, root_str, bases[-1], versions)
+            if bases else None
+        )
+        if base_files is None:
             raise ManifestCursorExpired(
                 f"cursor v{since_version} of {path} predates the retained "
                 f"manifest history (oldest retained: v{versions[0]}) — "
                 f"vacuum reclaimed it; reprocess from since_version=-1 or "
                 f"raise vacuum keep_versions"
             )
-        base = bases[-1]
-        prev = {
-            f["path"]
-            for f in _manifest_doc(spark, fs, Path, root_str, base)["files"]
-        }
+        state = {f["path"]: f for f in base_files}
+        walk = [v for v in versions if since_version < v <= until_version]
     else:
-        prev = set()
-    # candidates: rel path -> version that added it (insertion-ordered)
-    candidates: dict[str, int] = {}
-    first = True
-    for v in versions:
-        if v <= since_version or v > until_version:
-            continue
+        # a from-scratch consumer's first poll IS the initial snapshot:
+        # the resolved state at until_version, delivered whole (Delta's
+        # CDC rule) — no history walk, and the files are live by
+        # definition (they are the current snapshot)
+        files0 = _resolve_files_at(
+            spark, fs, Path, root_str, until_version, versions
+        )
+        if files0 is None:
+            raise ManifestCursorExpired(
+                f"until_version {until_version} of {path} is missing or "
+                f"unresolvable — the log was truncated below a checkpoint"
+            )
+        state = {f["path"]: f for f in files0}
+        candidates.update({p: until_version for p in state})
+        walk = []
+    for v in walk:
         doc = _manifest_doc(spark, fs, Path, root_str, v)
-        paths = {f["path"] for f in doc["files"]}
-        # the oldest retained version doubles as the initial snapshot for
-        # a from-scratch consumer: its full file set IS the row set then,
-        # whatever op produced it
-        dc = True if (first and since_version < 0) else bool(doc.get("dc", True))
-        first = False
-        if dc:
-            for p in paths - prev:
+        if isinstance(doc.get("add"), list):
+            adds = [f["path"] for f in doc["add"]]
+            removed = list(doc["removed"])
+        else:  # pre-delta-log doc: derive the delta from the states
+            paths = {f["path"] for f in doc["files"]}
+            adds = sorted(paths - set(state))
+            removed = sorted(set(state) - paths)
+        state = _apply_doc(state, doc)
+        if bool(doc.get("dc", True)):
+            for p in adds:
                 candidates[p] = v
-            for p in prev - paths:
+            for p in removed:
                 candidates.pop(p, None)  # logically replaced/expired
-        prev = paths
     if prefixes is not None:
         pre = tuple(prefixes)
         candidates = {p: v for p, v in candidates.items() if p.startswith(pre)}
@@ -1604,15 +1754,15 @@ def restore_manifested(
     Returns {"version", "restored_from", "files"}."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
-    doc = _manifest_doc(spark, fs, Path, root_str, version)
-    if doc is None:
+    files = _resolve_files_at(spark, fs, Path, root_str, version)
+    if files is None:
         raise ManifestCursorExpired(
-            f"manifest v{version} of {path} is missing or corrupt — "
-            f"vacuum may have reclaimed it (retained: "
+            f"manifest v{version} of {path} is missing, corrupt, or "
+            f"unresolvable — vacuum may have reclaimed it (retained: "
             f"{_manifest_versions(fs, Path, root_str)[:3]}...)"
         )
     missing = [
-        f["path"] for f in doc["files"]
+        f["path"] for f in files
         if not fs.exists(Path(f"{root_str}/{f['path']}"))
     ]
     if missing:
@@ -1622,12 +1772,11 @@ def restore_manifested(
         )
     v = manifest_commit(
         spark, path,
-        add=[(f["path"], f["bytes"], f.get("stats")) for f in doc["files"]],
+        add=[(f["path"], f["bytes"], f.get("stats")) for f in files],
         remove_prefixes=[""],
         op="restore",
     )
-    return {"version": v, "restored_from": version,
-            "files": len(doc["files"])}
+    return {"version": v, "restored_from": version, "files": len(files)}
 
 
 def compact_manifested(
@@ -1785,21 +1934,23 @@ def vacuum_manifested(
     if not versions:
         return {"deleted_files": 0, "deleted_manifests": 0, "skipped_in_flight": 0}
     keep = set(versions[-keep_versions:])
+    # one forward replay of the retained log: the union of every state is
+    # every path ever committed; the states AT the kept versions are the
+    # live set pinned readers may still resolve
     live: set[str] = set()
     ever_committed: set[str] = set()
+    checkpoints: list[int] = []
+    state: dict = {}
     for v in versions:
-        try:
-            doc = json.loads(
-                _manifest_read_text(
-                    spark, fs,
-                    Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json"),
-                )
-            )
-        except Exception:
+        doc = _manifest_doc(spark, fs, Path, root_str, v)
+        if doc is None:
             continue
-        ever_committed.update(f["path"] for f in doc["files"])
+        if "files" in doc:
+            checkpoints.append(v)
+        state = _apply_doc(state, doc)
+        ever_committed.update(state)
         if v in keep:
-            live.update(f["path"] for f in doc["files"])
+            live.update(state)
     cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
     deleted_files = 0
     skipped_in_flight = 0
@@ -1814,9 +1965,16 @@ def vacuum_manifested(
             continue
         fs.delete(st.getPath(), False)
         deleted_files += 1
+    # log retention anchors at the newest CHECKPOINT at/below the oldest
+    # kept version: the kept versions' states must stay resolvable, so
+    # the anchor checkpoint and every delta above it survive (bounded by
+    # the checkpoint interval — the log never re-grows past
+    # keep_versions + _CHECKPOINT_INTERVAL files)
+    min_keep = min(keep)
+    anchor = max((c for c in checkpoints if c <= min_keep), default=min_keep)
     deleted_manifests = 0
     for v in versions:
-        if v not in keep:
+        if v < anchor:
             fs.delete(
                 Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json"), False
             )
@@ -1996,21 +2154,23 @@ def maintain(
                                    "cutoff": str(cutoff)}
         else:
             report["retention"] = None
-        # vacuum preview: same candidate walk as the real pass, no deletes
+        # vacuum preview: same replay walk as the real pass, no deletes
         versions = _manifest_versions(fs, Path, root_str)
         keep = set(versions[-keep_versions:])
         live: set[str] = set()
         ever: set[str] = set()
+        checkpoints: list[int] = []
+        vstate: dict = {}
         for v in versions:
-            try:
-                doc = json.loads(_manifest_read_text(
-                    spark, fs,
-                    Path(f"{root_str}/{_MANIFEST_DIR}/{v:020d}.json")))
-            except Exception:
+            doc = _manifest_doc(spark, fs, Path, root_str, v)
+            if doc is None:
                 continue
-            ever.update(f["path"] for f in doc["files"])
+            if "files" in doc:
+                checkpoints.append(v)
+            vstate = _apply_doc(vstate, doc)
+            ever.update(vstate)
             if v in keep:
-                live.update(f["path"] for f in doc["files"])
+                live.update(vstate)
         cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
         would_delete = would_skip = 0
         for st in _list_data_files(fs, root):
@@ -2021,10 +2181,14 @@ def maintain(
                 would_skip += 1
             else:
                 would_delete += 1
+        min_keep = min(keep)
+        anchor = max(
+            (c for c in checkpoints if c <= min_keep), default=min_keep
+        )
         report["vacuum"] = {
             "would_delete_files": would_delete,
             "would_skip_in_flight": would_skip,
-            "would_delete_manifests": len(versions) - len(keep),
+            "would_delete_manifests": sum(1 for v in versions if v < anchor),
         }
         return report
 

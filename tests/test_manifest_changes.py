@@ -303,8 +303,11 @@ class TestInterleavedWriterCompactorConsumer:
 
 class TestRetentionInterplay:
     def test_cursor_below_retained_history_raises(self, spark, tmp_path):
+        """Enough commits to cross a CHECKPOINT boundary: vacuum anchors
+        the log at the newest checkpoint at/below the keep window, so a
+        cursor below that anchor is genuinely unresolvable."""
         path = str(tmp_path / "store")
-        for i in range(8):
+        for i in range(18):
             write_manifested(spark, spark.range(i * 3, i * 3 + 3), path)
         compact_manifested(spark, path, min_files_to_compact=2)
         vacuum_manifested(spark, path, keep_versions=2,
@@ -315,10 +318,10 @@ class TestRetentionInterplay:
     def test_fresh_consumer_after_vacuum_sees_initial_snapshot(
         self, spark, tmp_path
     ):
-        """Early history vacuumed away, oldest retained commit is a FOLD
-        (data_change=False): a from-scratch consumer must still get the
-        full row set — the oldest retained manifest is the initial
-        snapshot regardless of the op that produced it."""
+        """Early history vacuumed away (the pre-fold data files are
+        gone): a from-scratch consumer must still get the full row set —
+        the initial snapshot is the resolved state at the head, whatever
+        ops produced it."""
         path = str(tmp_path / "store")
         for i in range(6):
             write_manifested(spark, spark.range(i * 3, i * 3 + 3), path)

@@ -148,7 +148,9 @@ class TestManifestVacuum:
         import glob
 
         path = str(tmp_path / "store")
-        for i in range(5):
+        # past one checkpoint interval, so the log has a second anchor
+        # for vacuum to trim back to
+        for i in range(18):
             write_manifested(spark, spark.range(i * 10, (i + 1) * 10), path)
         # orphan: renamed-in but never committed
         spark.range(9000, 9010).coalesce(1).write.mode("append").parquet(path)
@@ -157,8 +159,8 @@ class TestManifestVacuum:
         res = vacuum_manifested(spark, path, keep_versions=1)
         n_after = len(glob.glob(f"{path}/**/*.parquet", recursive=True))
         assert res["deleted_files"] > 0 and n_after < n_before
-        assert res["deleted_manifests"] > 0
-        assert _ids(read_manifested(spark, path)) == list(range(50))
+        assert res["deleted_manifests"] > 0  # log trimmed to its anchor
+        assert _ids(read_manifested(spark, path)) == list(range(180))
 
     def test_keep_versions_grace_window(self, spark, tmp_path):
         path = str(tmp_path / "store")
@@ -491,9 +493,12 @@ class TestManifestStats:
             spark, spark.range(0, 50).coalesce(1), path, stats_cols=["id"]
         )
         manifest_commit(spark, path, add=[("unrelated.parquet", 1)])
-        head = json.load(
-            open(sorted(glob.glob(f"{path}/_manifests/*.json"))[-1])
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _canon_uri, _hadoop_fs, _manifest_head,
         )
+
+        fs, Path, root = _hadoop_fs(spark, path)
+        _, head, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
         with_stats = [f for f in head["files"] if "stats" in f]
         assert len(with_stats) == 1
         assert with_stats[0]["stats"]["id"] == [0, 49]
@@ -631,4 +636,104 @@ class TestSchemaEvolution:
         )
         assert sorted(r.id for r in back.select("id").collect()) == list(
             range(10)
+        )
+
+
+class TestDeltaLog:
+    """The checkpoint+delta log (r11): commits between checkpoints record
+    only their resolved {add, removed} delta, every
+    _CHECKPOINT_INTERVAL-th commit embeds the full file list, and every
+    reader resolves through the replay — commit cost is O(change)
+    amortized instead of O(store) always (measured:
+    bench_runs_r11/commit_cost.json)."""
+
+    def test_deltas_between_checkpoints(self, spark, tmp_path):
+        import glob
+        import os
+
+        path = str(tmp_path / "store")
+        for i in range(6):
+            write_manifested(spark, spark.range(i * 5, i * 5 + 5), path)
+        docs = {}
+        for m in sorted(glob.glob(f"{path}/_manifests/*.json")):
+            v = int(os.path.basename(m)[:-5])
+            docs[v] = json.load(open(m))
+        assert "files" in docs[0], "first commit must checkpoint"
+        for v in range(1, 6):
+            assert "files" not in docs[v], f"v{v} should be a delta"
+            assert docs[v]["add"] and docs[v]["removed"] == []
+        # the resolved head is still the full store
+        assert _ids(read_manifested(spark, path)) == list(range(30))
+        # and a pinned mid-log version resolves through the replay
+        assert _ids(read_manifested(spark, path, version=3)) == list(
+            range(20)
+        )
+
+    def test_checkpoint_cadence(self, spark, tmp_path):
+        import glob
+        import os
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _CHECKPOINT_INTERVAL,
+        )
+
+        path = str(tmp_path / "store")
+        n = _CHECKPOINT_INTERVAL + 3
+        for i in range(n):
+            write_manifested(spark, spark.range(i, i + 1), path)
+        ckpts = []
+        for m in sorted(glob.glob(f"{path}/_manifests/*.json")):
+            doc = json.load(open(m))
+            if "files" in doc:
+                ckpts.append(int(os.path.basename(m)[:-5]))
+        assert ckpts == [0, _CHECKPOINT_INTERVAL]
+        assert _ids(read_manifested(spark, path)) == list(range(n))
+
+    def test_corrupt_corpse_mid_chain_is_skipped(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        for i in range(4):
+            write_manifested(spark, spark.range(i * 5, i * 5 + 5), path)
+        # a lost-race corpse lands in a gap slot — never an acknowledged
+        # head, must not derail the replay
+        with open(f"{path}/_manifests/{2:020d}.json.tmp", "w") as f:
+            f.write("{ corrupt")
+        import os
+
+        os.replace(
+            f"{path}/_manifests/{2:020d}.json.tmp",
+            f"{path}/_manifests/{99:020d}.json",
+        )
+        assert _ids(read_manifested(spark, path)) == list(range(20))
+        # a commit slots PAST the corpse and the store keeps working
+        write_manifested(spark, spark.range(100, 105), path)
+        assert _ids(read_manifested(spark, path)) == list(range(20)) + list(
+            range(100, 105)
+        )
+
+    def test_delta_removes_replayed(self, spark, tmp_path):
+        """A delta commit's resolved removes (here: a partition overwrite
+        expanding a prefix) must replay exactly."""
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        df0 = spark.range(0, 10).withColumn("p", F.lit(0))
+        write_manifested(spark, df0, path, partition_by=["p"])
+        df1 = spark.range(50, 55).withColumn("p", F.lit(0))
+        write_manifested(spark, df1, path, partition_by=["p"],
+                         replace="partitions")
+        assert _ids(read_manifested(spark, path)) == list(range(50, 55))
+        # pinned pre-overwrite version still resolves to the old rows
+        assert _ids(read_manifested(spark, path, version=0)) == list(
+            range(10)
+        )
+
+    def test_pinned_read_survives_vacuum_within_keep(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        for i in range(5):
+            write_manifested(spark, spark.range(i * 5, i * 5 + 5), path)
+        vacuum_manifested(spark, path, keep_versions=3,
+                          orphan_grace_seconds=0.0)
+        # v2 is within the keep window: resolvable and fully present
+        assert _ids(read_manifested(spark, path, version=2)) == list(
+            range(15)
         )

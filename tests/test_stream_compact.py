@@ -192,11 +192,12 @@ class TestStreamAppendManifest:
         # LIVE file set (manifest head) is bounded: folds absorbed the
         # earlier batches; old files may linger for pinned readers until
         # vacuum, but the snapshot itself stays small
-        import json as _json
-
-        head = _json.load(
-            open(sorted(glob.glob(f"{out}/_manifests/*.json"))[-1])
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _canon_uri, _hadoop_fs, _manifest_head,
         )
+
+        fs, Path, root = _hadoop_fs(spark, out)
+        _, head, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
         assert len(head["files"]) < 12, head["files"]
         assert all(
             f["path"].startswith(("b", "seg-")) and "/" not in f["path"]
@@ -256,11 +257,12 @@ class TestStreamAppendManifest:
         got = sorted(r.id for r in read_manifested(spark, out).collect())
         assert got == list(range(30)) + list(range(500, 510))
         # the fold really ran: b0..b2 replaced by seg- files, b3 untouched
-        import json as _json
-
-        head = _json.load(
-            open(sorted(glob.glob(f"{out}/_manifests/*.json"))[-1])
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _canon_uri, _hadoop_fs, _manifest_head,
         )
+
+        fs, Path, root = _hadoop_fs(spark, out)
+        _, head, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
         names = [f["path"] for f in head["files"]]
         assert any(p.startswith("seg-") for p in names)
         assert not any(p.startswith(("b0-", "b1-", "b2-")) for p in names)
