@@ -1,4 +1,6 @@
+from .cdc_source import ManifestCDCDataSource
 from .watch import (
+    relay_manifested,
     stream_sessionize,
     stream_sessionize_stateful,
     stream_windowed_agg,
@@ -7,6 +9,8 @@ from .watch import (
 )
 
 __all__ = [
+    "ManifestCDCDataSource",
+    "relay_manifested",
     "watch_chunk_store",
     "watch_manifested",
     "stream_sessionize",

@@ -1,0 +1,123 @@
+"""`manifest_cdc` Python DataSource (r11): the manifest store as a real
+Structured Streaming SOURCE — offsets are manifest versions (Spark's own
+offset log is the cursor), micro-batches are data-change deltas, and
+maintenance rewrites never re-deliver. The integration the directory-
+listing file source cannot provide (it would re-consume every fold)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.sources.sinks import (
+    compact_manifested,
+    write_manifested,
+)
+from aeon_sleap_processing_spark.streaming.cdc_source import (
+    ManifestCDCDataSource,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(ManifestCDCDataSource)
+    return spark
+
+
+def _drain(spark, store, checkpoint, sink: list):
+    q = (
+        spark.readStream.format("manifest_cdc")
+        .load(store)
+        .writeStream.foreachBatch(
+            lambda df, bid: sink.extend(
+                tuple(r) for r in df.collect()
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+class TestManifestCDCSource:
+    def test_initial_snapshot_then_increments(
+        self, registered, tmp_path
+    ):
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        write_manifested(spark, spark.range(0, 10), store)
+        got: list = []
+        _drain(spark, store, ckpt, got)
+        assert sorted(x[0] for x in got) == list(range(10))
+        # restart with the SAME checkpoint: only the new append arrives
+        write_manifested(spark, spark.range(10, 15), store)
+        _drain(spark, store, ckpt, got)
+        assert sorted(x[0] for x in got) == list(range(15))
+
+    def test_compaction_invisible_to_stream(self, registered, tmp_path):
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in range(4):
+            write_manifested(spark, spark.range(i * 5, i * 5 + 5), store)
+        got: list = []
+        _drain(spark, store, ckpt, got)
+        assert len(got) == 20
+        assert compact_manifested(spark, store, min_files_to_compact=2)[
+            "compacted"
+        ]
+        _drain(spark, store, ckpt, got)
+        assert len(got) == 20, "a fold must not re-deliver rows"
+        write_manifested(spark, spark.range(100, 103), store)
+        _drain(spark, store, ckpt, got)
+        assert sorted(x[0] for x in got) == list(range(20)) + [100, 101, 102]
+
+    def test_partition_columns_recovered(self, registered, tmp_path):
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.range(0, 12).withColumn("p", F.pmod("id", F.lit(3)))
+        write_manifested(spark, df, store, partition_by=["p"])
+        rows: list = []
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda d, b: rows.extend(
+                    (r["id"], r["p"]) for r in d.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(rows) == [(i, i % 3) for i in range(12)]
+
+    def test_streaming_agg_on_top(self, registered, tmp_path):
+        """The point of being a REAL source: Spark aggregations compose on
+        top of the CDC feed."""
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.range(0, 30).withColumn("k", F.pmod("id", F.lit(3)))
+        write_manifested(spark, df, store, partition_by=["k"])
+        out: dict = {}
+
+        def sink(d, bid):
+            for r in d.collect():
+                out[r["k"]] = r["n"]
+
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .load(store)
+            .groupBy("k")
+            .agg(F.count("*").alias("n"))
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert out == {0: 10, 1: 10, 2: 10}
