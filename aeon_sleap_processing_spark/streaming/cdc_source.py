@@ -183,9 +183,12 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         self.root = _localize(options["path"])
         self.log = _ManifestLogMirror(self.root)
         self.schema = schema
-        self.part_fields = [
-            f.name for f in schema.fields if f.metadata.get("hive_part")
-        ]
+        # option("prefixes", "stream=5/camera=Top/,cell=3/") — the same
+        # manifest-side slice pruning as read_manifested_changes
+        pre = options.get("prefixes")
+        self.prefixes = tuple(
+            p for p in (pre.split(",") if pre else []) if p
+        ) or None
 
     def initialOffset(self) -> dict:
         return {"version": -1}
@@ -195,6 +198,8 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         rels = self.log.changed_files(start["version"], end["version"])
+        if self.prefixes:
+            rels = [r for r in rels if r.startswith(self.prefixes)]
         return [_FilePartition(self.root, r) for r in rels]
 
     def read(self, partition: _FilePartition):

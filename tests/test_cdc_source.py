@@ -121,3 +121,83 @@ class TestManifestCDCSource:
         )
         q.awaitTermination(120)
         assert out == {0: 10, 1: 10, 2: 10}
+
+
+class TestSliceAndContract:
+    def test_prefixes_option_slices_the_stream(self, registered, tmp_path):
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.range(0, 20).withColumn("p", F.pmod("id", F.lit(2)))
+        write_manifested(spark, df, store, partition_by=["p"])
+        rows: list = []
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .option("prefixes", "p=1/")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda d, b: rows.extend(r["id"] for r in d.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(rows) == list(range(1, 20, 2))
+
+    def test_mirror_matches_jvm_reader(self, spark, tmp_path):
+        """DIFFERENTIAL contract test: the source's pure-Python log mirror
+        must deliver exactly the file sets read_manifested_changes (JVM
+        Hadoop I/O) delivers, for every cursor, across appends, a
+        partition overwrite, a TTL sweep, a compaction, and DML."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            delete_manifested,
+            read_manifested_changes,
+            retention_sweep_manifested,
+        )
+        from aeon_sleap_processing_spark.streaming.cdc_source import (
+            _ManifestLogMirror,
+        )
+
+        store = str(tmp_path / "store")
+
+        def chunked(lo, hi, c):
+            return (
+                spark.range(lo, hi)
+                .withColumn("chunk", F.lit(c))
+                .withColumn("v", F.lit("a"))
+            )
+
+        write_manifested(spark, chunked(0, 5, "01"), store,
+                         partition_by=["chunk"])
+        write_manifested(spark, chunked(5, 10, "02"), store,
+                         partition_by=["chunk"])
+        write_manifested(spark, chunked(100, 105, "02"), store,
+                         partition_by=["chunk"], replace="partitions")
+        retention_sweep_manifested(spark, store, "chunk", "02")
+        write_manifested(spark, chunked(200, 210, "03"), store,
+                         partition_by=["chunk"])
+        compact_manifested(spark, store, min_files_to_compact=1)
+        delete_manifested(spark, store, "id = 205")
+        mirror = _ManifestLogMirror(store)
+        head = mirror.head_version()
+        for since in range(-1, head + 1):
+            expect_paths = None
+            try:
+                df, until = read_manifested_changes(
+                    spark, store, since_version=since
+                )
+                expect_paths = (
+                    sorted(
+                        f.split(store + "/")[-1] for f in df.inputFiles()
+                    )
+                    if df is not None else []
+                )
+            except Exception:
+                pass  # expired cursors raise on both sides or neither
+            if expect_paths is None:
+                continue
+            got = sorted(mirror.changed_files(since, head))
+            assert got == expect_paths, (since, got, expect_paths)
