@@ -201,3 +201,58 @@ class TestSliceAndContract:
                 continue
             got = sorted(mirror.changed_files(since, head))
             assert got == expect_paths, (since, got, expect_paths)
+
+
+class TestFileSourceNegativeControl:
+    def test_directory_listing_source_double_reads_after_fold(
+        self, registered, tmp_path
+    ):
+        """The failure mode manifest_cdc exists to fix, pinned as a
+        negative control: Spark's directory-listing file source over the
+        SAME store re-consumes a compaction's output files (it cannot see
+        dataChange=false), delivering duplicates."""
+        spark = registered
+        store = str(tmp_path / "store")
+        for i in range(4):
+            write_manifested(spark, spark.range(i * 5, i * 5 + 5), store)
+        schema = "id long"
+        got: list = []
+
+        def drain_listing(ckpt_name):
+            q = (
+                spark.readStream.schema(schema)
+                .parquet(store)
+                .writeStream.foreachBatch(
+                    lambda d, b: got.extend(r.id for r in d.collect())
+                )
+                .option(
+                    "checkpointLocation", str(tmp_path / ckpt_name)
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        drain_listing("ckpt")
+        assert sorted(got) == list(range(20))
+        compact_manifested(spark, store, min_files_to_compact=2)
+        drain_listing("ckpt")
+        assert len(got) > 20, (
+            "expected the file source to double-read the fold output — "
+            "if this starts passing with len==20, the caveat in "
+            "watch_chunk_store's docstring is stale"
+        )
+        # the manifest_cdc source on the same post-fold store: exactly once
+        cdc: list = []
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda d, b: cdc.extend(r.id for r in d.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_cdc"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(cdc) == list(range(20))
