@@ -256,3 +256,66 @@ class TestFileSourceNegativeControl:
         )
         q.awaitTermination(120)
         assert sorted(cdc) == list(range(20))
+
+
+class TestCdcIntoSemanticDedup:
+    def test_corpus_store_cdc_feeds_semantic_dedup(
+        self, registered, tmp_path
+    ):
+        """End-to-end composition: a manifest CORPUS store's CDC feed
+        drives the streaming semantic dedup — appends flow, a compaction
+        between appends re-delivers nothing into the rep store, and the
+        greedy keep/drop contract holds across micro-batches."""
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.streaming.watch import (
+            read_semantic_reps,
+            stream_semantic_dedup,
+        )
+
+        spark = registered
+        DIM = 8
+        planes = np.random.default_rng(3).standard_normal((12, DIM)).tolist()
+
+        def vec(axis, scale=1.0):
+            v = [0.0] * DIM
+            v[axis] = scale
+            return v
+
+        corpus = str(tmp_path / "corpus")
+        out = str(tmp_path / "dedup")
+        ckpt = str(tmp_path / "ckpt")
+
+        def append(ids, vecs):
+            pdf = pd.DataFrame({"vec_id": ids, "embedding": vecs})
+            write_manifested(spark, spark.createDataFrame(pdf), corpus)
+
+        def run():
+            stream = (
+                spark.readStream.format("manifest_cdc").load(corpus)
+                .select("vec_id", "embedding")
+            )
+            q = stream_semantic_dedup(
+                stream, out, ckpt, planes, threshold=0.95, n_tables=3,
+                store_partitions=0,
+            )
+            q.awaitTermination(180)
+
+        append([1, 2, 3], [vec(0), vec(1), vec(0, 2.0)])
+        run()
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1, 2]
+        # maintenance on the SOURCE between drains: invisible downstream
+        compact_manifested(spark, corpus, min_files_to_compact=1)
+        run()
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1, 2]
+        # a later append dedups against the standing reps
+        append([4, 5], [vec(0, 3.0), vec(2)])
+        run()
+        assert sorted(
+            r.vec_id for r in read_semantic_reps(spark, out).collect()
+        ) == [1, 2, 5]
