@@ -919,6 +919,8 @@ def manifest_commit(
             entry = {"path": p, "bytes": b}
             if len(item) > 2 and item[2]:
                 entry["stats"] = item[2]
+            if len(item) > 3 and item[3]:
+                entry["bloom"] = item[3]
             nxt[p] = entry
             added_paths.append(p)
         token = uuid.uuid4().hex
@@ -984,6 +986,94 @@ def _stat_val(v):
     return str(v)
 
 
+_BLOOM_DIR = "_index"
+_BLOOM_K = 4
+
+
+def _bloom_position_exprs(col: str, m: int) -> list:
+    """k Spark Column position expressions for a value's bloom bits —
+    md5 of the value's STRING form, k disjoint 8-hex-digit slices mod m.
+    md5-on-string is the one hash both engines compute identically
+    (python: :func:`_bloom_positions_py`); restrict bloom columns to
+    string/integer types so the string form is canonical."""
+    h = F.md5(F.col(col).cast("string"))
+    return [
+        F.pmod(
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
+            F.lit(m),
+        )
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _bloom_positions_py(value, m: int) -> list[int]:
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return [int(h[8 * i: 8 * i + 8], 16) % m for i in range(_BLOOM_K)]
+
+
+def _bloom_might_contain(bits: bytes, m: int, value) -> bool:
+    return all(
+        bits[p >> 3] & (1 << (p & 7)) for p in _bloom_positions_py(value, m)
+    )
+
+
+def _bloom_filter_rels(
+    spark, fs, Path, root_str: str,
+    with_bloom: list[tuple[str, str]], point: dict,
+) -> set[str]:
+    """The rel paths whose bloom sidecars MIGHT contain every point
+    value. Executor-distributed when the store is a plain local path
+    (sidecars opened with plain I/O, one small file each — the 100 TB
+    shape: 16 KB sidecar tests instead of 128 MB data scans); falls back
+    to a driver loop through the Hadoop FS elsewhere (HDFS/S3 — still
+    O(selected files) tiny reads, never data I/O)."""
+    import base64
+
+    vals = dict(point)
+    local_root = None
+    if root_str.startswith("file:"):
+        local_root = root_str[len("file:"):]
+
+    def _test(doc: dict) -> bool:
+        m = doc["m"]
+        cols = doc["cols"]
+        for c, v in vals.items():
+            if c not in cols:
+                return True  # no bloom for this column — conservative
+            if not _bloom_might_contain(base64.b64decode(cols[c]), m, v):
+                return False
+        return True
+
+    if local_root is not None and len(with_bloom) > 64:
+        pairs = spark.createDataFrame(
+            pd.DataFrame(with_bloom, columns=["rel", "sidecar"])
+        )
+
+        def _check(batches):
+            for pdf in batches:
+                keep = []
+                for rel, sidecar in zip(pdf["rel"], pdf["sidecar"]):
+                    with open(os.path.join(local_root, sidecar)) as f:
+                        if _test(json.load(f)):
+                            keep.append(rel)
+                yield pd.DataFrame({"rel": keep})
+
+        return {
+            r.rel
+            for r in pairs.mapInPandas(_check, "rel string").collect()
+        }
+    out = set()
+    for rel, sidecar in with_bloom:
+        doc = json.loads(
+            _manifest_read_text(spark, fs, Path(f"{root_str}/{sidecar}"))
+        )
+        if _test(doc):
+            out.add(rel)
+    return out
+
+
 def _stage_files(
     spark: SparkSession,
     df: DataFrame,
@@ -993,14 +1083,16 @@ def _stage_files(
     partition_by: list[str] | None,
     filename_prefix: str,
     stats_cols: list[str] | None,
-) -> tuple[list[tuple[str, int]], dict[str, dict], set[str]]:
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 17,
+) -> tuple[list[tuple[str, int]], dict[str, dict], set[str], dict[str, str]]:
     """Write ``df`` under ``_staging/<token>`` and move the part files to
     their final (partition) dirs under unique token names — the shared
     stage step of every data-adding commit (append/overwrite/merge/
     delete). NOTHING becomes visible until the caller's
     :func:`manifest_commit`; a crash leaves only invisible orphans for
     vacuum. Returns (adds [(rel, bytes[, stats])-compatible pairs],
-    per-rel stats, staged partition dirs)."""
+    per-rel stats, staged partition dirs, per-rel bloom sidecar paths)."""
     import uuid
 
     token = uuid.uuid4().hex
@@ -1026,8 +1118,31 @@ def _stage_files(
                 c: [_stat_val(row[f"__lo_{c}"]), _stat_val(row[f"__hi_{c}"])]
                 for c in stats_cols
             }
+    bloom_by_file: dict[str, dict] = {}
+    if bloom_cols:
+        # per-file distinct bloom BIT POSITIONS, computed engine-side
+        # (md5-slice hash — see _bloom_position_exprs), collected bounded
+        # by the append; the driver packs them into bitsets
+        aggs = [
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.array(*_bloom_position_exprs(c, bloom_bits)))
+                )
+            ).alias(f"__bp_{c}")
+            for c in bloom_cols
+        ]
+        for row in (
+            spark.read.parquet(stage_str)
+            .groupBy(F.input_file_name().alias("__f"))
+            .agg(*aggs)
+            .collect()
+        ):
+            bloom_by_file[row["__f"]] = {
+                c: row[f"__bp_{c}"] for c in bloom_cols
+            }
     adds: list[tuple[str, int]] = []
     add_stats: dict[str, dict] = {}
+    bloom_positions: dict[str, dict] = {}
     staged_dirs: set[str] = set()
     for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
         src = st.getPath()
@@ -1038,7 +1153,7 @@ def _stage_files(
         rel = f"{rel_dir}/{name}" if rel_dir else name
         dest = Path(f"{root_str}/{rel}")
         fs.mkdirs(dest.getParent())
-        if stats_by_file:
+        if stats_by_file or bloom_by_file:
             # input_file_name() and FileStatus render the same file with
             # different scheme spellings — match canonically
             src_uri = _canon_uri(fs, src)
@@ -1046,11 +1161,41 @@ def _stage_files(
                 if _canon_uri(fs, Path(k)) == src_uri:
                     add_stats[rel] = v
                     break
+            for k, v in bloom_by_file.items():
+                if _canon_uri(fs, Path(k)) == src_uri:
+                    bloom_positions[rel] = v
+                    break
         if not fs.rename(src, dest):
             raise IOError(f"_stage_files: rename failed for {rel}")
         adds.append((rel, st.getLen()))
     fs.delete(Path(stage_str), True)
-    return adds, add_stats, staged_dirs
+    # sidecars land under _index/ BEFORE the caller's commit — invisible
+    # until the manifest entry references them; vacuum's grace fence
+    # covers the window like any staged artifact
+    add_blooms: dict[str, str] = {}
+    for rel, by_col in bloom_positions.items():
+        import base64
+
+        m = bloom_bits
+        cols_b64 = {}
+        for c, positions in by_col.items():
+            bits = bytearray(m >> 3)
+            for p in positions:
+                bits[p >> 3] |= 1 << (p & 7)
+            cols_b64[c] = base64.b64encode(bytes(bits)).decode()
+        sidecar = f"{_BLOOM_DIR}/{rel}.bloom"
+        target = Path(f"{root_str}/{sidecar}")
+        rfs = _raw_fs(fs)
+        rfs.mkdirs(target.getParent())
+        out = rfs.create(target, True)
+        try:
+            out.write(bytearray(json.dumps(
+                {"m": m, "k": _BLOOM_K, "cols": cols_b64}
+            ).encode()))
+        finally:
+            out.close()
+        add_blooms[rel] = sidecar
+    return adds, add_stats, staged_dirs, add_blooms
 
 
 def write_manifested(
@@ -1062,6 +1207,8 @@ def write_manifested(
     replace: str | None = None,
     remove_prefixes: list[str] = (),
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 17,
 ) -> list[str]:
     """Append ``df`` to a manifest-committed store: stage the write under
     ``_staging/<token>``, move the part files into their final (partition)
@@ -1092,12 +1239,22 @@ def write_manifested(
     skipping from the head alone — no footer reads, no listing — via
     :func:`read_manifested`'s ``skip``. Order-preserving encoding via
     :func:`_stat_val`; files without stats are never skipped
-    (conservative — compaction output currently carries no stats)."""
+    (conservative — compaction output currently carries no stats).
+
+    ``bloom_cols`` records a per-file BLOOM FILTER sidecar
+    (``_index/<rel>.bloom``, ``bloom_bits`` bits, md5-slice hashing)
+    referenced from the manifest entry — the POINT-LOOKUP complement to
+    ``stats_cols``: id-like columns hash uniformly across files, so
+    min/max spans prune nothing, but a 16 KB bloom test per file finds
+    the files that can contain one value without touching data (the
+    GDPR-delete shape — see :func:`read_manifested`'s ``point`` and
+    :func:`delete_manifested`'s ``point``). Use on string/integer
+    columns (the hash is over the canonical string form)."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
-    adds, add_stats, staged_dirs = _stage_files(
+    adds, add_stats, staged_dirs, add_blooms = _stage_files(
         spark, df, fs, Path, root_str, partition_by, filename_prefix,
-        stats_cols,
+        stats_cols, bloom_cols, bloom_bits,
     )
     if replace is None:
         drop_pre = list(remove_prefixes)
@@ -1112,7 +1269,7 @@ def write_manifested(
     # removes, so the staged files always land in the new head
     manifest_commit(
         spark, path,
-        add=[(p, b, add_stats.get(p)) for p, b in adds],
+        add=[(p, b, add_stats.get(p), add_blooms.get(p)) for p, b in adds],
         remove_prefixes=drop_pre,
         op="append" if replace is None else f"overwrite-{replace}",
     )
@@ -1126,6 +1283,7 @@ def read_manifested(
     prefixes: list[str] | None = None,
     skip: dict | None = None,
     merge_schema: bool = False,
+    point: dict | None = None,
 ) -> DataFrame:
     """Read a manifest-committed store AS OF its newest manifest (or a
     pinned ``version`` — snapshot isolation: a compaction committing
@@ -1161,7 +1319,16 @@ def read_manifested(
     Delta/Iceberg add-column semantics). Off by default: it footer-reads
     every selected file at planning time, and an un-evolved store does
     not need it. Maintenance rewrites (:func:`compact_manifested`,
-    the streaming fold) always merge — see there."""
+    the streaming fold) always merge — see there.
+
+    ``point`` is BLOOM point-lookup pruning (``{col: value}``): files
+    whose ``write_manifested(bloom_cols=...)`` sidecar proves the value
+    absent are dropped before the scan — the complement to ``skip`` for
+    id-like columns whose min/max spans prune nothing. 16 KB sidecar
+    tests instead of data reads; files without a bloom are kept
+    (conservative — rewrites currently drop blooms), and a false
+    positive only costs a scanned file, so callers still apply the row
+    predicate. Composes with ``prefixes``/``skip``."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     if version is None:
@@ -1204,12 +1371,23 @@ def read_manifested(
             return True
 
         kept = [f for f in entries if _live(f)]
-        if not kept:
-            # valid empty answer: derive the schema from one real file
-            probe = spark.read.option("basePath", root_str).parquet(
-                f"{root_str}/{entries[0]['path']}"
+    if point:
+        with_bloom = [
+            (e["path"], e["bloom"]) for e in kept if "bloom" in e
+        ]
+        if with_bloom:
+            ok = _bloom_filter_rels(
+                spark, fs, Path, root_str, with_bloom, point
             )
-            return probe.where(F.lit(False))
+            kept = [
+                e for e in kept if "bloom" not in e or e["path"] in ok
+            ]
+    if not kept:
+        # valid empty answer: derive the schema from one real file
+        probe = spark.read.option("basePath", root_str).parquet(
+            f"{root_str}/{entries[0]['path']}"
+        )
+        return probe.where(F.lit(False))
     reader = spark.read.option("basePath", root_str)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
@@ -1552,7 +1730,7 @@ def merge_manifested(
         new_df = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         new_df = updates
-    adds, add_stats, _ = _stage_files(
+    adds, add_stats, _, _ = _stage_files(
         spark, new_df, fs, Path, root_str, partition_by or None, "",
         stats_cols or None,
     )
@@ -1574,6 +1752,7 @@ def delete_manifested(
     path: str,
     predicate: str,
     skip: dict | None = None,
+    point: dict | None = None,
 ) -> dict:
     """Copy-on-write row-level DELETE from a manifest-committed store:
     rewrite only the files containing a row matching the SQL
@@ -1587,7 +1766,11 @@ def delete_manifested(
     prunes row-groups via parquet footers) but only matched files are
     rewritten. Partition layout and stats discipline carry forward from
     the head. The GDPR-style forget op: cost is O(files containing the
-    rows), not O(store). Returns {"files_rewritten", "rows_deleted",
+    rows), not O(store). ``point`` ({col: value}) bounds the candidates
+    by the per-file BLOOM sidecars when the predicate pins an id-like
+    value stats cannot span (``delete_manifested(path, "doc_id = 'x'",
+    point={"doc_id": "x"})`` — the GDPR shape); the predicate stays
+    authoritative. Returns {"files_rewritten", "rows_deleted",
     "version"}."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
@@ -1613,6 +1796,23 @@ def delete_manifested(
             return True
 
         candidates = [e for e in entries if _may(e)]
+    if point:
+        # bloom point pruning — THE GDPR-delete shape: id-like values
+        # hash uniformly across files (stats prune nothing), but a 16 KB
+        # sidecar test per file bounds the match scan to files that can
+        # contain the ids. The predicate stays authoritative; point only
+        # bounds the candidates.
+        with_bloom = [
+            (e["path"], e["bloom"]) for e in candidates if "bloom" in e
+        ]
+        if with_bloom:
+            ok = _bloom_filter_rels(
+                spark, fs, Path, root_str, with_bloom, point
+            )
+            candidates = [
+                e for e in candidates
+                if "bloom" not in e or e["path"] in ok
+            ]
     if not candidates:
         return {"files_rewritten": 0, "rows_deleted": 0, "version": head_v}
     hit = F.coalesce(F.expr(predicate), F.lit(False))
@@ -1632,7 +1832,7 @@ def delete_manifested(
     ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
     survivors = old.where(~hit)
     rows_deleted = old.count() - survivors.count()
-    adds, add_stats, _ = _stage_files(
+    adds, add_stats, _, _ = _stage_files(
         spark, survivors, fs, Path, root_str, partition_by or None, "",
         stats_cols or None,
     )
@@ -1720,7 +1920,7 @@ def update_manifested(
             c, F.when(F.col("__hit"), F.col(tmp[c])).otherwise(keep)
         )
     new_df = new_df.drop("__hit", *tmp.values())
-    adds, add_stats, _ = _stage_files(
+    adds, add_stats, _, _ = _stage_files(
         spark, new_df, fs, Path, root_str, partition_by or None, "",
         stats_cols or None,
     )
@@ -1964,6 +2164,8 @@ def vacuum_manifested(
             skipped_in_flight += 1  # possibly an uncommitted in-flight write
             continue
         fs.delete(st.getPath(), False)
+        # a data file's bloom sidecar dies with it
+        fs.delete(Path(f"{root_str}/{_BLOOM_DIR}/{rel}.bloom"), False)
         deleted_files += 1
     # log retention anchors at the newest CHECKPOINT at/below the oldest
     # kept version: the kept versions' states must stay resolvable, so
@@ -1986,6 +2188,26 @@ def vacuum_manifested(
                 skipped_in_flight += 1  # a writer still staging
                 continue
             fs.delete(st.getPath(), True)
+    # orphaned bloom sidecars (their data file vacuumed or never
+    # committed) — same grace fence as staging: a writer lands sidecars
+    # just before its commit
+    index_dir = Path(f"{root_str}/{_BLOOM_DIR}")
+    if fs.exists(index_dir):
+        it = fs.listFiles(index_dir, True)
+        while it.hasNext():
+            st = it.next()
+            rel = _canon_uri(fs, st.getPath())[
+                len(f"{root_str}/{_BLOOM_DIR}/"):
+            ]
+            if not rel.endswith(".bloom"):
+                continue
+            data_rel = rel[:-len(".bloom")]
+            if data_rel in live:
+                continue
+            if st.getModificationTime() > cutoff_ms:
+                skipped_in_flight += 1
+                continue
+            fs.delete(st.getPath(), False)
     return {
         "deleted_files": deleted_files,
         "deleted_manifests": deleted_manifests,

@@ -1,0 +1,124 @@
+"""Per-file bloom sidecars (r11): the POINT-LOOKUP complement to the
+manifest's min/max stats — id-like values hash uniformly across files so
+span pruning is useless, but a 16 KB sidecar membership test bounds a
+point read or a GDPR delete to the files that can contain the value."""
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from aeon_sleap_processing_spark.sources.sinks import (
+    delete_manifested,
+    read_manifested,
+    vacuum_manifested,
+    write_manifested,
+)
+
+
+def _files(df) -> int:
+    return len(df.inputFiles())
+
+
+class TestBloomPointRead:
+    def test_point_read_touches_one_file(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        for lo in (0, 1000, 2000, 3000):
+            write_manifested(
+                spark, spark.range(lo, lo + 500).coalesce(1), path,
+                bloom_cols=["id"],
+            )
+        full = read_manifested(spark, path)
+        assert _files(full) == 4
+        hit = read_manifested(spark, path, point={"id": 2123})
+        assert _files(hit) <= 2  # 1 + possible false positives
+        assert hit.where("id = 2123").count() == 1
+        # sidecars exist, one per data file
+        assert len(glob.glob(f"{path}/_index/**/*.bloom",
+                             recursive=True)) == 4
+
+    def test_absent_value_returns_empty_with_schema(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 100).coalesce(1), path,
+                         bloom_cols=["id"])
+        out = read_manifested(spark, path, point={"id": 987654})
+        assert out.columns == ["id"]
+        assert out.count() == 0
+
+    def test_string_column_bloom(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        rows = [(i, f"doc-{i:04d}") for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, doc_id string")
+        write_manifested(spark, df.where("id < 100").coalesce(1), path,
+                         bloom_cols=["doc_id"])
+        write_manifested(spark, df.where("id >= 100").coalesce(1), path,
+                         bloom_cols=["doc_id"])
+        hit = read_manifested(spark, path, point={"doc_id": "doc-0150"})
+        assert _files(hit) == 1
+        assert hit.where("doc_id = 'doc-0150'").count() == 1
+
+    def test_files_without_bloom_kept_conservative(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 50).coalesce(1), path,
+                         bloom_cols=["id"])
+        write_manifested(spark, spark.range(50, 100).coalesce(1), path)
+        # value lives in the bloom-less file: it must be scanned
+        out = read_manifested(spark, path, point={"id": 75})
+        assert out.where("id = 75").count() == 1
+
+    def test_distributed_check_over_many_files(self, spark, tmp_path):
+        """>64 bloom files takes the executor-distributed membership
+        branch — same answer as the driver loop."""
+        path = str(tmp_path / "store")
+        df = spark.range(0, 7200).repartitionByRange(72, "id")
+        write_manifested(spark, df, path, bloom_cols=["id"])
+        hit = read_manifested(spark, path, point={"id": 4242})
+        assert _files(hit) <= 4
+        assert hit.where("id = 4242").count() == 1
+
+
+class TestBloomDelete:
+    def test_gdpr_delete_bounded_by_bloom(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        rows = [(i, f"user-{i % 40:03d}") for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, owner string")
+        for lo in (0, 100, 200, 300):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 100}").coalesce(1),
+                path, bloom_cols=["owner"],
+            )
+        # owner user-007 appears in every file: bloom keeps all 4
+        res = delete_manifested(
+            spark, path, "owner = 'user-007'", point={"owner": "user-007"}
+        )
+        assert res["rows_deleted"] == 10 and res["files_rewritten"] == 4
+        # a value that never existed: bloom prunes the scan to nothing
+        res2 = delete_manifested(
+            spark, path, "owner = 'user-999'", point={"owner": "user-999"}
+        )
+        assert res2 == {"files_rewritten": 0, "rows_deleted": 0,
+                        "version": res2["version"]}
+        back = read_manifested(spark, path)
+        assert back.count() == 390
+        assert back.where("owner = 'user-007'").count() == 0
+
+
+class TestBloomLifecycle:
+    def test_vacuum_reclaims_replaced_and_orphan_sidecars(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 50).coalesce(1), path,
+                         bloom_cols=["id"])
+        write_manifested(spark, spark.range(0, 60).coalesce(1), path,
+                         bloom_cols=["id"], replace="all")
+        assert len(glob.glob(f"{path}/_index/**/*.bloom",
+                             recursive=True)) == 2
+        vacuum_manifested(spark, path, keep_versions=1,
+                          orphan_grace_seconds=0.0)
+        left = glob.glob(f"{path}/_index/**/*.bloom", recursive=True)
+        assert len(left) == 1, "replaced file's sidecar must be reclaimed"
+        # the survivor still serves point reads
+        hit = read_manifested(spark, path, point={"id": 55})
+        assert hit.where("id = 55").count() == 1
