@@ -1024,14 +1024,20 @@ def _bloom_filter_rels(
     with_bloom: list[tuple[str, str]], point: dict,
 ) -> set[str]:
     """The rel paths whose bloom sidecars MIGHT contain every point
-    value. Executor-distributed when the store is a plain local path
-    (sidecars opened with plain I/O, one small file each — the 100 TB
-    shape: 16 KB sidecar tests instead of 128 MB data scans); falls back
-    to a driver loop through the Hadoop FS elsewhere (HDFS/S3 — still
-    O(selected files) tiny reads, never data I/O)."""
+    value — a value may be a LIST (file kept when ANY listed value might
+    be present: the forget-these-users / merge-by-keys shape). Executor-
+    distributed when the store is a plain local path (sidecars opened
+    with plain I/O, one small file each — the 100 TB shape: 16 KB
+    sidecar tests instead of 128 MB data scans); falls back to a driver
+    loop through the Hadoop FS elsewhere (HDFS/S3 — still O(selected
+    files) tiny reads, never data I/O)."""
     import base64
 
-    vals = dict(point)
+    vals = {
+        c: (list(v) if isinstance(v, (list, tuple, set)) else [v])
+        for c, v in point.items()
+    }
+
     local_root = None
     if root_str.startswith("file:"):
         local_root = root_str[len("file:"):]
@@ -1039,10 +1045,11 @@ def _bloom_filter_rels(
     def _test(doc: dict) -> bool:
         m = doc["m"]
         cols = doc["cols"]
-        for c, v in vals.items():
+        for c, vlist in vals.items():
             if c not in cols:
                 return True  # no bloom for this column — conservative
-            if not _bloom_might_contain(base64.b64decode(cols[c]), m, v):
+            bits = base64.b64decode(cols[c])
+            if not any(_bloom_might_contain(bits, m, v) for v in vlist):
                 return False
         return True
 
@@ -1707,6 +1714,22 @@ def merge_manifested(
                 return not (st[1] < lo or st[0] > hi)
 
             candidates = [e for e in entries if _may_match(e)]
+    if len(keys) == 1 and n_updates <= 10_000:
+        # bloom pruning on the key column (any-match over the update
+        # keys) — the id-key merge where stats spans prune nothing;
+        # key list collection is bounded by the updates contract
+        with_bloom = [
+            (e["path"], e["bloom"]) for e in candidates if "bloom" in e
+        ]
+        if with_bloom:
+            kv = [r[0] for r in updates.select(keys[0]).distinct().collect()]
+            ok = _bloom_filter_rels(
+                spark, fs, Path, root_str, with_bloom, {keys[0]: kv}
+            )
+            candidates = [
+                e for e in candidates
+                if "bloom" not in e or e["path"] in ok
+            ]
     ukeys = updates.select(*keys).dropDuplicates()
     touched_rel: list[str] = []
     if candidates:

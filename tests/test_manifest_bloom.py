@@ -122,3 +122,49 @@ class TestBloomLifecycle:
         # the survivor still serves point reads
         hit = read_manifested(spark, path, point={"id": 55})
         assert hit.where("id = 55").count() == 1
+
+
+class TestMultiValueAndMerge:
+    def test_forget_many_users_point_list(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        rows = [(i, f"user-{i:04d}") for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, owner string")
+        for lo in (0, 100, 200, 300):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 100}").coalesce(1),
+                path, bloom_cols=["owner"],
+            )
+        res = delete_manifested(
+            spark, path,
+            "owner IN ('user-0005', 'user-0105')",
+            point={"owner": ["user-0005", "user-0105"]},
+        )
+        assert res["rows_deleted"] == 2 and res["files_rewritten"] == 2
+        assert read_manifested(spark, path).count() == 398
+
+    def test_merge_prunes_by_key_bloom(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _canon_uri, _hadoop_fs, _manifest_head, merge_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        rows = [(i, f"doc-{i:04d}", "old") for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, doc_id string, v string")
+        for lo in (0, 100, 200, 300):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 100}").coalesce(1),
+                path, bloom_cols=["doc_id"],
+            )
+        updates = spark.createDataFrame(
+            [(999, "doc-0250", "new")], "id long, doc_id string, v string"
+        )
+        res = merge_manifested(spark, updates, path, key="doc_id")
+        assert res["files_rewritten"] == 1, (
+            "the key bloom must bound the rewrite to the containing file"
+        )
+        back = read_manifested(spark, path)
+        got = {r.doc_id: r.v for r in back.collect()}
+        assert got["doc-0250"] == "new" and got["doc-0249"] == "old"
+        assert back.count() == 400
