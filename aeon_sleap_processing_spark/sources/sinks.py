@@ -2134,7 +2134,13 @@ def vacuum_manifested(
     """Reclaim files no retained manifest references: keeps the newest
     ``keep_versions`` manifests' file sets live (the snapshot-isolation
     grace window for readers pinned to a recent version), deletes every
-    other data file, older manifest versions, and _staging leftovers.
+    other data file (and its bloom sidecar), older manifest versions,
+    and _staging leftovers. Log retention anchors at the newest
+    CHECKPOINT at/below the oldest kept version (kept versions must stay
+    resolvable under the delta log), so the log holds at most
+    ``keep_versions + _CHECKPOINT_INTERVAL`` files after a vacuum —
+    ``keep_versions`` is also the CDC consumers' maximum safe lag and
+    :func:`restore_manifested`'s rollback window.
 
     IN-FLIGHT-WRITER FENCE (the Delta/Iceberg convention, r11): a file
     that is (a) referenced by NO manifest version at all — so it was
