@@ -335,6 +335,8 @@ def relay_manifested(
     transform: Callable[[DataFrame], DataFrame] | None = None,
     prefixes: list[str] | None = None,
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
     poll_interval: float | None = None,
     max_polls: int | None = None,
 ) -> dict:
@@ -382,6 +384,8 @@ def relay_manifested(
                 partition_by=partition_by,
                 filename_prefix=f"v{until}-",
                 remove_prefixes=[f"v{until}-"],  # replay replaces itself
+                stats_cols=stats_cols,   # derived store keeps the same
+                bloom_cols=bloom_cols,   # skipping discipline as a write
             )
             batches += 1
         if until != cursor:

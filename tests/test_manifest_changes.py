@@ -402,8 +402,17 @@ class TestRelayExactlyOnce:
         cursor = str(tmp_path / "cur.json")
         write_manifested(spark, spark.range(0, 20), src)
         double = lambda d: d.withColumn("y", F.col("id") * 2)
-        r1 = relay_manifested(spark, src, dest, cursor, transform=double)
+        r1 = relay_manifested(spark, src, dest, cursor, transform=double,
+                              stats_cols=["y"], bloom_cols=["id"])
         assert r1["batches"] == 1
+        # the derived store carries the skipping discipline forward
+        import glob as _glob
+
+        assert _glob.glob(f"{dest}/_index/**/*.bloom", recursive=True)
+        pruned = read_manifested(spark, dest, skip={"y": (0, 4)})
+        assert len(pruned.inputFiles()) <= len(
+            read_manifested(spark, dest).inputFiles()
+        )
         # simulate the crash window: wind the cursor back and relay again
         from aeon_sleap_processing_spark.streaming.watch import (
             _write_manifest_cursor,
