@@ -203,20 +203,24 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         return [_FilePartition(self.root, r) for r in rels]
 
     def read(self, partition: _FilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
         table = pq.read_table(os.path.join(partition.root, partition.rel))
         parts = dict(_partition_cols(partition.rel))
-        rows_cols = []
+        # Arrow-vectorized hand-off (Spark 4 python data sources accept
+        # RecordBatch yields — SPARK-48493): no per-row python tuples
+        cols, names = [], []
         for f in self.schema.fields:
+            names.append(f.name)
             if f.name in table.column_names:
-                rows_cols.append(table.column(f.name).to_pylist())
+                cols.append(table.column(f.name))
             else:
                 v = parts.get(f.name)
                 if v is not None and isinstance(f.dataType, LongType):
                     v = int(v)
-                rows_cols.append([v] * table.num_rows)
-        yield from zip(*rows_cols)
+                cols.append(pa.array([v] * table.num_rows))
+        yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
         pass  # Spark's offset log is the cursor
