@@ -1958,6 +1958,90 @@ def update_manifested(
             "rows_updated": rows_updated, "version": v}
 
 
+def reindex_manifested(
+    spark: SparkSession,
+    path: str,
+    bloom_cols: list[str],
+    bloom_bits: int = 1 << 17,
+) -> dict:
+    """Recompute bloom sidecars for head files that LACK them for the
+    given columns (maintenance rewrites — compaction/OPTIMIZE/fold/DML
+    output — drop blooms), restoring point-lookup coverage with ONE
+    metadata-only commit: the scan is bounded by the UN-bloomed files,
+    no data file is rewritten, and the commit is ``data_change=False``
+    (rows unchanged — CDC consumers see nothing). Run it after
+    ``maintain()`` on point-lookup stores. Returns {"reindexed",
+    "version"}."""
+    import base64
+
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    todo = [
+        e for e in head["files"]
+        if "bloom" not in e  # present sidecars keep their column set
+    ]
+    if not todo:
+        return {"reindexed": 0, "version": head_v}
+    by_rel = {e["path"]: e for e in todo}
+    pos_by_file: dict[str, dict] = {}
+    aggs = [
+        F.array_distinct(
+            F.flatten(
+                F.collect_list(F.array(*_bloom_position_exprs(c, bloom_bits)))
+            )
+        ).alias(f"__bp_{c}")
+        for c in bloom_cols
+    ]
+    for row in (
+        spark.read.parquet(*[f"{root_str}/{r}" for r in by_rel])
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(*aggs)
+        .collect()
+    ):
+        pos_by_file[row["__f"]] = {c: row[f"__bp_{c}"] for c in bloom_cols}
+    rfs = _raw_fs(fs)
+    add: list[tuple] = []
+    for rel, e in by_rel.items():
+        uri = f"{root_str}/{rel}"
+        by_col = None
+        for k, v in pos_by_file.items():
+            if _canon_uri(fs, Path(k)) == _canon_uri(fs, Path(uri)):
+                by_col = v
+                break
+        if by_col is None:
+            continue  # file matched no scanned rows (empty) — skip
+        cols_b64 = {}
+        for c, positions in by_col.items():
+            bits = bytearray(bloom_bits >> 3)
+            for p in positions:
+                bits[p >> 3] |= 1 << (p & 7)
+            cols_b64[c] = base64.b64encode(bytes(bits)).decode()
+        sidecar = f"{_BLOOM_DIR}/{rel}.bloom"
+        target = Path(f"{root_str}/{sidecar}")
+        rfs.mkdirs(target.getParent())
+        out = rfs.create(target, True)
+        try:
+            out.write(bytearray(json.dumps(
+                {"m": bloom_bits, "k": _BLOOM_K, "cols": cols_b64}
+            ).encode()))
+        finally:
+            out.close()
+        add.append((rel, e["bytes"], e.get("stats"), sidecar))
+    try:
+        v = manifest_commit(
+            spark, path, add=add, remove=[rel for rel, *_ in add],
+            require_remove_present=True, op="reindex", data_change=False,
+        )
+    except ManifestConflict:
+        # a concurrent commit replaced a reindexed file — its sidecar is
+        # an orphan for vacuum; the next reindex covers the new head
+        return {"reindexed": 0, "version": head_v, "conflict": True}
+    return {"reindexed": len(add), "version": v}
+
+
 def restore_manifested(
     spark: SparkSession,
     path: str,

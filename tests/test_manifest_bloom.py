@@ -168,3 +168,41 @@ class TestMultiValueAndMerge:
         got = {r.doc_id: r.v for r in back.collect()}
         assert got["doc-0250"] == "new" and got["doc-0249"] == "old"
         assert back.count() == 400
+
+
+class TestReindex:
+    def test_reindex_restores_point_pruning_after_compaction(
+        self, spark, tmp_path
+    ):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            compact_manifested, read_manifested_changes, reindex_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        rows = [(i, f"doc-{i:05d}", i // 1000) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, doc_id string, p long")
+        for lo in (0, 2000):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 2000}")
+                .repartition(4, "id"),
+                path, partition_by=["p"], bloom_cols=["doc_id"],
+            )
+        _, cursor = read_manifested_changes(spark, path)
+        assert compact_manifested(spark, path, min_files_to_compact=2)[
+            "compacted"
+        ]
+        # compaction output lost its blooms: point read scans everything
+        before = read_manifested(spark, path, point={"doc_id": "doc-02500"})
+        n_all = len(read_manifested(spark, path).inputFiles())
+        assert len(before.inputFiles()) == n_all
+        res = reindex_manifested(spark, path, ["doc_id"])
+        assert res["reindexed"] == n_all
+        after = read_manifested(spark, path, point={"doc_id": "doc-02500"})
+        assert len(after.inputFiles()) < n_all
+        assert after.where("doc_id = 'doc-02500'").count() == 1
+        # metadata-only and dataChange=false: CDC consumers see nothing
+        d, _ = read_manifested_changes(spark, path, since_version=cursor)
+        assert d is None
+        # idempotent: a second pass finds nothing to do
+        assert reindex_manifested(spark, path, ["doc_id"])["reindexed"] == 0
