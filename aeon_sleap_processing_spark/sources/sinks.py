@@ -2412,6 +2412,7 @@ def maintain(
     time_col: str = "time",
     ttl_partition_col: str | None = None,
     ttl_keep_from: str | None = None,
+    bloom_cols: list[str] | None = None,
     dry_run: bool = False,
 ) -> dict:
     """ONE housekeeping entry point for a manifest-committed store — the
@@ -2425,7 +2426,9 @@ def maintain(
     chunk/time-partitioned stores), while ``max_age`` on ``time_col``
     does row-level expiry via a full rewrite (only for stores whose
     layout does not align with the TTL; both skipped when unset), (3)
-    vacuum with the in-flight-writer grace fence. Every step uses the
+    ``bloom_cols`` re-indexes point-lookup sidecars the rewrites above
+    dropped (:func:`reindex_manifested` — metadata-only, CDC-invisible),
+    (4) vacuum with the in-flight-writer grace fence. Every step uses the
     manifest commit path, so the whole job composes with concurrent
     writers and readers keep snapshot isolation throughout.
 
@@ -2554,6 +2557,10 @@ def maintain(
                                "cutoff": str(cutoff)}
     else:
         report["retention"] = None
+    if bloom_cols:
+        # restore point-lookup coverage the rewrites above dropped —
+        # metadata-only, scans only un-bloomed files, CDC-invisible
+        report["reindex"] = reindex_manifested(spark, path, bloom_cols)
     report["vacuum"] = vacuum_manifested(
         spark, path, keep_versions=keep_versions,
         orphan_grace_seconds=orphan_grace_seconds,

@@ -206,3 +206,24 @@ class TestReindex:
         assert d is None
         # idempotent: a second pass finds nothing to do
         assert reindex_manifested(spark, path, ["doc_id"])["reindexed"] == 0
+
+    def test_maintain_reindexes_when_asked(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import maintain
+
+        path = str(tmp_path / "store")
+        rows = [(i, f"doc-{i:05d}", i // 1000) for i in range(4000)]
+        df = spark.createDataFrame(rows, "id long, doc_id string, p long")
+        for lo in (0, 2000):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 2000}")
+                .repartition(4, "id"),
+                path, partition_by=["p"], bloom_cols=["doc_id"],
+            )
+        rep = maintain(spark, path, min_files_to_compact=2,
+                       bloom_cols=["doc_id"], orphan_grace_seconds=0.0)
+        assert rep["reindex"]["reindexed"] >= 1
+        hit = read_manifested(spark, path, point={"doc_id": "doc-02500"})
+        assert len(hit.inputFiles()) < len(
+            read_manifested(spark, path).inputFiles()
+        )
