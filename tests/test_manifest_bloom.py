@@ -227,3 +227,49 @@ class TestReindex:
         assert len(hit.inputFiles()) < len(
             read_manifested(spark, path).inputFiles()
         )
+
+
+class TestHashParity:
+    def test_python_and_spark_positions_agree(self, spark):
+        """The write side computes bloom positions with Spark expressions
+        (md5 → conv slices), the test side with hashlib — if they ever
+        drift, point reads get FALSE NEGATIVES (silently missing data),
+        so pin bit-equality directly over mixed values."""
+        from hypothesis import given, settings, HealthCheck
+        from hypothesis import strategies as st
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _bloom_position_exprs, _bloom_positions_py,
+        )
+
+        m = 1 << 17
+
+        @settings(max_examples=5, deadline=None,
+                  suppress_health_check=[HealthCheck.function_scoped_fixture])
+        @given(
+            vals=st.lists(
+                st.one_of(
+                    st.integers(-(2 ** 62), 2 ** 62),
+                    st.text(
+                        alphabet=st.characters(codec="utf-8",
+                                               blacklist_categories=["Cs"]),
+                        min_size=0, max_size=40,
+                    ),
+                ),
+                min_size=1, max_size=20,
+            )
+        )
+        def check(vals):
+            import pandas as pd
+
+            from pyspark.sql import functions as F
+
+            pdf = pd.DataFrame({"v": [str(x) for x in vals]})
+            df = spark.createDataFrame(pdf)
+            rows = df.select(
+                "v", F.array(*_bloom_position_exprs("v", m)).alias("pos")
+            ).collect()
+            for r in rows:
+                assert list(r["pos"]) == _bloom_positions_py(r["v"], m), r["v"]
+
+        check()
