@@ -116,6 +116,12 @@ class TestDriverContract:
             # rotated out (driver-green r9+r10, temporal plan untouched)
             "q_video_frame_stats",
             "q_mjpeg_frame_stats",
+            # r11 late: the manifest storage wing earns driver rows —
+            # q_simhash/q_simhash_pairs/q_curate_corpus rotated out
+            # (driver-green r6..r10, text plans untouched by r11)
+            "q_manifest_dml",
+            "q_manifest_time_travel",
+            "q_manifest_changes",
         ]:
             assert name in window, name
         assert "q1_pricing_summary" not in window
