@@ -1962,6 +1962,88 @@ def _q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(snap, "snapshot").unionByName(agg(delta, "delta"))
 
 
+def _quality_clf() -> dict:
+    import json as _j
+    import os as _o
+
+    p = _o.path.join(
+        _o.path.dirname(_o.path.abspath(__file__)), "tools",
+        "quality_clf_trained.json",
+    )
+    with open(p) as f:
+        return _j.load(f)
+
+
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained classifier-filter stage (text.py:quality_classifier): a
+    pyspark.ml logistic regression DISTILLED offline from the composite
+    quality_score teacher (tools/fit_quality_clf.py, AUC 0.99997 at
+    sf0.01), coefficients pinned to tools/quality_clf_trained.json and
+    embedded as literals on BOTH engines — the full sigmoid scoring
+    arithmetic faces the value-hash gate. Returns per (source, keep):
+    doc count, decimal-summed score, and agreement with the teacher cut
+    (the distillation-fidelity audit a production filter ships with)."""
+    clf = _quality_clf()
+    docs = load_table(spark, "documents", sf_dir)
+    scored = tx.quality_classifier(
+        docs, clf["weights"], clf["bias"], threshold=0.5
+    )
+    teacher = tx.text_stats(docs).select(
+        "doc_id", (F.col("quality_score") >= 0.52).alias("teacher_keep")
+    )
+    j = scored.join(teacher, "doc_id").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return j.groupBy("source", "keep").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(
+            F.sum(F.col("clf_score").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("sum_score"),
+        F.sum(
+            F.when(F.col("keep") == F.col("teacher_keep"), 1).otherwise(0)
+        ).cast("long").alias("n_agree"),
+    )
+
+
+def _quality_classifier_sql() -> str:
+    clf = _quality_clf()
+    w0, w1, w2 = (repr(float(w)) for w in clf["weights"])
+    b = repr(float(clf["bias"]))
+    return f"""
+        WITH t AS (
+          SELECT doc_id, source, text, {_WORDS} AS words FROM documents
+        ),
+        f AS (
+          SELECT doc_id, source,
+            round(len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE
+                  / len(words), 6) AS stop_ratio,
+            round(list_sum(list_transform(words, w -> length(w)))::DOUBLE
+                  / len(words), 6) AS avg_token_len,
+            least(len(words), 200)::DOUBLE / 200.0 AS tok_sat,
+            round(0.4 * least(1.0, len(words)::DOUBLE / 100.0)
+                  + 0.3 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text))
+                  + 0.3 * (len(list_filter(words, w -> w IN {_STOPS}))::DOUBLE / len(words)),
+                  6) AS quality_score
+          FROM t
+        ),
+        s AS (
+          SELECT doc_id, source,
+                 round(1.0 / (1.0 + exp(-({b} + {w0} * stop_ratio
+                                         + {w1} * avg_token_len
+                                         + {w2} * tok_sat))), 6) AS clf_score,
+                 quality_score >= 0.52 AS teacher_keep
+          FROM f
+        ),
+        k AS (SELECT *, clf_score >= 0.5 AS keep FROM s)
+        SELECT source, keep,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               round(sum(clf_score::DECIMAL(18,6))::DOUBLE, 6) AS sum_score,
+               CAST(sum(CASE WHEN keep = teacher_keep THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_agree
+        FROM k GROUP BY source, keep
+    """
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -2722,7 +2804,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # carries a full closed-form DuckDB oracle. Rotated OUT to make room:
     # q_simhash + q_simhash_pairs + q_curate_corpus (driver-green r6
     # through r10, judge-re-verified r10, their text plans untouched by
-    # r11's storage/codec/auto-bands work).
+    # r11's storage/codec/auto-bands work). Also new: q_quality_classifier
+    # (the trained classifier-filter stage — pinned-coefficient logistic
+    # regression distilled from the quality_score teacher, full sigmoid
+    # arithmetic vs the oracle); q_dedup_clusters rotates out for it
+    # (driver-green r6..r10, graph plan untouched; its sibling
+    # q_cluster_split stays in the window for CC-family coverage).
     # Round 11 rotates IN q_mjpeg_frame_stats (the r10 MJPEG codec had
     # never faced the driver's oracle — VERDICT r10 task #2) and rotates
     # q_video_frame_stats BACK IN (decode_avi was touched in r10 — MJPEG
@@ -2763,7 +2850,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fuzzy_pairs_short": _q_fuzzy_pairs_short,
         "q_zorder_stats": _q_zorder_stats,
         "q_hilbert_stats": _q_hilbert_stats,
-        "q_dedup_clusters": _q_dedup_clusters,
         "q_cluster_split": _q_cluster_split,
         "q_char_ngram_profile": _q_char_ngram_profile,
         "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
@@ -2792,6 +2878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_dml": _q_manifest_dml,
         "q_manifest_time_travel": _q_manifest_time_travel,
         "q_manifest_changes": _q_manifest_changes,
+        # --- trained classifier-filter stage (new r11) --------------------
+        "q_quality_classifier": _q_quality_classifier,
         # --- aeon detection pipelines over committed pose fixtures ------
         "q_tube_candidates": _q_tube_candidates,
         "q_fight_sessions": _q_fight_sessions,
@@ -2804,6 +2892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash": _q_simhash,  # rotated out for q_manifest_dml (green r6..r10)
         "q_simhash_pairs": _q_simhash_pairs,  # rotated out for q_manifest_time_travel
         "q_curate_corpus": _q_curate_corpus,  # rotated out for q_manifest_changes
+        "q_dedup_clusters": _q_dedup_clusters,  # rotated out for q_quality_classifier (green r6..r10; sibling q_cluster_split stays in)
         # --- rotated out r10 (driver-green r8 AND r9, untouched in r10) --
         "q_kmeans_step": _q_kmeans_step,  # rotated out for q_neardup_recall_sampled
         # --- rotated out r9 (driver-green r7 AND r8, untouched in r9) ----
@@ -4196,6 +4285,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    leg
             FROM legs GROUP BY lang, leg
         """,
+        # --- r11 trained classifier filter: pinned-coefficient sigmoid
+        "q_quality_classifier": _quality_classifier_sql(),
         # --- round 3 -----------------------------------------------------
         "q8_market_share": """
             SELECT year(o_orderdate) AS o_year,

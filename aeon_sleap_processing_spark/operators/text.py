@@ -561,6 +561,51 @@ def quality_buckets(
     )
 
 
+def quality_classifier(
+    docs: DataFrame,
+    weights: list[float],
+    bias: float,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Linear (fastText-style) quality-classifier filter — the trained
+    classifier stage of a curation pipeline (the CCNet/GPT-3 shape: a
+    cheap linear model, distilled offline from an expensive scorer,
+    gates every document):
+
+        score = sigmoid(bias + w · [stop_ratio, avg_token_len,
+                                    least(n_tokens, 200) / 200])
+
+    over :func:`text_stats`' ROUNDED surface features, ``keep`` compared
+    on the 6-decimal rounded score so the cut is exact cross-engine.
+    Weights are trained offline (tools/fit_quality_clf.py — pyspark.ml
+    logistic regression distilled from the composite quality_score
+    teacher at AUC 0.99997) and PINNED to tools/quality_clf_trained.json,
+    the ivf_centroids_trained.json technique. Pure column expressions —
+    whole-stage codegen end to end, no UDF; at 100 TB this is a map-only
+    pass that fuses into the scan."""
+    stats = text_stats(docs, text_col=text_col, id_col=id_col)
+    feats = [
+        F.col("stop_ratio"),
+        F.col("avg_token_len"),
+        F.least(F.col("n_tokens"), F.lit(200)).cast("double") / 200.0,
+    ]
+    if len(weights) != len(feats):
+        raise ValueError(
+            f"expected {len(feats)} weights, got {len(weights)}"
+        )
+    z = F.lit(float(bias))
+    for w, x in zip(weights, feats):
+        z = z + F.lit(float(w)) * x
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return stats.select(
+        F.col(id_col),
+        score.alias("clf_score"),
+        (score >= F.lit(float(threshold))).alias("keep"),
+    )
+
+
 def length_percentiles(
     docs: DataFrame, len_col: str = "n_chars", group_col: str = "lang"
 ) -> DataFrame:

@@ -122,6 +122,9 @@ class TestDriverContract:
             "q_manifest_dml",
             "q_manifest_time_travel",
             "q_manifest_changes",
+            # r11 late: trained classifier-filter stage (pinned
+            # coefficients) — q_dedup_clusters rotated out
+            "q_quality_classifier",
         ]:
             assert name in window, name
         assert "q1_pricing_summary" not in window

@@ -818,3 +818,78 @@ class TestBpeBatchedSchedule:
         df = spark.createDataFrame([("abcd",)], "text string")
         out = bpe_train(df, num_merges=8, batch_size=4).collect()
         assert 0 < len(out) < 8
+
+
+class TestQualityClassifier:
+    """r11: the trained classifier-filter stage. The pinned-coefficient
+    sigmoid faces the driver oracle (q_quality_classifier); here we pin
+    the operator's contract on constructed docs."""
+
+    def test_scores_and_keep_semantics(self, spark):
+        from aeon_sleap_processing_spark.operators.text import (
+            quality_classifier,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the cat and the dog in the house is a friend of all"),
+             (2, "zzz qqq xxx")],
+            "doc_id long, text string",
+        )
+        # hand weights: stopword-rich doc scores high, junk scores low
+        out = {
+            r.doc_id: r
+            for r in quality_classifier(
+                docs, weights=[10.0, 0.0, 0.0], bias=-2.0, threshold=0.5
+            ).collect()
+        }
+        assert out[1].keep and not out[2].keep
+        assert 0.0 <= out[2].clf_score < 0.5 <= out[1].clf_score <= 1.0
+        # score is the 6-decimal-rounded sigmoid of the exact features:
+        # doc 1 has 8/13 stopwords (the x3, and, in, is, a, of)
+        import math
+
+        z = 10.0 * round(8 / 13, 6) - 2.0
+        assert out[1].clf_score == round(1.0 / (1.0 + math.exp(-z)), 6)
+
+    def test_weight_arity_validated(self, spark):
+        import pytest as _pytest
+
+        from aeon_sleap_processing_spark.operators.text import (
+            quality_classifier,
+        )
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="expected 3 weights"):
+            quality_classifier(docs, weights=[1.0], bias=0.0)
+
+    def test_pinned_artifact_agrees_with_teacher(self, spark):
+        """The committed coefficients must keep distilling the teacher:
+        >= 97% agreement with the quality_score >= 0.52 cut at sf0.001
+        (trained at sf0.01, AUC 0.99997 — a regression here means the
+        artifact and the features drifted apart)."""
+        import json
+        import os
+
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.operators.text import (
+            quality_classifier,
+            text_stats,
+        )
+        from aeon_sleap_processing_spark.sources.catalog import load_table
+
+        p = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools", "quality_clf_trained.json",
+        )
+        with open(p) as f:
+            clf = json.load(f)
+        docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+        scored = quality_classifier(docs, clf["weights"], clf["bias"])
+        teacher = text_stats(docs).select(
+            "doc_id", (F.col("quality_score") >= 0.52).alias("t")
+        )
+        j = scored.join(teacher, "doc_id")
+        n = j.count()
+        agree = j.where(F.col("keep") == F.col("t")).count()
+        assert agree / n >= 0.97, (agree, n)
