@@ -744,9 +744,9 @@ def _apply_doc(state: dict, doc: dict) -> dict:
     return state
 
 
-# resolved-state cache: an acknowledged version file is immutable (a slot
-# is written once via the rename CAS; local-fs rename-overwrite races are
-# the documented multi-PROCESS out-of-scope), so (store, version) →
+# resolved-state cache: an acknowledged version file is immutable (local
+# fs: hard-link publish — the slot inode can never be replaced; HDFS:
+# rename-to-existing fails), so (store, version) →
 # resolved file list is a pure function — caching it turns the per-commit
 # O(head) re-parse in commit-heavy loops (the streaming sink: one commit
 # per micro-batch) into a dict hit. Tiny and bounded; thread-safe under
@@ -947,6 +947,31 @@ def manifest_commit(
         target = Path(f"{root_str}/{_MANIFEST_DIR}/{next_v:020d}.json")
         tmp = Path(f"{root_str}/{_MANIFEST_DIR}/.tmp-{token}.json")
         rfs = _raw_fs(fs)
+        if root_str.startswith("file:"):
+            # LOCAL fs: hard-link publish — a TRUE multi-process CAS.
+            # os.link raises FileExistsError when the slot is taken, and
+            # the linked inode is fully written before it becomes
+            # visible, so a version file is IMMUTABLE from the first
+            # moment any reader can see it: no rename-overwrite window,
+            # no token verify, no transiently-differing doc for a reader
+            # caught between two racing committers. The in-process lock
+            # stays only to cheapen same-process races (fewer wasted
+            # rebuilds); correctness no longer depends on it.
+            import os as _os
+
+            mdir_local = f"{root_str[len('file:'):]}/{_MANIFEST_DIR}"
+            tmp_local = f"{mdir_local}/.tmp-{token}.json"
+            target_local = f"{mdir_local}/{next_v:020d}.json"
+            with _manifest_lock(root_str):
+                with open(tmp_local, "wb") as fh:
+                    fh.write(doc)
+                try:
+                    _os.link(tmp_local, target_local)
+                except FileExistsError:
+                    continue  # lost the race — rebuild on winner's head
+                finally:
+                    _os.unlink(tmp_local)
+            return next_v
         with _manifest_lock(root_str):
             if rfs.exists(target):
                 continue  # slot taken while we built our doc — rebuild
@@ -960,7 +985,9 @@ def manifest_commit(
             if not rfs.rename(tmp, target):
                 rfs.delete(tmp, False)
                 continue
-        # local-fs hedge (rename overwrites there): verify our token won
+        # hedge for remote filesystems whose rename silently overwrites:
+        # verify our token won (HDFS rename-to-existing fails, so this
+        # read normally just confirms)
         try:
             back = json.loads(_manifest_read_text(spark, fs, target))
         except Exception:

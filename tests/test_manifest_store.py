@@ -74,6 +74,55 @@ class TestManifestCommitCAS:
         paths = {f["path"] for f in head["files"]}
         assert {f"fake-{i}.parquet" for i in range(12)} <= paths
 
+    def test_concurrent_commits_survive_without_process_lock(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Multi-PROCESS equivalence (late r11): the in-process lock is
+        REMOVED (every caller gets its own null context, exactly like
+        committers in different processes that share no memory) and 12
+        racing commits must still land exactly once each — the hard-link
+        slot publish is the only CAS. Before the os.link upgrade this
+        interleaving could silently overwrite a slot on local fs (rename
+        overwrites there; only the token verify caught it after the
+        fact, and a reader in the gap saw a version file CHANGE)."""
+        from concurrent.futures import ThreadPoolExecutor
+        from contextlib import nullcontext
+
+        from aeon_sleap_processing_spark.sources import sinks as sk
+
+        monkeypatch.setattr(sk, "_manifest_lock", lambda root: nullcontext())
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 1), path)
+
+        def add(i):
+            return manifest_commit(
+                spark, path, add=[(f"fake-{i}.parquet", 100 + i)]
+            )
+
+        with ThreadPoolExecutor(12) as ex:
+            versions = list(ex.map(add, range(12)))
+        assert sorted(versions) == list(range(1, 13))
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _hadoop_fs,
+            _manifest_head,
+        )
+
+        fs, Path, root = _hadoop_fs(spark, path)
+        _, head, _ = _manifest_head(spark, fs, Path, str(root.toUri()))
+        paths = {f["path"] for f in head["files"]}
+        assert {f"fake-{i}.parquet" for i in range(12)} <= paths
+        # version files are immutable from first visibility: no .tmp
+        # corpses, every retained slot parses
+        import json as _json
+        import os
+
+        mdir = f"{path}/_manifests"
+        names = sorted(os.listdir(mdir))
+        assert not [n for n in names if n.startswith(".tmp-")]
+        for n in names:
+            with open(f"{mdir}/{n}") as f:
+                _json.load(f)
+
     def test_corrupt_manifest_is_skipped(self, spark, tmp_path):
         path = str(tmp_path / "store")
         write_manifested(spark, spark.range(0, 5), path)
