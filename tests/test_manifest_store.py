@@ -786,3 +786,91 @@ class TestDeltaLog:
         assert _ids(read_manifested(spark, path, version=2)) == list(
             range(15)
         )
+
+
+def _pure_py_link_committer(args):
+    """Runs in a CHILD PROCESS (no Spark, no shared memory): the same
+    link-publish protocol manifest_commit speaks, reduced to stdlib —
+    list the log, claim the next slot with os.link, rebuild on EEXIST."""
+    root, wid, n_commits = args
+    import json
+    import os
+    import uuid
+
+    mdir = os.path.join(root, "_manifests")
+    done = 0
+    while done < n_commits:
+        names = sorted(
+            n for n in os.listdir(mdir)
+            if n.endswith(".json") and not n.startswith(".")
+        )
+        next_v = int(names[-1][:-5]) + 1 if names else 0
+        token = uuid.uuid4().hex
+        doc = {
+            "version": next_v, "token": token, "op": "append", "dc": True,
+            "add": [{"path": f"proc-{wid}-{done}.parquet", "bytes": 1}],
+            "removed": [],
+        }
+        tmp = os.path.join(mdir, f".tmp-{token}.json")
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        try:
+            os.link(tmp, os.path.join(mdir, f"{next_v:020d}.json"))
+            done += 1
+        except FileExistsError:
+            pass
+        finally:
+            os.unlink(tmp)
+    return wid
+
+
+class TestMultiProcessCas:
+    def test_os_processes_race_the_jvm_committer(self, spark, tmp_path):
+        """The claim the hard-link publish makes — multi-PROCESS commits
+        are a true CAS on local fs — tested with actual OS processes:
+        3 spawned children (own memory, no in-process lock reachable)
+        each land 5 pure-stdlib link commits while the parent lands 5
+        real manifest_commit calls through the JVM. Every commit must
+        survive, versions contiguous, every slot parseable, and the
+        JVM reader must resolve the union head."""
+        import multiprocessing as mp
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 1).coalesce(1), path)
+
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(3) as pool:
+            async_res = pool.map_async(
+                _pure_py_link_committer, [(path, w, 5) for w in range(3)]
+            )
+            versions = [
+                manifest_commit(
+                    spark, path, add=[(f"jvm-{i}.parquet", 10 + i)]
+                )
+                for i in range(5)
+            ]
+            assert async_res.get(timeout=120) == [0, 1, 2]
+        assert len(set(versions)) == 5
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _hadoop_fs,
+            _manifest_head,
+        )
+
+        fs, Path, root = _hadoop_fs(spark, path)
+        head_v, head, _ = _manifest_head(spark, fs, Path, str(root.toUri()))
+        assert head_v == 20  # v0 + 15 child commits + 5 JVM commits
+        paths = {f["path"] for f in head["files"]}
+        assert {f"jvm-{i}.parquet" for i in range(5)} <= paths
+        assert {
+            f"proc-{w}-{d}.parquet" for w in range(3) for d in range(5)
+        } <= paths
+        # every slot parses and is immutable-complete JSON
+        import json as _json
+        import os
+
+        mdir = f"{path}/_manifests"
+        names = sorted(os.listdir(mdir))
+        assert not [n for n in names if n.startswith(".tmp-")]
+        for n in names:
+            with open(f"{mdir}/{n}") as f:
+                assert _json.load(f)["version"] == int(n[:-5])
