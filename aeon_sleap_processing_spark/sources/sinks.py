@@ -2328,6 +2328,19 @@ def vacuum_manifested(
                 skipped_in_flight += 1  # a writer still staging
                 continue
             fs.delete(st.getPath(), True)
+    # a committer that died between its tmp doc write and the link/rename
+    # leaves .tmp-<token>.json debris in _manifests — never a version, so
+    # sweep it under the same grace fence (young tmp = a commit in flight)
+    mdir = Path(f"{root_str}/{_MANIFEST_DIR}")
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if not name.startswith(".tmp-"):
+                continue
+            if st.getModificationTime() > cutoff_ms:
+                skipped_in_flight += 1
+                continue
+            fs.delete(st.getPath(), False)
     # orphaned bloom sidecars (their data file vacuumed or never
     # committed) — same grace fence as staging: a writer lands sidecars
     # just before its commit

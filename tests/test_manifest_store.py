@@ -285,6 +285,25 @@ class TestVacuumInFlightFence:
     not-yet-committed files must survive a routine vacuum (the
     Delta/Iceberg staging-mtime convention)."""
 
+    def test_tmp_manifest_debris_swept_under_grace(self, spark, tmp_path):
+        """Late r11: a committer that dies between its tmp doc write and
+        the link leaves .tmp-<token>.json in _manifests/ — never a
+        version. A young tmp is an in-flight commit (skipped); past the
+        grace it is debris (deleted). Version files are untouched."""
+        import os
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.range(0, 5), path)
+        mdir = f"{path}/_manifests"
+        with open(f"{mdir}/.tmp-deadbeef.json", "w") as f:
+            f.write('{"version": 99}')
+        res = vacuum_manifested(spark, path, orphan_grace_seconds=3600)
+        assert os.path.exists(f"{mdir}/.tmp-deadbeef.json")
+        assert res["skipped_in_flight"] >= 1
+        vacuum_manifested(spark, path, orphan_grace_seconds=0)
+        assert not os.path.exists(f"{mdir}/.tmp-deadbeef.json")
+        assert _ids(read_manifested(spark, path)) == list(range(5))
+
     def test_vacuum_interleaved_with_slow_writer(self, spark, tmp_path):
         """Interleave: writer stages + renames in → VACUUM runs → writer
         commits. With the default grace the commit must land intact; with
