@@ -1851,22 +1851,27 @@ def _manifest_docs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_manifest_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Copy-on-write DML on a manifest-committed store (sinks.py
     delete/update/merge_manifested): build a lang-partitioned store from
-    documents, DELETE doc_id%10=3, UPDATE n_chars>300 → +1000, then MERGE
-    an upsert set (doc_id%10=7 rows replaced whole-row with source=
-    'upsert', n_chars=0) plus an insert set (doc_id+100000 clones of the
-    doc_id%10=1 rows, pre-update n_chars). Each op is one rewrite-
-    validated CAS commit touching only matched files. Result = the final
-    store aggregated per (lang, source); the oracle replays the same
-    three ops as SQL set algebra over documents."""
+    documents (doc_id stats + BLOOM sidecars), DELETE doc_id%10=3, then
+    the GDPR-forget shape — DELETE doc_id=42 with point={"doc_id": 42}
+    so the candidate files are bloom-sidecar-bounded — then UPDATE
+    n_chars>300 → +1000, then MERGE an upsert set (doc_id%10=7 rows
+    replaced whole-row with source='upsert', n_chars=0) plus an insert
+    set (doc_id+100000 clones of the doc_id%10=1 rows, pre-update
+    n_chars). Each op is one rewrite-validated CAS commit touching only
+    matched files. Result = the final store aggregated per
+    (lang, source); the oracle replays the same ops as SQL set algebra
+    over documents."""
     from aeon_sleap_processing_spark.sources import sinks as sk
 
     base = _manifest_docs_base(spark, sf_dir)
     path = _scratch_store("manifest_dml", sf_dir)
     sk.write_manifested(
         spark, base, path, partition_by=["lang"], stats_cols=["doc_id"],
-        replace="all",
+        bloom_cols=["doc_id"], replace="all",
     )
     sk.delete_manifested(spark, path, "doc_id % 10 = 3")
+    # the GDPR-forget shape: one id, bloom-sidecar-bounded candidates
+    sk.delete_manifested(spark, path, "doc_id = 42", point={"doc_id": 42})
     sk.update_manifested(
         spark, path, "n_chars > 300", set={"n_chars": "n_chars + 1000"}
     )
@@ -4222,7 +4227,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               SELECT doc_id, lang, source, n_chars FROM documents
             ),
             after_delete AS (
-              SELECT * FROM base WHERE NOT (doc_id % 10 = 3)
+              SELECT * FROM base
+              WHERE NOT (doc_id % 10 = 3) AND doc_id != 42
             ),
             after_update AS (
               SELECT doc_id, lang, source,
