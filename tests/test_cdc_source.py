@@ -122,6 +122,61 @@ class TestManifestCDCSource:
         q.awaitTermination(120)
         assert out == {0: 10, 1: 10, 2: 10}
 
+    def test_watermarked_window_agg_across_restarts(
+        self, registered, tmp_path
+    ):
+        """Watermarks + event-time windows compose on the CDC feed and
+        their state survives restarts (the offset log + state store both
+        live in the checkpoint): window w1 only EMITS (append mode) once
+        a later append pushes the watermark past its end on the NEXT
+        run, and a row arriving behind the watermark is dropped — w1
+        stays at its on-time count."""
+        from datetime import datetime
+
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+
+        def rows(*secs):
+            return spark.createDataFrame(
+                [(s, datetime(2024, 1, 1, 0, 0, 0)
+                  .replace(minute=s // 60, second=s % 60)) for s in secs],
+                "id long, ts timestamp",
+            )
+
+        emitted: dict = {}
+
+        def run_stream():
+            q = (
+                spark.readStream.format("manifest_cdc")
+                .load(store)
+                .withWatermark("ts", "10 seconds")
+                .groupBy(F.window("ts", "1 minute").alias("w"))
+                .agg(F.count("*").alias("n"))
+                .writeStream.foreachBatch(
+                    lambda d, bid: emitted.update(
+                        {r["w"].start.second + 60 * r["w"].start.minute:
+                         r["n"] for r in d.collect()}
+                    )
+                )
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        write_manifested(spark, rows(5, 20, 40), store)  # w0: 3 rows
+        run_stream()
+        assert emitted == {}  # watermark 00:00:30 < w0 end — nothing final
+        write_manifested(spark, rows(90, 105), store)  # w60: 2 rows
+        run_stream()
+        assert emitted == {0: 3}  # watermark 00:01:35 closed w0
+        # 50 is LATE (behind the watermark): dropped, w0 stays 3
+        write_manifested(spark, rows(180, 50), store)
+        run_stream()
+        assert emitted == {0: 3, 60: 2}  # w60 closed; late row never lands
+
 
 class TestSliceAndContract:
     def test_prefixes_option_slices_the_stream(self, registered, tmp_path):
