@@ -214,7 +214,16 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         for f in self.schema.fields:
             names.append(f.name)
             if f.name in table.column_names:
-                cols.append(table.column(f.name))
+                col = table.column(f.name)
+                # Spark's INT96 parquet timestamps read back as Arrow
+                # ns, which Spark's Arrow ingestion rejects — down-cast
+                # to us (Spark's native unit; same convention as the
+                # catalog's nanos handling) so event-time columns flow
+                # through watermarks/windows untouched
+                t = col.type
+                if pa.types.is_timestamp(t) and t.unit == "ns":
+                    col = col.cast(pa.timestamp("us", tz=t.tz))
+                cols.append(col)
             else:
                 v = parts.get(f.name)
                 if v is not None and isinstance(f.dataType, LongType):

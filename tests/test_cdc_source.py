@@ -166,16 +166,29 @@ class TestManifestCDCSource:
             )
             q.awaitTermination(120)
 
-        write_manifested(spark, rows(5, 20, 40), store)  # w0: 3 rows
+        # each availableNow run = one micro-batch; the restored watermark
+        # lags the data by a batch or two (it is computed from PRIOR
+        # batches and round-trips through the checkpoint), so the test
+        # pins INVARIANTS, not per-run emission timing: windows emit
+        # exactly once across restarts, and a row arriving well behind
+        # the watermark is dropped rather than re-opening its window
+        write_manifested(spark, rows(5, 20, 40), store)   # w0: 3 rows
         run_stream()
-        assert emitted == {}  # watermark 00:00:30 < w0 end — nothing final
-        write_manifested(spark, rows(90, 105), store)  # w60: 2 rows
+        assert emitted == {}  # watermark cannot have passed w0 yet
+        write_manifested(spark, rows(90, 105), store)     # w60: 2 rows
         run_stream()
-        assert emitted == {0: 3}  # watermark 00:01:35 closed w0
-        # 50 is LATE (behind the watermark): dropped, w0 stays 3
-        write_manifested(spark, rows(180, 50), store)
+        write_manifested(spark, rows(180), store)         # w120: 1 row
         run_stream()
-        assert emitted == {0: 3, 60: 2}  # w60 closed; late row never lands
+        # 50 is now far behind any restored watermark (>= 01:35): dropped
+        write_manifested(spark, rows(240, 50), store)
+        run_stream()
+        write_manifested(spark, rows(360), store)
+        run_stream()
+        assert emitted[0] == 3    # late row never re-opened/inflated w0
+        assert emitted[60] == 2
+        # deeper windows close as the (lagging) watermark reaches them
+        assert emitted.get(120) in (None, 1)
+        assert set(emitted) <= {0, 60, 120, 240}
 
 
 class TestSliceAndContract:
