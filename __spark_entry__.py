@@ -1893,13 +1893,16 @@ def _q_manifest_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot isolation / time travel (sinks.py read_manifested
-    version=): commit A = documents doc_id%3!=0 (replace-all), commit B =
-    the doc_id%3=0 rows (append). Reading AS OF the first commit returns
-    exactly A — the append is invisible to the pinned version — while the
-    head read returns A∪B. Both legs aggregated per lang under a leg
-    column; the oracle states each leg's predicate directly. O(head)
-    metadata resolve per leg, no listing."""
+    """Snapshot isolation / time travel / restore (sinks.py
+    read_manifested version= + restore_manifested): commit A = documents
+    doc_id%3!=0 (replace-all), commit B = the doc_id%3=0 rows (append),
+    then RESTORE to the first commit (one metadata-only commit). Three
+    legs: 'asof_v1' (pinned first commit = A — the append invisible),
+    'asof_v2' (pinned second commit = A∪B — the snapshot stays
+    resolvable THROUGH the restore, nothing is erased), 'head' (after
+    restore = A again). The oracle states each leg's predicate directly.
+    O(head) metadata resolve per leg, no listing, zero data I/O for the
+    restore."""
     from aeon_sleap_processing_spark.sources import sinks as sk
 
     base = _manifest_docs_base(spark, sf_dir)
@@ -1913,6 +1916,8 @@ def _q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, base.where("doc_id % 3 = 0"), path, partition_by=["lang"],
         stats_cols=["doc_id"],
     )
+    v_second = sk.manifest_history(spark, path)[-1]["version"]
+    sk.restore_manifested(spark, path, v_first)
 
     def agg(df: DataFrame, leg: str) -> DataFrame:
         return df.groupBy("lang").agg(
@@ -1921,9 +1926,14 @@ def _q_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("id_sum"),
         ).withColumn("leg", F.lit(leg))
 
-    asof = sk.read_manifested(spark, path, version=v_first)
+    asof1 = sk.read_manifested(spark, path, version=v_first)
+    asof2 = sk.read_manifested(spark, path, version=v_second)
     head = sk.read_manifested(spark, path)
-    return agg(asof, "asof_v1").unionByName(agg(head, "head"))
+    return (
+        agg(asof1, "asof_v1")
+        .unionByName(agg(asof2, "asof_v2"))
+        .unionByName(agg(head, "head"))
+    )
 
 
 def _q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4257,13 +4267,18 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
             FROM final GROUP BY lang, source
         """,
         "q_manifest_time_travel": """
+            -- asof_v1 = first commit (A); asof_v2 = pinned pre-restore
+            -- snapshot (A UNION B - resolvable THROUGH the restore);
+            -- head = after restore-to-v1 (A again)
             WITH base AS (
               SELECT doc_id, lang, n_chars FROM documents
             ),
             legs AS (
               SELECT 'asof_v1' AS leg, * FROM base WHERE doc_id % 3 != 0
               UNION ALL
-              SELECT 'head' AS leg, * FROM base
+              SELECT 'asof_v2' AS leg, * FROM base
+              UNION ALL
+              SELECT 'head' AS leg, * FROM base WHERE doc_id % 3 != 0
             )
             SELECT lang,
                    CAST(count(*) AS BIGINT) AS n_docs,
