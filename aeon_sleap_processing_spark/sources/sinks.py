@@ -671,6 +671,22 @@ def _canon_uri(fs, jpath) -> str:
     return s
 
 
+def _rel_from_uri_slice(s: str) -> str:
+    """Decode ONE level of URI %-encoding from a :func:`_canon_uri`
+    slice. Manifest rel paths are RAW file/dir names — exactly what
+    Spark's partitioned writer puts on disk (`p=c%2Fd` for value 'c/d',
+    `p=a b` for 'a b') — but a canon URI re-encodes those names
+    (literal '%'→'%25', ' '→'%20'), so slicing a URI string yields an
+    encoded form that, written back to disk, double-encodes the dir
+    (p=c%252Fd) and corrupts the partition value on read (observed:
+    'c/d' → 'c%2Fd'). Every URI-slice that becomes a rel path must pass
+    through here; rel→Path(f"{root}/{rel}") needs no inverse (Hadoop's
+    Path(String) keeps literal '%' and spaces as-is)."""
+    from urllib.parse import unquote
+
+    return unquote(s)
+
+
 def _raw_fs(fs):
     """The checksum-free filesystem under a local ChecksumFileSystem, else
     ``fs`` itself. Manifest files are read/written RAW: the checksum layer
@@ -1135,6 +1151,12 @@ def _stage_files(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(stage_str)
+    # an empty df (e.g. a DELETE whose touched files lose every row)
+    # stages no part files: skip the stats/bloom scans (a parquet read
+    # of a fileless dir cannot infer a schema) and return zero adds
+    staged = _list_data_files(fs, Path(stage_str))
+    if not staged:
+        stats_cols = bloom_cols = None
     stats_by_file: dict[str, dict] = {}
     if stats_cols:
         # one scan of the staged write (bounded by it, never the store):
@@ -1178,10 +1200,13 @@ def _stage_files(
     add_stats: dict[str, dict] = {}
     bloom_positions: dict[str, dict] = {}
     staged_dirs: set[str] = set()
-    for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
+    for i, st in enumerate(staged):
         src = st.getPath()
-        # partition subpath between the staging root and the file
-        rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
+        # partition subpath between the staging root and the file — RAW
+        # names (see _rel_from_uri_slice: the URI slice is encoded)
+        rel_dir = _rel_from_uri_slice(
+            _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
+        )
         staged_dirs.add(f"{rel_dir}/" if rel_dir else "")
         name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
         rel = f"{rel_dir}/{name}" if rel_dir else name
@@ -1661,11 +1686,16 @@ def _entry_stats_cols(entries: list[dict]) -> list[str]:
 def _touched_rel_paths(spark, fs, Path, root_str, uris) -> list[str]:
     """input_file_name() URIs → manifest-relative paths (canonical-form
     slice; the two APIs render the same file with different scheme
-    spellings)."""
+    spellings). The incoming string is an ENCODED URI — unquote it to
+    raw chars before Path() (which treats '%' literally; wrapping the
+    encoded form directly would address a different, double-encoded
+    file), then decode the canon slice like every other rel derivation."""
+    from urllib.parse import unquote
+
     rels = []
     for u in uris:
-        cu = _canon_uri(fs, Path(u))
-        rels.append(cu[len(root_str):].strip("/"))
+        cu = _canon_uri(fs, Path(unquote(u)))
+        rels.append(_rel_from_uri_slice(cu[len(root_str):].strip("/")))
     return rels
 
 
@@ -2295,7 +2325,9 @@ def vacuum_manifested(
     deleted_files = 0
     skipped_in_flight = 0
     for st in _list_data_files(fs, root):
-        rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+        rel = _rel_from_uri_slice(
+            _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+        )
         if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")):
             continue
         if rel in live:
@@ -2349,9 +2381,11 @@ def vacuum_manifested(
         it = fs.listFiles(index_dir, True)
         while it.hasNext():
             st = it.next()
-            rel = _canon_uri(fs, st.getPath())[
-                len(f"{root_str}/{_BLOOM_DIR}/"):
-            ]
+            rel = _rel_from_uri_slice(
+                _canon_uri(fs, st.getPath())[
+                    len(f"{root_str}/{_BLOOM_DIR}/"):
+                ]
+            )
             if not rel.endswith(".bloom"):
                 continue
             data_rel = rel[:-len(".bloom")]
@@ -2552,7 +2586,9 @@ def maintain(
         cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
         would_delete = would_skip = 0
         for st in _list_data_files(fs, root):
-            rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+            rel = _rel_from_uri_slice(
+            _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+        )
             if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")) or rel in live:
                 continue
             if rel not in ever and st.getModificationTime() > cutoff_ms:

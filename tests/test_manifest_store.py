@@ -893,3 +893,62 @@ class TestMultiProcessCas:
         for n in names:
             with open(f"{mdir}/{n}") as f:
                 assert _json.load(f)["version"] == int(n[:-5])
+
+
+class TestSpecialCharPartitionValues:
+    """Late r11: partition VALUES with Hive-escaped characters — 'c/d',
+    'e=f', '50%', 'a b' (think source=<url/domain> in a corpus store) —
+    must round-trip through every path. Before the raw-rel fix the
+    staging move re-encoded the escaped dir name via its URI rendering
+    (p=c%2Fd landed on disk as p=c%252Fd and read back as 'c%2Fd'),
+    input_file_name-derived rels double-encoded in DML, and a DELETE
+    emptying its touched files crashed the staging stats scan."""
+
+    VALS = ["a b", "c/d", "e=f", "plain", "50%"]
+
+    def _store(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(self.VALS)], "id long, p string"
+        )
+        write_manifested(
+            spark, df, path, partition_by=["p"], stats_cols=["id"],
+            bloom_cols=["id"],
+        )
+        return path
+
+    def test_roundtrip_matches_plain_spark_layout(self, spark, tmp_path):
+        import os
+
+        path = self._store(spark, tmp_path)
+        got = sorted((r.id, r.p) for r in read_manifested(spark, path).collect())
+        assert got == sorted(enumerate(self.VALS))
+        # disk layout is EXACTLY what Spark's own partitioned writer uses
+        dirs = sorted(d for d in os.listdir(path) if d.startswith("p="))
+        assert dirs == ["p=50%25", "p=a b", "p=c%2Fd", "p=e%3Df", "p=plain"]
+
+    def test_dml_and_maintenance_on_escaped_partitions(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            delete_manifested,
+            merge_manifested,
+            read_manifested_changes,
+            update_manifested,
+        )
+
+        path = self._store(spark, tmp_path)
+        # delete that EMPTIES the touched file (the staged-zero-files edge)
+        r = delete_manifested(spark, path, "p = 'c/d'")
+        assert (r["rows_deleted"], r["files_rewritten"]) == (1, 1)
+        ups = spark.createDataFrame([(50, "50%")], "id long, p string")
+        assert merge_manifested(spark, ups, path, key="p")["rows_matched"] == 1
+        assert update_manifested(
+            spark, path, "p = 'a b'", set={"id": "id + 100"}
+        )["rows_updated"] == 1
+        vacuum_manifested(spark, path, keep_versions=1, orphan_grace_seconds=0)
+        assert compact_manifested(spark, path, min_files_to_compact=1)["compacted"]
+        snap, _ = read_manifested_changes(spark, path, since_version=-1)
+        got = sorted((r.id, r.p) for r in snap.collect())
+        assert got == [(2, "e=f"), (3, "plain"), (50, "50%"), (100, "a b")]
+        assert got == sorted(
+            (r.id, r.p) for r in read_manifested(spark, path).collect()
+        )
