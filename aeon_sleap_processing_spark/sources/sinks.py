@@ -1147,6 +1147,17 @@ def _stage_files(
 
     token = uuid.uuid4().hex
     stage_str = f"{root_str}/_staging/{token}"
+    if partition_by:
+        # a DML rewrite touching ONLY the __HIVE_DEFAULT_PARTITION__
+        # file reads its partition column as all-null VOID (partition
+        # types are inferred from values); Spark refuses to partition
+        # by VOID — cast to string, which round-trips null back to the
+        # default-partition dir unchanged
+        from pyspark.sql.types import NullType
+
+        for fld in df.schema.fields:
+            if fld.name in partition_by and isinstance(fld.dataType, NullType):
+                df = df.withColumn(fld.name, F.col(fld.name).cast("string"))
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)

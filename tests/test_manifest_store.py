@@ -952,3 +952,34 @@ class TestSpecialCharPartitionValues:
         assert got == sorted(
             (r.id, r.p) for r in read_manifested(spark, path).collect()
         )
+
+    def test_null_and_unicode_partition_values(self, spark, tmp_path):
+        """NULL lands in __HIVE_DEFAULT_PARTITION__ and non-ASCII stays
+        raw in the dir name; a DML rewrite touching ONLY the null
+        partition must not die on the VOID-typed partition column
+        (partition types are value-inferred; all-null reads as VOID)."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            delete_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, None), (2, "中文"), (3, "ok"), (4, None)],
+            "id long, p string",
+        )
+        write_manifested(
+            spark, df, path, partition_by=["p"], stats_cols=["id"]
+        )
+        got = sorted(
+            (r.id, r.p) for r in read_manifested(spark, path).collect()
+        )
+        assert got == [(1, None), (2, "中文"), (3, "ok"), (4, None)]
+        r = delete_manifested(spark, path, "p IS NULL AND id = 1")
+        assert (r["rows_deleted"], r["files_rewritten"]) == (1, 1)
+        assert compact_manifested(
+            spark, path, min_files_to_compact=1
+        )["compacted"]
+        got = sorted(
+            (r.id, r.p) for r in read_manifested(spark, path).collect()
+        )
+        assert got == [(2, "中文"), (3, "ok"), (4, None)]
