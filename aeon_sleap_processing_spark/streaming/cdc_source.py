@@ -164,12 +164,23 @@ class _ManifestLogMirror:
         return list(candidates)
 
 
-def _partition_cols(rel: str) -> list[tuple[str, str]]:
-    return [
-        tuple(seg.split("=", 1))
-        for seg in rel.split("/")[:-1]
-        if "=" in seg
-    ]
+def _partition_cols(rel: str) -> list[tuple[str, str | None]]:
+    """Hive dir segments → (name, value) with the JVM reader's decoding:
+    escaped chars un-%-escaped (p=c%2Fd → 'c/d') and the default
+    partition read back as NULL — without this the python source
+    disagrees with read_manifested on any escaped partition value."""
+    from urllib.parse import unquote
+
+    out: list[tuple[str, str | None]] = []
+    for seg in rel.split("/")[:-1]:
+        if "=" not in seg:
+            continue
+        name, value = seg.split("=", 1)
+        out.append(
+            (unquote(name),
+             None if value == "__HIVE_DEFAULT_PARTITION__" else unquote(value))
+        )
+    return out
 
 
 @dataclass
@@ -228,7 +239,11 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
                 v = parts.get(f.name)
                 if v is not None and isinstance(f.dataType, LongType):
                     v = int(v)
-                cols.append(pa.array([v] * table.num_rows))
+                # explicit Arrow type: an all-None column (the default
+                # partition) must not degrade to the null type
+                at = pa.int64() if isinstance(f.dataType, LongType) \
+                    else pa.string()
+                cols.append(pa.array([v] * table.num_rows, type=at))
         yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
@@ -264,7 +279,11 @@ class ManifestCDCDataSource(DataSource):
         arrow = pq.read_schema(os.path.join(log.root, rel))
         fields = list(from_arrow_schema(arrow).fields)
         for name, value in _partition_cols(rel):
-            dt = LongType() if value.lstrip("-").isdigit() else StringType()
+            dt = (
+                LongType()
+                if value is not None and value.lstrip("-").isdigit()
+                else StringType()  # null (default partition) probes string
+            )
             fields.append(
                 StructField(name, dt, True, metadata={"hive_part": True})
             )

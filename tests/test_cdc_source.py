@@ -190,6 +190,37 @@ class TestManifestCDCSource:
         assert emitted.get(120) in (None, 1)
         assert set(emitted) <= {0, 60, 120, 240}
 
+    def test_escaped_and_null_partition_values_decoded(
+        self, registered, tmp_path
+    ):
+        """The python source must decode Hive dir segments exactly like
+        the JVM reader: %-escapes un-escaped (p=c%2Fd -> 'c/d') and
+        __HIVE_DEFAULT_PARTITION__ -> NULL (typed, not a null-type
+        column)."""
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "c/d"), (3, None), (4, "50%")],
+            "id long, p string",
+        )
+        write_manifested(spark, df, store, partition_by=["p"])
+        out = []
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda d, b: out.extend((r.id, r.p) for r in d.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(out) == [
+            (1, "a b"), (2, "c/d"), (3, None), (4, "50%")
+        ]
+
 
 class TestSliceAndContract:
     def test_prefixes_option_slices_the_stream(self, registered, tmp_path):
