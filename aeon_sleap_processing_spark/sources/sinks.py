@@ -671,6 +671,26 @@ def _canon_uri(fs, jpath) -> str:
     return s
 
 
+def _merge_schema_json(a: dict | None, b: dict | None) -> dict | None:
+    """Union two ``StructType.jsonValue()`` docs by field name — the
+    add-column evolution rule (first occurrence keeps its type, new
+    names append). Commits record the running union (see
+    :func:`manifest_commit`'s ``schema``), so the head doc always
+    carries the store's full schema even after months of evolution and
+    any number of compactions."""
+    if a is None:
+        return b
+    if b is None:
+        return a
+    fields = list(a["fields"])
+    seen = {f["name"] for f in fields}
+    for f in b["fields"]:
+        if f["name"] not in seen:
+            fields.append(f)
+            seen.add(f["name"])
+    return {"type": "struct", "fields": fields}
+
+
 def _rel_from_uri_slice(s: str) -> str:
     """Decode ONE level of URI %-encoding from a :func:`_canon_uri`
     slice. Manifest rel paths are RAW file/dir names — exactly what
@@ -867,6 +887,7 @@ def manifest_commit(
     require_remove_present: bool = False,
     op: str = "append",
     data_change: bool = True,
+    schema: dict | None = None,
 ) -> int:
     """Atomically commit a file-set change to the manifest log: the new
     head = newest parseable head minus ``remove`` (relative paths) minus
@@ -947,6 +968,18 @@ def manifest_commit(
             "dc": bool(data_change),
             "ts": _time.time(),
         }
+        # the store's schema rides the log (Delta/Iceberg style): every
+        # commit records the running union of (head schema, this
+        # commit's schema), so maintenance rewrites carry evolution
+        # forward and the head doc is authoritative for consumers that
+        # cannot afford O(files) footer reads (the manifest_cdc stream
+        # source). Pre-upgrade docs simply lack the field (consumers
+        # fall back to footers).
+        doc_schema = _merge_schema_json(
+            (head or {}).get("schema"), schema
+        )
+        if doc_schema is not None:
+            body["schema"] = doc_schema
         if head is None or head["_ckpt_dist"] + 1 >= _CHECKPOINT_INTERVAL:
             # checkpoint cadence: embed the full list so resolution stays
             # O(interval) doc reads and vacuum can trim the log. The
@@ -1342,6 +1375,7 @@ def write_manifested(
         add=[(p, b, add_stats.get(p), add_blooms.get(p)) for p, b in adds],
         remove_prefixes=drop_pre,
         op="append" if replace is None else f"overwrite-{replace}",
+        schema=df.schema.jsonValue(),
     )
     return [p for p, _ in adds]
 
@@ -1833,6 +1867,7 @@ def merge_manifested(
         remove=touched_rel,
         require_remove_present=bool(touched_rel),
         op="merge",
+        schema=new_df.schema.jsonValue(),
     )
     return {"files_rewritten": len(touched_rel), "rows_matched": rows_matched,
             "updates_rows": n_updates, "version": v}
@@ -1933,6 +1968,7 @@ def delete_manifested(
         remove=touched_rel,
         require_remove_present=True,
         op="delete",
+        schema=survivors.schema.jsonValue(),
     )
     return {"files_rewritten": len(touched_rel),
             "rows_deleted": rows_deleted, "version": v}
@@ -2021,6 +2057,7 @@ def update_manifested(
         remove=touched_rel,
         require_remove_present=True,
         op="update",
+        schema=new_df.schema.jsonValue(),
     )
     return {"files_rewritten": len(touched_rel),
             "rows_updated": rows_updated, "version": v}

@@ -236,13 +236,20 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
                     col = col.cast(pa.timestamp("us", tz=t.tz))
                 cols.append(col)
             else:
+                # absent from this file: a partition column (value from
+                # the dir name) or a schema-evolved column this older
+                # file predates (NULL — the add-column read semantics).
+                # Explicit Arrow type either way: an all-None column
+                # must not degrade to the null type.
                 v = parts.get(f.name)
                 if v is not None and isinstance(f.dataType, LongType):
                     v = int(v)
-                # explicit Arrow type: an all-None column (the default
-                # partition) must not degrade to the null type
-                at = pa.int64() if isinstance(f.dataType, LongType) \
-                    else pa.string()
+                try:
+                    from pyspark.sql.pandas.types import to_arrow_type
+
+                    at = to_arrow_type(f.dataType)
+                except Exception:
+                    at = pa.string()
                 cols.append(pa.array([v] * table.num_rows, type=at))
         yield from pa.table(cols, names=names).to_batches()
 
@@ -276,9 +283,20 @@ class ManifestCDCDataSource(DataSource):
                 f"manifest head of {self.options['path']} lists no files"
             )
         rel = sorted(state)[0]
-        arrow = pq.read_schema(os.path.join(log.root, rel))
-        fields = list(from_arrow_schema(arrow).fields)
+        # the log records the store's RUNNING-UNION schema on every
+        # commit (sinks.manifest_commit schema=) — authoritative on an
+        # evolved store, where any single file's footer under-reports
+        # columns; pre-upgrade stores fall back to the footer probe
+        head_doc = log.doc(head) or {}
+        if isinstance(head_doc.get("schema"), dict):
+            fields = list(StructType.fromJson(head_doc["schema"]).fields)
+        else:
+            arrow = pq.read_schema(os.path.join(log.root, rel))
+            fields = list(from_arrow_schema(arrow).fields)
+        data_names = {f.name for f in fields}
         for name, value in _partition_cols(rel):
+            if name in data_names:
+                continue
             dt = (
                 LongType()
                 if value is not None and value.lstrip("-").isdigit()

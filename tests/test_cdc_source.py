@@ -221,6 +221,45 @@ class TestManifestCDCSource:
             (1, "a b"), (2, "c/d"), (3, None), (4, "50%")
         ]
 
+    def test_schema_evolved_store_streams_union_schema(
+        self, registered, tmp_path
+    ):
+        """The log records the running-union schema on every commit
+        (late r11), so the stream source sees evolved columns no matter
+        which file's footer it would have probed: rows from pre-
+        evolution files read NULL (add-column semantics), and the union
+        survives a compaction between producer and consumer."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            compact_manifested,
+        )
+
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        write_manifested(
+            spark, spark.createDataFrame([(1,)], "id long"), store,
+            filename_prefix="a-",
+        )
+        write_manifested(
+            spark,
+            spark.createDataFrame([(2, "x")], "id long, extra string"),
+            store, filename_prefix="b-",
+        )
+        compact_manifested(spark, store, min_files_to_compact=1)
+        out = []
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda d, b: out.extend(sorted(map(tuple, d.collect())))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(out) == [(1, None), (2, "x")]
+
 
 class TestSliceAndContract:
     def test_prefixes_option_slices_the_stream(self, registered, tmp_path):

@@ -135,6 +135,44 @@ class TestManifestCommitCAS:
         assert v == 2  # committed PAST the corpse, built on v0
 
 
+class TestSchemaInLog:
+    """Late r11: every commit records the running-union schema
+    (Delta/Iceberg style) so the head doc is authoritative for
+    footer-averse consumers and evolution survives maintenance."""
+
+    def test_union_carried_through_maintenance_and_dml(
+        self, spark, tmp_path
+    ):
+        import glob
+        import json as _json
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.createDataFrame([(1,)], "id long"), path)
+        write_manifested(
+            spark,
+            spark.createDataFrame([(2, "x")], "id long, extra string"),
+            path,
+        )
+        # an UPDATE adding a column must widen the recorded schema too
+        update_manifested(spark, path, "id = 1", set={"score": "0.5"})
+        compact_manifested(spark, path, min_files_to_compact=1)
+
+        def head_fields():
+            docs = sorted(glob.glob(f"{path}/_manifests/*.json"))
+            return [
+                f["name"]
+                for f in _json.load(open(docs[-1]))["schema"]["fields"]
+            ]
+
+        assert head_fields() == ["id", "extra", "score"]
+        got = read_manifested(spark, path, merge_schema=True)
+        assert sorted(got.columns) == ["extra", "id", "score"]
+
+
 class TestManifestCompaction:
     def test_compact_reduces_files_keeps_rows(self, spark, tmp_path):
         path = str(tmp_path / "store")
