@@ -1435,11 +1435,13 @@ def read_manifested(
     predicate. Composes with ``prefixes``/``skip``."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
+    doc_schema = None
     if version is None:
         version, head, _ = _manifest_head(spark, fs, Path, root_str)
         if head is None:
             raise FileNotFoundError(f"no manifest under {path}")
         entries = list(head["files"])
+        doc_schema = head.get("schema")
     else:
         entries = _resolve_files_at(spark, fs, Path, root_str, version)
         if entries is None:
@@ -1447,6 +1449,8 @@ def read_manifested(
                 f"manifest v{version} of {path} is missing, corrupt, or "
                 f"unresolvable (vacuumed past its checkpoint)"
             )
+        d = _manifest_doc(spark, fs, Path, root_str, version)
+        doc_schema = (d or {}).get("schema")  # schema AS OF that version
     if prefixes is not None:
         pre = tuple(prefixes)
         entries = [f for f in entries if f["path"].startswith(pre)]
@@ -1494,7 +1498,19 @@ def read_manifested(
         return probe.where(F.lit(False))
     reader = spark.read.option("basePath", root_str)
     if merge_schema:
-        reader = reader.option("mergeSchema", "true")
+        if doc_schema is not None:
+            # the log records the running-union schema (manifest_commit
+            # schema=): give it to the reader directly — the union read
+            # costs ZERO planning-time footer I/O instead of one footer
+            # per selected file, the term that grows with the store.
+            # Version-pinned reads get the schema AS OF that version
+            # (time travel applies to the schema too, the table-format
+            # rule). Pre-upgrade stores fall back to footer merging.
+            from pyspark.sql.types import StructType as _ST
+
+            reader = reader.schema(_ST.fromJson(doc_schema))
+        else:
+            reader = reader.option("mergeSchema", "true")
     return reader.parquet(*[f"{root_str}/{f['path']}" for f in kept])
 
 

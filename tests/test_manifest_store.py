@@ -172,6 +172,28 @@ class TestSchemaInLog:
         got = read_manifested(spark, path, merge_schema=True)
         assert sorted(got.columns) == ["extra", "id", "score"]
 
+    def test_version_pinned_read_gets_schema_as_of_version(
+        self, spark, tmp_path
+    ):
+        """Time travel applies to the SCHEMA too (the table-format
+        rule): a merge_schema read pinned to the pre-evolution version
+        must not see the later column, while the head read does —
+        both served from the log with zero planning-time footer I/O."""
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.createDataFrame([(1,)], "id long"), path)
+        write_manifested(
+            spark,
+            spark.createDataFrame([(2, "x")], "id long, extra string"),
+            path,
+        )
+        old = read_manifested(spark, path, version=0, merge_schema=True)
+        assert old.columns == ["id"]
+        head = read_manifested(spark, path, merge_schema=True)
+        assert sorted(head.columns) == ["extra", "id"]
+        assert [(r.id, r.extra) for r in head.orderBy("id").collect()] == [
+            (1, None), (2, "x")
+        ]
+
 
 class TestManifestCompaction:
     def test_compact_reduces_files_keeps_rows(self, spark, tmp_path):
