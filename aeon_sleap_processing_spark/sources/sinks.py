@@ -657,18 +657,28 @@ def _manifest_lock(root_str: str):
 
 
 def _canon_uri(fs, jpath) -> str:
-    """Canonical qualified URI string for ``jpath``. ALWAYS compare/slice
-    paths through this: the empty-authority local scheme renders as
-    ``file:///tmp/...`` from a freshly-qualified Path but ``file:/tmp/...``
-    from a FileStatus (makeQualified does not normalize an existing
-    scheme), and a raw string slice between the two forms silently eats
-    or leaves scheme characters (measured: partition dirs became ``=2``).
-    Non-empty-authority schemes (hdfs://nn/, s3a://bucket/) render
-    consistently and pass through untouched."""
-    s = str(fs.makeQualified(jpath).toUri())
-    if s.startswith("file:///"):
-        s = "file:/" + s[len("file:///"):]
-    return s
+    """Canonical qualified path string for ``jpath`` — scheme(+authority)
+    plus the DECODED path (``URI.getPath()``), e.g. ``file:/tmp/ro ot/x``,
+    ``hdfs://nn:8020/data/p=c%2Fd``. ALWAYS compare/slice paths through
+    this, and always rebuild with ``Path(f"{canon}/{rel}")``.
+
+    Decoded, not ``str(uri)``: Hadoop's ``Path(String)`` keeps percent
+    escapes as LITERAL characters (the multi-arg URI constructor quotes
+    them internally and getPath() unquotes), so a string that
+    round-trips through ``Path`` must be the raw on-disk rendering. The
+    previous encoded form was self-consistent for ASCII-safe roots but
+    RELOCATED any store whose root contains a space/%/non-ASCII char
+    into a literally-percent-encoded directory (``ro ot`` → ``ro%20ot``
+    on disk), and slices needed a one-level unquote to recover raw
+    partition dir names. One decoded rendering removes both. The
+    empty-authority local scheme also renders consistently here
+    (``file:/tmp/...`` whether qualified fresh or from a FileStatus)."""
+    u = fs.makeQualified(jpath).toUri()
+    auth = u.getAuthority()
+    p = u.getPath()
+    return (
+        f"{u.getScheme()}://{auth}{p}" if auth else f"{u.getScheme()}:{p}"
+    )
 
 
 def _merge_schema_json(a: dict | None, b: dict | None) -> dict | None:
@@ -689,22 +699,6 @@ def _merge_schema_json(a: dict | None, b: dict | None) -> dict | None:
             fields.append(f)
             seen.add(f["name"])
     return {"type": "struct", "fields": fields}
-
-
-def _rel_from_uri_slice(s: str) -> str:
-    """Decode ONE level of URI %-encoding from a :func:`_canon_uri`
-    slice. Manifest rel paths are RAW file/dir names — exactly what
-    Spark's partitioned writer puts on disk (`p=c%2Fd` for value 'c/d',
-    `p=a b` for 'a b') — but a canon URI re-encodes those names
-    (literal '%'→'%25', ' '→'%20'), so slicing a URI string yields an
-    encoded form that, written back to disk, double-encodes the dir
-    (p=c%252Fd) and corrupts the partition value on read (observed:
-    'c/d' → 'c%2Fd'). Every URI-slice that becomes a rel path must pass
-    through here; rel→Path(f"{root}/{rel}") needs no inverse (Hadoop's
-    Path(String) keeps literal '%' and spaces as-is)."""
-    from urllib.parse import unquote
-
-    return unquote(s)
 
 
 def _raw_fs(fs):
@@ -888,6 +882,7 @@ def manifest_commit(
     op: str = "append",
     data_change: bool = True,
     schema: dict | None = None,
+    partition_cols: list[str] | None = None,
 ) -> int:
     """Atomically commit a file-set change to the manifest log: the new
     head = newest parseable head minus ``remove`` (relative paths) minus
@@ -974,12 +969,33 @@ def manifest_commit(
         # forward and the head doc is authoritative for consumers that
         # cannot afford O(files) footer reads (the manifest_cdc stream
         # source). Pre-upgrade docs simply lack the field (consumers
-        # fall back to footers).
-        doc_schema = _merge_schema_json(
-            (head or {}).get("schema"), schema
-        )
+        # fall back to footers). Exception: a full-store replace or a
+        # RESTORE RESETS the schema to the commit's own (Delta's
+        # overwriteSchema/RESTORE rule) — the union would keep dropped
+        # columns alive forever and merge_schema reads would resurrect
+        # them as all-null.
+        if op in ("overwrite-all", "restore") and schema is not None:
+            doc_schema = schema
+        else:
+            doc_schema = _merge_schema_json(
+                (head or {}).get("schema"), schema
+            )
         if doc_schema is not None:
             body["schema"] = doc_schema
+        # partition-column NAMES ride the log too (their types are in
+        # the schema doc — df.schema includes partition columns at
+        # write time, unlike the data-file footers Spark strips them
+        # from). Consumers (the manifest_cdc source) use this to fill
+        # dir-derived columns at their true write-time types instead of
+        # probing one file's directory segments and guessing
+        # Long-vs-String. Sticky across commits that don't restate it
+        # (maintenance rewrites don't know the layout).
+        doc_parts = (
+            list(partition_cols) if partition_cols is not None
+            else (head or {}).get("parts")
+        )
+        if doc_parts is not None:
+            body["parts"] = doc_parts
         if head is None or head["_ckpt_dist"] + 1 >= _CHECKPOINT_INTERVAL:
             # checkpoint cadence: embed the full list so resolution stays
             # O(interval) doc reads and vacuum can trim the log. The
@@ -996,7 +1012,9 @@ def manifest_commit(
         target = Path(f"{root_str}/{_MANIFEST_DIR}/{next_v:020d}.json")
         tmp = Path(f"{root_str}/{_MANIFEST_DIR}/.tmp-{token}.json")
         rfs = _raw_fs(fs)
-        if root_str.startswith("file:"):
+        if root_str.startswith("file:") and not root_str.startswith(
+            "file://"
+        ):
             # LOCAL fs: hard-link publish — a TRUE multi-process CAS.
             # os.link raises FileExistsError when the slot is taken, and
             # the linked inode is fully written before it becomes
@@ -1005,7 +1023,11 @@ def manifest_commit(
             # no token verify, no transiently-differing doc for a reader
             # caught between two racing committers. The in-process lock
             # stays only to cheapen same-process races (fewer wasted
-            # rebuilds); correctness no longer depends on it.
+            # rebuilds); correctness no longer depends on it. Guarded to
+            # the empty-authority form (_canon_uri renders it file:/…) —
+            # a file://host/… URI is not slice-able to an os path.
+            # root_str is the DECODED rendering (_canon_uri), i.e. the
+            # literal on-disk name — sliceable straight to an os path.
             import os as _os
 
             mdir_local = f"{root_str[len('file:'):]}/{_MANIFEST_DIR}"
@@ -1247,10 +1269,8 @@ def _stage_files(
     for i, st in enumerate(staged):
         src = st.getPath()
         # partition subpath between the staging root and the file — RAW
-        # names (see _rel_from_uri_slice: the URI slice is encoded)
-        rel_dir = _rel_from_uri_slice(
-            _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
-        )
+        # names (canon strings are decoded, so the slice IS the raw name)
+        rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
         staged_dirs.add(f"{rel_dir}/" if rel_dir else "")
         name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
         rel = f"{rel_dir}/{name}" if rel_dir else name
@@ -1376,6 +1396,7 @@ def write_manifested(
         remove_prefixes=drop_pre,
         op="append" if replace is None else f"overwrite-{replace}",
         schema=df.schema.jsonValue(),
+        partition_cols=list(partition_by or []),
     )
     return [p for p, _ in adds]
 
@@ -1435,13 +1456,14 @@ def read_manifested(
     predicate. Composes with ``prefixes``/``skip``."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
-    doc_schema = None
+    doc_schema = doc_parts = None
     if version is None:
         version, head, _ = _manifest_head(spark, fs, Path, root_str)
         if head is None:
             raise FileNotFoundError(f"no manifest under {path}")
         entries = list(head["files"])
         doc_schema = head.get("schema")
+        doc_parts = head.get("parts")
     else:
         entries = _resolve_files_at(spark, fs, Path, root_str, version)
         if entries is None:
@@ -1451,6 +1473,7 @@ def read_manifested(
             )
         d = _manifest_doc(spark, fs, Path, root_str, version)
         doc_schema = (d or {}).get("schema")  # schema AS OF that version
+        doc_parts = (d or {}).get("parts")
     if prefixes is not None:
         pre = tuple(prefixes)
         entries = [f for f in entries if f["path"].startswith(pre)]
@@ -1495,7 +1518,9 @@ def read_manifested(
         probe = spark.read.option("basePath", root_str).parquet(
             f"{root_str}/{entries[0]['path']}"
         )
-        return probe.where(F.lit(False))
+        return _cast_partition_types(
+            probe.where(F.lit(False)), doc_schema, doc_parts
+        )
     reader = spark.read.option("basePath", root_str)
     if merge_schema:
         if doc_schema is not None:
@@ -1511,7 +1536,38 @@ def read_manifested(
             reader = reader.schema(_ST.fromJson(doc_schema))
         else:
             reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*[f"{root_str}/{f['path']}" for f in kept])
+    return _cast_partition_types(
+        reader.parquet(*[f"{root_str}/{f['path']}" for f in kept]),
+        doc_schema, doc_parts,
+    )
+
+
+def _cast_partition_types(df, doc_schema, doc_parts):
+    """Partition columns at their WRITE-TIME types, from the log. Spark
+    recovers partition columns by re-inferring types from the directory
+    names of the files in THIS read — so a store whose string partition
+    values happen to be all-digit in the selected slice ("12" here,
+    "east" elsewhere) reads back Long, diverging between reads and from
+    the writer's schema. The log records partition names (``parts``) and
+    the union schema carries their declared types (``df.schema`` includes
+    partition columns at write time): cast any mismatch back. A no-op
+    cast costs nothing in the plan; a pre-upgrade store (no recorded
+    parts) keeps the inference behavior."""
+    if not doc_parts or not isinstance(doc_schema, dict):
+        return df
+    from pyspark.sql.types import StructType as _ST
+
+    names = set(doc_parts)
+    want = {
+        f.name: f.dataType
+        for f in _ST.fromJson(doc_schema).fields
+        if f.name in names
+    }
+    have = {f.name: f.dataType for f in df.schema.fields}
+    for c, dt in want.items():
+        if c in have and have[c] != dt:
+            df = df.withColumn(c, F.col(c).cast(dt))
+    return df
 
 
 def is_manifested(spark: SparkSession, path: str) -> bool:
@@ -1722,7 +1778,14 @@ def read_manifested_changes(
     reader = spark.read.option("basePath", root_str)
     if merge_schema:
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(*uris), until_version
+    d_until = _manifest_doc(spark, fs, Path, root_str, until_version) or {}
+    return (
+        _cast_partition_types(
+            reader.parquet(*uris), d_until.get("schema"),
+            d_until.get("parts"),
+        ),
+        until_version,
+    )
 
 
 def _infer_partition_cols(entries: list[dict]) -> list[str]:
@@ -1750,13 +1813,13 @@ def _touched_rel_paths(spark, fs, Path, root_str, uris) -> list[str]:
     spellings). The incoming string is an ENCODED URI — unquote it to
     raw chars before Path() (which treats '%' literally; wrapping the
     encoded form directly would address a different, double-encoded
-    file), then decode the canon slice like every other rel derivation."""
+    file); the canon slice is then already the raw rel name."""
     from urllib.parse import unquote
 
     rels = []
     for u in uris:
         cu = _canon_uri(fs, Path(unquote(u)))
-        rels.append(_rel_from_uri_slice(cu[len(root_str):].strip("/")))
+        rels.append(cu[len(root_str):].strip("/"))
     return rels
 
 
@@ -2198,11 +2261,20 @@ def restore_manifested(
             f"cannot restore {path} to v{version}: {len(missing)} of its "
             f"files were vacuumed (e.g. {missing[0]!r})"
         )
+    # time travel applies to the SCHEMA too (the table-format rule):
+    # restore records the restored version's schema doc verbatim —
+    # manifest_commit's op="restore" branch skips the running union, so
+    # columns added after `version` do not survive the rollback as
+    # all-null resurrections. Pre-upgrade targets lack the doc (union
+    # fallback keeps the head schema — conservative).
+    tgt_doc = _manifest_doc(spark, fs, Path, root_str, version) or {}
     v = manifest_commit(
         spark, path,
         add=[(f["path"], f["bytes"], f.get("stats")) for f in files],
         remove_prefixes=[""],
         op="restore",
+        schema=tgt_doc.get("schema"),
+        partition_cols=tgt_doc.get("parts"),
     )
     return {"version": v, "restored_from": version, "files": len(files)}
 
@@ -2389,9 +2461,7 @@ def vacuum_manifested(
     deleted_files = 0
     skipped_in_flight = 0
     for st in _list_data_files(fs, root):
-        rel = _rel_from_uri_slice(
-            _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
-        )
+        rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
         if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")):
             continue
         if rel in live:
@@ -2445,11 +2515,9 @@ def vacuum_manifested(
         it = fs.listFiles(index_dir, True)
         while it.hasNext():
             st = it.next()
-            rel = _rel_from_uri_slice(
-                _canon_uri(fs, st.getPath())[
-                    len(f"{root_str}/{_BLOOM_DIR}/"):
-                ]
-            )
+            rel = _canon_uri(fs, st.getPath())[
+                len(f"{root_str}/{_BLOOM_DIR}/"):
+            ]
             if not rel.endswith(".bloom"):
                 continue
             data_rel = rel[:-len(".bloom")]
@@ -2650,9 +2718,7 @@ def maintain(
         cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
         would_delete = would_skip = 0
         for st in _list_data_files(fs, root):
-            rel = _rel_from_uri_slice(
-            _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
-        )
+            rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
             if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")) or rel in live:
                 continue
             if rel not in ever and st.getModificationTime() > cutoff_ms:

@@ -17,14 +17,23 @@ stream source, not a polling loop.
 
 Implementation notes — the driver/executor halves of a Python DataSource
 run OUTSIDE the JVM (no Hadoop FileSystem), so this module re-reads the
-manifest JSON contract with plain-Python I/O and reads parquet with
-pyarrow. That limits it to driver/executor-visible filesystem paths
-(local, NFS, fuse mounts); on HDFS/S3 keep using `watch_manifested`
-(JVM-side I/O) or a mounted path. The log format itself is the contract
-(sinks.py's checkpoint+delta docs); this mirror is deliberately tiny.
+manifest JSON contract with :class:`_IO`: plain-Python ``os`` I/O for
+local paths (the fast path — no FFI per stat) and ``pyarrow.fs`` for
+everything else, resolved from the URI scheme (``s3://``, ``hdfs://``,
+``gs://`` — whatever pyarrow's handlers support), so the source reaches
+the same object stores the JVM writer commits to. ``option("io",
+"pyarrow")`` forces the pyarrow path even for local roots — the test
+hook proving the abstraction is real. The log format itself is the
+contract (sinks.py's checkpoint+delta docs); this mirror is deliberately
+tiny.
 
-Partition columns are recovered from the Hive directory names (ints when
-every value parses, else strings)."""
+Partition columns come from the log: commits record partition-column
+NAMES (``parts``) and the store's running-union schema carries their
+write-time TYPES (``df.schema`` includes partition columns, unlike the
+data-file footers Spark strips them from), so dir-derived values are
+cast to their true types. Only a pre-upgrade store (no schema doc in the
+log) falls back to probing one file's Hive dir segments and guessing
+Long-vs-String."""
 
 from __future__ import annotations
 
@@ -50,29 +59,82 @@ def _localize(path: str) -> str:
     return path
 
 
+class _IO:
+    """Filesystem shim for the non-JVM halves of the source. ``fs`` is
+    None for the plain-``os`` local fast path, else a
+    ``pyarrow.fs.FileSystem`` resolved from the root URI — the same
+    object ``pyarrow.parquet`` accepts as ``filesystem=``, so log reads
+    and data reads go through one abstraction. Constructed per (root,
+    io) and cached per process (driver once; each executor worker once —
+    S3/HDFS clients are connection pools worth reusing across
+    micro-batches)."""
+
+    def __init__(self, root: str, io: str = "auto"):
+        scheme = root.split(":", 1)[0] if ":" in root else ""
+        local = scheme in ("", "file") or "/" in scheme
+        if local and io != "pyarrow":
+            self.fs = None
+            self.root = _localize(root).rstrip("/")
+        else:
+            import pyarrow.fs as pafs
+
+            uri = (
+                "file://" + os.path.abspath(_localize(root))
+                if local
+                else root
+            )
+            self.fs, self.root = pafs.FileSystem.from_uri(uri)
+            self.root = self.root.rstrip("/")
+
+    def listdir(self, path: str) -> list[str]:
+        if self.fs is None:
+            return os.listdir(path) if os.path.isdir(path) else []
+        import pyarrow.fs as pafs
+
+        sel = pafs.FileSelector(path, allow_not_found=True)
+        return [i.base_name for i in self.fs.get_file_info(sel)]
+
+    def read_bytes(self, path: str) -> bytes:
+        if self.fs is None:
+            with open(path, "rb") as f:
+                return f.read()
+        with self.fs.open_input_stream(path) as f:
+            return f.read()
+
+
+_IO_CACHE: dict = {}
+
+
+def _io_for(root: str, io: str = "auto") -> _IO:
+    key = (root, io)
+    got = _IO_CACHE.get(key)
+    if got is None:
+        got = _IO_CACHE[key] = _IO(root, io)
+    return got
+
+
 class _ManifestLogMirror:
     """Plain-Python reader of the manifest log (sinks.py writes it): the
     checkpoint+delta replay, valid-doc rule and data-change semantics,
-    without a JVM."""
+    without a JVM. I/O through :class:`_IO` (local ``os`` or
+    ``pyarrow.fs``)."""
 
-    def __init__(self, root: str):
-        self.root = _localize(root).rstrip("/")
-        self.mdir = os.path.join(self.root, _MANIFEST_DIR)
+    def __init__(self, root: str, io: str = "auto"):
+        self.io = _io_for(root, io)
+        self.root = self.io.root
+        self.mdir = f"{self.root}/{_MANIFEST_DIR}"
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.mdir):
-            return []
         out = []
-        for name in os.listdir(self.mdir):
+        for name in self.io.listdir(self.mdir):
             if name.endswith(".json") and name[:-5].isdigit():
                 out.append(int(name[:-5]))
         return sorted(out)
 
     def doc(self, version: int):
-        p = os.path.join(self.mdir, f"{version:020d}.json")
+        p = f"{self.mdir}/{version:020d}.json"
         try:
-            with open(p) as f:
-                d = json.load(f)
+            d = json.loads(self.io.read_bytes(p))
         except Exception:
             return None
         if isinstance(d.get("files"), list):
@@ -183,16 +245,58 @@ def _partition_cols(rel: str) -> list[tuple[str, str | None]]:
     return out
 
 
+def _const_column(value, n: int, dtype, col_name: str):
+    """An n-row Arrow column holding one partition value (a Hive dir
+    STRING, or None) at the schema's true type: string-array → cast,
+    Arrow's own parser for every type it can read back (ints, floats,
+    bools, dates, timestamps, decimals) — not a hand-rolled per-type
+    ladder that crashes on the first IntegerType partition column."""
+    import pyarrow as pa
+
+    try:
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        at = to_arrow_type(dtype)
+    except Exception:
+        at = pa.string()
+    if value is None:
+        return pa.nulls(n, type=at)
+    src = pa.array([value] * n, type=pa.string())
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return src
+    try:
+        if pa.types.is_timestamp(at) and at.tz is not None:
+            # Hive dir values are NAIVE wall-time strings in the Spark
+            # session timezone; the engine pins that to UTC
+            # (session.py) and to_arrow_type maps TimestampType to
+            # tz=UTC, so assume the target tz rather than demanding a
+            # zone offset the dir string never carries
+            import pyarrow.compute as pc
+
+            return pc.assume_timezone(
+                src.cast(pa.timestamp(at.unit)), at.tz
+            )
+        return src.cast(at)
+    except Exception as e:
+        raise ValueError(
+            f"partition column {col_name!r}: dir value {value!r} does "
+            f"not parse as its recorded type {dtype.simpleString()} "
+            f"({e})"
+        ) from e
+
+
 @dataclass
 class _FilePartition(InputPartition):
     root: str
     rel: str
+    io: str
 
 
 class _ManifestCDCStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
-        self.root = _localize(options["path"])
-        self.log = _ManifestLogMirror(self.root)
+        self.io = options.get("io", "auto")
+        self.log = _ManifestLogMirror(options["path"], self.io)
+        self.root = self.log.root
         self.schema = schema
         # option("prefixes", "stream=5/camera=Top/,cell=3/") — the same
         # manifest-side slice pruning as read_manifested_changes
@@ -211,13 +315,16 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         rels = self.log.changed_files(start["version"], end["version"])
         if self.prefixes:
             rels = [r for r in rels if r.startswith(self.prefixes)]
-        return [_FilePartition(self.root, r) for r in rels]
+        return [_FilePartition(self.root, r, self.io) for r in rels]
 
     def read(self, partition: _FilePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        table = pq.read_table(os.path.join(partition.root, partition.rel))
+        fio = _io_for(partition.root, partition.io)
+        table = pq.read_table(
+            f"{fio.root}/{partition.rel}", filesystem=fio.fs
+        )
         parts = dict(_partition_cols(partition.rel))
         # Arrow-vectorized hand-off (Spark 4 python data sources accept
         # RecordBatch yields — SPARK-48493): no per-row python tuples
@@ -237,20 +344,17 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
                 cols.append(col)
             else:
                 # absent from this file: a partition column (value from
-                # the dir name) or a schema-evolved column this older
-                # file predates (NULL — the add-column read semantics).
-                # Explicit Arrow type either way: an all-None column
-                # must not degrade to the null type.
-                v = parts.get(f.name)
-                if v is not None and isinstance(f.dataType, LongType):
-                    v = int(v)
-                try:
-                    from pyspark.sql.pandas.types import to_arrow_type
-
-                    at = to_arrow_type(f.dataType)
-                except Exception:
-                    at = pa.string()
-                cols.append(pa.array([v] * table.num_rows, type=at))
+                # the dir name, cast to its log-recorded type) or a
+                # schema-evolved column this older file predates (NULL —
+                # the add-column read semantics). Explicit Arrow type
+                # either way: an all-None column must not degrade to
+                # the null type.
+                cols.append(
+                    _const_column(
+                        parts.get(f.name), table.num_rows, f.dataType,
+                        f.name,
+                    )
+                )
         yield from pa.table(cols, names=names).to_batches()
 
     def commit(self, end: dict) -> None:
@@ -270,7 +374,8 @@ class ManifestCDCDataSource(DataSource):
         import pyarrow.parquet as pq
         from pyspark.sql.pandas.types import from_arrow_schema
 
-        log = _ManifestLogMirror(self.options["path"])
+        io = self.options.get("io", "auto")
+        log = _ManifestLogMirror(self.options["path"], io)
         versions = log.versions()
         head = log.head_version()
         if head < 0:
@@ -286,17 +391,23 @@ class ManifestCDCDataSource(DataSource):
         # the log records the store's RUNNING-UNION schema on every
         # commit (sinks.manifest_commit schema=) — authoritative on an
         # evolved store, where any single file's footer under-reports
-        # columns; pre-upgrade stores fall back to the footer probe
+        # columns, and it already CONTAINS the partition columns at
+        # their write-time types (the writer's df.schema has them;
+        # only the data-file footers don't). Pre-upgrade stores fall
+        # back to the footer probe + dir-segment type guessing.
         head_doc = log.doc(head) or {}
         if isinstance(head_doc.get("schema"), dict):
             fields = list(StructType.fromJson(head_doc["schema"]).fields)
         else:
-            arrow = pq.read_schema(os.path.join(log.root, rel))
+            arrow = pq.read_schema(
+                f"{log.root}/{rel}", filesystem=log.io.fs
+            )
             fields = list(from_arrow_schema(arrow).fields)
         data_names = {f.name for f in fields}
         for name, value in _partition_cols(rel):
             if name in data_names:
                 continue
+            # legacy guess — reachable only on a pre-schema-doc store
             dt = (
                 LongType()
                 if value is not None and value.lstrip("-").isdigit()

@@ -22,9 +22,17 @@ def registered(spark):
     return spark
 
 
-def _drain(spark, store, checkpoint, sink: list):
+# every _drain-based test runs twice: once on the plain-os local fast
+# path and once FORCED through pyarrow.fs (LocalFileSystem via file://
+# URI) — the same code path an s3://... root takes, so the object-store
+# I/O abstraction is proven by the whole suite, not asserted
+IOS = ["auto", "pyarrow"]
+
+
+def _drain(spark, store, checkpoint, sink: list, io="auto"):
     q = (
         spark.readStream.format("manifest_cdc")
+        .option("io", io)
         .load(store)
         .writeStream.foreachBatch(
             lambda df, bid: sink.extend(
@@ -39,37 +47,39 @@ def _drain(spark, store, checkpoint, sink: list):
 
 
 class TestManifestCDCSource:
+    @pytest.mark.parametrize("io", IOS)
     def test_initial_snapshot_then_increments(
-        self, registered, tmp_path
+        self, registered, tmp_path, io
     ):
         spark = registered
         store = str(tmp_path / "store")
         ckpt = str(tmp_path / "ckpt")
         write_manifested(spark, spark.range(0, 10), store)
         got: list = []
-        _drain(spark, store, ckpt, got)
+        _drain(spark, store, ckpt, got, io)
         assert sorted(x[0] for x in got) == list(range(10))
         # restart with the SAME checkpoint: only the new append arrives
         write_manifested(spark, spark.range(10, 15), store)
-        _drain(spark, store, ckpt, got)
+        _drain(spark, store, ckpt, got, io)
         assert sorted(x[0] for x in got) == list(range(15))
 
-    def test_compaction_invisible_to_stream(self, registered, tmp_path):
+    @pytest.mark.parametrize("io", IOS)
+    def test_compaction_invisible_to_stream(self, registered, tmp_path, io):
         spark = registered
         store = str(tmp_path / "store")
         ckpt = str(tmp_path / "ckpt")
         for i in range(4):
             write_manifested(spark, spark.range(i * 5, i * 5 + 5), store)
         got: list = []
-        _drain(spark, store, ckpt, got)
+        _drain(spark, store, ckpt, got, io)
         assert len(got) == 20
         assert compact_manifested(spark, store, min_files_to_compact=2)[
             "compacted"
         ]
-        _drain(spark, store, ckpt, got)
+        _drain(spark, store, ckpt, got, io)
         assert len(got) == 20, "a fold must not re-deliver rows"
         write_manifested(spark, spark.range(100, 103), store)
-        _drain(spark, store, ckpt, got)
+        _drain(spark, store, ckpt, got, io)
         assert sorted(x[0] for x in got) == list(range(20)) + [100, 101, 102]
 
     def test_partition_columns_recovered(self, registered, tmp_path):
@@ -190,8 +200,9 @@ class TestManifestCDCSource:
         assert emitted.get(120) in (None, 1)
         assert set(emitted) <= {0, 60, 120, 240}
 
+    @pytest.mark.parametrize("io", IOS)
     def test_escaped_and_null_partition_values_decoded(
-        self, registered, tmp_path
+        self, registered, tmp_path, io
     ):
         """The python source must decode Hive dir segments exactly like
         the JVM reader: %-escapes un-escaped (p=c%2Fd -> 'c/d') and
@@ -208,6 +219,7 @@ class TestManifestCDCSource:
         out = []
         q = (
             spark.readStream.format("manifest_cdc")
+            .option("io", io)
             .load(store)
             .writeStream.foreachBatch(
                 lambda d, b: out.extend((r.id, r.p) for r in d.collect())
@@ -283,7 +295,8 @@ class TestSliceAndContract:
         q.awaitTermination(120)
         assert sorted(rows) == list(range(1, 20, 2))
 
-    def test_mirror_matches_jvm_reader(self, spark, tmp_path):
+    @pytest.mark.parametrize("io", IOS)
+    def test_mirror_matches_jvm_reader(self, spark, tmp_path, io):
         """DIFFERENTIAL contract test: the source's pure-Python log mirror
         must deliver exactly the file sets read_manifested_changes (JVM
         Hadoop I/O) delivers, for every cursor, across appends, a
@@ -319,7 +332,7 @@ class TestSliceAndContract:
                          partition_by=["chunk"])
         compact_manifested(spark, store, min_files_to_compact=1)
         delete_manifested(spark, store, "id = 205")
-        mirror = _ManifestLogMirror(store)
+        mirror = _ManifestLogMirror(store, io)
         head = mirror.head_version()
         for since in range(-1, head + 1):
             expect_paths = None
@@ -394,6 +407,81 @@ class TestFileSourceNegativeControl:
         )
         q.awaitTermination(120)
         assert sorted(cdc) == list(range(20))
+
+
+class TestPartitionTypesFromLog:
+    @pytest.mark.parametrize("io", IOS)
+    def test_mixed_digit_string_partition_and_null_head(
+        self, registered, tmp_path, io
+    ):
+        """The r11 gap, closed: partition types come from the LOG (the
+        writer's schema rides every commit), not from probing one file's
+        dir segments. A store whose string partition value is all-digit
+        in the probed file ("12") but not elsewhere ("east"), with an
+        all-NULL-partition file sorting FIRST (the probe's worst case),
+        must read p as STRING through both the JVM reader and the
+        stream source."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested,
+        )
+
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        df = spark.createDataFrame(
+            [(1, None), (2, "12"), (3, "east")], "id long, p string"
+        )
+        write_manifested(spark, df, store, partition_by=["p"])
+        jvm = read_manifested(spark, store)
+        assert dict(jvm.dtypes)["p"] == "string"
+        assert sorted(
+            (r.id, r.p) for r in jvm.collect()
+        ) == [(1, None), (2, "12"), (3, "east")]
+        # slice down to the all-digit partition: Spark's dir-name
+        # re-inference would type it bigint; the log keeps it string
+        sliced = read_manifested(spark, store, prefixes=["p=12/"])
+        assert dict(sliced.dtypes)["p"] == "string"
+        assert [(r.id, r.p) for r in sliced.collect()] == [(2, "12")]
+        out: list = []
+        _drain(spark, store, ckpt, out, io)
+        assert sorted(out) == [(1, None), (2, "12"), (3, "east")]
+
+    @pytest.mark.parametrize("io", IOS)
+    def test_non_long_partition_types_cast_generically(
+        self, registered, tmp_path, io
+    ):
+        """int/double/date/timestamp partition columns: the dir value is
+        a string the source must cast to the recorded type (Arrow's own
+        parser), not an int(v)-or-crash ladder."""
+        import datetime
+
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        row = (
+            1, 7, 2.5, datetime.date(2024, 3, 1),
+            datetime.datetime(2024, 3, 1, 12, 30, 0),
+        )
+        df = spark.createDataFrame(
+            [row],
+            "id long, pi int, pd double, pdt date, pts timestamp",
+        )
+        write_manifested(
+            spark, df, store, partition_by=["pi", "pd", "pdt", "pts"]
+        )
+        out: list = []
+        _drain(spark, store, ckpt, out, io)
+        assert out == [row]
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested,
+        )
+
+        jvm = read_manifested(spark, store)
+        assert dict(jvm.dtypes) == {
+            "id": "bigint", "pi": "int", "pd": "double",
+            "pdt": "date", "pts": "timestamp",
+        }
+        assert [tuple(r) for r in jvm.collect()] == [row]
 
 
 class TestCdcIntoSemanticDedup:

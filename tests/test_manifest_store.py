@@ -195,6 +195,176 @@ class TestSchemaInLog:
         ]
 
 
+    def test_overwrite_all_resets_schema(self, spark, tmp_path):
+        """replace='all' is Delta's overwriteSchema: the commit records
+        its OWN schema, not the union — a narrowing rewrite must not
+        leave the dropped column in the head doc forever, or
+        merge_schema reads resurrect it as all-null."""
+        import glob
+        import json as _json
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark,
+            spark.createDataFrame([(1, "x")], "id long, extra string"),
+            path,
+        )
+        write_manifested(
+            spark, spark.createDataFrame([(2,)], "id long"), path,
+            replace="all",
+        )
+        docs = sorted(glob.glob(f"{path}/_manifests/*.json"))
+        fields = [
+            f["name"]
+            for f in _json.load(open(docs[-1]))["schema"]["fields"]
+        ]
+        assert fields == ["id"]
+        got = read_manifested(spark, path, merge_schema=True)
+        assert got.columns == ["id"]
+        assert [r.id for r in got.collect()] == [2]
+
+    def test_restore_resets_schema(self, spark, tmp_path):
+        """RESTORE rolls the schema back with the data (Delta RESTORE
+        semantics): columns added after the target version do not
+        survive as all-null resurrections."""
+        from aeon_sleap_processing_spark.sources.sinks import (
+            restore_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        write_manifested(spark, spark.createDataFrame([(1,)], "id long"), path)
+        write_manifested(
+            spark,
+            spark.createDataFrame([(2, "x")], "id long, extra string"),
+            path,
+        )
+        restore_manifested(spark, path, 0)
+        got = read_manifested(spark, path, merge_schema=True)
+        assert got.columns == ["id"]
+        assert [r.id for r in got.collect()] == [1]
+
+
+class TestHardLinkRootEncoding:
+    def test_store_root_with_space_and_percent(self, spark, tmp_path):
+        """The hard-link CAS branch slices the %-ENCODED canon URI to an
+        os path: a root containing a space or '%' must be unquoted
+        before open()/os.link() or every commit lands in a wrongly
+        encoded directory (FileNotFoundError)."""
+        path = str(tmp_path / "ro ot %40x")
+        write_manifested(spark, spark.range(0, 3), path)
+        write_manifested(spark, spark.range(3, 5), path)
+        assert compact_manifested(spark, path, min_files_to_compact=1)[
+            "compacted"
+        ]
+        got = sorted(r.id for r in read_manifested(spark, path).collect())
+        assert got == list(range(5))
+        import os
+
+        names = sorted(os.listdir(os.path.join(path, "_manifests")))
+        assert [n for n in names if n.endswith(".json")][:3] == [
+            "00000000000000000000.json",
+            "00000000000000000001.json",
+            "00000000000000000002.json",
+        ]
+
+
+def _dml_race_merge_worker(args):
+    """Spawned OS process: own JVM, own SparkSession — no in-process
+    lock or session state shared with the parent. Issues `rounds`
+    MERGEs over its private key range, retrying on ManifestConflict
+    (the table-format contract when a concurrent rewrite replaced a
+    touched file)."""
+    path, wid, rounds = args
+    from aeon_sleap_processing_spark.session import get_spark
+    from aeon_sleap_processing_spark.sources.sinks import (
+        ManifestConflict,
+        merge_manifested,
+    )
+
+    spark = get_spark(
+        app_name=f"dml-race-{wid}",
+        master="local[2]",
+        shuffle_partitions=2,
+        extra_conf={
+            "spark.driver.memory": "2g",
+            "spark.ui.enabled": "false",
+        },
+    )
+    try:
+        for r in range(rounds):
+            upd = spark.createDataFrame(
+                [(k, f"w{wid}r{r}") for k in range(wid * 10, wid * 10 + 10)],
+                "id long, v string",
+            )
+            for _ in range(60):
+                try:
+                    merge_manifested(spark, upd, path, "id")
+                    break
+                except ManifestConflict:
+                    continue
+            else:
+                return (wid, "gave up after 60 conflicts")
+        return (wid, "ok")
+    finally:
+        spark.stop()
+
+
+class TestMultiProcessDml:
+    def test_disjoint_merges_race_a_compactor_across_processes(
+        self, spark, tmp_path
+    ):
+        """r11 proved the commit CAS across OS processes; this does the
+        same for the DML paths' rewrite-validation: two child processes
+        (own JVMs) MERGE disjoint key ranges while the parent compacts
+        the store concurrently. require_remove_present must turn every
+        lost interleaving into a retried ManifestConflict — zero lost
+        updates, zero resurrected pre-merge rows, exactly one row per
+        key at the end."""
+        import multiprocessing as mp
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            ManifestConflict,
+        )
+
+        path = str(tmp_path / "store")
+        base = spark.createDataFrame(
+            [(k, "base") for k in range(30)], "id long, v string"
+        ).repartition(6)
+        write_manifested(spark, base, path, stats_cols=["id"])
+
+        ROUNDS = 3
+        ctx = mp.get_context("spawn")
+        with ctx.Pool(2) as pool:
+            async_res = pool.map_async(
+                _dml_race_merge_worker,
+                [(path, w, ROUNDS) for w in range(2)],
+            )
+            # compact in a loop until both mergers finish: every
+            # compaction rewrite-validates too, so a merge landing
+            # between its read and its commit raises here — retried,
+            # never clobbering
+            import time as _t
+
+            while not async_res.ready():
+                try:
+                    compact_manifested(spark, path, min_files_to_compact=2)
+                except ManifestConflict:
+                    pass
+                _t.sleep(0.2)
+            results = async_res.get(timeout=300)
+        assert [s for _, s in sorted(results)] == ["ok", "ok"]
+        rows = sorted(
+            (r.id, r.v) for r in read_manifested(spark, path).collect()
+        )
+        last = ROUNDS - 1
+        expect = (
+            [(k, f"w0r{last}") for k in range(10)]
+            + [(k, f"w1r{last}") for k in range(10, 20)]
+            + [(k, "base") for k in range(20, 30)]
+        )
+        assert rows == expect
+
+
 class TestManifestCompaction:
     def test_compact_reduces_files_keeps_rows(self, spark, tmp_path):
         path = str(tmp_path / "store")
