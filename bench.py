@@ -51,10 +51,20 @@ def main() -> None:
         .alias("rn")
     ).collect()
 
+    # optional allowlist (comma-separated names): the paired-A/B harness
+    # pins BOTH sides to the shared query set so per-rep work is
+    # identical — without it the head side carries its new queries'
+    # store-building inside the same JVM the shared queries are timed
+    # in, and sub-second fixture queries read as phantom regressions
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = {q for q in only.split(",") if q} if only else None
+
     # two timed runs per query, report the min: first runs pay codegen/plan
     # compilation; steady-state is what a long-lived cluster sees
     timings: dict[str, float] = {}
     for name, fn in entry_mod.queries().items():
+        if only_set is not None and name not in only_set:
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -11,7 +11,7 @@ and ratios over the shared query set.
 
 Usage:
   python tools/bench_ab.py <baseline-rev> [reps=3]
-Writes bench_runs_r{N}/bench_ab.json (round dir via BENCH_AB_OUTDIR, default bench_runs_r11). Run ISOLATED per the bench protocol.
+Writes bench_runs_r{N}/bench_ab.json (round dir via BENCH_AB_OUTDIR, default bench_runs_r12). Run ISOLATED per the bench protocol.
 """
 
 import json
@@ -23,9 +23,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_once(tree: str) -> dict:
+def bench_once(tree: str, only: list[str] | None = None) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = tree
+    if only is not None:
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
+    else:
+        env.pop("SPARK_GRAFT_BENCH_ONLY", None)
     out = subprocess.run(
         [sys.executable, os.path.join(tree, "bench.py")],
         cwd=tree, env=env, capture_output=True, text=True, timeout=3600,
@@ -36,6 +40,20 @@ def bench_once(tree: str) -> dict:
             f"bench.py in {tree} produced no JSON line:\n{out.stderr[-2000:]}"
         )
     return json.loads(last[-1])
+
+
+def list_queries(tree: str) -> list[str]:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = tree
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __spark_entry__ as e; print(','.join(e.queries()))"],
+        cwd=tree, env=env, capture_output=True, text=True, timeout=300,
+    )
+    names = out.stdout.strip().splitlines()[-1].split(",") if out.stdout.strip() else []
+    if not names:
+        raise RuntimeError(f"could not list queries in {tree}: {out.stderr[-1000:]}")
+    return names
 
 
 def main():
@@ -53,6 +71,20 @@ def main():
         cwd=REPO, check=True,
     )
     try:
+        # SYMMETRIC pairing (r11 VERDICT task 2): both sides run exactly
+        # the SHARED query set per rep, so per-rep JVM work is identical
+        # — previously the head side carried its new queries (store
+        # builds, GC pressure) inside the same session the shared
+        # queries were timed in, and 0.5 s fixture queries showed
+        # reproducible phantom ratios up to 1.7x. New-query timings are
+        # taken separately (unpaired, after the paired phase).
+        q_base, q_head = list_queries(wt), list_queries(REPO)
+        shared_set = sorted(set(q_base) & set(q_head))
+        new_only = sorted(set(q_head) - set(q_base))
+        print(
+            f"pairing on {len(shared_set)} shared queries; "
+            f"{len(new_only)} head-only measured unpaired", flush=True,
+        )
         runs = {"A": [], "B": []}
         # balanced interleave: ABBA ABBA ... cancels linear drift
         order = []
@@ -60,7 +92,7 @@ def main():
             order += ["A", "B"] if i % 2 == 0 else ["B", "A"]
         for side in order:
             tree = wt if side == "A" else REPO
-            r = bench_once(tree)
+            r = bench_once(tree, only=shared_set)
             runs[side].append(r)
             print(
                 f"{side} ({'baseline' if side == 'A' else 'HEAD'}): "
@@ -84,13 +116,39 @@ def main():
         ratios = {q: round(b[q] / a[q], 3) if a[q] > 0 else None for q in shared}
         rvals = sorted(v for v in ratios.values() if v)
         n = len(rvals)
+
+        # per-leg spread: is the per-rep total stable enough for the
+        # ratios to mean anything? (r11 VERDICT task 4's gate, applied
+        # to the batch harness too)
+        def leg_spread(side):
+            tot = sorted(sum(r["queries"].values()) for r in runs[side])
+            return {
+                "rep_totals_sec": [round(t, 1) for t in tot],
+                "spread_sec": round(tot[-1] - tot[0], 1),
+                "spread_pct_of_median": round(
+                    100 * (tot[-1] - tot[0]) / tot[len(tot) // 2], 1
+                ),
+            }
+
+        # head-only queries: timed AFTER the paired phase, own JVMs,
+        # explicitly unpaired (no baseline to compare against)
+        unpaired = {}
+        if new_only:
+            r = bench_once(REPO, only=new_only)
+            unpaired = r["queries"]
         summary = {
             "baseline_rev": base_rev,
             "reps_per_side": reps,
             "interleave": "".join(order),
+            "pairing": "symmetric: both sides pinned to the shared set "
+                       "via SPARK_GRAFT_BENCH_ONLY; head-only queries "
+                       "timed unpaired after",
             "shared_queries": len(shared),
-            "new_queries": sorted(set(b) - set(a)),
+            "new_queries": new_only,
+            "new_query_unpaired_sec": unpaired,
             "removed_queries": sorted(set(a) - set(b)),
+            "leg_spread": {"baseline": leg_spread("A"),
+                           "head": leg_spread("B")},
             "total_baseline_sec": round(sum(a[q] for q in shared), 1),
             "total_head_sec": round(sum(b[q] for q in shared), 1),
             "total_ratio": round(
@@ -107,7 +165,7 @@ def main():
                 for q in shared
             },
         }
-        outdir = os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r11")
+        outdir = os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r12")
         os.makedirs(os.path.join(REPO, outdir), exist_ok=True)
         path = os.path.join(REPO, outdir, "bench_ab.json")
         with open(path, "w") as f:

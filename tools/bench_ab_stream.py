@@ -11,9 +11,17 @@ SAME pre-staged source files. Per-leg medians + ratios land in
 bench_runs_r11/stream_ab_<tag>.json.
 
 Usage:
-  python tools/bench_ab_stream.py <revA> <revB|HEAD> <tag> [reps=3] \
+  python tools/bench_ab_stream.py <revA> <revB|HEAD> <tag> [reps=5] \
       [legs=dedup,compacted_sink,semantic_flat,semantic_bucketed]
 Run ISOLATED per the bench protocol (memory: bench-variance-protocol).
+
+Variance gate (r11 VERDICT task 4): per-leg per-side rep spreads
+(min/median/max) are computed and PRINTED, and every ratio carries a
+verdict — "stable" only when the worst-case ratio interval
+(min_b/max_a .. max_b/min_a) stays on one side of 1.0 or inside a ±10%%
+parity band; otherwise "unstable: spread straddles 1.0" — so a 1.23x
+that re-runs at 0.90x (the r11 bucketed-leg flip) reads as noise ON THE
+ARTIFACT instead of needing a judge to notice.
 """
 
 import json
@@ -81,7 +89,7 @@ def main():
     if len(sys.argv) < 4:
         sys.exit("usage: bench_ab_stream.py <revA> <revB|HEAD> <tag> [reps] [legs]")
     rev_a, rev_b, tag = sys.argv[1], sys.argv[2], sys.argv[3]
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
     legs = (
         sys.argv[5]
         if len(sys.argv) > 5
@@ -137,6 +145,41 @@ def main():
 
         a, b = med("A"), med("B")
         shared = sorted(set(a) & set(b))
+
+        def spread(side, leg):
+            vals = sorted(
+                r["legs"][leg]["sec"] for r in runs[side]
+                if leg in r["legs"]
+            )
+            return {
+                "min": vals[0], "median": vals[len(vals) // 2],
+                "max": vals[-1],
+                "spread_pct_of_median": round(
+                    100 * (vals[-1] - vals[0]) / vals[len(vals) // 2], 1
+                ),
+            }
+
+        leg_spread = {
+            leg: {"a": spread("A", leg), "b": spread("B", leg)}
+            for leg in shared
+        }
+
+        def verdict(leg):
+            sa, sb = leg_spread[leg]["a"], leg_spread[leg]["b"]
+            lo = sb["min"] / sa["max"] if sa["max"] > 0 else None
+            hi = sb["max"] / sa["min"] if sa["min"] > 0 else None
+            if lo is None or hi is None:
+                return "unmeasurable"
+            if lo >= 1.0 or hi <= 1.0:
+                return f"stable ({round(lo,2)}..{round(hi,2)})"
+            if 0.9 <= lo and hi <= 1.1:
+                return f"stable parity ({round(lo,2)}..{round(hi,2)})"
+            return (
+                f"unstable: ratio interval {round(lo,2)}..{round(hi,2)} "
+                f"straddles 1.0 — add reps before concluding"
+            )
+
+        verdicts = {leg: verdict(leg) for leg in shared}
         reps_pin = {
             leg: sorted(
                 {
@@ -156,16 +199,23 @@ def main():
             "ratio_b_over_a": {
                 leg: round(b[leg] / a[leg], 3) for leg in shared if a[leg] > 0
             },
+            "leg_spread": leg_spread,
+            "ratio_verdicts": verdicts,
             "all_runs_a": [r["legs"] for r in runs["A"]],
             "all_runs_b": [r["legs"] for r in runs["B"]],
             "semantic_reps_outcome_pin": reps_pin,
         }
-        outdir = os.path.join(REPO, "bench_runs_r11")
+        outdir = os.path.join(
+            REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r12")
+        )
         os.makedirs(outdir, exist_ok=True)
         path = os.path.join(outdir, f"stream_ab_{tag}.json")
         with open(path, "w") as f:
             json.dump(summary, f, indent=1)
         print(json.dumps(summary["ratio_b_over_a"], indent=1))
+        for leg in shared:
+            print(f"  {leg}: {verdicts[leg]}  "
+                  f"a={leg_spread[leg]['a']}  b={leg_spread[leg]['b']}")
         print(f"wrote {path}")
     finally:
         for wt in wts:
