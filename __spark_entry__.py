@@ -1977,6 +1977,110 @@ def _q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(snap, "snapshot").unionByName(agg(delta, "delta"))
 
 
+def _q_cdc_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manifest CDC feed consumed through the REAL Structured
+    Streaming source (streaming/cdc_source.py, Spark 4 Python
+    DataSource; r12 made its I/O object-store capable via pyarrow.fs):
+    commit A (doc_id%3!=0, replace-all) → drain 1 with availableNow
+    (leg 'snapshot' — the initial-snapshot rule), then a COMPACTION
+    (data_change=False) and commit B (doc_id%3=0) → drain 2 on the SAME
+    checkpoint (leg 'delta' — exactly B; the fold's rewritten files
+    must not re-deliver, the double-read a directory-listing file
+    source exhibits). Offsets are manifest versions riding Spark's own
+    offset log, so the two drains ARE the exactly-once contract, not a
+    simulation of it. The foreachBatch collect is the audit harness
+    (bounded by the documents corpus — the same bound as every storage
+    audit's store build), not the operator: production consumers keep
+    the rows distributed."""
+    import shutil
+    import tempfile
+
+    from aeon_sleap_processing_spark.sources import sinks as sk
+    from aeon_sleap_processing_spark.streaming.cdc_source import (
+        ManifestCDCDataSource,
+    )
+
+    spark.dataSource.register(ManifestCDCDataSource)
+    base = _manifest_docs_base(spark, sf_dir)
+    path = _scratch_store("cdc_stream", sf_dir)
+    sk.write_manifested(
+        spark, base.where("doc_id % 3 != 0"), path, partition_by=["lang"],
+        replace="all",
+    )
+    ckpt = tempfile.mkdtemp(prefix="aeon_cdc_stream_ckpt_")
+    got: list = []
+
+    def drain(leg: str) -> None:
+        rows: list = []
+        q = (
+            spark.readStream.format("manifest_cdc").load(path)
+            .writeStream.foreachBatch(
+                lambda d, b: rows.extend(
+                    (r["doc_id"], r["lang"], r["n_chars"])
+                    for r in d.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got.extend((leg, *t) for t in rows)
+
+    drain("snapshot")
+    # maintenance between drains: dc=False, must deliver nothing
+    sk.compact_manifested(spark, path, min_files_to_compact=2)
+    sk.write_manifested(
+        spark, base.where("doc_id % 3 = 0"), path, partition_by=["lang"]
+    )
+    drain("delta")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    df = spark.createDataFrame(
+        got, "leg string, doc_id long, lang string, n_chars long"
+    )
+    return df.groupBy("lang", "leg").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def _q_partition_typed_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column types from the LOG, not per-read dir-name
+    re-inference (r12: manifest_commit records partition names; the
+    schema doc carries their write-time types; read_manifested casts any
+    inference drift back): a STRING partition column whose values are
+    digits in some partitions ('0'/'1'/'2'), words in another ('east'),
+    and NULL in a third. Leg 'full' reads the whole store; leg
+    'digit_slice' reads ONLY the bucket=1 prefix — the slice whose dir
+    names are all-digit, where Spark's own partition inference would
+    flip the column to BIGINT and the value hash/schema would diverge
+    from the oracle's VARCHAR."""
+    from aeon_sleap_processing_spark.sources import sinks as sk
+
+    base = _manifest_docs_base(spark, sf_dir).withColumn(
+        "bucket",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 5 == 0, F.lit("east"))
+        .otherwise(F.pmod("doc_id", F.lit(3)).cast("string")),
+    )
+    path = _scratch_store("part_typed", sf_dir)
+    sk.write_manifested(
+        spark, base, path, partition_by=["bucket"], replace="all"
+    )
+
+    def agg(df: DataFrame, leg: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("doc_id").alias("id_sum"),
+        ).withColumn("leg", F.lit(leg))
+
+    full = sk.read_manifested(spark, path)
+    digit = sk.read_manifested(spark, path, prefixes=["bucket=1/"])
+    return agg(full, "full").unionByName(agg(digit, "digit_slice"))
+
+
 def _quality_clf() -> dict:
     import json as _j
     import os as _o
@@ -2825,6 +2929,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # arithmetic vs the oracle); q_dedup_clusters rotates out for it
     # (driver-green r6..r10, graph plan untouched; its sibling
     # q_cluster_split stays in the window for CC-family coverage).
+    # Round 12 rotates IN q_cdc_stream_source (the manifest_cdc
+    # Structured Streaming source itself drains through the oracle —
+    # two availableNow runs on one checkpoint across a dc=False
+    # compaction; r12 made the source object-store capable) and
+    # q_partition_typed_store (partition types served from the log:
+    # a string partition with digit/word/NULL values, whole-store and
+    # all-digit-slice legs — the slice is where per-read dir-name
+    # inference would flip the type). Rotated OUT: q_fuzzy_pairs_short
+    # and q_hilbert_stats (driver-green r10 AND r11, their plans
+    # untouched by r12's storage/path work; siblings q_fuzzy_pairs and
+    # q_zorder_stats stay in the window for family coverage).
     # Round 11 rotates IN q_mjpeg_frame_stats (the r10 MJPEG codec had
     # never faced the driver's oracle — VERDICT r10 task #2) and rotates
     # q_video_frame_stats BACK IN (decode_avi was touched in r10 — MJPEG
@@ -2862,9 +2977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bpe_encode": _q_bpe_encode,
         "q_dq_constraints": _q_dq_constraints,
         "q_fuzzy_pairs": _q_fuzzy_pairs,
-        "q_fuzzy_pairs_short": _q_fuzzy_pairs_short,
         "q_zorder_stats": _q_zorder_stats,
-        "q_hilbert_stats": _q_hilbert_stats,
         "q_cluster_split": _q_cluster_split,
         "q_char_ngram_profile": _q_char_ngram_profile,
         "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
@@ -2893,6 +3006,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_manifest_dml": _q_manifest_dml,
         "q_manifest_time_travel": _q_manifest_time_travel,
         "q_manifest_changes": _q_manifest_changes,
+        # --- r12: the REAL stream source + log-typed partitions ----------
+        "q_cdc_stream_source": _q_cdc_stream_source,
+        "q_partition_typed_store": _q_partition_typed_store,
         # --- trained classifier-filter stage (new r11) --------------------
         "q_quality_classifier": _q_quality_classifier,
         # --- aeon detection pipelines over committed pose fixtures ------
@@ -2901,6 +3017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- rotated out r12 (driver-green r10 AND r11, untouched in r12;
+        #     each keeps an in-window sibling for family coverage) --------
+        "q_fuzzy_pairs_short": _q_fuzzy_pairs_short,  # rotated out for q_cdc_stream_source (sibling q_fuzzy_pairs stays in)
+        "q_hilbert_stats": _q_hilbert_stats,  # rotated out for q_partition_typed_store (sibling q_zorder_stats stays in)
         # --- rotated out r11 (driver-green r9 AND r10, untouched in r11) -
         "q_sessionize_unkeyed": ep.q_sessionize_unkeyed,  # rotated out for q_mjpeg_frame_stats
         "q_interpolate": ep.q_interpolate,  # rotated out for q_video_frame_stats' return
@@ -4305,6 +4425,50 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS id_sum,
                    leg
             FROM legs GROUP BY lang, leg
+        """,
+        # --- r12: the real stream source + log-typed partitions ----------
+        "q_cdc_stream_source": """
+            -- snapshot = the initial-snapshot drain of commit A
+            -- (doc_id%3!=0); delta = the second drain on the same
+            -- checkpoint after a dc=False compaction and commit B —
+            -- exactly B's rows, the fold invisible
+            WITH base AS (
+              SELECT doc_id, lang, n_chars FROM documents
+            ),
+            legs AS (
+              SELECT 'snapshot' AS leg, * FROM base WHERE doc_id % 3 != 0
+              UNION ALL
+              SELECT 'delta' AS leg, * FROM base WHERE doc_id % 3 = 0
+            )
+            SELECT lang, leg,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum
+            FROM legs GROUP BY lang, leg
+        """,
+        "q_partition_typed_store": """
+            -- bucket stays VARCHAR in BOTH legs: the digit_slice leg
+            -- reads only bucket=1 dirs, where per-read partition
+            -- inference would type the column BIGINT without the
+            -- log-recorded write-time type
+            WITH base AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL
+                          WHEN doc_id % 5 = 0 THEN 'east'
+                          ELSE CAST(doc_id % 3 AS VARCHAR) END AS bucket
+              FROM documents
+            ),
+            legs AS (
+              SELECT 'full' AS leg, * FROM base
+              UNION ALL
+              SELECT 'digit_slice' AS leg, * FROM base WHERE bucket = '1'
+            )
+            SELECT bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(sum(doc_id) AS BIGINT) AS id_sum,
+                   leg
+            FROM legs GROUP BY bucket, leg
         """,
         # --- r11 trained classifier filter: pinned-coefficient sigmoid
         "q_quality_classifier": _quality_classifier_sql(),
