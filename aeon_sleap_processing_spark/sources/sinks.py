@@ -1136,9 +1136,26 @@ def _bloom_filter_rels(
         for c, v in point.items()
     }
 
+    # executor-side sidecar access: plain open() for a local root; for
+    # any other scheme, pyarrow.fs resolved from the root URI on each
+    # executor (the same shim discipline as the manifest_cdc stream
+    # source) — so the >64-file DISTRIBUTED branch covers object stores
+    # too instead of degrading to a sequential driver loop of O(files)
+    # Hadoop round-trips, the term that dominates a 10k-file GDPR
+    # delete on S3. Driver loop remains only for roots pyarrow has no
+    # handler for.
     local_root = None
-    if root_str.startswith("file:"):
+    if root_str.startswith("file:") and not root_str.startswith("file://"):
         local_root = root_str[len("file:"):]
+    pa_ok = False
+    if local_root is None and len(with_bloom) > 64:
+        try:
+            import pyarrow.fs as pafs
+
+            pafs.FileSystem.from_uri(root_str)  # handler probe, driver
+            pa_ok = True
+        except Exception:
+            pa_ok = False
 
     def _test(doc: dict) -> bool:
         m = doc["m"]
@@ -1151,18 +1168,31 @@ def _bloom_filter_rels(
                 return False
         return True
 
-    if local_root is not None and len(with_bloom) > 64:
+    if (local_root is not None or pa_ok) and len(with_bloom) > 64:
         pairs = spark.createDataFrame(
             pd.DataFrame(with_bloom, columns=["rel", "sidecar"])
         )
+        root_for_task = root_str
 
         def _check(batches):
+            pfs = proot = None
+            if local_root is None:
+                import pyarrow.fs as pafs
+
+                pfs, proot = pafs.FileSystem.from_uri(root_for_task)
+
+            def _read(sidecar: str) -> dict:
+                if pfs is None:
+                    with open(os.path.join(local_root, sidecar)) as f:
+                        return json.load(f)
+                with pfs.open_input_stream(f"{proot}/{sidecar}") as f:
+                    return json.loads(f.read())
+
             for pdf in batches:
                 keep = []
                 for rel, sidecar in zip(pdf["rel"], pdf["sidecar"]):
-                    with open(os.path.join(local_root, sidecar)) as f:
-                        if _test(json.load(f)):
-                            keep.append(rel)
+                    if _test(_read(sidecar)):
+                        keep.append(rel)
                 yield pd.DataFrame({"rel": keep})
 
         return {
