@@ -1292,10 +1292,23 @@ def _stage_files(
             bloom_by_file[row["__f"]] = {
                 c: row[f"__bp_{c}"] for c in bloom_cols
             }
-    adds: list[tuple[str, int]] = []
     add_stats: dict[str, dict] = {}
     bloom_positions: dict[str, dict] = {}
     staged_dirs: set[str] = set()
+    # canon the agg keys ONCE (n py4j calls): input_file_name() and
+    # FileStatus render the same file with different scheme spellings,
+    # so matching must be canonical — but the previous inner loop
+    # re-canonized every key per staged file, O(n²) driver→JVM round
+    # trips that dominated large commits (measured: a 640-file commit
+    # spent minutes here; a 10k-file store built at ~3 files/s)
+    stats_by_canon = {
+        _canon_uri(fs, Path(k)): v for k, v in stats_by_file.items()
+    }
+    bloom_by_canon = {
+        _canon_uri(fs, Path(k)): v for k, v in bloom_by_file.items()
+    }
+    moves: list[tuple] = []
+    made_dirs: set[str] = set()
     for i, st in enumerate(staged):
         src = st.getPath()
         # partition subpath between the staging root and the file — RAW
@@ -1305,49 +1318,85 @@ def _stage_files(
         name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
         rel = f"{rel_dir}/{name}" if rel_dir else name
         dest = Path(f"{root_str}/{rel}")
-        fs.mkdirs(dest.getParent())
-        if stats_by_file or bloom_by_file:
-            # input_file_name() and FileStatus render the same file with
-            # different scheme spellings — match canonically
+        if rel_dir not in made_dirs:  # one mkdirs per partition dir
+            fs.mkdirs(dest.getParent())
+            made_dirs.add(rel_dir)
+        if stats_by_canon or bloom_by_canon:
             src_uri = _canon_uri(fs, src)
-            for k, v in stats_by_file.items():
-                if _canon_uri(fs, Path(k)) == src_uri:
-                    add_stats[rel] = v
-                    break
-            for k, v in bloom_by_file.items():
-                if _canon_uri(fs, Path(k)) == src_uri:
-                    bloom_positions[rel] = v
-                    break
+            if src_uri in stats_by_canon:
+                add_stats[rel] = stats_by_canon[src_uri]
+            if src_uri in bloom_by_canon:
+                bloom_positions[rel] = bloom_by_canon[src_uri]
+        moves.append((src, dest, rel, st.getLen()))
+
+    # parallel publish: each rename is one blocking driver→JVM round
+    # trip; py4j gives every Python thread its own gateway connection
+    # and Hadoop FileSystem is thread-safe, so overlapping them turns a
+    # large commit's move phase from O(files) sequential latency into
+    # O(files / pool). Destinations are token-unique — no two moves
+    # conflict.
+    def _mv(m) -> None:
+        src, dest, rel, _ = m
         if not fs.rename(src, dest):
             raise IOError(f"_stage_files: rename failed for {rel}")
-        adds.append((rel, st.getLen()))
+
+    if len(moves) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_mv, moves))
+    else:
+        for m in moves:
+            _mv(m)
+    adds: list[tuple[str, int]] = [(rel, ln) for _, _, rel, ln in moves]
     fs.delete(Path(stage_str), True)
     # sidecars land under _index/ BEFORE the caller's commit — invisible
     # until the manifest entry references them; vacuum's grace fence
-    # covers the window like any staged artifact
+    # covers the window like any staged artifact. Written through the
+    # same thread pool as the moves (one blocking JVM create/write/close
+    # per sidecar otherwise serializes a large bloom'd commit).
     add_blooms: dict[str, str] = {}
-    for rel, by_col in bloom_positions.items():
+    if bloom_positions:
         import base64
 
-        m = bloom_bits
-        cols_b64 = {}
-        for c, positions in by_col.items():
-            bits = bytearray(m >> 3)
-            for p in positions:
-                bits[p >> 3] |= 1 << (p & 7)
-            cols_b64[c] = base64.b64encode(bytes(bits)).decode()
-        sidecar = f"{_BLOOM_DIR}/{rel}.bloom"
-        target = Path(f"{root_str}/{sidecar}")
         rfs = _raw_fs(fs)
-        rfs.mkdirs(target.getParent())
-        out = rfs.create(target, True)
-        try:
-            out.write(bytearray(json.dumps(
-                {"m": m, "k": _BLOOM_K, "cols": cols_b64}
-            ).encode()))
-        finally:
-            out.close()
-        add_blooms[rel] = sidecar
+        sc_dirs: set[str] = set()
+
+        def _sidecar(item) -> None:
+            rel, by_col = item
+            m = bloom_bits
+            cols_b64 = {}
+            for c, positions in by_col.items():
+                bits = bytearray(m >> 3)
+                for p in positions:
+                    bits[p >> 3] |= 1 << (p & 7)
+                cols_b64[c] = base64.b64encode(bytes(bits)).decode()
+            target = Path(f"{root_str}/{_BLOOM_DIR}/{rel}.bloom")
+            out = rfs.create(target, True)
+            try:
+                out.write(bytearray(json.dumps(
+                    {"m": m, "k": _BLOOM_K, "cols": cols_b64}
+                ).encode()))
+            finally:
+                out.close()
+
+        items = list(bloom_positions.items())
+        for rel, _ in items:  # mkdirs deduped, before the parallel writes
+            d = f"{_BLOOM_DIR}/{rel}".rsplit("/", 1)[0]
+            if d not in sc_dirs:
+                rfs.mkdirs(Path(f"{root_str}/{d}"))
+                sc_dirs.add(d)
+        if len(items) > 8:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=16) as pool:
+                list(pool.map(_sidecar, items))
+        else:
+            for it in items:
+                _sidecar(it)
+        add_blooms = {
+            rel: f"{_BLOOM_DIR}/{rel}.bloom" for rel, _ in items
+        }
     return adds, add_stats, staged_dirs, add_blooms
 
 

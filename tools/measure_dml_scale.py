@@ -141,9 +141,8 @@ def main():
         print("gdpr delete:", out["gdpr_point_delete"], flush=True)
 
         # (c) bloom-bounded 100-key merge on doc_id
-        keys = [
-            f"doc-{(i * 97) % (n_files * rows):09d}" for i in range(100)
-        ]
+        stride = (n_files * rows) // 100  # one key per ~1% of the store
+        keys = [f"doc-{i * stride + 7:09d}" for i in range(100)]
         upd = spark.createDataFrame(
             [(k, "relabeled") for k in keys], "doc_id string, host string"
         )
