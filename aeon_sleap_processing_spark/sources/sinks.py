@@ -2266,16 +2266,25 @@ def reindex_manifested(
     ):
         pos_by_file[row["__f"]] = {c: row[f"__bp_{c}"] for c in bloom_cols}
     rfs = _raw_fs(fs)
-    add: list[tuple] = []
+    # canon the agg keys ONCE (same O(n²)→O(n) fix as _stage_files: the
+    # per-rel inner loop re-canonized every input_file_name key)
+    pos_by_canon = {
+        _canon_uri(fs, Path(k)): v for k, v in pos_by_file.items()
+    }
+    work: list[tuple] = []
+    made_dirs: set[str] = set()
     for rel, e in by_rel.items():
-        uri = f"{root_str}/{rel}"
-        by_col = None
-        for k, v in pos_by_file.items():
-            if _canon_uri(fs, Path(k)) == _canon_uri(fs, Path(uri)):
-                by_col = v
-                break
+        by_col = pos_by_canon.get(_canon_uri(fs, Path(f"{root_str}/{rel}")))
         if by_col is None:
             continue  # file matched no scanned rows (empty) — skip
+        d = f"{_BLOOM_DIR}/{rel}".rsplit("/", 1)[0]
+        if d not in made_dirs:
+            rfs.mkdirs(Path(f"{root_str}/{d}"))
+            made_dirs.add(d)
+        work.append((rel, e, by_col))
+
+    def _write(item) -> tuple:
+        rel, e, by_col = item
         cols_b64 = {}
         for c, positions in by_col.items():
             bits = bytearray(bloom_bits >> 3)
@@ -2283,16 +2292,22 @@ def reindex_manifested(
                 bits[p >> 3] |= 1 << (p & 7)
             cols_b64[c] = base64.b64encode(bytes(bits)).decode()
         sidecar = f"{_BLOOM_DIR}/{rel}.bloom"
-        target = Path(f"{root_str}/{sidecar}")
-        rfs.mkdirs(target.getParent())
-        out = rfs.create(target, True)
+        out = rfs.create(Path(f"{root_str}/{sidecar}"), True)
         try:
             out.write(bytearray(json.dumps(
                 {"m": bloom_bits, "k": _BLOOM_K, "cols": cols_b64}
             ).encode()))
         finally:
             out.close()
-        add.append((rel, e["bytes"], e.get("stats"), sidecar))
+        return (rel, e["bytes"], e.get("stats"), sidecar)
+
+    if len(work) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            add = list(pool.map(_write, work))
+    else:
+        add = [_write(it) for it in work]
     try:
         v = manifest_commit(
             spark, path, add=add, remove=[rel for rel, *_ in add],
@@ -2537,8 +2552,8 @@ def vacuum_manifested(
         if v in keep:
             live.update(state)
     cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
-    deleted_files = 0
     skipped_in_flight = 0
+    doomed: list[tuple] = []
     for st in _list_data_files(fs, root):
         rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
         if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")):
@@ -2548,10 +2563,27 @@ def vacuum_manifested(
         if rel not in ever_committed and st.getModificationTime() > cutoff_ms:
             skipped_in_flight += 1  # possibly an uncommitted in-flight write
             continue
-        fs.delete(st.getPath(), False)
+        doomed.append((st.getPath(), rel))
+
+    # parallel reclaim (same pool discipline as _stage_files' publish):
+    # two blocking JVM deletes per dead file — data + its bloom sidecar
+    # — serialize a big vacuum otherwise; targets are distinct files, so
+    # deletes never conflict
+    def _reclaim(item) -> None:
+        jp, rel = item
+        fs.delete(jp, False)
         # a data file's bloom sidecar dies with it
         fs.delete(Path(f"{root_str}/{_BLOOM_DIR}/{rel}.bloom"), False)
-        deleted_files += 1
+
+    if len(doomed) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_reclaim, doomed))
+    else:
+        for it in doomed:
+            _reclaim(it)
+    deleted_files = len(doomed)
     # log retention anchors at the newest CHECKPOINT at/below the oldest
     # kept version: the kept versions' states must stay resolvable, so
     # the anchor checkpoint and every delta above it survive (bounded by
