@@ -1855,9 +1855,17 @@ def read_manifested_changes(
             f"or raise vacuum keep_versions"
         )
     reader = spark.read.option("basePath", root_str)
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
     d_until = _manifest_doc(spark, fs, Path, root_str, until_version) or {}
+    if merge_schema:
+        if isinstance(d_until.get("schema"), dict):
+            # union schema FROM THE LOG as of until_version — zero
+            # planning-time footer I/O, same as read_manifested; the
+            # doc's running union covers every file ≤ until_version
+            from pyspark.sql.types import StructType as _ST
+
+            reader = reader.schema(_ST.fromJson(d_until["schema"]))
+        else:
+            reader = reader.option("mergeSchema", "true")
     return (
         _cast_partition_types(
             reader.parquet(*uris), d_until.get("schema"),

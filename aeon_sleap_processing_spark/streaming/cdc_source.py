@@ -304,9 +304,14 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         self.prefixes = tuple(
             p for p in (pre.split(",") if pre else []) if p
         ) or None
+        # option("starting_version", N) — Delta's startingVersion: begin
+        # from the delta AFTER version N instead of the initial
+        # snapshot. Only consulted on a fresh checkpoint (Spark persists
+        # the real cursor afterwards).
+        self.start_version = int(options.get("starting_version", -1))
 
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        return {"version": self.start_version}
 
     def latestOffset(self) -> dict:
         return {"version": self.log.head_version()}

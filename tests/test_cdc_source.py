@@ -409,6 +409,40 @@ class TestFileSourceNegativeControl:
         assert sorted(cdc) == list(range(20))
 
 
+class TestStartingVersion:
+    def test_starting_version_skips_the_snapshot(
+        self, registered, tmp_path
+    ):
+        """option('starting_version', N) — Delta's startingVersion: a
+        fresh consumer begins from the delta AFTER version N instead of
+        the initial snapshot; the checkpoint owns the cursor from then
+        on."""
+        spark = registered
+        store = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        write_manifested(spark, spark.range(0, 10), store)   # v0
+        write_manifested(spark, spark.range(10, 15), store)  # v1
+        got: list = []
+        q = (
+            spark.readStream.format("manifest_cdc")
+            .option("starting_version", "0")
+            .load(store)
+            .writeStream.foreachBatch(
+                lambda d, b: got.extend(r.id for r in d.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(got) == list(range(10, 15))
+        # subsequent appends flow through the persisted cursor
+        write_manifested(spark, spark.range(15, 18), store)
+        _drain(spark, store, ckpt, got)
+        assert sorted(x if isinstance(x, int) else x[0] for x in got) == \
+            list(range(10, 18))
+
+
 class TestPartitionTypesFromLog:
     @pytest.mark.parametrize("io", IOS)
     def test_mixed_digit_string_partition_and_null_head(
