@@ -2010,10 +2010,12 @@ def _q_cdc_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="aeon_cdc_stream_ckpt_")
     got: list = []
 
-    def drain(leg: str) -> None:
+    def drain(leg: str, io: str) -> None:
         rows: list = []
         q = (
-            spark.readStream.format("manifest_cdc").load(path)
+            spark.readStream.format("manifest_cdc")
+            .option("io", io)
+            .load(path)
             .writeStream.foreachBatch(
                 lambda d, b: rows.extend(
                     (r["doc_id"], r["lang"], r["n_chars"])
@@ -2027,13 +2029,17 @@ def _q_cdc_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination(300)
         got.extend((leg, *t) for t in rows)
 
-    drain("snapshot")
+    # leg 1 on the plain-os local fast path; leg 2 FORCED through
+    # pyarrow.fs (the object-store code path) — both halves of the I/O
+    # shim face the oracle, and the offsets in the shared checkpoint
+    # carry across the switch (the cursor is I/O-agnostic)
+    drain("snapshot", "auto")
     # maintenance between drains: dc=False, must deliver nothing
     sk.compact_manifested(spark, path, min_files_to_compact=2)
     sk.write_manifested(
         spark, base.where("doc_id % 3 = 0"), path, partition_by=["lang"]
     )
-    drain("delta")
+    drain("delta", "pyarrow")
     shutil.rmtree(ckpt, ignore_errors=True)
     df = spark.createDataFrame(
         got, "leg string, doc_id long, lang string, n_chars long"
