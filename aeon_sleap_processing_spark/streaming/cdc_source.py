@@ -75,15 +75,18 @@ class _IO:
         if local and io != "pyarrow":
             self.fs = None
             self.root = _localize(root).rstrip("/")
+        elif local:
+            # forced-pyarrow on a local root: construct LocalFileSystem
+            # directly — from_uri demands a strictly-encoded URI and a
+            # root with a space/% would need round-trip quoting
+            import pyarrow.fs as pafs
+
+            self.fs = pafs.LocalFileSystem()
+            self.root = os.path.abspath(_localize(root)).rstrip("/")
         else:
             import pyarrow.fs as pafs
 
-            uri = (
-                "file://" + os.path.abspath(_localize(root))
-                if local
-                else root
-            )
-            self.fs, self.root = pafs.FileSystem.from_uri(uri)
+            self.fs, self.root = pafs.FileSystem.from_uri(root)
             self.root = self.root.rstrip("/")
 
     def listdir(self, path: str) -> list[str]:

@@ -409,6 +409,23 @@ class TestFileSourceNegativeControl:
         assert sorted(cdc) == list(range(20))
 
 
+class TestSpecialCharRoot:
+    @pytest.mark.parametrize("io", IOS)
+    def test_store_root_with_space_and_percent(
+        self, registered, tmp_path, io
+    ):
+        """A root with a space and '%' streams on both I/O paths — the
+        forced-pyarrow half constructs LocalFileSystem directly (from_uri
+        would reject the unencoded chars)."""
+        spark = registered
+        store = str(tmp_path / "ro ot %x")
+        ckpt = str(tmp_path / "ckpt")
+        write_manifested(spark, spark.range(0, 5), store)
+        got: list = []
+        _drain(spark, store, ckpt, got, io)
+        assert sorted(x[0] for x in got) == list(range(5))
+
+
 class TestStartingVersion:
     def test_starting_version_skips_the_snapshot(
         self, registered, tmp_path
