@@ -72,7 +72,28 @@ class _IO:
     def __init__(self, root: str, io: str = "auto"):
         scheme = root.split(":", 1)[0] if ":" in root else ""
         local = scheme in ("", "file") or "/" in scheme
-        if local and io != "pyarrow":
+        if io == "mock":
+            # test hook one level beyond option("io","pyarrow"): a
+            # "mock://<abs-path>" URI that resolves ONLY while its
+            # scheme is attached (to LocalFileSystem under the hood) —
+            # simulating an object store whose paths are meaningless
+            # once the scheme is stripped. Tests drain through this to
+            # prove the ORIGINAL URI reaches the executors: shipping a
+            # from_uri-stripped root ('bucket/key') would raise here
+            # instead of silently reading a coincidental local path.
+            import pyarrow.fs as pafs
+
+            if "://" not in root:
+                raise ValueError(
+                    f"io='mock' requires a scheme-bearing root URI, got "
+                    f"{root!r} — a scheme-stripped path cannot be "
+                    f"re-resolved to its filesystem"
+                )
+            self.fs = pafs.LocalFileSystem()
+            self.root = (
+                "/" + root.split("://", 1)[1].lstrip("/")
+            ).rstrip("/")
+        elif local and io != "pyarrow":
             self.fs = None
             self.root = _localize(root).rstrip("/")
         elif local:
@@ -290,6 +311,13 @@ def _const_column(value, n: int, dtype, col_name: str):
 
 @dataclass
 class _FilePartition(InputPartition):
+    # `root` is the ORIGINAL store URI exactly as given to load(), NOT
+    # the _IO-resolved root: pyarrow's from_uri strips the scheme
+    # (s3://bucket/key -> 'bucket/key'), so a resolved root shipped to
+    # an executor could not be re-resolved to the same filesystem — the
+    # executor's _io_for would see no scheme, take the plain-os local
+    # branch, and read a nonexistent (or coincidentally-existing) LOCAL
+    # path. Executors re-run the full URI through _io_for themselves.
     root: str
     rel: str
     io: str
@@ -298,7 +326,8 @@ class _FilePartition(InputPartition):
 class _ManifestCDCStreamReader(DataSourceStreamReader):
     def __init__(self, schema: StructType, options: dict):
         self.io = options.get("io", "auto")
-        self.log = _ManifestLogMirror(options["path"], self.io)
+        self.path = options["path"]  # original URI — see _FilePartition
+        self.log = _ManifestLogMirror(self.path, self.io)
         self.root = self.log.root
         self.schema = schema
         # option("prefixes", "stream=5/camera=Top/,cell=3/") — the same
@@ -307,14 +336,16 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         self.prefixes = tuple(
             p for p in (pre.split(",") if pre else []) if p
         ) or None
-        # option("starting_version", N) — Delta's startingVersion: begin
-        # from the delta AFTER version N instead of the initial
-        # snapshot. Only consulted on a fresh checkpoint (Spark persists
-        # the real cursor afterwards).
-        self.start_version = int(options.get("starting_version", -1))
+        # option("starting_version", N) — Delta's startingVersion, with
+        # Delta's INCLUSIVE convention: the stream begins with version
+        # N's own changes (N=0 is equivalent to the default initial
+        # snapshot). Only consulted on a fresh checkpoint (Spark
+        # persists the real cursor afterwards). Requires version N-1 to
+        # still be resolvable from the retained log.
+        self.start_version = int(options.get("starting_version", 0))
 
     def initialOffset(self) -> dict:
-        return {"version": self.start_version}
+        return {"version": max(self.start_version - 1, -1)}
 
     def latestOffset(self) -> dict:
         return {"version": self.log.head_version()}
@@ -323,7 +354,7 @@ class _ManifestCDCStreamReader(DataSourceStreamReader):
         rels = self.log.changed_files(start["version"], end["version"])
         if self.prefixes:
             rels = [r for r in rels if r.startswith(self.prefixes)]
-        return [_FilePartition(self.root, r, self.io) for r in rels]
+        return [_FilePartition(self.path, r, self.io) for r in rels]
 
     def read(self, partition: _FilePartition):
         import pyarrow as pa

@@ -426,14 +426,46 @@ class TestSpecialCharRoot:
         assert sorted(x[0] for x in got) == list(range(5))
 
 
+class TestSchemeBearingRoot:
+    def test_executors_resolve_the_original_uri(
+        self, registered, tmp_path
+    ):
+        """The r12 ADVICE high finding: io='mock' resolves ONLY while
+        the 'mock://' scheme is attached (see _IO), so this drain fails
+        unless the ORIGINAL load() URI — not the from_uri-stripped
+        resolved root — reaches the executors' read(). This is the
+        driver→executor hop every s3://... root takes."""
+        spark = registered
+        local = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        write_manifested(spark, spark.range(0, 12), local)
+        got: list = []
+        _drain(spark, f"mock://{local}", ckpt, got, io="mock")
+        assert sorted(x[0] for x in got) == list(range(12))
+        # increments flow through the same scheme-bearing cursor
+        write_manifested(spark, spark.range(12, 15), local)
+        _drain(spark, f"mock://{local}", ckpt, got, io="mock")
+        assert sorted(x[0] for x in got) == list(range(15))
+
+    def test_mock_io_rejects_scheme_stripped_roots(self, tmp_path):
+        """The seam the mock scheme exists for: a resolved (scheme-less)
+        root must raise, never fall back to reading a local path."""
+        from aeon_sleap_processing_spark.streaming.cdc_source import _IO
+
+        with pytest.raises(ValueError, match="scheme-bearing"):
+            _IO(str(tmp_path / "store"), io="mock")
+
+
 class TestStartingVersion:
     def test_starting_version_skips_the_snapshot(
         self, registered, tmp_path
     ):
-        """option('starting_version', N) — Delta's startingVersion: a
-        fresh consumer begins from the delta AFTER version N instead of
-        the initial snapshot; the checkpoint owns the cursor from then
-        on."""
+        """option('starting_version', N) — Delta's startingVersion with
+        Delta's INCLUSIVE convention: a fresh consumer begins WITH
+        version N's own changes (so N=1 here delivers v1's rows but not
+        v0's snapshot); the checkpoint owns the cursor from then on. A
+        consumer porting a Delta pipeline must not silently lose
+        commit N (the r12 ADVICE exclusive-semantics finding)."""
         spark = registered
         store = str(tmp_path / "store")
         ckpt = str(tmp_path / "ckpt")
@@ -442,7 +474,7 @@ class TestStartingVersion:
         got: list = []
         q = (
             spark.readStream.format("manifest_cdc")
-            .option("starting_version", "0")
+            .option("starting_version", "1")
             .load(store)
             .writeStream.foreachBatch(
                 lambda d, b: got.extend(r.id for r in d.collect())

@@ -33,9 +33,9 @@ class TestBloomPointRead:
         hit = read_manifested(spark, path, point={"id": 2123})
         assert _files(hit) <= 2  # 1 + possible false positives
         assert hit.where("id = 2123").count() == 1
-        # sidecars exist, one per data file
-        assert len(glob.glob(f"{path}/_index/**/*.bloom",
-                             recursive=True)) == 4
+        # consolidated sidecars: ONE bloomset object per COMMIT, not one
+        # per data file (r13 — point reads issue O(commits) GETs)
+        assert len(glob.glob(f"{path}/_index/bloomset-*.json")) == 4
 
     def test_absent_value_returns_empty_with_schema(self, spark, tmp_path):
         path = str(tmp_path / "store")
@@ -88,17 +88,18 @@ class TestBloomDelete:
                 df.where(f"id >= {lo} AND id < {lo + 100}").coalesce(1),
                 path, bloom_cols=["owner"],
             )
+        # a value that never existed: bloom prunes the scan to nothing
+        # (probed BEFORE any delete — DML rewrites drop blooms)
+        res2 = delete_manifested(
+            spark, path, "owner = 'user-999'", point={"owner": "user-999"}
+        )
+        assert res2["files_rewritten"] == 0 and res2["rows_deleted"] == 0
+        assert res2["files_scanned"] == 0, "bloom must prune ALL candidates"
         # owner user-007 appears in every file: bloom keeps all 4
         res = delete_manifested(
             spark, path, "owner = 'user-007'", point={"owner": "user-007"}
         )
         assert res["rows_deleted"] == 10 and res["files_rewritten"] == 4
-        # a value that never existed: bloom prunes the scan to nothing
-        res2 = delete_manifested(
-            spark, path, "owner = 'user-999'", point={"owner": "user-999"}
-        )
-        assert res2 == {"files_rewritten": 0, "rows_deleted": 0,
-                        "version": res2["version"]}
         back = read_manifested(spark, path)
         assert back.count() == 390
         assert back.where("owner = 'user-007'").count() == 0
@@ -113,12 +114,13 @@ class TestBloomLifecycle:
                          bloom_cols=["id"])
         write_manifested(spark, spark.range(0, 60).coalesce(1), path,
                          bloom_cols=["id"], replace="all")
-        assert len(glob.glob(f"{path}/_index/**/*.bloom",
-                             recursive=True)) == 2
+        assert len(glob.glob(f"{path}/_index/bloomset-*.json")) == 2
         vacuum_manifested(spark, path, keep_versions=1,
                           orphan_grace_seconds=0.0)
-        left = glob.glob(f"{path}/_index/**/*.bloom", recursive=True)
-        assert len(left) == 1, "replaced file's sidecar must be reclaimed"
+        left = glob.glob(f"{path}/_index/bloomset-*.json")
+        assert len(left) == 1, (
+            "the replaced commit's bloomset must be reclaimed"
+        )
         # the survivor still serves point reads
         hit = read_manifested(spark, path, point={"id": 55})
         assert hit.where("id = 55").count() == 1
@@ -227,6 +229,152 @@ class TestReindex:
         assert len(hit.inputFiles()) < len(
             read_manifested(spark, path).inputFiles()
         )
+
+
+class TestConsolidatedBloomsets:
+    """r13 (r12 VERDICT task 1): a commit's per-file bitsets ride ONE
+    ``_index/bloomset-<token>.json`` object, manifest pointers are
+    ``<object>#<rel>`` — a point read issues O(commits touched) sidecar
+    GETs instead of O(files), the term that dominated a 10k-file GDPR
+    lookup on an object store (dml_scale.json r12: 10,241 GETs for one
+    read)."""
+
+    def test_point_read_gets_are_per_commit_not_per_file(
+        self, spark, tmp_path
+    ):
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        for lo in (0, 2000, 4000):  # 3 commits × 8 files
+            write_manifested(
+                spark,
+                spark.range(lo, lo + 2000).repartitionByRange(8, "id"),
+                path, bloom_cols=["id"],
+            )
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 4242})
+        assert hit.where("id = 4242").count() == 1
+        got = {
+            k: sinks._BLOOM_GETS[k] - before[k] for k in sinks._BLOOM_GETS
+        }
+        assert got == {"objects": 3, "per_file": 0}, got
+        assert _files(hit) < 24
+
+    def test_legacy_per_file_sidecars_still_served(self, spark, tmp_path):
+        """A pre-r13 store (one ``_index/<rel>.bloom`` per file) keeps
+        its point-lookup pruning: rebuild the legacy layout by hand from
+        the consolidated object, drop the object, and read."""
+        import base64
+        import json
+        import os
+
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        for lo in (0, 3600):  # 72 files: >64 exercises the distributed
+            write_manifested(  # legacy-sidecar branch, not just the loop
+                spark,
+                spark.range(lo, lo + 3600).repartitionByRange(36, "id"),
+                path, bloom_cols=["id"],
+            )
+        fs, Path, root = sinks._hadoop_fs(spark, path)
+        root_str = sinks._canon_uri(fs, root)
+        _, head, _ = sinks._manifest_head(spark, fs, Path, root_str)
+        add = []
+        for e in head["files"]:
+            obj, _, member = e["bloom"].partition("#")
+            doc = json.load(open(os.path.join(path, obj)))
+            legacy_rel = f"_index/{e['path']}.bloom"
+            target = os.path.join(path, legacy_rel)
+            os.makedirs(os.path.dirname(target), exist_ok=True)
+            with open(target, "w") as f:
+                json.dump(
+                    {"m": doc["m"], "k": doc["k"],
+                     "cols": doc["files"][member]}, f,
+                )
+            add.append((e["path"], e["bytes"], e.get("stats"), legacy_rel))
+        sinks.manifest_commit(
+            spark, path, add=add, remove=[a[0] for a in add],
+            require_remove_present=True, op="reindex", data_change=False,
+        )
+        for objpath in glob.glob(f"{path}/_index/bloomset-*.json"):
+            os.unlink(objpath)  # prove the legacy sidecars serve alone
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 1501})
+        assert hit.where("id = 1501").count() == 1
+        assert _files(hit) < 72
+        got = {
+            k: sinks._BLOOM_GETS[k] - before[k] for k in sinks._BLOOM_GETS
+        }
+        assert got == {"objects": 0, "per_file": 72}, got
+
+    def test_vacuum_keeps_partially_live_bloomset(self, spark, tmp_path):
+        """A DML rewrite replaces SOME of a commit's files: the commit's
+        bloomset must survive vacuum while ANY surviving entry still
+        points into it — and keep serving point reads."""
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 2000).repartitionByRange(4, "id"),
+            path, bloom_cols=["id"],
+        )
+        delete_manifested(spark, path, "id = 42", point={"id": 42})
+        vacuum_manifested(spark, path, keep_versions=1,
+                          orphan_grace_seconds=0.0)
+        assert len(glob.glob(f"{path}/_index/bloomset-*.json")) == 1, (
+            "3 of 4 entries still reference the commit's bloomset"
+        )
+        hit = read_manifested(spark, path, point={"id": 1503})
+        assert hit.where("id = 1503").count() == 1
+        assert _files(hit) < 4
+
+    def test_reindex_consolidates_after_compaction(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            compact_manifested, reindex_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        for lo in (0, 1000):
+            write_manifested(
+                spark,
+                spark.range(lo, lo + 1000).repartitionByRange(4, "id"),
+                path, bloom_cols=["id"],
+            )
+        assert compact_manifested(spark, path, min_files_to_compact=2)[
+            "compacted"
+        ]
+        n_objects = len(glob.glob(f"{path}/_index/bloomset-*.json"))
+        res = reindex_manifested(spark, path, ["id"])
+        assert res["reindexed"] >= 1
+        assert (
+            len(glob.glob(f"{path}/_index/bloomset-*.json"))
+            == n_objects + 1
+        ), "reindex writes ONE consolidated object for all stragglers"
+        hit = read_manifested(spark, path, point={"id": 77})
+        assert hit.where("id = 77").count() == 1
+
+
+class TestEncodedRootUri:
+    def test_percent_and_space_roots_survive_pyarrow_round_trip(
+        self, tmp_path
+    ):
+        """The r12 ADVICE finding: pyarrow's from_uri percent-DECODES
+        its input, so the DECODED _canon_uri rendering must be re-encoded
+        first — a root with a literal '%2F' or a space otherwise resolves
+        to a different (or no) path."""
+        import pyarrow.fs as pafs
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _encoded_root_uri,
+        )
+
+        root = tmp_path / "ro ot %2Fx"
+        root.mkdir()
+        (root / "probe.txt").write_bytes(b"hi")
+        fs2, p = pafs.FileSystem.from_uri(
+            _encoded_root_uri(f"file://{root}")
+        )
+        with fs2.open_input_stream(f"{p}/probe.txt") as f:
+            assert f.read() == b"hi"
 
 
 class TestHashParity:

@@ -182,7 +182,8 @@ class TestDelete:
         write_manifested(spark, spark.range(0, 5), path)
         res = delete_manifested(spark, path, "id > 1000")
         assert res == {"files_rewritten": 0, "rows_deleted": 0,
-                       "version": res["version"]}
+                       "version": res["version"],
+                       "files_scanned": res["files_scanned"]}
 
     def test_stats_skip_bounds_candidates(self, spark, tmp_path):
         path = str(tmp_path / "store")
@@ -343,3 +344,126 @@ class TestConcurrentDisjointMerges:
         )
         got = dict(_rows(read_manifested(spark, path), "id", "v"))
         assert got[10] == "m1" and got[110] == "m2" and len(got) == 100
+
+
+class TestDmlPrefixes:
+    """r13 (r12 VERDICT task 2): `prefixes=` bounds a DML op's MATCH
+    SCAN — not just its rewrite set — to the named partition slices,
+    the same manifest-side contract as read_manifested(prefixes=...).
+    Rows outside the slice are never examined, matched, or rewritten."""
+
+    def _store(self, spark, tmp_path):
+        path = str(tmp_path / "store")
+        rows = [(i, f"k-{i % 25:03d}", "old", i % 4) for i in range(400)]
+        # 25 % 4 == 1: each key has 16 rows, exactly 4 in every partition
+        df = spark.createDataFrame(
+            rows, "id long, key string, v string, p long"
+        )
+        write_manifested(
+            spark, df.repartition(8, "id"), path, partition_by=["p"],
+        )
+        return path
+
+    def _head_paths(self, spark, path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _canon_uri, _hadoop_fs, _manifest_head,
+        )
+
+        fs, Path, root = _hadoop_fs(spark, path)
+        _, head, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
+        return {e["path"] for e in head["files"]}
+
+    def test_merge_match_scan_and_rewrite_bounded(self, spark, tmp_path):
+        path = self._store(spark, tmp_path)
+        outside_before = {
+            p for p in self._head_paths(spark, path)
+            if not p.startswith("p=1/")
+        }
+        # key k-013 exists in EVERY partition; the caller scopes the
+        # merge to p=1 and asserts that's where the fix belongs
+        upd = spark.createDataFrame(
+            [(9999, "k-013", "new", 1)],
+            "id long, key string, v string, p long",
+        )
+        res = merge_manifested(
+            spark, upd, path, key="key", prefixes=["p=1/"]
+        )
+        assert res["rows_matched"] == 4  # only p=1's four k-013 rows
+        back = read_manifested(spark, path)
+        assert back.where("key = 'k-013' AND p = 1 AND v = 'new'").count() == 1
+        # copies outside the slice were never examined — still 'old'
+        assert back.where("key = 'k-013' AND p != 1").count() == 12
+        assert (
+            back.where("key = 'k-013' AND p != 1 AND v = 'old'").count()
+            == 12
+        )
+        # and their files were never rewritten
+        outside_after = {
+            p for p in self._head_paths(spark, path)
+            if not p.startswith("p=1/")
+        }
+        assert outside_after == outside_before
+
+    def test_delete_bounded_to_slice(self, spark, tmp_path):
+        path = self._store(spark, tmp_path)
+        outside_before = {
+            p for p in self._head_paths(spark, path)
+            if not p.startswith("p=2/")
+        }
+        res = delete_manifested(
+            spark, path, "key = 'k-007'", prefixes=["p=2/"]
+        )
+        assert res["rows_deleted"] == 4
+        back = read_manifested(spark, path)
+        assert back.where("key = 'k-007' AND p = 2").count() == 0
+        assert back.where("key = 'k-007' AND p != 2").count() == 12
+        outside_after = {
+            p for p in self._head_paths(spark, path)
+            if not p.startswith("p=2/")
+        }
+        assert outside_after == outside_before
+
+    def test_update_bounded_to_slice(self, spark, tmp_path):
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = self._store(spark, tmp_path)
+        res = update_manifested(
+            spark, path, "key = 'k-020'", {"v": "'patched'"},
+            prefixes=["p=0/"],
+        )
+        assert res["rows_updated"] == 4
+        back = read_manifested(spark, path)
+        assert back.where("v = 'patched'").count() == 4
+        assert back.where("key = 'k-020' AND v = 'old' AND p != 0").count() == 12
+
+
+class TestMergeBroadcastGuard:
+    def test_large_update_set_takes_the_shuffle_path(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r12 VERDICT design note 1: above _MERGE_BROADCAST_MAX_KEYS
+        the update-key relation must NOT be broadcast (a huge updates
+        side would OOM the broadcast) — the merge degrades to a plain
+        shuffle semijoin with identical results. >10k keys through the
+        non-broadcast path, threshold pinned below the key count."""
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        base = spark.range(0, 30_000).withColumn("v", F.lit("old"))
+        write_manifested(spark, base.repartitionByRange(6, "id"), path,
+                         stats_cols=["id"])
+        monkeypatch.setattr(sinks, "_MERGE_BROADCAST_MAX_KEYS", 100)
+        updates = (
+            spark.range(0, 10_050)
+            .select((F.col("id") * 2).alias("id"))  # 10,050 keys, even ids
+            .withColumn("v", F.lit("new"))
+        )
+        res = merge_manifested(spark, updates, path, key="id")
+        assert res["updates_rows"] == 10_050
+        # every update key (even ids 0..20,098) exists in the store
+        assert res["rows_matched"] == 10_050
+        back = read_manifested(spark, path)
+        assert back.where("v = 'new'").count() == 10_050
+        assert back.count() == 30_000

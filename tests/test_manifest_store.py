@@ -1213,3 +1213,79 @@ class TestSpecialCharPartitionValues:
             (r.id, r.p) for r in read_manifested(spark, path).collect()
         )
         assert got == [(2, "中文"), (3, "ok"), (4, None)]
+
+
+class TestLogTypedReads:
+    """r13 (two r12 ADVICE findings): reads get the LOG's declared
+    schema, so (a) partition dir values parse at their declared types
+    directly — no lossy infer-then-cast-back ('007' must stay '007' for
+    a string partition column), agreeing with the CDC source; and (b)
+    the sticky 'parts' record survives appends that don't restate the
+    layout."""
+
+    def test_noncanonical_string_partition_value_roundtrips(
+        self, spark, tmp_path
+    ):
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, "007"), (2, "east"), (3, "12")], "id long, region string"
+        )
+        write_manifested(spark, df, path, partition_by=["region"])
+        got = sorted(
+            (r.id, r.region)
+            for r in read_manifested(spark, path).collect()
+        )
+        assert got == [(1, "007"), (2, "east"), (3, "12")], (
+            "'007' must not round-trip through long 7 to '7'"
+        )
+        # the all-digit SLICE alone must also stay string-typed ('007',
+        # not 7): pre-r13 this read inferred long from the one dir name
+        one = read_manifested(spark, path, prefixes=["region=007/"])
+        assert [(r.id, r.region) for r in one.collect()] == [(1, "007")]
+        assert dict(one.dtypes)["region"] == "string"
+
+    def test_plain_append_keeps_sticky_parts(self, spark, tmp_path):
+        import glob
+        import json as _json
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            delete_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, "007"), (2, "east")], "id long, region string"
+        )
+        write_manifested(spark, df, path, partition_by=["region"])
+        # a plain append that does NOT restate the layout (the r12
+        # ADVICE finding: this used to clobber 'parts' with []) — the
+        # row lands unpartitioned; delete it again so the final read is
+        # over the partitioned files (DML restates nothing either)
+        extra = spark.createDataFrame([(9, "west")], "id long, region string")
+        write_manifested(spark, extra, path)
+        delete_manifested(spark, path, "id = 9", prefixes=["data-"])
+        heads = sorted(glob.glob(f"{path}/_manifests/*.json"))
+        doc = _json.load(open(heads[-1]))
+        assert doc.get("parts") == ["region"], doc.get("parts")
+        got = sorted(
+            (r.id, r.region)
+            for r in read_manifested(spark, path).collect()
+        )
+        assert got == [(1, "007"), (2, "east")]
+
+    def test_replace_all_unpartitioned_resets_parts(self, spark, tmp_path):
+        import glob
+        import json as _json
+
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame([(1, "a")], "id long, region string")
+        write_manifested(spark, df, path, partition_by=["region"])
+        write_manifested(
+            spark, spark.range(0, 3), path, replace="all"
+        )  # flattens the layout: parts must reset to []
+        heads = sorted(glob.glob(f"{path}/_manifests/*.json"))
+        doc = _json.load(open(heads[-1]))
+        assert doc.get("parts") == []
+        assert sorted(
+            r.id for r in read_manifested(spark, path).collect()
+        ) == [0, 1, 2]

@@ -165,7 +165,7 @@ def main():
                 for q in shared
             },
         }
-        outdir = os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r12")
+        outdir = os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r13")
         os.makedirs(os.path.join(REPO, outdir), exist_ok=True)
         path = os.path.join(REPO, outdir, "bench_ab.json")
         with open(path, "w") as f:

@@ -151,11 +151,13 @@ def main():
                 r["legs"][leg]["sec"] for r in runs[side]
                 if leg in r["legs"]
             )
+            n = len(vals)
             return {
-                "min": vals[0], "median": vals[len(vals) // 2],
+                "min": vals[0], "median": vals[n // 2],
                 "max": vals[-1],
+                "q1": vals[n // 4], "q3": vals[(3 * n) // 4],
                 "spread_pct_of_median": round(
-                    100 * (vals[-1] - vals[0]) / vals[len(vals) // 2], 1
+                    100 * (vals[-1] - vals[0]) / vals[n // 2], 1
                 ),
             }
 
@@ -165,18 +167,37 @@ def main():
         }
 
         def verdict(leg):
+            # r13 (r12 VERDICT task 3): the min/max worst-case interval
+            # only WIDENS with reps — outlier-dominated, so "add reps"
+            # could never converge. At >=8 reps/side the interval is
+            # quartile-based (q1_b/q3_a .. q3_b/q1_a): half the mass on
+            # each side must agree, the standard robust-CI shape; the
+            # full min/max spread stays printed alongside. Below 8 reps
+            # the old worst-case rule applies unchanged.
             sa, sb = leg_spread[leg]["a"], leg_spread[leg]["b"]
-            lo = sb["min"] / sa["max"] if sa["max"] > 0 else None
-            hi = sb["max"] / sa["min"] if sa["min"] > 0 else None
+            robust = reps >= 8
+            a_hi, a_lo = (
+                (sa["q3"], sa["q1"]) if robust else (sa["max"], sa["min"])
+            )
+            b_hi, b_lo = (
+                (sb["q3"], sb["q1"]) if robust else (sb["max"], sb["min"])
+            )
+            lo = b_lo / a_hi if a_hi > 0 else None
+            hi = b_hi / a_lo if a_lo > 0 else None
+            kind = "iqr" if robust else "minmax"
             if lo is None or hi is None:
                 return "unmeasurable"
             if lo >= 1.0 or hi <= 1.0:
-                return f"stable ({round(lo,2)}..{round(hi,2)})"
+                return f"stable [{kind}] ({round(lo,2)}..{round(hi,2)})"
             if 0.9 <= lo and hi <= 1.1:
-                return f"stable parity ({round(lo,2)}..{round(hi,2)})"
+                return (
+                    f"stable parity [{kind}] "
+                    f"({round(lo,2)}..{round(hi,2)})"
+                )
             return (
-                f"unstable: ratio interval {round(lo,2)}..{round(hi,2)} "
-                f"straddles 1.0 — add reps before concluding"
+                f"unstable: {kind} ratio interval "
+                f"{round(lo,2)}..{round(hi,2)} straddles 1.0 — add reps "
+                f"before concluding"
             )
 
         verdicts = {leg: verdict(leg) for leg in shared}
@@ -206,7 +227,7 @@ def main():
             "semantic_reps_outcome_pin": reps_pin,
         }
         outdir = os.path.join(
-            REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r12")
+            REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r13")
         )
         os.makedirs(outdir, exist_ok=True)
         path = os.path.join(outdir, f"stream_ab_{tag}.json")

@@ -37,6 +37,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from aeon_sleap_processing_spark.session import get_spark  # noqa: E402
+from aeon_sleap_processing_spark.sources import sinks  # noqa: E402
 from aeon_sleap_processing_spark.sources.sinks import (  # noqa: E402
     delete_manifested, merge_manifested, read_manifested,
     write_manifested,
@@ -99,6 +100,7 @@ def main():
 
         # (d)+(a) — point lookup then GDPR delete of one doc_id
         target = f"doc-{(n_files // 2) * rows + 7:09d}"
+        gets0 = dict(sinks._BLOOM_GETS)
         t0 = time.perf_counter()
         hit = read_manifested(spark, store, point={"doc_id": target})
         n = hit.where(F.col("doc_id") == target).count()
@@ -120,6 +122,12 @@ def main():
             "sec": round(point_read_sec, 2),
             "files_scanned": files_scanned,
             "files_total": n_files + 1,
+            # r13: consolidated bloomsets — GETs are O(commits), not
+            # O(files); r12 measured 10,241 per-file sidecar reads here
+            "sidecar_gets": {
+                k: sinks._BLOOM_GETS[k] - gets0[k]
+                for k in sinks._BLOOM_GETS
+            },
             "sidecar_bytes_tested": sidecar_bytes,
             "data_bytes_avoided": data_bytes,
             "read_amplification_vs_fullscan": round(
@@ -137,6 +145,7 @@ def main():
             "sec": round(time.perf_counter() - t0, 2),
             "files_rewritten": dres["files_rewritten"],
             "rows_deleted": dres["rows_deleted"],
+            "files_scanned": dres["files_scanned"],
         }
         print("gdpr delete:", out["gdpr_point_delete"], flush=True)
 
@@ -152,6 +161,7 @@ def main():
             "sec": round(time.perf_counter() - t0, 2),
             "files_rewritten": mres["files_rewritten"],
             "rows_matched": mres["rows_matched"],
+            "files_scanned": mres["files_scanned"],
         }
         print("100-key merge:", out["merge_100_keys_bloom"], flush=True)
 
@@ -168,14 +178,36 @@ def main():
             "sec": round(time.perf_counter() - t0, 2),
             "files_rewritten": mres["files_rewritten"],
             "rows_matched": mres["rows_matched"],
+            "files_scanned": mres["files_scanned"],
             "note": "match scan is O(store) without stats/bloom on the "
                     "key; rewrite bounded by the hot key's files "
                     f"(p=0 holds {files_per_part} of {n_files})",
         }
         print("skewed merge:", out["merge_skewed_hot_key"], flush=True)
 
+        # (b2) the r12 VERDICT escape hatch: the SAME hot key merged
+        # with prefixes=["p=0/"] — the match scan is bounded to the
+        # partition the caller knows the key lives in, not the store
+        upd = spark.createDataFrame(
+            [("host-hot", "doc-hot-2")], "host string, doc_id string"
+        )
+        t0 = time.perf_counter()
+        mres = merge_manifested(
+            spark, upd, store, "host", prefixes=["p=0/"]
+        )
+        out["merge_skewed_hot_key_prefixed"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "files_rewritten": mres["files_rewritten"],
+            "rows_matched": mres["rows_matched"],
+            "files_scanned": mres["files_scanned"],
+            "note": "same key, match scan bounded by prefixes=['p=0/'] "
+                    f"to {files_per_part} files instead of {n_files}",
+        }
+        print("skewed merge (prefixed):",
+              out["merge_skewed_hot_key_prefixed"], flush=True)
+
         outdir = os.path.join(
-            REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r12")
+            REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r13")
         )
         os.makedirs(outdir, exist_ok=True)
         path = os.path.join(outdir, "dml_scale.json")
