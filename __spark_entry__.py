@@ -1875,6 +1875,13 @@ def _q_manifest_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk.update_manifested(
         spark, path, "n_chars > 300", set={"n_chars": "n_chars + 1000"}
     )
+    # partition-pruned DML (r13): the caller knows the rows live under
+    # lang=en/, so BOTH the match scan and the rewrite are bounded to
+    # that slice — the oracle states the same thing as lang='en'
+    sk.update_manifested(
+        spark, path, "n_chars < 100", set={"source": "'short-en'"},
+        prefixes=["lang=en/"],
+    )
     upserts = (
         base.where("doc_id % 10 = 7")
         .withColumn("source", F.lit("upsert"))
@@ -4372,6 +4379,15 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
                           ELSE n_chars END AS n_chars
               FROM after_delete
             ),
+            -- the partition-pruned UPDATE (prefixes=["lang=en/"]):
+            -- equivalent to scoping the predicate to lang = 'en'
+            after_update2 AS (
+              SELECT doc_id, lang,
+                     CASE WHEN lang = 'en' AND n_chars < 100
+                          THEN 'short-en' ELSE source END AS source,
+                     n_chars
+              FROM after_update
+            ),
             merge_src AS (
               SELECT doc_id, lang, 'upsert' AS source,
                      CAST(0 AS BIGINT) AS n_chars
@@ -4381,7 +4397,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
               FROM base WHERE doc_id % 10 = 1
             ),
             final AS (
-              SELECT * FROM after_update
+              SELECT * FROM after_update2
               WHERE doc_id NOT IN (SELECT doc_id FROM merge_src)
               UNION ALL
               SELECT * FROM merge_src

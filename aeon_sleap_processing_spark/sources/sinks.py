@@ -1197,13 +1197,20 @@ def _bloom_filter_rels(
     _BLOOM_GETS["per_file"] += len(legacy)
 
     if consolidated:
-        def _read_obj(obj: str) -> dict:
-            if local_root is not None:
-                with open(os.path.join(local_root, obj)) as f:
-                    return json.load(f)
-            return json.loads(
-                _manifest_read_text(spark, fs, Path(f"{root_str}/{obj}"))
-            )
+        def _read_obj(obj: str) -> dict | None:
+            # a missing/corrupt index object is a lost OPTIMIZATION, not
+            # an error: every member file is conservatively kept (the
+            # row predicate stays authoritative) — same degradation
+            # rule as a file with no bloom at all
+            try:
+                if local_root is not None:
+                    with open(os.path.join(local_root, obj)) as f:
+                        return json.load(f)
+                return json.loads(
+                    _manifest_read_text(spark, fs, Path(f"{root_str}/{obj}"))
+                )
+            except Exception:
+                return None
 
         objs = list(consolidated)
         if len(objs) > 4:
@@ -1215,11 +1222,11 @@ def _bloom_filter_rels(
             docs = {o: _read_obj(o) for o in objs}
         for obj, members in consolidated.items():
             doc = docs[obj]
-            per_file = doc.get("files", {})
+            per_file = {} if doc is None else doc.get("files", {})
             for rel, member in members:
                 cols = per_file.get(member)
                 if cols is None or _test(doc["m"], cols):
-                    out.add(rel)  # missing member — conservative keep
+                    out.add(rel)  # missing member/object — keep
 
     if not legacy:
         return out
@@ -2151,7 +2158,15 @@ def merge_manifested(
         rows_matched = old.count() - survivors.count()
         new_df = survivors.unionByName(updates, allowMissingColumns=True)
     else:
+        # pure insert: no survivors to union with, so partition columns
+        # the updates omit must be added explicitly as NULL — the same
+        # default-partition landing the union path gives them (without
+        # this, staging raises 'partition column not found' whenever an
+        # insert-only merge omits the layout columns)
         new_df = updates
+        for c in partition_by or []:
+            if c not in new_df.columns:
+                new_df = new_df.withColumn(c, F.lit(None).cast("string"))
     adds, add_stats, _, _ = _stage_files(
         spark, new_df, fs, Path, root_str, partition_by or None, "",
         stats_cols or None,
@@ -2458,6 +2473,84 @@ def reindex_manifested(
         # an orphan for vacuum; the next reindex covers the new head
         return {"reindexed": 0, "version": head_v, "conflict": True}
     return {"reindexed": len(add), "version": v}
+
+
+def consolidate_bloom_sidecars(spark: SparkSession, path: str) -> dict:
+    """Migrate LEGACY per-file bloom sidecars (``_index/<rel>.bloom``,
+    one tiny object each — pre-r13 stores) into consolidated bloomset
+    objects, re-pointing the manifest entries in ONE ``data_change=
+    False`` commit: afterwards a point read issues O(bloomset objects)
+    GETs instead of O(files), the same contract new writes get. Zero
+    data I/O — the bitsets are read from the old sidecars, never
+    recomputed; the old sidecars become vacuum orphans. One object per
+    distinct bloom size ``m`` (a store reindexed with different
+    ``bloom_bits`` over its life migrates into one object per size).
+    Idempotent; safe to run any time (``maintain()`` runs it after
+    reindex). Returns {"consolidated", "objects", "version"}."""
+    import uuid
+
+    fs, Path, root = _hadoop_fs(spark, path)
+    root_str = _canon_uri(fs, root)
+    head_v, head, _ = _manifest_head(spark, fs, Path, root_str)
+    if head is None:
+        raise FileNotFoundError(f"no manifest under {path}")
+    legacy = [
+        e for e in head["files"]
+        if "bloom" in e and "#" not in e["bloom"]
+    ]
+    if not legacy:
+        return {"consolidated": 0, "objects": 0, "version": head_v}
+    local_root = None
+    if root_str.startswith("file:") and not root_str.startswith("file://"):
+        local_root = root_str[len("file:"):]
+
+    def _read(e) -> dict:
+        if local_root is not None:
+            with open(os.path.join(local_root, e["bloom"])) as f:
+                return json.load(f)
+        return json.loads(
+            _manifest_read_text(spark, fs, Path(f"{root_str}/{e['bloom']}"))
+        )
+
+    if len(legacy) > 8:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            docs = list(pool.map(_read, legacy))
+    else:
+        docs = [_read(e) for e in legacy]
+    by_m: dict[int, dict[str, dict]] = {}
+    k_by_m: dict[int, int] = {}
+    for e, doc in zip(legacy, docs):
+        by_m.setdefault(doc["m"], {})[e["path"]] = doc["cols"]
+        k_by_m[doc["m"]] = doc.get("k", _BLOOM_K)
+    rfs = _raw_fs(fs)
+    rfs.mkdirs(Path(f"{root_str}/{_BLOOM_DIR}"))
+    by_rel = {e["path"]: e for e in legacy}
+    add: list[tuple] = []
+    for m, files in by_m.items():
+        obj = f"{_BLOOM_DIR}/bloomset-{uuid.uuid4().hex}.json"
+        out = rfs.create(Path(f"{root_str}/{obj}"), True)
+        try:
+            out.write(bytearray(json.dumps(
+                {"m": m, "k": k_by_m[m], "files": files}
+            ).encode()))
+        finally:
+            out.close()
+        for rel in files:
+            e = by_rel[rel]
+            add.append((rel, e["bytes"], e.get("stats"), f"{obj}#{rel}"))
+    try:
+        v = manifest_commit(
+            spark, path, add=add, remove=[rel for rel, *_ in add],
+            require_remove_present=True, op="reindex", data_change=False,
+        )
+    except ManifestConflict:
+        # a concurrent commit replaced a migrated file — its new object
+        # is an orphan for vacuum; the next pass covers the new head
+        return {"consolidated": 0, "objects": 0, "version": head_v,
+                "conflict": True}
+    return {"consolidated": len(add), "objects": len(by_m), "version": v}
 
 
 def restore_manifested(
@@ -3021,6 +3114,11 @@ def maintain(
         # restore point-lookup coverage the rewrites above dropped —
         # metadata-only, scans only un-bloomed files, CDC-invisible
         report["reindex"] = reindex_manifested(spark, path, bloom_cols)
+        # migrate any pre-r13 per-file sidecars to consolidated objects
+        # (no-op on new stores; metadata-only, CDC-invisible)
+        legacy_rep = consolidate_bloom_sidecars(spark, path)
+        if legacy_rep["consolidated"]:
+            report["consolidate_blooms"] = legacy_rep
     report["vacuum"] = vacuum_manifested(
         spark, path, keep_versions=keep_versions,
         orphan_grace_seconds=orphan_grace_seconds,

@@ -20,6 +20,40 @@ def _files(df) -> int:
     return len(df.inputFiles())
 
 
+def _to_legacy_layout(spark, path):
+    """Rebuild the pre-r13 per-file sidecar layout by hand from the
+    consolidated objects, re-point the manifest, drop the objects."""
+    import json
+    import os
+
+    from aeon_sleap_processing_spark.sources import sinks
+
+    fs, Path, root = sinks._hadoop_fs(spark, path)
+    root_str = sinks._canon_uri(fs, root)
+    _, head, _ = sinks._manifest_head(spark, fs, Path, root_str)
+    add = []
+    for e in head["files"]:
+        obj, _, member = e["bloom"].partition("#")
+        doc = json.load(open(os.path.join(path, obj)))
+        legacy_rel = f"_index/{e['path']}.bloom"
+        target = os.path.join(path, legacy_rel)
+        os.makedirs(os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            json.dump(
+                {"m": doc["m"], "k": doc["k"],
+                 "cols": doc["files"][member]}, f,
+            )
+        add.append((e["path"], e["bytes"], e.get("stats"), legacy_rel))
+    sinks.manifest_commit(
+        spark, path, add=add, remove=[a[0] for a in add],
+        require_remove_present=True, op="reindex", data_change=False,
+    )
+    for objpath in glob.glob(f"{path}/_index/bloomset-*.json"):
+        os.unlink(objpath)
+    return len(add)
+
+
+
 class TestBloomPointRead:
     def test_point_read_touches_one_file(self, spark, tmp_path):
         path = str(tmp_path / "store")
@@ -264,10 +298,6 @@ class TestConsolidatedBloomsets:
         """A pre-r13 store (one ``_index/<rel>.bloom`` per file) keeps
         its point-lookup pruning: rebuild the legacy layout by hand from
         the consolidated object, drop the object, and read."""
-        import base64
-        import json
-        import os
-
         from aeon_sleap_processing_spark.sources import sinks
 
         path = str(tmp_path / "store")
@@ -277,28 +307,7 @@ class TestConsolidatedBloomsets:
                 spark.range(lo, lo + 3600).repartitionByRange(36, "id"),
                 path, bloom_cols=["id"],
             )
-        fs, Path, root = sinks._hadoop_fs(spark, path)
-        root_str = sinks._canon_uri(fs, root)
-        _, head, _ = sinks._manifest_head(spark, fs, Path, root_str)
-        add = []
-        for e in head["files"]:
-            obj, _, member = e["bloom"].partition("#")
-            doc = json.load(open(os.path.join(path, obj)))
-            legacy_rel = f"_index/{e['path']}.bloom"
-            target = os.path.join(path, legacy_rel)
-            os.makedirs(os.path.dirname(target), exist_ok=True)
-            with open(target, "w") as f:
-                json.dump(
-                    {"m": doc["m"], "k": doc["k"],
-                     "cols": doc["files"][member]}, f,
-                )
-            add.append((e["path"], e["bytes"], e.get("stats"), legacy_rel))
-        sinks.manifest_commit(
-            spark, path, add=add, remove=[a[0] for a in add],
-            require_remove_present=True, op="reindex", data_change=False,
-        )
-        for objpath in glob.glob(f"{path}/_index/bloomset-*.json"):
-            os.unlink(objpath)  # prove the legacy sidecars serve alone
+        assert _to_legacy_layout(spark, path) == 72
         before = dict(sinks._BLOOM_GETS)
         hit = read_manifested(spark, path, point={"id": 1501})
         assert hit.where("id = 1501").count() == 1
@@ -307,6 +316,29 @@ class TestConsolidatedBloomsets:
             k: sinks._BLOOM_GETS[k] - before[k] for k in sinks._BLOOM_GETS
         }
         assert got == {"objects": 0, "per_file": 72}, got
+        # r13 migration: ONE metadata-only commit re-points everything
+        # into one consolidated object; point reads drop to 1 GET
+        res = sinks.consolidate_bloom_sidecars(spark, path)
+        assert res["consolidated"] == 72 and res["objects"] == 1
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 1501})
+        assert hit.where("id = 1501").count() == 1
+        got = {
+            k: sinks._BLOOM_GETS[k] - before[k] for k in sinks._BLOOM_GETS
+        }
+        assert got == {"objects": 1, "per_file": 0}, got
+        # idempotent; legacy sidecars are now vacuum orphans
+        assert sinks.consolidate_bloom_sidecars(spark, path)[
+            "consolidated"
+        ] == 0
+        from aeon_sleap_processing_spark.sources.sinks import (
+            vacuum_manifested as _vac,
+        )
+
+        _vac(spark, path, keep_versions=1, orphan_grace_seconds=0.0)
+        assert not glob.glob(f"{path}/_index/**/*.bloom", recursive=True)
+        hit = read_manifested(spark, path, point={"id": 1501})
+        assert hit.where("id = 1501").count() == 1
 
     def test_vacuum_keeps_partially_live_bloomset(self, spark, tmp_path):
         """A DML rewrite replaces SOME of a commit's files: the commit's
@@ -351,6 +383,27 @@ class TestConsolidatedBloomsets:
         ), "reindex writes ONE consolidated object for all stragglers"
         hit = read_manifested(spark, path, point={"id": 77})
         assert hit.where("id = 77").count() == 1
+
+
+class TestCorruptIndexObject:
+    def test_missing_bloomset_degrades_to_conservative_keep(
+        self, spark, tmp_path
+    ):
+        """A damaged/missing index object is a lost optimization, not
+        an error: every member file is kept and the row predicate stays
+        authoritative."""
+        import os
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 1000).repartitionByRange(4, "id"),
+            path, bloom_cols=["id"],
+        )
+        for obj in glob.glob(f"{path}/_index/bloomset-*.json"):
+            os.unlink(obj)
+        hit = read_manifested(spark, path, point={"id": 123})
+        assert _files(hit) == 4  # nothing pruned — nothing lost
+        assert hit.where("id = 123").count() == 1
 
 
 class TestEncodedRootUri:

@@ -311,6 +311,26 @@ class TestUpdate:
         assert res["files_rewritten"] == 1
 
 
+class TestInsertOnlyMergePartitioned:
+    def test_insert_only_merge_without_partition_column(
+        self, spark, tmp_path
+    ):
+        """r13 regression (found by measure_dml_scale's prefixed leg):
+        a MERGE that matches nothing and whose updates omit the store's
+        partition column must land the inserts in the default partition
+        (NULL), exactly where the union-with-survivors path puts them —
+        not crash staging with 'partition column not found'."""
+        path = str(tmp_path / "store")
+        df = spark.range(0, 20).withColumn("p", F.pmod("id", F.lit(2)))
+        write_manifested(spark, df, path, partition_by=["p"])
+        ins = spark.createDataFrame([(500,)], "id long")
+        res = merge_manifested(spark, ins, path, key="id")
+        assert res["rows_matched"] == 0 and res["files_rewritten"] == 0
+        back = read_manifested(spark, path)
+        assert back.count() == 21
+        assert back.where("id = 500 AND p IS NULL").count() == 1
+
+
 class TestConcurrentDisjointMerges:
     def test_disjoint_key_merges_both_land(self, spark, tmp_path):
         """Two merges touching DIFFERENT files racing at the commit: the

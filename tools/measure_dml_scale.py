@@ -169,8 +169,8 @@ def main():
         # p=0 file (match scan O(store): no stats/bloom on host;
         # rewrite bounded by p=0's files)
         upd = spark.createDataFrame(
-            [("host-hot", "doc-hot-replacement")],
-            "host string, doc_id string",
+            [("host-hot", "doc-hot-replacement", 0)],
+            "host string, doc_id string, p int",
         )
         t0 = time.perf_counter()
         mres = merge_manifested(spark, upd, store, "host")
@@ -189,7 +189,8 @@ def main():
         # with prefixes=["p=0/"] — the match scan is bounded to the
         # partition the caller knows the key lives in, not the store
         upd = spark.createDataFrame(
-            [("host-hot", "doc-hot-2")], "host string, doc_id string"
+            [("host-hot", "doc-hot-2", 0)],
+            "host string, doc_id string, p int",
         )
         t0 = time.perf_counter()
         mres = merge_manifested(
@@ -201,7 +202,9 @@ def main():
             "rows_matched": mres["rows_matched"],
             "files_scanned": mres["files_scanned"],
             "note": "same key, match scan bounded by prefixes=['p=0/'] "
-                    f"to {files_per_part} files instead of {n_files}",
+                    f"to the hot partition's {mres['files_scanned']} "
+                    f"current files (leg (b)'s rewrite compacted p=0) "
+                    f"instead of the whole store",
         }
         print("skewed merge (prefixed):",
               out["merge_skewed_hot_key_prefixed"], flush=True)
