@@ -1687,40 +1687,75 @@ def read_manifested(
                 e for e in kept if "bloom" not in e or e["path"] in ok
             ]
     reader = spark.read.option("basePath", root_str)
-    if doc_schema is not None:
-        # the log records the running-union schema (manifest_commit
-        # schema=): give it to the reader directly, on EVERY read, not
-        # just merge_schema ones —
-        # (1) zero planning-time footer I/O (no schema inference), the
-        #     term that grows with the store;
-        # (2) partition-directory values parse AT THEIR DECLARED TYPES
-        #     straight from the raw dir string, instead of Spark's
-        #     lossy infer-then-cast-back (the r12 ADVICE finding: a
-        #     string partition value '007' was inferred long 7 and cast
-        #     back to '7', diverging from the write-time value and from
-        #     the CDC source, which parses raw dir strings at the
-        #     declared type);
-        # (3) evolved columns read NULL on pre-evolution files (the
-        #     add-column semantics) deterministically, rather than the
-        #     read's schema depending on which file Spark probes.
-        # Version-pinned reads get the schema AS OF that version (time
-        # travel applies to the schema too, the table-format rule).
-        from pyspark.sql.types import StructType as _ST
+    # raw-dir partition parsing needs the declared types to cast to
+    typed_parts = doc_parts if isinstance(doc_schema, dict) else None
+    if merge_schema:
+        if doc_schema is not None:
+            # the log records the running-union schema (manifest_commit
+            # schema=): give it to the reader directly — the union read
+            # costs ZERO planning-time footer I/O instead of one footer
+            # per selected file, the term that grows with the store.
+            # Version-pinned reads get the schema AS OF that version
+            # (time travel applies to the schema too, the table-format
+            # rule). Pre-upgrade stores fall back to footer merging.
+            # NOT applied to plain reads: a chunk store legitimately
+            # holds STREAMS with conflicting same-named column types
+            # (pose double vs blob long), and the union schema would
+            # fail their slice reads — merge_schema is the caller's
+            # assertion that one union schema fits the selection.
+            from pyspark.sql.types import StructType as _ST
 
-        reader = reader.schema(_ST.fromJson(doc_schema))
-    elif merge_schema:
-        # pre-upgrade store (no schema doc in the log): footer merging
-        reader = reader.option("mergeSchema", "true")
+            reader = reader.schema(_ST.fromJson(doc_schema))
+        else:
+            reader = reader.option("mergeSchema", "true")
     if not kept:
-        # valid empty answer: schema from the log, or one file's footer
-        probe = reader.parquet(f"{root_str}/{entries[0]['path']}")
+        # valid empty answer: derive the schema from one real file
+        probe = _read_rawpart(
+            spark, reader, [f"{root_str}/{entries[0]['path']}"],
+            typed_parts,
+        )
         return _cast_partition_types(
             probe.where(F.lit(False)), doc_schema, doc_parts
         )
     return _cast_partition_types(
-        reader.parquet(*[f"{root_str}/{f['path']}" for f in kept]),
+        _read_rawpart(
+            spark, reader,
+            [f"{root_str}/{f['path']}" for f in kept], typed_parts,
+        ),
         doc_schema, doc_parts,
     )
+
+
+# serializes the partition-inference toggle below within this process;
+# reads on OTHER processes/sessions are unaffected (the conf is session-
+# scoped and restored before the DataFrame is returned)
+_PART_INFER_LOCK = __import__("threading").Lock()
+
+
+def _read_rawpart(spark, reader, paths: list[str], doc_parts):
+    """Construct the parquet scan with partition-column TYPE INFERENCE
+    disabled whenever the log records the layout (``doc_parts``):
+    partition values then surface as the RAW Hive dir strings and
+    :func:`_cast_partition_types` parses them at their DECLARED types —
+    the exact semantics of the CDC source's `_const_column`. Spark's
+    default infer-then-cast-back is lossy for non-canonical values (the
+    r12 ADVICE finding: a string partition value '007' was inferred
+    long 7 and cast back to '7', silently diverging from the write-time
+    value). Partition discovery happens eagerly at ``reader.parquet``
+    time, so the conf toggle is scoped to plan CONSTRUCTION only and
+    restored immediately (lock-serialized in-process). Only active when
+    the declared types are actually recoverable (parts AND schema in
+    the log) — otherwise Spark's inference behavior is preserved."""
+    if not doc_parts:
+        return reader.parquet(*paths)
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    with _PART_INFER_LOCK:
+        prev = spark.conf.get(key, "true")
+        try:
+            spark.conf.set(key, "false")
+            return reader.parquet(*paths)
+        finally:
+            spark.conf.set(key, prev)
 
 
 def _cast_partition_types(df, doc_schema, doc_parts):
@@ -1956,22 +1991,26 @@ def read_manifested_changes(
         )
     reader = spark.read.option("basePath", root_str)
     d_until = _manifest_doc(spark, fs, Path, root_str, until_version) or {}
-    if isinstance(d_until.get("schema"), dict):
-        # union schema FROM THE LOG as of until_version, on EVERY read
-        # (same rationale as read_manifested): zero planning-time footer
-        # I/O, partition dir values parse at their declared types (no
-        # lossy infer-then-cast-back), evolved columns read NULL
-        # deterministically; the doc's running union covers every file
-        # ≤ until_version
-        from pyspark.sql.types import StructType as _ST
+    if merge_schema:
+        if isinstance(d_until.get("schema"), dict):
+            # union schema FROM THE LOG as of until_version — zero
+            # planning-time footer I/O, same as read_manifested; the
+            # doc's running union covers every file ≤ until_version.
+            # Opt-in only (see read_manifested): a heterogeneous chunk
+            # store's union schema would fail slice reads.
+            from pyspark.sql.types import StructType as _ST
 
-        reader = reader.schema(_ST.fromJson(d_until["schema"]))
-    elif merge_schema:
-        reader = reader.option("mergeSchema", "true")
+            reader = reader.schema(_ST.fromJson(d_until["schema"]))
+        else:
+            reader = reader.option("mergeSchema", "true")
+    typed_parts = (
+        d_until.get("parts")
+        if isinstance(d_until.get("schema"), dict) else None
+    )
     return (
         _cast_partition_types(
-            reader.parquet(*uris), d_until.get("schema"),
-            d_until.get("parts"),
+            _read_rawpart(spark, reader, uris, typed_parts),
+            d_until.get("schema"), d_until.get("parts"),
         ),
         until_version,
     )
@@ -2010,6 +2049,28 @@ def _touched_rel_paths(spark, fs, Path, root_str, uris) -> list[str]:
         cu = _canon_uri(fs, Path(unquote(u)))
         rels.append(cu[len(root_str):].strip("/"))
     return rels
+
+
+def _dml_read(spark, root_str: str, rels: list[str], head: dict,
+              merge_schema: bool = True):
+    """Candidate/touched-file read for the DML paths: basePath read with
+    partition values parsed RAW then cast to their log-declared types
+    (the same discipline as read_manifested). Without it, a rewrite of
+    a store whose string partition value is all-digit ('007') re-infers
+    long and re-stages the dir as region=7 — silently RENAMING the
+    partition on disk."""
+    reader = spark.read.option("basePath", root_str)
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    doc_schema = (head or {}).get("schema")
+    doc_parts = (head or {}).get("parts")
+    typed = doc_parts if isinstance(doc_schema, dict) else None
+    return _cast_partition_types(
+        _read_rawpart(
+            spark, reader, [f"{root_str}/{r}" for r in rels], typed
+        ),
+        doc_schema, doc_parts,
+    )
 
 
 # MERGE broadcasts its update-key relation for the match scan; above
@@ -2139,8 +2200,9 @@ def merge_manifested(
         ukeys_join = ukeys
     touched_rel: list[str] = []
     if candidates:
-        cand = spark.read.option("basePath", root_str).parquet(
-            *[f"{root_str}/{e['path']}" for e in candidates]
+        cand = _dml_read(
+            spark, root_str, [e["path"] for e in candidates], head,
+            merge_schema=False,
         )
         touched_uris = [
             r["__f"]
@@ -2151,9 +2213,7 @@ def merge_manifested(
         touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
     rows_matched = 0
     if touched_rel:
-        old = spark.read.option("basePath", root_str).option(
-            "mergeSchema", "true"
-        ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
+        old = _dml_read(spark, root_str, touched_rel, head)
         survivors = old.join(ukeys_join, on=keys, how="left_anti")
         rows_matched = old.count() - survivors.count()
         new_df = survivors.unionByName(updates, allowMissingColumns=True)
@@ -2264,9 +2324,9 @@ def delete_manifested(
         return {"files_rewritten": 0, "rows_deleted": 0, "version": head_v,
                 "files_scanned": 0}
     hit = F.coalesce(F.expr(predicate), F.lit(False))
-    cand = spark.read.option("basePath", root_str).option(
-        "mergeSchema", "true"
-    ).parquet(*[f"{root_str}/{e['path']}" for e in candidates])
+    cand = _dml_read(
+        spark, root_str, [e["path"] for e in candidates], head
+    )
     touched_uris = [
         r["__f"]
         for r in cand.where(hit)
@@ -2276,9 +2336,7 @@ def delete_manifested(
         return {"files_rewritten": 0, "rows_deleted": 0, "version": head_v,
                 "files_scanned": len(candidates)}
     touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
-    old = spark.read.option("basePath", root_str).option(
-        "mergeSchema", "true"
-    ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
+    old = _dml_read(spark, root_str, touched_rel, head)
     survivors = old.where(~hit)
     rows_deleted = old.count() - survivors.count()
     adds, add_stats, _, _ = _stage_files(
@@ -2349,9 +2407,9 @@ def update_manifested(
         return {"files_rewritten": 0, "rows_updated": 0, "version": head_v,
                 "files_scanned": 0}
     hit = F.coalesce(F.expr(predicate), F.lit(False))
-    cand = spark.read.option("basePath", root_str).option(
-        "mergeSchema", "true"
-    ).parquet(*[f"{root_str}/{e['path']}" for e in candidates])
+    cand = _dml_read(
+        spark, root_str, [e["path"] for e in candidates], head
+    )
     touched_uris = [
         r["__f"]
         for r in cand.where(hit)
@@ -2361,9 +2419,7 @@ def update_manifested(
         return {"files_rewritten": 0, "rows_updated": 0, "version": head_v,
                 "files_scanned": len(candidates)}
     touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
-    old = spark.read.option("basePath", root_str).option(
-        "mergeSchema", "true"
-    ).parquet(*[f"{root_str}/{p}" for p in touched_rel])
+    old = _dml_read(spark, root_str, touched_rel, head)
     rows_updated = old.where(hit).count()
     # every SET expression (and the predicate) evaluates against the
     # ORIGINAL row — materialize them as temp columns BEFORE any target

@@ -1289,3 +1289,69 @@ class TestLogTypedReads:
         assert sorted(
             r.id for r in read_manifested(spark, path).collect()
         ) == [0, 1, 2]
+
+
+class TestHeterogeneousChunkStore:
+    def test_conflicting_column_types_across_streams(self, spark, tmp_path):
+        """r13 regression: one manifest chunk store holds STREAMS whose
+        same-named columns have DIFFERENT types (pose 'v' double vs blob
+        'v' long — the reference's register files genuinely differ).
+        A slice read must use the slice's own schema; supplying the
+        log's union schema to a plain read fails with
+        PARQUET_COLUMN_DATA_TYPE_MISMATCH (caught mid-r13 — the union
+        schema is now opt-in via merge_schema only, and partition types
+        still come from the log via raw-dir parsing)."""
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.sources.chunked import (
+            load_chunked, write_chunked,
+        )
+
+        root = str(tmp_path / "chunks")
+        t0 = pd.Timestamp("2024-01-01 00:00:00")
+        pose = spark.createDataFrame(
+            pd.DataFrame({"time": [t0], "v": [1.5]})
+        )
+        blob = spark.createDataFrame(pd.DataFrame({"time": [t0], "v": [7]}))
+        write_chunked(pose, root, camera="Top", register=5, time_col="time")
+        write_chunked(blob, root, camera="Top", register=6, time_col="time")
+        df5 = load_chunked(spark, root, register=5, camera="Top",
+                           time_col="time")
+        df6 = load_chunked(spark, root, register=6, camera="Top",
+                           time_col="time")
+        assert dict(df5.dtypes)["v"] == "double"
+        assert dict(df6.dtypes)["v"] == "bigint"
+        assert [r.v for r in df5.collect()] == [1.5]
+        assert [r.v for r in df6.collect()] == [7]
+        # partition columns still read at their log-declared types
+        assert dict(df5.dtypes)["stream"] == "int"
+        assert dict(df5.dtypes)["chunk"] == "string"
+
+    def test_dml_rewrite_preserves_noncanonical_partition_dirs(
+        self, spark, tmp_path
+    ):
+        """r13: DML reads parse partition dirs raw + cast to declared
+        types, so a rewrite of region='007' re-stages under region=007/
+        — inference would re-stage it as region=7/, silently renaming
+        the partition on disk."""
+        import os
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            update_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, "007"), (2, "007"), (3, "east")], "id long, region string"
+        )
+        write_manifested(spark, df, path, partition_by=["region"])
+        res = update_manifested(spark, path, "id = 1", {"id": "10"})
+        assert res["rows_updated"] == 1
+        got = sorted(
+            (r.id, r.region)
+            for r in read_manifested(spark, path).collect()
+        )
+        assert got == [(2, "007"), (3, "east"), (10, "007")]
+        # the rewrite landed under the RAW dir name
+        assert os.path.isdir(f"{path}/region=007")
+        assert not os.path.isdir(f"{path}/region=7")
