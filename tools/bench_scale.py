@@ -6,7 +6,7 @@ discriminates plan quality: a healthy distributed plan lands well under
 10x wall at 10x rows on local[32]; anything super-linear (ratio >> 10)
 is flagged for fix-or-explain.
 
-Writes bench_runs_r9/scale_ramp.json and prints a table.
+Writes bench_runs_r{N}/scale_ramp.json (BENCH_AB_OUTDIR) and prints a table.
 
 Usage: python tools/bench_scale.py [runs]
 """
@@ -119,7 +119,10 @@ def main() -> None:
     spark = get_spark(app_name="bench-scale", shuffle_partitions=32)
     qs = entry.queries()
 
-    path = os.path.join(REPO, "bench_runs_r9", "scale_ramp.json")
+    outdir = os.path.join(
+        REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r13")
+    )
+    path = os.path.join(outdir, "scale_ramp.json")
     out = {"runs": runs, "sf01_dir": SF01, "sf1_dir": SF1, "queries": {}}
     if only and os.path.exists(path):
         with open(path) as f:
@@ -128,7 +131,7 @@ def main() -> None:
         time_queries(spark, qs, only or HEAVY, (("sf0.1", SF01), ("sf1", SF1)), runs)
     )
 
-    os.makedirs(os.path.join(REPO, "bench_runs_r9"), exist_ok=True)
+    os.makedirs(outdir, exist_ok=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"wrote {path}")
