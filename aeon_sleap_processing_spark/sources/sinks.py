@@ -1688,7 +1688,7 @@ def read_manifested(
             ]
     reader = spark.read.option("basePath", root_str)
     # raw-dir partition parsing needs the declared types to cast to
-    typed_parts = doc_parts if isinstance(doc_schema, dict) else None
+    typed_parts = _declared_part_types(doc_schema, doc_parts)
     if merge_schema:
         if doc_schema is not None:
             # the log records the running-union schema (manifest_commit
@@ -1726,6 +1726,21 @@ def read_manifested(
     )
 
 
+def _declared_part_types(doc_schema, doc_parts) -> dict | None:
+    """{partition column: declared simpleString type} from the log, or
+    None when either record is missing (pre-upgrade store)."""
+    if not doc_parts or not isinstance(doc_schema, dict):
+        return None
+    from pyspark.sql.types import StructType as _ST
+
+    names = set(doc_parts)
+    return {
+        f.name: f.dataType.simpleString()
+        for f in _ST.fromJson(doc_schema).fields
+        if f.name in names
+    }
+
+
 # serializes the partition-inference toggle below within this process;
 # reads on OTHER processes/sessions are unaffected (the conf is session-
 # scoped and restored before the DataFrame is returned)
@@ -1733,21 +1748,41 @@ _PART_INFER_LOCK = __import__("threading").Lock()
 
 
 def _read_rawpart(spark, reader, paths: list[str], doc_parts):
-    """Construct the parquet scan with partition-column TYPE INFERENCE
-    disabled whenever the log records the layout (``doc_parts``):
-    partition values then surface as the RAW Hive dir strings and
-    :func:`_cast_partition_types` parses them at their DECLARED types —
-    the exact semantics of the CDC source's `_const_column`. Spark's
-    default infer-then-cast-back is lossy for non-canonical values (the
-    r12 ADVICE finding: a string partition value '007' was inferred
-    long 7 and cast back to '7', silently diverging from the write-time
-    value). Partition discovery happens eagerly at ``reader.parquet``
-    time, so the conf toggle is scoped to plan CONSTRUCTION only and
-    restored immediately (lock-serialized in-process). Only active when
-    the declared types are actually recoverable (parts AND schema in
-    the log) — otherwise Spark's inference behavior is preserved."""
+    """Two-phase partition-typed scan construction.
+
+    Phase 1 (the fast path, ~every store): Spark's normal partition
+    type inference. :func:`_cast_partition_types` then fixes benign
+    type drift (inferred long vs declared int) — those casts were
+    already r12 behavior.
+
+    Phase 2, ONLY when phase 1 was LOSSY: inference is re-run disabled
+    (conf toggle scoped to plan construction, lock-serialized
+    in-process), so partition values surface as the RAW Hive dir
+    strings at their declared string type — the exact semantics of the
+    CDC source's `_const_column`. Lossy means a partition column the
+    log declares STRING inferred as something else: '007' inferred
+    long 7 would cast back to '7' (the r12 ADVICE finding), and
+    '2024-1-1' inferred date would cast back '2024-01-01'. Detection
+    is a dtype comparison on the constructed plan — zero extra I/O;
+    the rebuild re-lists the already-warm file index.
+
+    Phase 2 is deliberately NOT the default: declared-type casts on
+    partition columns defeat Catalyst partition PRUNING (a filter on
+    ``CAST(vp AS INT)`` prunes nothing), and the always-raw variant of
+    this function measurably cost the bucketed rep store's per-batch
+    pruned reads ~20% (caught by the r13 streaming A/B). Lossy stores
+    keep their string partition columns cast-free (string == string),
+    so pruning survives exactly where the raw values matter."""
+    df = reader.parquet(*paths)
     if not doc_parts:
-        return reader.parquet(*paths)
+        return df
+    have = dict(df.dtypes)
+    if not any(
+        have.get(c) not in (None, "string")
+        for c, dt in doc_parts.items()
+        if dt == "string"
+    ):
+        return df
     key = "spark.sql.sources.partitionColumnTypeInference.enabled"
     with _PART_INFER_LOCK:
         prev = spark.conf.get(key, "true")
@@ -2003,9 +2038,8 @@ def read_manifested_changes(
             reader = reader.schema(_ST.fromJson(d_until["schema"]))
         else:
             reader = reader.option("mergeSchema", "true")
-    typed_parts = (
-        d_until.get("parts")
-        if isinstance(d_until.get("schema"), dict) else None
+    typed_parts = _declared_part_types(
+        d_until.get("schema"), d_until.get("parts")
     )
     return (
         _cast_partition_types(
@@ -2064,7 +2098,7 @@ def _dml_read(spark, root_str: str, rels: list[str], head: dict,
         reader = reader.option("mergeSchema", "true")
     doc_schema = (head or {}).get("schema")
     doc_parts = (head or {}).get("parts")
-    typed = doc_parts if isinstance(doc_schema, dict) else None
+    typed = _declared_part_types(doc_schema, doc_parts)
     return _cast_partition_types(
         _read_rawpart(
             spark, reader, [f"{root_str}/{r}" for r in rels], typed

@@ -1355,3 +1355,31 @@ class TestHeterogeneousChunkStore:
         # the rewrite landed under the RAW dir name
         assert os.path.isdir(f"{path}/region=007")
         assert not os.path.isdir(f"{path}/region=7")
+
+    def test_typed_partition_filters_still_prune(self, spark, tmp_path):
+        """r13 regression (caught by the streaming A/B): log-typed
+        partition reads must keep the partition column a plain
+        attribute — a CAST there defeats Catalyst partition pruning,
+        which cost the bucketed rep store's per-batch reads ~20%. The
+        raw-dir rebuild runs ONLY for lossy (string-declared, non-
+        string-inferred) layouts."""
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "store")
+        df = spark.range(0, 80).withColumn(
+            "vp", F.pmod("id", F.lit(8)).cast("int")
+        )
+        write_manifested(spark, df, path, partition_by=["vp"])
+        back = read_manifested(spark, path)
+        assert dict(back.dtypes)["vp"] == "int"  # declared type held
+        plan = (
+            back.where("vp = 3")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "vp" in m.group(1) and "cast" not in m.group(1), (
+            f"partition filter must reference the raw attribute: "
+            f"{m.group(1) if m else plan[:400]}"
+        )
