@@ -169,24 +169,31 @@ def main():
         def verdict(leg):
             # r13 (r12 VERDICT task 3): the min/max worst-case interval
             # only WIDENS with reps — outlier-dominated, so "add reps"
-            # could never converge. At >=8 reps/side the interval is
-            # quartile-based (q1_b/q3_a .. q3_b/q1_a): half the mass on
-            # each side must agree, the standard robust-CI shape; the
-            # full min/max spread stays printed alongside. Below 8 reps
-            # the old worst-case rule applies unchanged.
-            sa, sb = leg_spread[leg]["a"], leg_spread[leg]["b"]
-            robust = reps >= 8
-            a_hi, a_lo = (
-                (sa["q3"], sa["q1"]) if robust else (sa["max"], sa["min"])
-            )
-            b_hi, b_lo = (
-                (sb["q3"], sb["q1"]) if robust else (sb["max"], sb["min"])
-            )
-            lo = b_lo / a_hi if a_hi > 0 else None
-            hi = b_hi / a_lo if a_lo > 0 else None
-            kind = "iqr" if robust else "minmax"
-            if lo is None or hi is None:
-                return "unmeasurable"
+            # could never converge; and even a quartile CROSS-PRODUCT
+            # (q1_b/q3_a .. q3_b/q1_a) compares runs from different
+            # moments, so session drift inflates it. The ABBA interleave
+            # exists precisely to enable PAIRING: at >=8 reps/side the
+            # verdict uses per-pair ratios (B run i / A run i — adjacent
+            # in time, drift cancels) and their IQR, the same paired
+            # discipline as the batch bench_ab. Below 8 reps the old
+            # worst-case cross-product applies unchanged.
+            if reps >= 8:
+                pr = sorted(
+                    rb["legs"][leg]["sec"] / ra["legs"][leg]["sec"]
+                    for ra, rb in zip(runs["A"], runs["B"])
+                    if leg in ra["legs"] and leg in rb["legs"]
+                )
+                n = len(pr)
+                lo, hi = pr[n // 4], pr[(3 * n) // 4]
+                kind = "paired-iqr"
+            else:
+                sa = leg_spread[leg]["a"]
+                sb = leg_spread[leg]["b"]
+                if sa["max"] <= 0 or sa["min"] <= 0:
+                    return "unmeasurable"
+                lo = sb["min"] / sa["max"]
+                hi = sb["max"] / sa["min"]
+                kind = "minmax"
             if lo >= 1.0 or hi <= 1.0:
                 return f"stable [{kind}] ({round(lo,2)}..{round(hi,2)})"
             if 0.9 <= lo and hi <= 1.1:
