@@ -11,7 +11,7 @@ and ratios over the shared query set.
 
 Usage:
   python tools/bench_ab.py <baseline-rev> [reps=3]
-Writes bench_runs_r{N}/bench_ab.json (round dir via BENCH_AB_OUTDIR, default bench_runs_r12). Run ISOLATED per the bench protocol.
+Writes bench_runs_r{N}/bench_ab.json (round dir via BENCH_AB_OUTDIR, default bench_runs_r13). Run ISOLATED per the bench protocol.
 """
 
 import json
