@@ -443,3 +443,32 @@ class TestRelayExactlyOnce:
         assert sorted(
             x.id for x in read_manifested(spark, dest).collect()
         ) == list(range(25))
+
+
+class TestChangesPartitionTypes:
+    def test_changes_read_preserves_noncanonical_partition_value(
+        self, spark, tmp_path
+    ):
+        """r13: the incremental changes read parses partition dirs raw
+        + casts at log-declared types, same as read_manifested — a
+        string partition value '007' must survive the delta read (and
+        the declared type must hold on the all-digit slice)."""
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, "007"), (2, "east")], "id long, region string"
+        )
+        write_manifested(spark, df, path, partition_by=["region"])
+        snap, cur = read_manifested_changes(spark, path)
+        got = sorted((r.id, r.region) for r in snap.collect())
+        assert got == [(1, "007"), (2, "east")]
+        assert dict(snap.dtypes)["region"] == "string"
+        # an increment landing ONLY in the all-digit partition: the
+        # delta's lone dir would re-infer long without the log types
+        write_manifested(
+            spark,
+            spark.createDataFrame([(3, "007")], "id long, region string"),
+            path, partition_by=["region"],
+        )
+        delta, _ = read_manifested_changes(spark, path, since_version=cur)
+        assert [(r.id, r.region) for r in delta.collect()] == [(3, "007")]
+        assert dict(delta.dtypes)["region"] == "string"
