@@ -474,3 +474,30 @@ class TestHashParity:
                 assert list(r["pos"]) == _bloom_positions_py(r["v"], m), r["v"]
 
         check()
+
+
+class TestMaintainMigratesLegacy:
+    def test_maintain_consolidates_legacy_sidecars(self, spark, tmp_path):
+        """maintain(bloom_cols=...) on a pre-r13 store migrates the
+        per-file sidecars to consolidated objects automatically."""
+        import os
+
+        from aeon_sleap_processing_spark.sources import sinks
+        from aeon_sleap_processing_spark.sources.sinks import maintain
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 1000).repartitionByRange(4, "id"),
+            path, bloom_cols=["id"],
+        )
+        assert _to_legacy_layout(spark, path) == 4
+        rep = maintain(spark, path, min_files_to_compact=99,
+                       bloom_cols=["id"], orphan_grace_seconds=0.0)
+        assert rep["consolidate_blooms"]["consolidated"] == 4
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 123})
+        assert hit.where("id = 123").count() == 1
+        got = {
+            k: sinks._BLOOM_GETS[k] - before[k] for k in sinks._BLOOM_GETS
+        }
+        assert got["per_file"] == 0 and got["objects"] >= 1, got
