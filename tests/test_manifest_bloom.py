@@ -501,3 +501,182 @@ class TestMaintainMigratesLegacy:
             k: sinks._BLOOM_GETS[k] - before[k] for k in sinks._BLOOM_GETS
         }
         assert got["per_file"] == 0 and got["objects"] >= 1, got
+
+
+class TestR14AdviceHardening:
+    def test_malformed_bloomset_object_degrades_to_keep(
+        self, spark, tmp_path
+    ):
+        """A bloomset that parses as JSON but lacks the 'm'/'files'
+        shape (truncated or foreign file) must degrade to the same
+        conservative keep-all as a MISSING object — not KeyError the
+        point read (r13 ADVICE finding)."""
+        import json
+        import os
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 1000).repartitionByRange(4, "id"),
+            path, bloom_cols=["id"],
+        )
+        for bad in ({"files": {}}, {"m": "x", "files": {}},
+                    {"m": 1 << 17, "files": 3}, [1, 2], "nope"):
+            for obj in glob.glob(f"{path}/_index/bloomset-*.json"):
+                with open(obj, "w") as f:
+                    json.dump(bad, f)
+            hit = read_manifested(spark, path, point={"id": 123})
+            assert _files(hit) == 4, bad  # nothing pruned — nothing lost
+            assert hit.where("id = 123").count() == 1, bad
+
+    def test_consolidate_skips_corrupt_legacy_sidecar(
+        self, spark, tmp_path
+    ):
+        """One damaged legacy sidecar must not abort the whole
+        migration (maintain() calls it): the entry is skipped, its
+        manifest pointer left as-is, and reported in 'skipped' — the
+        read path already treats the same corruption as a conservative
+        keep (r13 ADVICE finding)."""
+        import os
+
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 1000).repartitionByRange(4, "id"),
+            path, bloom_cols=["id"],
+        )
+        assert _to_legacy_layout(spark, path) == 4
+        sidecars = sorted(
+            glob.glob(f"{path}/_index/**/*.bloom", recursive=True)
+        )
+        with open(sidecars[0], "w") as f:
+            f.write("{ not json")
+        with open(sidecars[1], "w") as f:
+            f.write('{"m": "not-an-int", "cols": {}}')
+        os.unlink(sidecars[2])
+        res = sinks.consolidate_bloom_sidecars(spark, path)
+        assert res["skipped"] == 3 and res["consolidated"] == 1, res
+        assert res["objects"] == 1
+        # the store still answers correctly: the migrated file probes
+        # its bloomset, the three skipped ones degrade to keep
+        hit = read_manifested(spark, path, point={"id": 123})
+        assert hit.where("id = 123").count() == 1
+        # all-corrupt migration is a no-op report, never a raise
+        for s in glob.glob(f"{path}/_index/**/*.bloom", recursive=True):
+            with open(s, "w") as f:
+                f.write("garbage")
+        res2 = sinks.consolidate_bloom_sidecars(spark, path)
+        assert res2["consolidated"] == 0 and res2["skipped"] >= 1
+
+    def test_encoded_root_uri_schemeless_path(self, tmp_path):
+        """A scheme-less root must not ValueError on the split — it is
+        passed through unchanged, because from_uri treats a bare path
+        LITERALLY (no percent-decoding), so encoding would relocate it
+        (r13 ADVICE finding)."""
+        import pyarrow.fs as pafs
+
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _encoded_root_uri,
+        )
+
+        root = tmp_path / "ro ot %2Fx"
+        root.mkdir()
+        (root / "probe.txt").write_bytes(b"hi")
+        enc = _encoded_root_uri(str(root))
+        assert enc == str(root)
+        fs2, p = pafs.FileSystem.from_uri(enc)
+        with fs2.open_input_stream(f"{p}/probe.txt") as f:
+            assert f.read() == b"hi"
+
+
+class TestCompactBloomsets:
+    """r13 VERDICT task 1: the write path emits ONE bloomset per commit,
+    so a micro-commit streaming store accumulates O(commits) objects and
+    the point-read GET bound decays. compact_bloomsets() repacks small
+    objects across commits into count-capped ones."""
+
+    def _micro_commit_store(self, spark, tmp_path, commits=12,
+                            files_per=2, rows=120):
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        per = rows // commits
+        for i in range(commits):
+            write_manifested(
+                spark,
+                spark.range(i * per, (i + 1) * per)
+                .repartitionByRange(files_per, "id"),
+                path, bloom_cols=["id"],
+            )
+        return path, sinks
+
+    def test_point_read_gets_bounded_after_compaction(
+        self, spark, tmp_path
+    ):
+        path, sinks = self._micro_commit_store(spark, tmp_path)
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        got = {k: sinks._BLOOM_GETS[k] - before[k] for k in before}
+        assert got == {"objects": 12, "per_file": 0}, got  # O(commits)
+        rep = sinks.compact_bloomsets(spark, path, target_members=16)
+        assert rep["repacked_rels"] == 24 and rep["objects_before"] == 12
+        assert rep["objects_after"] == 2, rep  # ceil(24/16)
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        got = {k: sinks._BLOOM_GETS[k] - before[k] for k in before}
+        assert got == {"objects": 2, "per_file": 0}, got
+        assert _files(hit) < 24  # pruning quality survived the repack
+        # idempotent: the remainder object alone is never re-churned
+        rep2 = sinks.compact_bloomsets(spark, path, target_members=16)
+        assert rep2["repacked_rels"] == 0, rep2
+
+    def test_dead_members_dropped_and_vacuum_reclaims(
+        self, spark, tmp_path
+    ):
+        import glob as _glob
+
+        path, sinks = self._micro_commit_store(spark, tmp_path)
+        # a DML delete strands dead members inside old objects
+        delete_manifested(spark, path, "id >= 100")
+        n_objs = len(_glob.glob(f"{path}/_index/bloomset-*.json"))
+        rep = sinks.compact_bloomsets(spark, path, target_members=512)
+        assert rep["repacked_rels"] > 0
+        assert rep["objects_after"] == 1, rep
+        vacuum_manifested(spark, path, keep_versions=1,
+                          orphan_grace_seconds=0.0)
+        left = _glob.glob(f"{path}/_index/bloomset-*.json")
+        assert len(left) == 1 and len(left) < n_objs
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        assert read_manifested(spark, path).count() == 100
+
+    def test_unreadable_object_skipped_not_fatal(self, spark, tmp_path):
+        import glob as _glob
+
+        path, sinks = self._micro_commit_store(spark, tmp_path)
+        objs = sorted(_glob.glob(f"{path}/_index/bloomset-*.json"))
+        with open(objs[0], "w") as f:
+            f.write("{ truncated")
+        rep = sinks.compact_bloomsets(spark, path, target_members=512)
+        assert rep["skipped"] >= 1 and rep["repacked_rels"] > 0
+        # the corrupt object's members keep their old pointers and the
+        # read degrades them to conservative keep — rows stay correct
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        assert read_manifested(spark, path).count() == 120
+
+    def test_maintain_runs_compaction(self, spark, tmp_path):
+        path, sinks = self._micro_commit_store(spark, tmp_path)
+        rep = sinks.maintain(
+            spark, path, min_files_to_compact=999,
+            bloom_cols=["id"], orphan_grace_seconds=0.0,
+        )
+        assert rep["compact_blooms"]["repacked_rels"] > 0
+        assert rep["compact_blooms"]["objects_after"] == 1
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        got = {k: sinks._BLOOM_GETS[k] - before[k] for k in before}
+        assert got["objects"] == 1 and got["per_file"] == 0, got

@@ -1273,6 +1273,49 @@ class TestLogTypedReads:
         )
         assert got == [(1, "007"), (2, "east")]
 
+    def test_lossy_rebuild_never_touches_session_conf(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """r13 ADVICE (medium): the phase-2 raw-partition rebuild used
+        to toggle the SESSION-global
+        spark.sql.sources.partitionColumnTypeInference.enabled — a
+        concurrent read planned on another thread of the same session
+        during the window silently parsed ALL its partition dirs as
+        strings. The rebuild now passes an explicit per-reader schema;
+        the session conf must never be written, and a plan constructed
+        concurrently with the lossy read must keep normal inference."""
+        calls = []
+        real_set = type(spark.conf).set
+
+        def _recording_set(self, key, value=None):
+            calls.append(key)
+            return real_set(self, key, value)
+
+        monkeypatch.setattr(type(spark.conf), "set", _recording_set)
+        path = str(tmp_path / "store")
+        df = spark.createDataFrame(
+            [(1, "007"), (2, "east")], "id long, region string"
+        )
+        write_manifested(spark, df, path, partition_by=["region"])
+        # an int-partitioned NON-manifest dir read planned right after
+        # the lossy store's plan: inference must be intact
+        other = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(1, 7), (2, 8)], "id long, n int"
+        ).write.partitionBy("n").parquet(other)
+        lossy = read_manifested(spark, path)
+        concurrent = spark.read.parquet(other)
+        assert dict(lossy.dtypes)["region"] == "string"
+        assert sorted(r.region for r in lossy.collect()) == ["007", "east"]
+        assert dict(concurrent.dtypes)["n"] == "int"
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        assert key not in calls, calls
+        # pruning survives the explicit-schema rebuild: a prefix read
+        # of the all-digit slice scans exactly one file
+        one = read_manifested(spark, path, prefixes=["region=007/"])
+        assert len(one.inputFiles()) == 1
+        assert [(r.id, r.region) for r in one.collect()] == [(1, "007")]
+
     def test_replace_all_unpartitioned_resets_parts(self, spark, tmp_path):
         import glob
         import json as _json
