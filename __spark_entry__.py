@@ -865,6 +865,58 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# pair budget for q_neardup_budgeted: 300 pairs/bucket → member cap 25
+# (25·24/2 = 300) — small enough that the sf0.01 corpus (~62 members per
+# 4-plane bucket) actually exercises the cap, large enough that capped
+# output is still a meaningful pair set
+_NEARDUP_BUDGET = 300
+
+
+def _q_neardup_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-budgeted near-dup generator (r13 VERDICT task 3,
+    similarity.py:embedding_near_dups max_pairs_per_bucket): identical
+    OR-amplified plan, but each (table, bucket) cell keeps only its 25
+    lexicographically-smallest member ids, bounding any one bucket's
+    all-pairs product at 300 — the adversarial-duplicate-density
+    backstop. The oracle states the same member cap as a row_number()
+    per bucket, so the deterministic tie-break faces DuckDB directly."""
+    emb = load_table(spark, "embeddings", sf_dir)
+    return sim.embedding_near_dups(
+        emb, _lsh_planes(), threshold=_NEARDUP_THRESHOLD,
+        n_tables=_NEARDUP_TABLES, max_pairs_per_bucket=_NEARDUP_BUDGET,
+    )
+
+
+def _neardup_budgeted_sql() -> str:
+    from aeon_sleap_processing_spark.operators.similarity import (
+        _bucket_member_cap,
+    )
+
+    exprs, _ = _neardup_bucket_sql()
+    m = _bucket_member_cap(_NEARDUP_BUDGET)
+    tcols = ", ".join(f"t{t}" for t in range(_NEARDUP_TABLES))
+    ranks = ", ".join(
+        f"row_number() OVER (PARTITION BY t{t} ORDER BY vec_id) AS r{t}"
+        for t in range(_NEARDUP_TABLES)
+    )
+    collide = " OR ".join(
+        f"(a.t{t} = b2.t{t} AND a.r{t} <= {m} AND b2.r{t} <= {m})"
+        for t in range(_NEARDUP_TABLES)
+    )
+    # nulls are filtered BEFORE ranking (they'd otherwise occupy rank
+    # slots in bucket 0 that the Spark plan never sees)
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE embedding IS NOT NULL),
+        b AS (SELECT vec_id, v, {exprs} FROM c),
+        r AS (SELECT vec_id, v, {tcols}, {ranks} FROM b)
+        SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b,
+               {_NEARDUP_COS} AS cosine
+        FROM r a JOIN r b2 ON ({collide}) AND a.vec_id < b2.vec_id
+        WHERE {_NEARDUP_COS} >= {_NEARDUP_THRESHOLD}
+    """
+
+
 def _embedding_neardup_sql() -> str:
     exprs, collide = _neardup_bucket_sql()
     return f"""
@@ -1984,6 +2036,99 @@ def _q_manifest_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(snap, "snapshot").unionByName(agg(delta, "delta"))
 
 
+def _q_bloom_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy bloom-sidecar migration + cross-commit bloomset compaction
+    under the oracle (sinks.py consolidate_bloom_sidecars:2640,
+    compact_bloomsets:2720, both run by maintain():3330 — r13 VERDICT
+    task 6): build a MICRO-COMMIT store (four appends → four bloomset
+    objects, the streaming-ingest shape), rewrite half its entries to
+    the pre-r13 per-file ``_index/<rel>.bloom`` layout, run maintain()
+    — which migrates the legacy sidecars into consolidated objects AND
+    repacks the per-commit objects across commits — then answer through
+    the migrated index: one bloom-bounded point leg per probed doc_id
+    (including an absent id the blooms must prune to empty, the
+    false-negative face) plus a per-lang full-store leg. Every
+    migration step is metadata-only, so the oracle is plain SQL over
+    documents — any bit the migration loses or corrupts shows up as a
+    missed point row or a changed aggregate."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from aeon_sleap_processing_spark.sources import sinks as sk
+
+    base = _manifest_docs_base(spark, sf_dir)
+    path = _scratch_store("bloom_migr", sf_dir)
+    for i, pred in enumerate(
+        ["doc_id % 4 = 0", "doc_id % 4 = 1", "doc_id % 4 = 2",
+         "doc_id % 4 = 3"]
+    ):
+        sk.write_manifested(
+            spark, base.where(pred), path, partition_by=["lang"],
+            bloom_cols=["doc_id"],
+            replace="all" if i == 0 else None,
+        )
+    # rewrite HALF the head's entries to the pre-r13 per-file layout
+    # (the migration input); the other half stays consolidated so
+    # maintain() exercises migrate-and-compact together
+    fs, Path, root = sk._hadoop_fs(spark, path)
+    root_str = sk._canon_uri(fs, root)
+    _, head, _ = sk._manifest_head(spark, fs, Path, root_str)
+    add = []
+    for j, e in enumerate(sorted(head["files"], key=lambda e: e["path"])):
+        if j % 2 or "#" not in e.get("bloom", ""):
+            continue
+        obj, _, member = e["bloom"].partition("#")
+        doc = _json.load(open(_os.path.join(path, obj)))
+        legacy_rel = f"_index/{e['path']}.bloom"
+        target = _os.path.join(path, legacy_rel)
+        _os.makedirs(_os.path.dirname(target), exist_ok=True)
+        with open(target, "w") as f:
+            _json.dump({"m": doc["m"], "k": doc["k"],
+                        "cols": doc["files"][member]}, f)
+        add.append((e["path"], e["bytes"], e.get("stats"), legacy_rel))
+    sk.manifest_commit(
+        spark, path, add=add, remove=[a[0] for a in add],
+        require_remove_present=True, op="reindex", data_change=False,
+    )
+    sk.maintain(
+        spark, path, min_files_to_compact=10 ** 9, bloom_cols=["doc_id"],
+        orphan_grace_seconds=0.0,
+    )
+
+    def point_leg(doc_id: int) -> DataFrame:
+        hit = sk.read_manifested(spark, path, point={"doc_id": doc_id})
+        return (
+            hit.where(F.col("doc_id") == doc_id)
+            .groupBy()
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("n_chars"), F.lit(0)).cast("long")
+                .alias("sum_chars"),
+                F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long")
+                .alias("id_sum"),
+            )
+            .withColumn("leg", F.lit(f"point:{doc_id}"))
+        )
+
+    full = (
+        sk.read_manifested(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .withColumn("leg", F.concat(F.lit("lang:"), F.col("lang")))
+        .drop("lang")
+    )
+    # 11/42: present at every SF; -7: absent — blooms prune to empty
+    return (
+        point_leg(11).unionByName(point_leg(42)).unionByName(point_leg(-7))
+        .unionByName(full)
+    )
+
+
 def _q_cdc_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The manifest CDC feed consumed through the REAL Structured
     Streaming source (streaming/cdc_source.py, Spark 4 Python
@@ -2985,7 +3130,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- rotated in round 7 ------------------------------------------
         "q_cdc_dedup": _q_cdc_dedup,
         "q_cdc_bounded": _q_cdc_bounded,
-        "q_bpe_merges": _q_bpe_merges,
         "q_bpe_merges_batched": _q_bpe_merges_batched,
         "q_bpe_encode": _q_bpe_encode,
         "q_dq_constraints": _q_dq_constraints,
@@ -2995,7 +3139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_char_ngram_profile": _q_char_ngram_profile,
         "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
         "q_quality_buckets": _q_quality_buckets,
-        "q_length_percentiles": _q_length_percentiles,
         "q_incremental_dedup": _q_incremental_dedup,
         "q_sample_per_bin": _q_sample_per_bin,
         # --- similarity search / multimodal -----------------------------
@@ -3022,6 +3165,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r12: the REAL stream source + log-typed partitions ----------
         "q_cdc_stream_source": _q_cdc_stream_source,
         "q_partition_typed_store": _q_partition_typed_store,
+        # --- r14: legacy-bloom migration + cross-commit compaction under
+        #     the oracle (r13 VERDICT task 6), and the pair-budgeted
+        #     near-dup generator (task 3) with a row_number() oracle ----
+        "q_bloom_migration": _q_bloom_migration,
+        "q_neardup_budgeted": _q_neardup_budgeted,
         # --- trained classifier-filter stage (new r11) --------------------
         "q_quality_classifier": _q_quality_classifier,
         # --- aeon detection pipelines over committed pose fixtures ------
@@ -3030,6 +3178,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- rotated out r14 (driver-green r12 AND r13, untouched by
+        #     r14's storage/similarity work; each keeps in-window
+        #     siblings: q_bpe_merges_batched+q_bpe_encode, and
+        #     q_quality_buckets for the text-stats family) -------------
+        "q_bpe_merges": _q_bpe_merges,  # rotated out for q_bloom_migration
+        "q_length_percentiles": _q_length_percentiles,  # rotated out for q_neardup_budgeted
         # --- rotated out r12 (driver-green r10 AND r11, untouched in r12;
         #     each keeps an in-window sibling for family coverage) --------
         "q_fuzzy_pairs_short": _q_fuzzy_pairs_short,  # rotated out for q_cdc_stream_source (sibling q_fuzzy_pairs stays in)
@@ -3870,6 +4024,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "q_knn_ivf_pq_clustered": _knn_ivf_pq_sql(sf_dir),
         "q_knn_recall": _knn_recall_sql(sf_dir),
         "q_embedding_neardup": _embedding_neardup_sql(),
+        "q_neardup_budgeted": _neardup_budgeted_sql(),
         "q_neardup_recall": _neardup_recall_sql(),
         "q_neardup_recall_sampled": _neardup_recall_sampled_sql(),
         "q_semantic_dedup": _semantic_dedup_sql(),
@@ -4365,6 +4520,33 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         """,
         # --- r11 manifest storage wing: the store's final state is a pure
         # --- function of documents, replayed here as SQL set algebra
+        "q_bloom_migration": """
+            -- every migration/compaction step is metadata-only, so the
+            -- store's final content is exactly the documents table; the
+            -- point legs face the migrated bloom index (a lost bit =
+            -- a missed row here), incl. an absent id pruned to empty
+            WITH base AS (SELECT doc_id, lang, n_chars FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars,
+                   CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum,
+                   'point:11' AS leg
+            FROM base WHERE doc_id = 11
+            UNION ALL
+            SELECT CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+                   CAST(coalesce(sum(doc_id), 0) AS BIGINT), 'point:42'
+            FROM base WHERE doc_id = 42
+            UNION ALL
+            SELECT CAST(count(*) AS BIGINT),
+                   CAST(coalesce(sum(n_chars), 0) AS BIGINT),
+                   CAST(coalesce(sum(doc_id), 0) AS BIGINT), 'point:-7'
+            FROM base WHERE doc_id = -7
+            UNION ALL
+            SELECT CAST(count(*) AS BIGINT),
+                   CAST(sum(n_chars) AS BIGINT),
+                   CAST(sum(doc_id) AS BIGINT), 'lang:' || lang
+            FROM base GROUP BY lang
+        """,
         "q_manifest_dml": """
             WITH base AS (
               SELECT doc_id, lang, source, n_chars FROM documents

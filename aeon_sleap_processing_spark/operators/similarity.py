@@ -37,6 +37,7 @@ __all__ = [
     "ivf_fit_centroids",
     "embedding_near_dups",
     "semantic_dedup",
+    "pair_budget_stats",
     "neardup_pairs_bruteforce",
     "neardup_sample_predicate",
     "ivf_write_clustered",
@@ -448,6 +449,34 @@ def lsh_planes_for(
     return planes, n_tables
 
 
+def _bucket_member_cap(max_pairs_per_bucket: int) -> int:
+    """Largest bucket MEMBER count whose all-pairs product stays within
+    the pair budget: m(m-1)/2 <= budget. Capping members (linear) is the
+    Spark-expressible form of capping pairs (quadratic) — a rank filter
+    per bucket, evaluated before any pair exists."""
+    if max_pairs_per_bucket < 1:
+        raise ValueError("max_pairs_per_bucket must be >= 1")
+    import math
+
+    return int((1 + math.isqrt(1 + 8 * max_pairs_per_bucket)) // 2)
+
+
+def _cap_bucket_members(keys: DataFrame, bucket_cols: list[str],
+                        m_cap: int) -> DataFrame:
+    """Keep the m_cap smallest ids per bucket (deterministic
+    lexicographic tie-break — reruns and the DuckDB oracle agree).
+    The rank is computed per bucket over MEMBERS, so a pathological
+    mega-bucket costs one O(B log B) sort task, never its O(B²) pairs."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*bucket_cols).orderBy("id")
+    return (
+        keys.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= m_cap)
+        .drop("__rn")
+    )
+
+
 def embedding_near_dups(
     corpus: DataFrame,
     hyperplanes: list[list[float]] | None,
@@ -458,6 +487,7 @@ def embedding_near_dups(
     auto_bands: bool = False,
     target_recall: float = 0.95,
     seed: int = 0,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the vector analog of MinHash
     dedup): candidate pairs come from shared sign-LSH buckets (never an
@@ -513,6 +543,23 @@ def embedding_near_dups(
     threshold, so dropping it up front leaves the result unchanged (the
     DuckDB oracles produce no rows for NULL cosines either).
 
+    PAIR BUDGET (the r13 VERDICT's adversarial-density backstop,
+    measured on the sf1 ramp: verification is linear in emitted pairs —
+    74x wall at 10x rows when the generator plants 10x near-dup density
+    ≈ 100x true pairs). ``max_pairs_per_bucket`` caps the all-pairs
+    product of any ONE (table, bucket) cell by keeping only the
+    m = floor((1+sqrt(1+8*budget))/2) lexicographically-smallest member
+    ids (deterministic — reruns agree), so a duplicate-dense corpus
+    degrades to bounded work instead of unbounded verify cost. Recall
+    backstop: a true near-dup pair dropped from one table's hot bucket
+    can still collide in the other ``n_tables - 1`` tables, whose
+    hashes are independent — and dropped members remain in the corpus,
+    so they stay findable as ``id_b`` of smaller-id members. Default
+    ``None`` = unbudgeted (exact r13 behavior; the driver oracles pin
+    that path). Size it from :func:`pair_budget_stats` (pairs kept vs
+    dropped per budget, no pair materialization) and the committed
+    budget-vs-recall sweep (bench_runs_r14/pair_budget_sweep.json).
+
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
     corpus = corpus.where(F.col(vec_col).isNotNull())
@@ -539,6 +586,10 @@ def embedding_near_dups(
             F.col(vec_col).alias("v"),
             F.element_at(bucket(F.col(vec_col)), 1).alias("h"),
         )
+        if max_pairs_per_bucket is not None:
+            c = _cap_bucket_members(
+                c, ["h"], _bucket_member_cap(max_pairs_per_bucket)
+            )
         a, b = c.alias("a"), c.alias("b")
         return (
             a.join(
@@ -558,6 +609,10 @@ def embedding_near_dups(
         F.col(id_col).alias("id"),
         F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
     )
+    if max_pairs_per_bucket is not None:
+        keys = _cap_bucket_members(
+            keys, ["t", "h"], _bucket_member_cap(max_pairs_per_bucket)
+        )
     a, b = keys.alias("a"), keys.alias("b")
     cand = (
         a.join(
@@ -583,6 +638,63 @@ def embedding_near_dups(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+def pair_budget_stats(
+    corpus: DataFrame,
+    hyperplanes: list[list[float]],
+    n_tables: int = 1,
+    max_pairs_per_bucket: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Observability for the pair budget WITHOUT materializing a single
+    pair: bucket the corpus exactly as :func:`embedding_near_dups`
+    would, aggregate member counts per (table, bucket), and return
+    {"pairs_full", "pairs_emitted", "pairs_dropped", "buckets",
+    "buckets_capped", "max_bucket_members"} — sums of m(m-1)/2 with m
+    capped per the budget. One groupBy over member rows (linear), so
+    sizing a budget against an adversarially dense 100 TB corpus costs
+    a count-shaped job, not the quadratic candidate join it predicts."""
+    bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
+    keys = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
+        )
+    )
+    m_cap = (
+        None if max_pairs_per_bucket is None
+        else _bucket_member_cap(max_pairs_per_bucket)
+    )
+    per = keys.groupBy("t", "h").agg(F.count("*").alias("m"))
+    pairs = F.col("m") * (F.col("m") - 1) / 2
+    capped_m = (
+        F.col("m") if m_cap is None else F.least(F.col("m"), F.lit(m_cap))
+    )
+    capped_pairs = capped_m * (capped_m - 1) / 2
+    row = per.agg(
+        F.sum(pairs).alias("full"),
+        F.sum(capped_pairs).alias("emitted"),
+        F.count("*").alias("buckets"),
+        F.sum(
+            (F.col("m") > (m_cap if m_cap is not None else F.col("m")))
+            .cast("long")
+        ).alias("capped"),
+        F.max("m").alias("max_m"),
+    ).collect()[0]
+    full = int(row["full"] or 0)
+    emitted = int(row["emitted"] or 0)
+    return {
+        "pairs_full": full,
+        "pairs_emitted": emitted,
+        "pairs_dropped": full - emitted,
+        "buckets": int(row["buckets"]),
+        "buckets_capped": int(row["capped"] or 0),
+        "max_bucket_members": int(row["max_m"] or 0),
+        "member_cap": m_cap,
+    }
 
 
 def ivf_write_clustered(
@@ -1344,6 +1456,7 @@ def semantic_dedup(
     auto_bands: bool = False,
     target_recall: float = 0.95,
     seed: int = 0,
+    max_pairs_per_bucket: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate CLUSTERING — the semantic analog of
     MinHash ``dedup_clusters``: sign-LSH-bucketed cosine pairs at
@@ -1367,6 +1480,7 @@ def semantic_dedup(
     pairs = embedding_near_dups(
         corpus, hyperplanes, threshold, id_col, vec_col, n_tables,
         auto_bands=auto_bands, target_recall=target_recall, seed=seed,
+        max_pairs_per_bucket=max_pairs_per_bucket,
     )
     comp = connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))

@@ -1093,6 +1093,12 @@ _BLOOM_K = 4
 # legacy per-file sidecars. Process-local, test/measurement use only.
 _BLOOM_GETS = {"objects": 0, "per_file": 0}
 
+# measurement hook (tools/measure_bloom_compaction.py): seconds of
+# injected latency per driver-side sidecar GET, simulating object-store
+# round trips against the local fixture. 0.0 (production) is a no-op;
+# executor-side GETs (the >64-legacy distributed branch) don't see it.
+_SIDECAR_LATENCY_S = 0.0
+
 
 def _encoded_root_uri(root_str: str) -> str:
     """Re-encode a canonical DECODED root (:func:`_canon_uri` rendering)
@@ -1213,6 +1219,8 @@ def _bloom_filter_rels(
             # a doc without an int "m" and dict "files" degrades to
             # keep-all exactly like a missing object, instead of
             # KeyError-ing the point read (r13 ADVICE finding).
+            if _SIDECAR_LATENCY_S:
+                __import__("time").sleep(_SIDECAR_LATENCY_S)
             try:
                 if local_root is not None:
                     with open(os.path.join(local_root, obj)) as f:
@@ -1312,6 +1320,8 @@ def _bloom_filter_rels(
         )
         return out
     for rel, sidecar in legacy:
+        if _SIDECAR_LATENCY_S:
+            __import__("time").sleep(_SIDECAR_LATENCY_S)
         try:
             doc = json.loads(
                 _manifest_read_text(spark, fs, Path(f"{root_str}/{sidecar}"))

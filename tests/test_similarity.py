@@ -788,3 +788,103 @@ class TestLshPlanesFor:
         )
         n_reps = clusters.where("is_representative").count()
         assert n_reps <= 42  # ~40 clusters of 2
+
+
+class TestPairBudget:
+    """r13 VERDICT task 3: a per-bucket pair budget bounds verify cost
+    under adversarial duplicate density; default None is byte-identical
+    to the unbudgeted r13 path."""
+
+    def _dense_corpus(self, spark, n_dupes=40, rng_seed=5):
+        """One planted mega-clique (n_dupes near-identical vectors all
+        hashing to the same bucket in every table) plus spread rows."""
+        rng = np.random.default_rng(rng_seed)
+        base = rng.standard_normal(DIM)
+        rows = []
+        for vid in range(n_dupes):
+            rows.append({
+                "vec_id": vid,
+                "embedding": [
+                    float(x) for x in base + rng.standard_normal(DIM) * 1e-4
+                ],
+            })
+        for vid in range(1000, 1020):
+            rows.append({
+                "vec_id": vid,
+                "embedding": [float(x) for x in rng.standard_normal(DIM)],
+            })
+        return spark.createDataFrame(pd.DataFrame(rows)), rng
+
+    def test_budget_caps_hot_bucket_pairs(self, spark):
+        df, rng = self._dense_corpus(spark)
+        planes = _planes(12, rng)
+        full = S.embedding_near_dups(
+            df, planes, threshold=0.99, n_tables=3
+        ).count()
+        assert full == 40 * 39 // 2  # the clique collides everywhere
+        # budget 36 → member cap m: m(m-1)/2 <= 36 → m = 9
+        capped = S.embedding_near_dups(
+            df, planes, threshold=0.99, n_tables=3, max_pairs_per_bucket=36
+        )
+        got = capped.toPandas()
+        assert len(got) <= 36 * 3  # per (table, bucket) cap, 3 tables
+        # deterministic tie-break: the 9 smallest ids survive per bucket
+        assert set(got.id_a) | set(got.id_b) <= set(range(9))
+        # rerun is identical (lexicographic rank, no nondeterminism)
+        again = capped.toPandas()
+        assert sorted(map(tuple, got[["id_a", "id_b"]].values.tolist())) == \
+            sorted(map(tuple, again[["id_a", "id_b"]].values.tolist()))
+
+    def test_none_budget_identical_to_unbudgeted(self, spark, emb):
+        rng = np.random.default_rng(11)
+        planes = _planes(12, rng)
+        sub = emb.limit(300)
+        a = S.embedding_near_dups(
+            sub, planes, threshold=0.2, n_tables=3
+        ).toPandas()
+        b = S.embedding_near_dups(
+            sub, planes, threshold=0.2, n_tables=3,
+            max_pairs_per_bucket=10**9,
+        ).toPandas()
+        key = lambda d: sorted(
+            map(tuple, d[["id_a", "id_b", "cosine"]].values.tolist())
+        )
+        assert key(a) == key(b)
+
+    def test_semantic_dedup_threads_budget(self, spark):
+        df, rng = self._dense_corpus(spark, n_dupes=12)
+        planes = _planes(12, rng)
+        out = S.semantic_dedup(
+            df, planes, threshold=0.99, n_tables=3,
+            max_pairs_per_bucket=500,
+        ).toPandas()
+        # budget 500 > clique's 66 pairs: clustering unchanged — one
+        # 12-clique, representative = min id, singletons elsewhere
+        clique = out[out.vec_id < 12]
+        assert set(clique.cluster) == {0}
+        assert clique[clique.is_representative].vec_id.tolist() == [0]
+
+    def test_pair_budget_stats_counts(self, spark):
+        df, rng = self._dense_corpus(spark)
+        planes = _planes(12, rng)
+        stats = S.pair_budget_stats(
+            df, planes, n_tables=3, max_pairs_per_bucket=36
+        )
+        # the clique contributes 40*39/2 collisions per table
+        assert stats["pairs_full"] >= 3 * (40 * 39 // 2)
+        assert stats["member_cap"] == 9
+        assert stats["buckets_capped"] >= 3
+        assert stats["pairs_emitted"] + stats["pairs_dropped"] == \
+            stats["pairs_full"]
+        assert stats["max_bucket_members"] >= 40
+        unbudgeted = S.pair_budget_stats(df, planes, n_tables=3)
+        assert unbudgeted["pairs_dropped"] == 0
+        assert unbudgeted["pairs_emitted"] == unbudgeted["pairs_full"]
+
+    def test_member_cap_math(self):
+        assert S._bucket_member_cap(1) == 2
+        assert S._bucket_member_cap(3) == 3
+        assert S._bucket_member_cap(36) == 9
+        assert S._bucket_member_cap(4096) == 91  # 91*90/2 = 4095
+        with pytest.raises(ValueError):
+            S._bucket_member_cap(0)
