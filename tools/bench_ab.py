@@ -85,6 +85,23 @@ def main():
             f"pairing on {len(shared_set)} shared queries; "
             f"{len(new_only)} head-only measured unpaired", flush=True,
         )
+        # PRE-WARM (r13 VERDICT task 7): prime the fixture bytes into
+        # the page cache and discard one warmup rep per side, so the
+        # artifact's validity no longer depends on what ran on the
+        # machine before (the r13 cold-cache contamination: the sf1
+        # ramp had evicted the cache → 22% spreads, caught by hand).
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+        n = 0
+        for root_, _, files_ in os.walk(sf_dir):
+            for fn_ in files_:
+                with open(os.path.join(root_, fn_), "rb") as fh_:
+                    while fh_.read(1 << 22):
+                        n += 1
+        print(f"page-cache prime: ~{n * 4} MiB fixture read", flush=True)
+        for side in ("A", "B"):
+            bench_once(wt if side == "A" else REPO, only=shared_set)
+            print(f"{side}: warmup rep discarded", flush=True)
+
         runs = {"A": [], "B": []}
         # balanced interleave: ABBA ABBA ... cancels linear drift
         order = []

@@ -65,6 +65,18 @@ def stage_sources(work: str) -> None:
     spark.stop()
 
 
+def prime_page_cache(work: str) -> None:
+    """Read every staged source byte once so measured reps start from a
+    WARM page cache regardless of what ran on the machine before."""
+    n = 0
+    for root, _, files in os.walk(work):
+        for fn in files:
+            with open(os.path.join(root, fn), "rb") as f:
+                while f.read(1 << 22):
+                    n += 1
+    print(f"page-cache prime: ~{n * 4} MiB staged source read", flush=True)
+
+
 def run_side(tree: str, work: str, legs: str) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = tree
@@ -115,6 +127,18 @@ def main():
                 cwd=REPO, check=True,
             )
             trees[side], _ = wt, wts.append(wt)
+
+        # PRE-WARM (r13 VERDICT task 7): the r13 cold-cache run was
+        # contaminated by whatever evicted the page cache before it (the
+        # sf1 ramp — 22% spreads, caught and superseded by hand). Make
+        # artifact validity independent of what ran before: (a) prime
+        # the staged source bytes into the page cache explicitly, (b)
+        # run ONE discarded warmup rep per side (JIT/shuffle-dir/scratch
+        # allocation paths warmed on both trees symmetrically).
+        prime_page_cache(work)
+        for side in ("A", "B"):
+            run_side(trees[side], work, legs)
+            print(f"{side}: warmup rep discarded", flush=True)
 
         runs = {"A": [], "B": []}
         order = []
