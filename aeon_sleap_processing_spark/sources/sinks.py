@@ -3299,6 +3299,11 @@ def maintain(
     layout does not align with the TTL; both skipped when unset), (3)
     ``bloom_cols`` re-indexes point-lookup sidecars the rewrites above
     dropped (:func:`reindex_manifested` — metadata-only, CDC-invisible),
+    then migrates any pre-r13 per-file sidecars
+    (:func:`consolidate_bloom_sidecars`) and repacks small per-commit
+    bloomset objects across commits (:func:`compact_bloomsets`) so
+    point-read sidecar GETs stay bounded by live files rather than
+    commit count on micro-commit streaming stores,
     (4) vacuum with the in-flight-writer grace fence. Every step uses the
     manifest commit path, so the whole job composes with concurrent
     writers and readers keep snapshot isolation throughout.

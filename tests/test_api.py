@@ -106,7 +106,10 @@ class TestDriverContract:
             "q_embedding_neardup",
             "q_semantic_dedup",
             "q_knn_recall",
-            "q_bpe_merges",
+            # r14: q_bpe_merges + q_length_percentiles rotated out
+            # (driver-green r12+r13, untouched by r14's
+            # storage/similarity work; siblings q_bpe_merges_batched,
+            # q_bpe_encode, q_quality_buckets stay in)
             "q_bpe_merges_batched",
             "q_bpe_encode",
             "q_tube_events",
@@ -125,6 +128,14 @@ class TestDriverContract:
             # r11 late: trained classifier-filter stage (pinned
             # coefficients) — q_dedup_clusters rotated out
             "q_quality_classifier",
+            # r14: legacy-bloom migration + cross-commit compaction
+            # under the oracle, and the pair-budgeted generator (the
+            # round's touched plans — the whole manifest wing above
+            # also stays in because sinks.py changed)
+            "q_bloom_migration",
+            "q_neardup_budgeted",
+            "q_cdc_stream_source",
+            "q_partition_typed_store",
         ]:
             assert name in window, name
         assert "q1_pricing_summary" not in window

@@ -33,9 +33,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 #   stream and the anti-join of phase-2 against phase-1 survivors — both
 #   stream-sized equi-joins on the dense frame axis, NOT broadcastable at
 #   scale, so SMJ is the intended plan; the shuffles are per-chunk bounded.
+# - q_bloom_migration: the union of three POINT legs, each an ungrouped
+#   one-row aggregate (count/sum over a bloom-bounded point read — the
+#   query's entire purpose). An ungrouped agg is a single-partition
+#   exchange by definition, and its payload is one partial-agg row per
+#   input partition of a ≤-few-files scan; the same one-row-global-agg
+#   shape q_neardup_recall documents, three times because three point
+#   ids face the migrated index.
 EXPECTED_FLAGS = {
     ("q_fight_sessions", "multiple single-partition exchanges"),
     ("q_fight_sessions_chunked", "many-shuffle SMJ"),
+    ("q_bloom_migration", "multiple single-partition exchanges"),
 }
 
 
