@@ -3440,7 +3440,9 @@ def maintain(
         # migrate any pre-r13 per-file sidecars to consolidated objects
         # (no-op on new stores; metadata-only, CDC-invisible)
         legacy_rep = consolidate_bloom_sidecars(spark, path)
-        if legacy_rep["consolidated"]:
+        if legacy_rep["consolidated"] or legacy_rep.get("skipped"):
+            # skipped-only is still worth surfacing: damaged sidecars
+            # were found and left in place (reads degrade to keep)
             report["consolidate_blooms"] = legacy_rep
         # merge micro-commit bloomsets so point-read GETs stay bounded
         # by live-file count, not commit count (r13 VERDICT task 1)

@@ -853,6 +853,7 @@ def stream_semantic_dedup(
     dim: int | None = None,
     target_recall: float = 0.95,
     plan_seed: int = 0,
+    max_pairs_per_bucket: int | None = None,
 ) -> StreamingQuery:
     """Streaming semantic (embedding) dedup — the ingest twin of
     ``operators.similarity.semantic_dedup``: each arriving vector is kept
@@ -937,7 +938,22 @@ def stream_semantic_dedup(
     ignored). A stream cannot count its corpus up front, so the EXPECTED
     FINAL size is the caller's to provide — size for where the store
     ends, not where it starts; the plan is fixed for the stream's
-    lifetime (keys are precomputed per plan, see the repkeys tier)."""
+    lifetime (keys are precomputed per plan, see the repkeys tier).
+
+    ``max_pairs_per_bucket`` is the streaming twin of the batch
+    operator's pair budget (``embedding_near_dups`` r14): each
+    (table, bucket) cell of the per-batch candidate join keeps only its
+    m = ⌊(1+√(1+8·budget))/2⌋ highest-priority members PER SIDE
+    (deterministic: store reps first — dropping a rep candidate is the
+    costlier miss — then smallest id), bounding the cell's product at
+    ~m² ≈ 2·budget however duplicate-dense one micro-batch or store
+    bucket becomes (a boilerplate flood arriving in one trigger).
+    DIRECTION CAVEAT, same as batch: a dropped candidate can
+    UNDER-drop — a duplicate slips into the kept set — which is the
+    non-conservative direction for dedup; the budget is a wall-time
+    backstop for adversarial density, not a fidelity knob, and the
+    batch ``semantic_dedup`` remains the end-of-corpus authority.
+    Default None = exact prior behavior."""
     from ..operators import similarity as sim
 
     if hyperplanes is None:
@@ -955,6 +971,24 @@ def stream_semantic_dedup(
     keys_root = out_path.rstrip("/") + "/repkeys"
     bucket = sim._bucket_udf(sim._split_tables(hyperplanes, n_tables))
     P = store_partitions
+    m_cap = (
+        None if max_pairs_per_bucket is None
+        else sim._bucket_member_cap(max_pairs_per_bucket)
+    )
+
+    def _cap_side(keys_df: DataFrame, order_cols) -> DataFrame:
+        # per-(table, bucket) member cap — see the pair-budget contract
+        # in the docstring; no-op when unbudgeted
+        if m_cap is None:
+            return keys_df
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("t", "h").orderBy(*order_cols)
+        return (
+            keys_df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= m_cap)
+            .drop("__rn")
+        )
 
     def _verify_and_keep(batch, cand, va, vb):
         # shared verify/drop tail: cand = (id_a batch-row, id_b, rep_b).
@@ -1007,11 +1041,21 @@ def stream_semantic_dedup(
             F.col("__rep"),
             F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
         )
-        a = keys.where(~F.col("__rep")).select(
-            F.col("__kid").alias("id_a"), "t", "h"
+        # cap the two join SIDES separately (batch-left, pool-right with
+        # rep priority) — capping the union could evict a bucket's batch
+        # rows entirely behind its reps, silencing the store comparison
+        a = _cap_side(
+            keys.where(~F.col("__rep")).select(
+                F.col("__kid").alias("id_a"), "t", "h"
+            ),
+            [F.col("id_a")],
         )
-        b = keys.select(
-            F.col("__kid").alias("id_b"), F.col("__rep").alias("rep_b"), "t", "h"
+        b = _cap_side(
+            keys.select(
+                F.col("__kid").alias("id_b"),
+                F.col("__rep").alias("rep_b"), "t", "h",
+            ),
+            [F.col("rep_b").desc(), F.col("id_b")],
         )
         cand = (
             a.join(
@@ -1099,7 +1143,8 @@ def stream_semantic_dedup(
                     )
                 )
                 right = right.unionByName(rkeys)
-            a = bkeys.select("id_a", "t", "h")
+            right = _cap_side(right, [F.col("rep_b").desc(), F.col("id_b")])
+            a = _cap_side(bkeys.select("id_a", "t", "h"), [F.col("id_a")])
             cand = pin(
                 a.join(
                     right,

@@ -375,3 +375,67 @@ def test_auto_sized_plan_from_expected_rows(spark, tmp_path):
             stream, str(tmp_path / "out2"), str(tmp_path / "ckpt2"),
             hyperplanes=None,
         )
+
+
+class TestStreamPairBudget:
+    """r14: the streaming twin of the batch pair budget — per-(table,
+    bucket) member caps bound the per-batch candidate product under
+    adversarial duplicate density; default None is the exact prior
+    plan. Under-dropping (a duplicate slipping through when its only
+    candidate edges were capped away) is the documented direction."""
+
+    def _run(self, spark, src, out, ckpt, p, budget):
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_semantic_dedup(
+            stream, out, ckpt, PLANES, threshold=0.95, n_tables=3,
+            store_partitions=p, max_pairs_per_bucket=budget,
+        )
+        q.awaitTermination(180)
+
+    def test_huge_budget_identical_to_unbudgeted(self, spark, tmp_path):
+        src = str(tmp_path / "src")
+        _drop(spark, src, [1, 2, 3], [_vec(0), _vec(1), _vec(0, 2.0)], 1)
+        _drop(spark, src, [4, 5, 6], [_vec(0, 3.0), _vec(2), _vec(1, 0.5)], 2)
+        for p in (0, 16):
+            kept = {}
+            for tag, budget in (("none", None), ("huge", 10 ** 9)):
+                out = str(tmp_path / f"out_{p}_{tag}")
+                ckpt = str(tmp_path / f"ckpt_{p}_{tag}")
+                self._run(spark, src, out, ckpt, p, budget)
+                kept[tag] = sorted(
+                    r.vec_id
+                    for r in read_semantic_reps(spark, out).collect()
+                )
+            assert kept["none"] == kept["huge"] == [1, 2, 5], (p, kept)
+
+    def test_mega_batch_capped_but_store_dedup_survives(
+        self, spark, tmp_path
+    ):
+        """30 identical vectors in ONE trigger with budget=1 (member cap
+        m=2 per side): only the (1,2) edge is generated, so 2 drops and
+        3..30 under-drop into the kept set — bounded work, documented
+        direction. The NEXT batch's duplicate still drops: the right
+        side caps REPS FIRST, so store candidates survive the cap."""
+        for p in (0, 16):
+            src = str(tmp_path / f"src_{p}")
+            out = str(tmp_path / f"out_{p}")
+            ckpt = str(tmp_path / f"ckpt_{p}")
+            ids = list(range(1, 31))
+            _drop(spark, src, ids, [_vec(0) for _ in ids], 1)
+            self._run(spark, src, out, ckpt, p, 1)
+            kept = sorted(
+                r.vec_id for r in read_semantic_reps(spark, out).collect()
+            )
+            assert kept == [1] + list(range(3, 31)), (p, kept)
+            # batch 2: a duplicate of the clique must STILL drop against
+            # the stored reps (rep-priority under the cap)
+            _drop(spark, src, [100], [_vec(0, 0.5)], 2)
+            self._run(spark, src, out, ckpt, p, 1)
+            kept2 = sorted(
+                r.vec_id for r in read_semantic_reps(spark, out).collect()
+            )
+            assert kept2 == kept, (p, kept2)

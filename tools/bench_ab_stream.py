@@ -218,12 +218,33 @@ def main():
                 lo = sb["min"] / sa["max"]
                 hi = sb["max"] / sa["min"]
                 kind = "minmax"
+            # r14: the A/A null control (stream_ab_aa_flat.json) showed
+            # the paired-IQR rule declaring "stable" non-parity on
+            # IDENTICAL code when per-side spreads exceed ~15% — so any
+            # within-±10% verdict on a high-spread leg carries an
+            # explicit needs-A/A marker instead of silently reading as
+            # a confirmed regression/improvement.
+            spread_hi = max(
+                leg_spread[leg]["a"]["spread_pct_of_median"],
+                leg_spread[leg]["b"]["spread_pct_of_median"],
+            )
+            mid = (lo + hi) / 2
+            caution = (
+                " [needs A/A control: per-side spread "
+                f"{spread_hi}% > 15% and ratio within ±10% — run this "
+                "harness rev-vs-same-rev before believing it]"
+                if spread_hi > 15 and 0.9 <= mid <= 1.1
+                else ""
+            )
             if lo >= 1.0 or hi <= 1.0:
-                return f"stable [{kind}] ({round(lo,2)}..{round(hi,2)})"
+                return (
+                    f"stable [{kind}] ({round(lo,2)}..{round(hi,2)})"
+                    f"{caution}"
+                )
             if 0.9 <= lo and hi <= 1.1:
                 return (
                     f"stable parity [{kind}] "
-                    f"({round(lo,2)}..{round(hi,2)})"
+                    f"({round(lo,2)}..{round(hi,2)}){caution}"
                 )
             return (
                 f"unstable: {kind} ratio interval "
