@@ -553,8 +553,11 @@ def embedding_near_dups(
     degrades to bounded work instead of unbounded verify cost. Recall
     backstop: a true near-dup pair dropped from one table's hot bucket
     can still collide in the other ``n_tables - 1`` tables, whose
-    hashes are independent — and dropped members remain in the corpus,
-    so they stay findable as ``id_b`` of smaller-id members. Default
+    hashes are independent. That is the ONLY backstop — both join
+    sides are aliases of the same capped key set, so a member dropped
+    from a (table, bucket) cell appears on NEITHER side of that cell;
+    with ``n_tables=1`` a binding budget can fully silence a hot
+    bucket's dropped members. Budget with ``n_tables >= 2``. Default
     ``None`` = unbudgeted (exact r13 behavior; the driver oracles pin
     that path). Size it from :func:`pair_budget_stats` (pairs kept vs
     dropped per budget, no pair materialization) and the committed

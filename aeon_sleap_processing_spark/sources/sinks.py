@@ -1252,8 +1252,20 @@ def _bloom_filter_rels(
             per_file = {} if doc is None else doc.get("files", {})
             for rel, member in members:
                 cols = per_file.get(member)
-                if cols is None or _test(doc["m"], cols):
-                    out.add(rel)  # missing member/object — keep
+                if cols is None or not isinstance(cols, dict):
+                    # missing member/object, or a non-dict member value
+                    # (truncated/foreign write) — conservative keep
+                    out.add(rel)
+                    continue
+                try:
+                    prune = not _test(doc["m"], cols)
+                except Exception:
+                    # corrupt base64 bitset / wrong value types inside a
+                    # member: degrade to keep, same rule as the legacy
+                    # per-file branches — never fail the point read
+                    prune = False
+                if not prune:
+                    out.add(rel)
 
     if not legacy:
         return out
@@ -2743,7 +2755,11 @@ def compact_bloomsets(
     (a second run finds nothing mergeable); the replaced objects become
     vacuum orphans. ``maintain()`` runs it after reindex. Returns
     {"repacked_rels", "objects_before", "objects_after", "skipped",
-    "version"}.
+    "skipped_objects", "version"} — ``skipped`` counts RELS left on
+    their old pointer (every member of an unreadable object, plus
+    members absent from a readable one); ``skipped_objects`` counts
+    whole objects that failed to read (r14 ADVICE: the two units were
+    previously mixed in one counter).
 
     Scale analog: the reference bounds its per-chunk file lookups by
     filename convention (combine_pose_id_automated.py:31-43); at 100 TB
@@ -2766,7 +2782,7 @@ def compact_bloomsets(
     if len(small) < 2:
         return {"repacked_rels": 0, "objects_before": len(by_obj),
                 "objects_after": len(by_obj), "skipped": 0,
-                "version": head_v}
+                "skipped_objects": 0, "version": head_v}
     local_root = None
     if root_str.startswith("file:") and not root_str.startswith("file://"):
         local_root = root_str[len("file:"):]
@@ -2801,11 +2817,13 @@ def compact_bloomsets(
     # (m, k) -> [(rel, cols_b64, entry)] — LIVE members only, in a
     # deterministic order so repeated runs pack identically
     groups: dict[tuple, list] = {}
-    skipped = 0
+    skipped = 0  # RELS kept on their old pointer
+    skipped_objects = 0  # whole objects that failed to read
     for obj in objs:
         doc = docs[obj]
         if doc is None:
-            skipped += 1
+            skipped_objects += 1
+            skipped += len(by_obj[obj])  # every member keeps its ptr
             continue
         per_file = doc["files"]
         for rel, member, e in sorted(by_obj[obj]):
@@ -2841,7 +2859,7 @@ def compact_bloomsets(
     if not add:
         return {"repacked_rels": 0, "objects_before": len(by_obj),
                 "objects_after": len(by_obj), "skipped": skipped,
-                "version": head_v}
+                "skipped_objects": skipped_objects, "version": head_v}
     # distinct objects the head references AFTER the re-point: old
     # pointers overlaid with the repacked ones (skipped members keep
     # their old object alive, so count from the final pointer map)
@@ -2861,12 +2879,14 @@ def compact_bloomsets(
         # are orphans for vacuum; the next maintain() covers the new head
         return {"repacked_rels": 0, "objects_before": len(by_obj),
                 "objects_after": len(by_obj), "skipped": skipped,
+                "skipped_objects": skipped_objects,
                 "version": head_v, "conflict": True}
     return {
         "repacked_rels": len(add),
         "objects_before": len(by_obj),
         "objects_after": objects_after,
         "skipped": skipped,
+        "skipped_objects": skipped_objects,
         "version": v,
     }
 

@@ -680,3 +680,75 @@ class TestCompactBloomsets:
         assert hit.where("id = 57").count() == 1
         got = {k: sinks._BLOOM_GETS[k] - before[k] for k in before}
         assert got["objects"] == 1 and got["per_file"] == 0, got
+
+
+class TestR15AdviceHardening:
+    def test_corrupt_member_value_degrades_to_keep(self, spark, tmp_path):
+        """r14 ADVICE (medium): the consolidated read validated the DOC
+        shape but not the per-member VALUE — a non-dict member or a
+        corrupt base64 bitset must degrade that member to conservative
+        keep, not TypeError/binascii.Error the whole point read."""
+        import json
+
+        path = str(tmp_path / "store")
+        write_manifested(
+            spark, spark.range(0, 1000).repartitionByRange(4, "id"),
+            path, bloom_cols=["id"],
+        )
+        obj = glob.glob(f"{path}/_index/bloomset-*.json")[0]
+        doc = json.load(open(obj))
+        members = sorted(doc["files"])
+        # member 0: non-dict value (truncated/foreign write)
+        doc["files"][members[0]] = "garbage"
+        # member 1: dict with a corrupt base64 bitset
+        doc["files"][members[1]] = {"id": "!!!not-base64!!!"}
+        # member 2: dict with a non-string bitset value
+        doc["files"][members[2]] = {"id": 12345}
+        with open(obj, "w") as f:
+            json.dump(doc, f)
+        # point read survives; the 3 damaged members are kept
+        # conservatively, the intact one still prunes normally
+        hit = read_manifested(spark, path, point={"id": 123})
+        assert hit.where("id = 123").count() == 1
+        assert _files(hit) >= 3  # damaged members all kept
+        # a definite miss: the intact member still PRUNES its file, the
+        # 3 damaged ones are kept conservatively (point= prunes files,
+        # the row predicate stays the caller's job)
+        miss = read_manifested(spark, path, point={"id": 10 ** 9})
+        assert _files(miss) == 3
+        assert miss.where(f"id = {10 ** 9}").count() == 0
+
+    def test_compact_skipped_counts_rels_and_objects(
+        self, spark, tmp_path
+    ):
+        """r14 ADVICE (low): 'skipped' mixed units (1/unreadable OBJECT
+        but 1/absent MEMBER). Now 'skipped' counts rels consistently and
+        'skipped_objects' counts whole unreadable objects."""
+        import glob as _glob
+        import json
+
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+        for i in range(6):
+            write_manifested(
+                spark,
+                spark.range(i * 20, (i + 1) * 20)
+                .repartitionByRange(2, "id"),
+                path, bloom_cols=["id"],
+            )
+        objs = sorted(_glob.glob(f"{path}/_index/bloomset-*.json"))
+        with open(objs[0], "w") as f:
+            f.write("{ truncated")  # unreadable: 2 member rels skipped
+        doc = json.load(open(objs[1]))
+        dropped = sorted(doc["files"])[0]
+        del doc["files"][dropped]  # readable, 1 member absent
+        with open(objs[1], "w") as f:
+            json.dump(doc, f)
+        rep = sinks.compact_bloomsets(spark, path, target_members=512)
+        assert rep["skipped"] == 3, rep  # 2 (object) + 1 (member): rels
+        assert rep["skipped_objects"] == 1, rep
+        assert rep["repacked_rels"] == 12 - 3, rep
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        assert read_manifested(spark, path).count() == 120
