@@ -444,12 +444,43 @@ def _resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
     return img[yi][:, xi]
 
 
+def _check_on_error(on_error: str, extra: tuple[str, ...] = ()) -> None:
+    allowed = ("raise", "quarantine") + extra
+    if on_error not in allowed:
+        raise ValueError(f"on_error must be one of {allowed}, got {on_error!r}")
+
+
+def _with_quarantine_fields(schema: T.StructType) -> T.StructType:
+    """The operator's schema + the quarantine side-channel columns —
+    null on healthy rows, (class, message) on undecodable ones."""
+    return T.StructType(
+        list(schema.fields)
+        + [
+            T.StructField("error_class", T.StringType()),
+            T.StructField("error_message", T.StringType()),
+        ]
+    )
+
+
+def _quarantine_rec(keys: dict, e: Exception, null_cols: list[str] | None = None) -> dict:
+    """One quarantined output row: the identifying keys, nulls for every
+    feature column, and the error identity (class name + bounded
+    message — executor exceptions can embed whole byte dumps)."""
+    rec = dict(keys)
+    for c in null_cols or ():
+        rec[c] = None
+    rec["error_class"] = type(e).__name__
+    rec["error_message"] = str(e)[:500]
+    return rec
+
+
 def decode_image_features(
     df: DataFrame,
     id_col: str,
     binary_col: str,
     feature_dim: int = 16,
     allow_fake: bool = True,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Decode images and emit a small feature vector per image via
     ``mapInPandas`` (Arrow batches; one task per input partition).
@@ -463,7 +494,17 @@ def decode_image_features(
     producing fake features. Features: mean luma (unweighted channel mean
     for RGB — not ITU-601) + ``feature_dim`` evenly-strided normalized
     intensities.
-    """
+
+    ``on_error='quarantine'`` (r14 VERDICT task 3): instead of one bad
+    blob killing the whole stage — fatal at 100 TB, where a stray
+    mis-transcoded file is a certainty — an undecodable row emits null
+    features plus ``(error_class, error_message)`` columns appended to
+    the schema; healthy rows carry nulls there. Filter
+    ``error_class IS NOT NULL`` for the quarantine side-channel, matching
+    the reference's warn-and-continue stream discipline
+    (`combine_pose_id_chunk.py:50-55`, SURVEY T2). Default ``'raise'``
+    keeps the exact pre-r15 behavior AND schema."""
+    _check_on_error(on_error)
     try:  # pragma: no cover - exercised only where PIL exists
         from PIL import Image  # noqa: F401
 
@@ -476,46 +517,71 @@ def decode_image_features(
         idx = np.linspace(0, len(flat) - 1, feature_dim).astype(int)
         return float(gray.mean()), (flat[idx] / 255.0).astype("float32")
 
+    def _decode_one(rid, b) -> tuple[float, np.ndarray]:
+        if (
+            b is not None
+            and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
+            and (img := _try_decode_png(bytes(b))) is not None
+        ):
+            img = img.astype(float)
+            if img.ndim == 3:
+                img = img.mean(axis=2)
+            return _features(img)
+        if have_pil:
+            import io
+
+            from PIL import Image
+
+            img = np.asarray(Image.open(io.BytesIO(b)).convert("L"), dtype=float)
+            return _features(img)
+        if allow_fake:
+            # FAKE DECODE (deterministic): content-hash pseudo pixels
+            digest = hashlib.sha256(b or b"").digest()
+            arr = np.frombuffer(
+                (digest * ((feature_dim * 8) // len(digest) + 1))[: feature_dim * 8],
+                dtype="<u4",
+            ).astype(float)
+            feat = ((arr % 1000) / 1000.0).astype("float32")[:feature_dim]
+            return float(feat.mean()), feat
+        raise NotImplementedError(
+            f"row id={rid}: not a decodable PNG and PIL is "
+            "unavailable; pass allow_fake=True to stub such rows"
+        )
+
+    quarantine = on_error == "quarantine"
+    cols = ["id", "mean_luma", "feature"] + (
+        ["error_class", "error_message"] if quarantine else []
+    )
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
-                b = row[binary_col]
-                if (
-                    b is not None
-                    and bytes(b[:8]) == b"\x89PNG\r\n\x1a\n"
-                    and (img := _try_decode_png(bytes(b))) is not None
-                ):
-                    img = img.astype(float)
-                    if img.ndim == 3:
-                        img = img.mean(axis=2)
-                    luma, feat = _features(img)
-                elif have_pil:
-                    import io
-
-                    from PIL import Image
-
-                    img = np.asarray(Image.open(io.BytesIO(b)).convert("L"), dtype=float)
-                    luma, feat = _features(img)
-                elif allow_fake:
-                    # FAKE DECODE (deterministic): content-hash pseudo pixels
-                    digest = hashlib.sha256(b or b"").digest()
-                    arr = np.frombuffer(
-                        (digest * ((feature_dim * 8) // len(digest) + 1))[: feature_dim * 8],
-                        dtype="<u4",
-                    ).astype(float)
-                    feat = ((arr % 1000) / 1000.0).astype("float32")[:feature_dim]
-                    luma = float(feat.mean())
+                rid = row["id"]
+                if quarantine:
+                    try:
+                        luma, feat = _decode_one(rid, row[binary_col])
+                        rec = {"id": rid, "mean_luma": luma,
+                               "feature": feat.tolist(),
+                               "error_class": None, "error_message": None}
+                    except Exception as e:
+                        rec = _quarantine_rec(
+                            {"id": rid}, e, ["mean_luma", "feature"]
+                        )
                 else:
-                    raise NotImplementedError(
-                        f"row id={row['id']}: not a decodable PNG and PIL is "
-                        "unavailable; pass allow_fake=True to stub such rows"
-                    )
-                out.append({"id": row["id"], "mean_luma": luma, "feature": feat.tolist()})
-            yield pd.DataFrame(out, columns=["id", "mean_luma", "feature"])
+                    luma, feat = _decode_one(rid, row[binary_col])
+                    rec = {"id": rid, "mean_luma": luma,
+                           "feature": feat.tolist()}
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
+    schema = (
+        _with_quarantine_fields(IMAGE_FEATURE_SCHEMA)
+        if quarantine
+        else IMAGE_FEATURE_SCHEMA
+    )
     return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
-        run, IMAGE_FEATURE_SCHEMA
+        run, schema
     )
 
 
@@ -556,11 +622,29 @@ def _parse_wav_pcm16(b: bytes):
     return sr, nch, samples
 
 
-def decode_audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFrame:
+def decode_audio_features(
+    df: DataFrame, id_col: str, binary_col: str, on_error: str = "null"
+) -> DataFrame:
     """Audio feature extraction over opaque WAV binary columns via
     ``mapInPandas`` — REAL (PCM16 parse is pure struct/numpy): sample rate,
     channel count, duration, RMS, peak, zero-crossing rate. Non-WAV /
-    malformed bytes yield null features, not task failures."""
+    malformed bytes yield null features, not task failures.
+
+    ``on_error`` (r14 VERDICT task 3): ``'null'`` (default — the
+    operator's historical warn-and-continue shape) nulls the features
+    silently; ``'quarantine'`` additionally appends ``(error_class,
+    error_message)`` columns naming WHY each row failed (null on healthy
+    rows); ``'raise'`` fails fast on the first undecodable blob."""
+    _check_on_error(on_error, extra=("null",))
+    quarantine = on_error == "quarantine"
+    feat_cols = ["sample_rate", "n_channels", "duration_s", "rms", "peak",
+                 "zero_cross_rate"]
+    schema = (
+        _with_quarantine_fields(AUDIO_FEATURE_SCHEMA)
+        if quarantine
+        else AUDIO_FEATURE_SCHEMA
+    )
+    cols = [f.name for f in schema]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -568,27 +652,35 @@ def decode_audio_features(df: DataFrame, id_col: str, binary_col: str) -> DataFr
             for rid, b in zip(pdf["id"], pdf[binary_col]):
                 parsed = _parse_wav_pcm16(b)
                 if parsed is None or len(parsed[2]) == 0:
-                    out.append({"id": rid, "sample_rate": None, "n_channels": None,
-                                "duration_s": None, "rms": None, "peak": None,
-                                "zero_cross_rate": None})
+                    e = ValueError(
+                        "not a parseable PCM16 RIFF/WAVE blob (or empty "
+                        "sample data) — transcode upstream"
+                    )
+                    if on_error == "raise":
+                        raise type(e)(f"row id={rid}: {e}")
+                    rec = {"id": rid, **{c: None for c in feat_cols}}
+                    if quarantine:
+                        rec = _quarantine_rec({"id": rid}, e, feat_cols)
+                    out.append(rec)
                     continue
                 sr, nch, s = parsed
                 zc = float(np.mean(np.signbit(s[1:]) != np.signbit(s[:-1]))) if len(s) > 1 else 0.0
-                out.append(
-                    {
-                        "id": rid,
-                        "sample_rate": sr,
-                        "n_channels": nch,
-                        "duration_s": len(s) / nch / sr,
-                        "rms": float(np.sqrt(np.mean(s**2))),
-                        "peak": float(np.abs(s).max()),
-                        "zero_cross_rate": zc,
-                    }
-                )
-            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_FEATURE_SCHEMA])
+                rec = {
+                    "id": rid,
+                    "sample_rate": sr,
+                    "n_channels": nch,
+                    "duration_s": len(s) / nch / sr,
+                    "rms": float(np.sqrt(np.mean(s**2))),
+                    "peak": float(np.abs(s).max()),
+                    "zero_cross_rate": zc,
+                }
+                if quarantine:
+                    rec["error_class"] = rec["error_message"] = None
+                out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
     return df.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
-        run, AUDIO_FEATURE_SCHEMA
+        run, schema
     )
 
 
@@ -674,6 +766,7 @@ def video_frame_source(
     id_col: str,
     binary_col: str,
     every_n: int = 1,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Video frame SOURCE (SURVEY S8, reference
     `detect_fights_all_epochs.py:53-79` cv2.VideoCapture probing): explode a
@@ -685,10 +778,24 @@ def video_frame_source(
     Arrow batches, one task per input partition; each video's frames emit
     from the task holding its bytes, so nothing is shuffled. ``every_n``
     subsamples INSIDE the decoder (skipped frames never materialize as
-    arrays — the chunk walk still scans their headers, which is cheap)."""
+    arrays — the chunk walk still scans their headers, which is cheap).
+
+    ``on_error='quarantine'`` (r14 VERDICT task 3): a blob the decoder
+    cannot handle — corrupt RIFF, truncated chunks, an H.264/H.265
+    stream that should have been transcoded upstream — emits ONE row
+    with null frame columns and ``(error_class, error_message)``
+    appended to the schema, instead of its exception killing the whole
+    stage (at 100 TB one stray transcoded-wrong file is a certainty).
+    Healthy videos carry nulls in the error columns; filter
+    ``error_class IS NOT NULL`` for the quarantine side-channel —
+    the reference's own warn-and-continue discipline on bad streams
+    (`combine_pose_id_chunk.py:50-55`, SURVEY T2). Default ``'raise'``
+    keeps the exact pre-r15 behavior AND schema."""
     if every_n < 1:
         raise ValueError(f"every_n must be >= 1, got {every_n!r}")
-    out_schema = T.StructType(
+    _check_on_error(on_error)
+    quarantine = on_error == "quarantine"
+    base_schema = T.StructType(
         [
             T.StructField("id", T.LongType()),
             T.StructField("frame_idx", T.IntegerType()),
@@ -698,26 +805,36 @@ def video_frame_source(
             T.StructField("png", T.BinaryType()),
         ]
     )
+    out_schema = _with_quarantine_fields(base_schema) if quarantine else base_schema
+    frame_cols = ["frame_idx", "fps", "height", "width", "png"]
+    cols = ["id"] + frame_cols + (
+        ["error_class", "error_message"] if quarantine else []
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for rid, b in zip(pdf["id"], pdf[binary_col]):
-                frames, fps = decode_avi(bytes(b), every_n=every_n)
+                try:
+                    frames, fps = decode_avi(bytes(b), every_n=every_n)
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    out.append(_quarantine_rec({"id": rid}, e, frame_cols))
+                    continue
                 for j in range(len(frames)):
-                    out.append(
-                        {
-                            "id": rid,
-                            "frame_idx": j * every_n,
-                            "fps": fps,
-                            "height": frames.shape[1],
-                            "width": frames.shape[2],
-                            "png": encode_png(frames[j]),
-                        }
-                    )
-            yield pd.DataFrame(
-                out, columns=["id", "frame_idx", "fps", "height", "width", "png"]
-            )
+                    rec = {
+                        "id": rid,
+                        "frame_idx": j * every_n,
+                        "fps": fps,
+                        "height": frames.shape[1],
+                        "width": frames.shape[2],
+                        "png": encode_png(frames[j]),
+                    }
+                    if quarantine:
+                        rec["error_class"] = rec["error_message"] = None
+                    out.append(rec)
+            yield pd.DataFrame(out, columns=cols)
 
     return videos.select(F.col(id_col).alias("id"), F.col(binary_col)).mapInPandas(
         run, out_schema

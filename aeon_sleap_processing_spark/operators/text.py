@@ -278,12 +278,108 @@ def minhash_signature(
     return rows.groupBy(id_col).agg(*aggs)
 
 
+def minhash_bands_for(
+    n_docs: int,
+    threshold: float = 0.7,
+    target_recall: float = 0.95,
+    p_background: float = 0.1,
+    margin: int = 2,
+    max_bands: int = 64,
+) -> tuple[int, int, int]:
+    """Size a banded-MinHash plan from the corpus — the r9/r10 band-sizing
+    LAW as code instead of README prose (the embedding twin is
+    :func:`~.similarity.lsh_planes_for`; r14 VERDICT task 2):
+
+    - ``band_size r`` from the RANDOM-FLOOR rule: two non-dup docs agree
+      on one min-hash w.p. ~their background Jaccard ``p_background``
+      (common shingles — natural text, boilerplate), so one band of r
+      hashes random-collides w.p. p_bg^r and the floor
+      n_bands·p_bg^r·n²/2 is QUADRATIC in n at fixed r. Requiring
+      p_bg^r ≤ 2^-margin / n gives
+      ``r = ceil((log2(n) + margin) / log2(1/p_bg))`` — the same
+      b ≈ log₂(n)+margin discipline that cured the embedding LSH second
+      decade. Measured evidence this binds: the driver's fixed 2-perm
+      bands at 500k NATURAL docs hit the quadratic common-shingle floor
+      (>30 GB shuffle, killed — recorded in
+      bench_runs_r14/minhash_decade2.json's failure observations).
+    - ``n_bands`` from the amplification identity: a true pair at
+      Jaccard ≥ ``threshold`` collides per band w.p. threshold^r, so
+      ``n_bands = ceil(ln(1-target_recall) / ln(1-threshold^r))`` bands
+      give OR-amplified recall ≥ ``target_recall`` (capped at
+      ``max_bands`` — if the cap binds, achievable recall is
+      1-(1-threshold^r)^max_bands; raise ``threshold`` or accept).
+
+    Returns ``(num_perm, band_size, n_bands)`` with
+    ``num_perm = band_size * n_bands``, ready for
+    :func:`minhash_signature` + :func:`lsh_buckets` /
+    :func:`minhash_est_vs_exact` (both take ``auto_bands=True`` to apply
+    this from one corpus count). Signature cost scales as
+    ceil(num_perm/4) md5 calls per shingle (the 4-slice slab trick in
+    :func:`minhash_signature`), LINEAR in num_perm — the law trades that
+    bounded linear cost against the quadratic floor."""
+    import math
+
+    if n_docs < 1:
+        raise ValueError(f"n_docs must be >= 1, got {n_docs}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be a Jaccard in (0, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(f"target_recall must be in (0, 1), got {target_recall}")
+    if not 0.0 < p_background < 1.0:
+        raise ValueError(f"p_background must be in (0, 1), got {p_background}")
+    r = max(
+        2,
+        math.ceil(
+            (math.log2(max(n_docs, 2)) + margin) / math.log2(1.0 / p_background)
+        ),
+    )
+    hit = threshold**r
+    if hit >= 1.0:
+        n_bands = 1
+    else:
+        n_bands = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - hit))
+        n_bands = min(max(n_bands, 1), max_bands)
+    return r * n_bands, r, n_bands
+
+
 def lsh_buckets(
-    sigs: DataFrame, id_col: str = "doc_id", num_perm: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    band_size: int = 2,
+    auto_bands: bool = False,
+    n_docs: int | None = None,
+    threshold: float = 0.7,
+    p_background: float = 0.1,
 ) -> DataFrame:
     """Banded LSH over a MinHash signature: docs sharing a band-hash are
     near-dup candidates. Returns buckets with >= 2 docs:
-    (band, band_hash, n_docs, min_doc, max_doc)."""
+    (band, band_hash, n_docs, min_doc, max_doc).
+
+    ``auto_bands=True`` applies the :func:`minhash_bands_for` floor rule
+    to the signature AT HAND: ``band_size`` is re-sized to the law's r
+    for ``n_docs`` (counted from ``sigs`` if not given) and the bands
+    re-split from the available ``num_perm``. If the signature is too
+    narrow to hold even ONE law-sized band, this raises with the plan
+    :func:`minhash_bands_for` wants — fixed weak bands at scale fail
+    QUADRATICALLY and silently (the 500k-doc kill recorded in
+    bench_runs_r14/minhash_decade2.json), so the engine refuses to be
+    the silent version of that."""
+    if auto_bands:
+        if n_docs is None:
+            n_docs = sigs.count()
+        want_perm, law_r, want_bands = minhash_bands_for(
+            n_docs, threshold=threshold, p_background=p_background
+        )
+        if num_perm < law_r:
+            raise ValueError(
+                f"auto_bands: signature has num_perm={num_perm} but the "
+                f"band-sizing law wants band_size={law_r} at n_docs="
+                f"{n_docs} — regenerate signatures with num_perm="
+                f"{want_perm} (minhash_bands_for -> (num_perm, band_size,"
+                f" n_bands) = {(want_perm, law_r, want_bands)})"
+            )
+        band_size = law_r
     n_bands = num_perm // band_size
     bands = F.array(
         *[
@@ -628,6 +724,10 @@ def minhash_est_vs_exact(
     num_perm: int = 8,
     band_size: int = 2,
     shingle_k: int = 3,
+    auto_bands: bool = False,
+    threshold: float = 0.7,
+    target_recall: float = 0.95,
+    p_background: float = 0.1,
 ) -> DataFrame:
     """Estimator-quality audit: for every banded-LSH candidate pair, the
     MinHash Jaccard estimate (matching-permutation fraction) next to the
@@ -643,7 +743,22 @@ def minhash_est_vs_exact(
     inverted-index self-join keyed on xxhash64 shingles (the
     ``jaccard_top_pairs`` shape, text.py:289), restricted to candidate
     docs, then inner-joined to the candidate pairs; every join is a
-    hash-distributed equi-join on a dense key — never all-pairs."""
+    hash-distributed equi-join on a dense key — never all-pairs.
+
+    ``auto_bands=True`` sizes the whole plan from ONE corpus count via
+    :func:`minhash_bands_for` (band_size from the log₂(n)+margin random
+    floor, n_bands from the amplification identity at ``threshold`` /
+    ``target_recall``) — the production path at scale; the explicit
+    ``num_perm``/``band_size`` defaults stay for the pinned driver
+    oracles."""
+    if auto_bands:
+        n_docs = docs.count()
+        if n_docs == 0:
+            raise ValueError("auto_bands: empty corpus — no plan to size")
+        num_perm, band_size, _ = minhash_bands_for(
+            n_docs, threshold=threshold, target_recall=target_recall,
+            p_background=p_background,
+        )
     sigs = minhash_signature(docs, text_col, id_col, num_perm, shingle_k)
     n_bands = num_perm // band_size
     bands = F.array(

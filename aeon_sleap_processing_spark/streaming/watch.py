@@ -339,6 +339,7 @@ def relay_manifested(
     bloom_cols: list[str] | None = None,
     poll_interval: float | None = None,
     max_polls: int | None = None,
+    compact_blooms_every: int | None = 64,
 ) -> dict:
     """EXACTLY-ONCE store→store relay: consume a manifest store's change
     deltas by cursor, optionally ``transform`` each delta DataFrame, and
@@ -365,7 +366,13 @@ def relay_manifested(
     see :func:`~..sources.sinks.read_manifested_changes`), which the
     version-prefix replace keeps idempotent per poll but a source DML
     fixup DOES re-append its file's rows downstream: dedup there if the
-    source is DML-active. Returns {"polls", "batches", "cursor"}."""
+    source is DML-active. Returns {"polls", "batches", "cursor"}.
+
+    When ``bloom_cols`` is set, the destination's bloom index
+    self-compacts every ``compact_blooms_every`` destination commits
+    (default 64 — the r14 VERDICT item: a micro-commit relay otherwise
+    decays point reads back to O(commits) GETs between external
+    maintain() runs; the inline pass is metadata-only and idempotent)."""
     import time as _time
 
     from ..sources.sinks import read_manifested_changes, write_manifested
@@ -386,6 +393,7 @@ def relay_manifested(
                 remove_prefixes=[f"v{until}-"],  # replay replaces itself
                 stats_cols=stats_cols,   # derived store keeps the same
                 bloom_cols=bloom_cols,   # skipping discipline as a write
+                compact_blooms_every=compact_blooms_every,
             )
             batches += 1
         if until != cursor:
@@ -410,6 +418,9 @@ def stream_append_compacted(
     max_segments: int = 8,
     trigger: dict | None = None,
     commit: str = "manifest",
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    compact_blooms_every: int | None = 64,
 ) -> StreamingQuery:
     """Parquet append sink with BUILT-IN small-file compaction — the watch
     loop no longer accumulates one small file per micro-batch forever
@@ -467,9 +478,22 @@ def stream_append_compacted(
     protocol; under listing the two tiers have different partition dir
     names, so a naive root read would trip partition inference). All
     directory ops go through the Hadoop FileSystem API — local/HDFS/S3A
-    alike."""
+    alike.
+
+    ``stats_cols``/``bloom_cols`` (manifest protocol only) give the sink
+    the same skipping discipline as a batch :func:`write_manifested`;
+    with ``bloom_cols`` set, the bloom index SELF-COMPACTS every
+    ``compact_blooms_every`` commits (default 64) so a long-running
+    micro-batch stream keeps point-read GETs bounded by live files, not
+    commit count, without any external ``maintain()`` schedule (the r14
+    VERDICT's top item — the inline pass is metadata-only, idempotent,
+    and conflict-tolerant)."""
     if commit not in ("manifest", "listing"):
         raise ValueError(f"unknown commit protocol {commit!r}")
+    if commit == "listing" and (stats_cols or bloom_cols):
+        raise ValueError(
+            "stats_cols/bloom_cols need the manifest commit protocol"
+        )
     spark = stream.sparkSession
     ingest = out_path.rstrip("/") + "/ingest"
 
@@ -481,6 +505,9 @@ def stream_append_compacted(
                 spark, batch_df, out_path,
                 filename_prefix=f"b{batch_id}-",
                 remove_prefixes=[f"b{batch_id}-"],  # replay drops its own retry
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+                compact_blooms_every=compact_blooms_every,
             )
         else:
             (
@@ -489,7 +516,10 @@ def stream_append_compacted(
             )
         if compact_every > 0 and batch_id > 0 and batch_id % compact_every == 0:
             if commit == "manifest":
-                _fold_manifested(spark, out_path, batch_id, target_bytes)
+                _fold_manifested(
+                    spark, out_path, batch_id, target_bytes,
+                    stats_cols=stats_cols, bloom_cols=bloom_cols,
+                )
             else:
                 _fold_compacted(
                     spark, out_path, batch_id, compact_every,
@@ -510,6 +540,9 @@ def _fold_manifested(
     batch_id: int,
     target_bytes: int,
     _before_commit=None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 17,
 ) -> None:
     """The fold step of :func:`stream_append_compacted` under the manifest
     protocol: rewrite every head file from a STRICTLY-EARLIER batch
@@ -523,13 +556,19 @@ def _fold_manifested(
     the remove-set names exactly the files this fold READ, so the CAS
     rebuild keeps a racing writer's files untouched. ``_before_commit``
     is the test seam (fires between staging and commit — the window every
-    interleaving bug lives in)."""
+    interleaving bug lives in).
+
+    ``stats_cols``/``bloom_cols`` keep the SINK's skipping discipline
+    across folds: the rewrite stages through the same
+    :func:`~..sources.sinks._stage_files` machinery as a batch append,
+    so ``seg-`` outputs carry fresh per-file stats and bloom sidecars
+    instead of silently losing the ``b<j>-`` inputs' pruning (the one
+    scan each costs is bounded by the fold's own rewrite)."""
     import math
     import re
-    import uuid
 
     from ..sources.sinks import (
-        _canon_uri, _hadoop_fs, _list_data_files, _manifest_head,
+        _canon_uri, _hadoop_fs, _manifest_head, _stage_files,
         manifest_commit,
     )
 
@@ -550,25 +589,18 @@ def _fold_manifested(
     if len(sources) <= 1:
         return
     n_out = max(1, math.ceil(sum(b for _, b in sources) / target_bytes))
-    token = uuid.uuid4().hex
-    stage_str = f"{root_str}/_staging/{token}"
-    (
+    folded = (
         # mergeSchema: an external append with a wider schema must not
         # have its evolved column dropped by the fold's rewrite (same
         # soundness rule as compact_manifested)
         spark.read.option("mergeSchema", "true")
         .parquet(*[f"{root_str}/{p}" for p, _ in sources])
         .repartition(n_out)
-        .write.mode("overwrite")
-        .parquet(stage_str)
     )
-    adds = []
-    for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
-        rel = f"seg-{token}-{i:05d}.parquet"
-        if not fs.rename(st.getPath(), Path(f"{root_str}/{rel}")):
-            raise IOError(f"_fold_manifested: rename failed for {rel}")
-        adds.append((rel, st.getLen()))
-    fs.delete(Path(stage_str), True)
+    adds, add_stats, _dirs, add_blooms = _stage_files(
+        spark, folded, fs, Path, root_str, None, "seg-",
+        stats_cols, bloom_cols, bloom_bits,
+    )
     if _before_commit is not None:
         _before_commit()
     from ..sources.sinks import ManifestConflict
@@ -579,7 +611,10 @@ def _fold_manifested(
         # fold stale — drop it (staged segs stay invisible orphans for
         # vacuum) and let the next fold cadence redo it from the new head
         manifest_commit(
-            spark, out_path, add=adds, remove=[p for p, _ in sources],
+            spark, out_path,
+            add=[(p, b, add_stats.get(p), add_blooms.get(p))
+                 for p, b in adds],
+            remove=[p for p, _ in sources],
             require_remove_present=True,
             op="fold", data_change=False,
         )

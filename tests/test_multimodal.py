@@ -724,3 +724,121 @@ class TestJpegProperties:
             img = np.full((24, 24, 3), val, np.uint8)
             back = decode_jpeg(encode_jpeg(img, quality=95))
             assert np.abs(back.astype(int) - val).max() <= 2, val
+
+
+class TestQuarantineMode:
+    """r14 VERDICT task 3: on_error='quarantine' — a bad blob emits an
+    (error_class, error_message) row with null features instead of its
+    exception killing the stage; default stays 'raise' (pre-r15 schema
+    and behavior untouched)."""
+
+    def _avi_corpus(self, spark, n=100):
+        """n-row video corpus: n-2 good MJPEG AVIs, one corrupt blob,
+        one 'H.264-signature' AVI (a '00dc' stream whose payload is not
+        baseline JPEG — exactly the transcode-upstream contract case)."""
+        import numpy as np
+        import pandas as pd
+
+        from aeon_sleap_processing_spark.operators.multimodal import encode_avi
+
+        frames = np.stack([np.full((4, 4), i * 30, np.uint8) for i in range(3)])
+        good = bytearray(encode_avi(frames, fps=10.0, codec="mjpeg"))
+        h264ish = bytearray(good)
+        # overwrite the first JPEG SOI marker inside the '00dc' payload
+        # with NAL-ish bytes: the chunk walk now sees a compressed
+        # non-MJPEG stream, the H.264 contract branch
+        soi = bytes(good).find(b"\xff\xd8")
+        assert soi > 0
+        h264ish[soi : soi + 2] = b"\x00\x01"
+        blobs = [bytearray(good) for _ in range(n)]
+        blobs[37] = bytearray(b"RIFF\x08\x00\x00\x00AVI corrupt-tail")
+        blobs[71] = h264ish
+        return spark.createDataFrame(
+            pd.DataFrame({"vid_id": list(range(n)), "blob": blobs})
+        )
+
+    def test_video_100_rows_2_quarantined(self, spark):
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            video_frame_source,
+        )
+
+        df = self._avi_corpus(spark, n=100)
+        out = video_frame_source(
+            df, "vid_id", "blob", on_error="quarantine"
+        ).toPandas()
+        bad = out[out.error_class.notna()]
+        good = out[out.error_class.isna()]
+        assert sorted(bad.id) == [37, 71]  # exactly the two bad blobs
+        assert len(good) == 98 * 3  # every healthy frame decoded
+        assert bad.png.isna().all() and bad.frame_idx.isna().all()
+        h264_row = bad[bad.id == 71].iloc[0]
+        assert h264_row.error_class == "ValueError"
+        assert "transcode H.264 upstream" in h264_row.error_message
+        # default is unchanged: the same corpus kills the job
+        with pytest.raises(Exception):
+            video_frame_source(df, "vid_id", "blob").collect()
+
+    def test_image_quarantine_and_default_raise(self, spark):
+        import numpy as np
+        import pandas as pd
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_image_features, encode_png,
+        )
+
+        good = encode_png(np.full((5, 5), 100, np.uint8))
+        rows = pd.DataFrame({
+            "img_id": [0, 1, 2],
+            "img": [bytearray(good),
+                    bytearray(b"\x89PNG\r\n\x1a\nnot-a-real-png"),
+                    bytearray(good)],
+        })
+        df = spark.createDataFrame(rows)
+        out = decode_image_features(
+            df, "img_id", "img", allow_fake=False, on_error="quarantine"
+        ).toPandas().sort_values("id", ignore_index=True)
+        assert list(out.error_class.notna()) == [False, True, False]
+        assert out.loc[1, "feature"] is None  # nulled, not faked
+        assert abs(out.loc[0, "mean_luma"] - 100.0) < 1e-6
+        with pytest.raises(Exception):
+            decode_image_features(
+                df, "img_id", "img", allow_fake=False
+            ).collect()
+
+    def test_audio_quarantine_names_the_failure(self, spark):
+        import pandas as pd
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.multimodal import (
+            decode_audio_features,
+        )
+
+        import numpy as np
+        import struct
+
+        def wav(samples: np.ndarray, sr=8000) -> bytes:
+            data = (samples * 32767).astype("<i2").tobytes()
+            fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+            body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(data)) + data)
+            return b"RIFF" + struct.pack("<I", len(body)) + body
+
+        good = wav(np.sin(np.linspace(0, 20, 800)))
+        df = spark.createDataFrame(pd.DataFrame({
+            "aid": [0, 1],
+            "wav": [bytearray(good), bytearray(b"not audio at all")],
+        }))
+        out = decode_audio_features(
+            df, "aid", "wav", on_error="quarantine"
+        ).toPandas().sort_values("id", ignore_index=True)
+        assert out.loc[0, "error_class"] is None
+        assert out.loc[1, "error_class"] == "ValueError"
+        assert "RIFF/WAVE" in out.loc[1, "error_message"]
+        # default 'null' keeps the historical schema (no error columns)
+        legacy = decode_audio_features(df, "aid", "wav")
+        assert "error_class" not in legacy.columns
+        with pytest.raises(Exception):
+            decode_audio_features(df, "aid", "wav", on_error="raise").collect()

@@ -345,3 +345,124 @@ class TestFoldSchemaEvolution:
         assert set(back.columns) == {"id", "q"}
         assert back.where("q = 9").count() == 4
         assert back.count() == 8
+
+
+class TestStreamingBloomSelfMaintenance:
+    """r15 (r14 VERDICT task 1): a micro-commit streaming store must keep
+    point-read GETs bounded by LIVE FILES, not commit count, WITHOUT any
+    external maintain() schedule — write_manifested's version-cadence
+    compact_blooms_every hook, defaulted on in the streaming sinks."""
+
+    def test_sink_self_compacts_blooms_no_maintain(self, spark, tmp_path):
+        """24 micro-batches (maxFilesPerTrigger=1) through the manifest
+        sink with bloom_cols and an every-8-commit cadence: the bloom
+        index must end at ceil(live/512)=1 point-read GET with no
+        maintain() call, rows exactly once, pruning intact."""
+        from aeon_sleap_processing_spark.sources import sinks
+        from aeon_sleap_processing_spark.sources.sinks import read_manifested
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in range(24):
+            spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_append_compacted(
+            stream, out, ckpt, compact_every=0,  # no folds: pure
+            bloom_cols=["id"],                   # micro-commit decay case
+            compact_blooms_every=8,
+        )
+        q.awaitTermination(300)
+        assert sorted(
+            r.id for r in read_compacted_store(spark, out).collect()
+        ) == list(range(240))
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, out, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        got = {k: sinks._BLOOM_GETS[k] - before[k] for k in before}
+        # bounded by the CADENCE, not the commit count: at most
+        # ceil(live/512) compacted objects + (cadence-1) fresh ones
+        # since the last trigger. The decayed state would be 24 (one
+        # bloomset per commit); compaction commits shift the version
+        # stream, so the exact end state depends on trigger alignment.
+        assert got["per_file"] == 0 and 1 <= got["objects"] <= 8, got
+        assert len(hit.inputFiles()) == 1  # pruning survived the repacks
+
+    def test_fold_preserves_bloom_pruning(self, spark, tmp_path):
+        """With folds ON and bloom_cols set, seg- outputs must carry
+        fresh bloom sidecars (pre-r15 the fold silently dropped them,
+        degrading every folded file to conservative keep forever)."""
+        from aeon_sleap_processing_spark.sources.sinks import read_manifested
+
+        src = str(tmp_path / "src")
+        out = str(tmp_path / "store")
+        ckpt = str(tmp_path / "ckpt")
+        for i in range(7):
+            spark.range(i * 100, (i + 1) * 100).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema("id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = stream_append_compacted(
+            stream, out, ckpt, compact_every=3,
+            target_bytes=8 * 1024,  # force multiple seg outputs
+            bloom_cols=["id"], compact_blooms_every=64,
+        )
+        q.awaitTermination(300)
+        from aeon_sleap_processing_spark.sources.sinks import (
+            _canon_uri, _hadoop_fs, _manifest_head,
+        )
+
+        fs, Path, root = _hadoop_fs(spark, out)
+        _, head, _ = _manifest_head(spark, fs, Path, _canon_uri(fs, root))
+        segs = [f for f in head["files"] if f["path"].startswith("seg-")]
+        assert segs, "fold never ran"
+        assert all(f.get("bloom") for f in segs), segs  # blooms SURVIVE
+        hit = read_manifested(spark, out, point={"id": 123})
+        assert hit.where("id = 123").count() == 1
+        # the point read prunes: strictly fewer files than the live set
+        assert len(hit.inputFiles()) < len(head["files"])
+
+    def test_write_manifested_cadence_and_remainder_idempotence(
+        self, spark, tmp_path
+    ):
+        """The version-cadence trigger itself: 12 micro-commits with
+        compact_blooms_every=4 → at most ceil(12/512)=1 live bloomset
+        GET per point read; an extra triggered commit right after a
+        compaction must NOT re-churn the remainder object (the
+        no-GET-reduction guard)."""
+        from aeon_sleap_processing_spark.sources import sinks
+        from aeon_sleap_processing_spark.sources.sinks import (
+            read_manifested, write_manifested,
+        )
+
+        path = str(tmp_path / "store")
+        for i in range(12):
+            write_manifested(
+                spark, spark.range(i * 10, (i + 1) * 10).coalesce(1),
+                path, bloom_cols=["id"], compact_blooms_every=4,
+            )
+        before = dict(sinks._BLOOM_GETS)
+        hit = read_manifested(spark, path, point={"id": 57})
+        assert hit.where("id = 57").count() == 1
+        got = {k: sinks._BLOOM_GETS[k] - before[k] for k in before}
+        # cadence bound: ceil(12/512)=1 compacted object + at most
+        # (cadence-1) fresh commits since the last trigger — never the
+        # decayed 12
+        assert got["per_file"] == 0 and 1 <= got["objects"] <= 4, got
+        assert len(hit.inputFiles()) == 1
+        # remainder rule: a compaction pass right after the cadence's own
+        # leaves the store in a state where ANOTHER pass finds at most
+        # one repack worth doing, and a further one finds none — no churn
+        sinks.compact_bloomsets(spark, path)
+        rep = sinks.compact_bloomsets(spark, path)
+        assert rep["repacked_rels"] == 0, rep

@@ -893,3 +893,104 @@ class TestQualityClassifier:
         n = j.count()
         agree = j.where(F.col("keep") == F.col("t")).count()
         assert agree / n >= 0.97, (agree, n)
+
+
+class TestMinhashBandsFor:
+    """r14 VERDICT task 2: the minhash band-sizing law as CODE. Evidence
+    it binds: the driver's fixed 2-perm bands at 500k natural docs hit
+    the quadratic common-shingle floor (>30 GB shuffle, killed —
+    bench_runs_r14/minhash_decade2.json failure observations)."""
+
+    def test_two_decade_plan_pins(self):
+        """Pin the law's output at the decade-2 probe's two corpus sizes
+        (cd50k / cd500k) so the production sizing is a committed fact."""
+        import math
+
+        from aeon_sleap_processing_spark.operators.text import (
+            minhash_bands_for,
+        )
+
+        for n, want_r in [(50_000, 6), (500_000, 7)]:
+            num_perm, r, n_bands = minhash_bands_for(
+                n, threshold=0.7, target_recall=0.95, p_background=0.1
+            )
+            assert r == want_r == math.ceil(
+                (math.log2(n) + 2) / math.log2(10)
+            )
+            assert num_perm == r * n_bands
+            # the floor rule: expected random candidates PER DOC
+            # (n_bands * p_bg^r * n / 2) bounded by n_bands/2^(margin+1)
+            # independent of n — the quadratic term is gone
+            floor_per_doc = n_bands * 0.1**r * n / 2
+            assert floor_per_doc <= n_bands / 8, (n, floor_per_doc)
+            # amplification identity: recall target met, not oversized
+            achieved = 1 - (1 - 0.7**r) ** n_bands
+            assert achieved >= 0.95
+            if n_bands > 1:
+                assert 1 - (1 - 0.7**r) ** (n_bands - 1) < 0.95
+
+    def test_monotone_and_validates(self):
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.text import (
+            minhash_bands_for,
+        )
+
+        _, r1, _ = minhash_bands_for(1_000)
+        _, r2, _ = minhash_bands_for(1_000_000)
+        assert r2 > r1  # band_size grows with log n
+        # tighter threshold -> fewer bands needed at same r
+        _, _, nb_loose = minhash_bands_for(50_000, threshold=0.7)
+        _, _, nb_tight = minhash_bands_for(50_000, threshold=0.95)
+        assert nb_tight < nb_loose
+        for bad in [
+            dict(n_docs=0),
+            dict(n_docs=10, threshold=0.0),
+            dict(n_docs=10, threshold=1.5),
+            dict(n_docs=10, target_recall=1.0),
+            dict(n_docs=10, p_background=0.0),
+        ]:
+            with pytest.raises(ValueError):
+                minhash_bands_for(**bad)
+
+    def test_lsh_buckets_auto_bands_refuses_narrow_signature(self, spark):
+        """A signature too narrow for the law must raise WITH the wanted
+        plan — the silent alternative is the measured quadratic kill."""
+        import pytest
+
+        from aeon_sleap_processing_spark.operators.text import (
+            lsh_buckets, minhash_signature,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta epsilon doc{i}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        sigs = minhash_signature(docs, num_perm=4)
+        with pytest.raises(ValueError, match="num_perm="):
+            lsh_buckets(sigs, num_perm=4, auto_bands=True, n_docs=500_000)
+
+    def test_auto_sized_audit_finds_planted_dups(self, spark):
+        """minhash_est_vs_exact(auto_bands=True) end-to-end on a small
+        corpus with planted near-dups: the auto plan (sized from ONE
+        count) recalls every planted pair with exact_jaccard ~1."""
+        from aeon_sleap_processing_spark.operators.text import (
+            minhash_est_vs_exact,
+        )
+
+        base = [
+            " ".join(f"w{(7 * i + j) % 23}" for j in range(30))
+            for i in range(40)
+        ]
+        rows = []
+        for i, t in enumerate(base):
+            rows.append((2 * i, t))
+            rows.append((2 * i + 1, t + " tail"))  # near-dup partner
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = minhash_est_vs_exact(docs, auto_bands=True, threshold=0.7)
+        pairs = {
+            (r.id_a, r.id_b): r.exact_jaccard for r in out.collect()
+        }
+        for i in range(40):
+            assert (2 * i, 2 * i + 1) in pairs, i  # every planted pair
+            assert pairs[(2 * i, 2 * i + 1)] > 0.85
