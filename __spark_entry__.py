@@ -1113,6 +1113,141 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semantic_dedup_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING pair budget faces the oracle (r14 VERDICT task 5):
+    the embeddings table folds through ``stream_semantic_dedup``
+    (streaming/watch.py:876, the bucketed two-tier rep store) in TWO
+    deterministic micro-batches (vec_id parity; file order pinned by
+    sequential writes + maxFilesPerTrigger=1) with a BINDING
+    ``max_pairs_per_bucket`` — each (table, bucket) cell of the
+    candidate join keeps only its m = ⌊(1+√(1+8·budget))/2⌋
+    highest-priority members PER SIDE (store reps first, then smallest
+    id). The oracle restates both greedy batch steps as straight-line
+    SQL with the caps as ``row_number()`` windows, so the deterministic
+    reps-first tie-break and the cross-batch store semantics BOTH face
+    DuckDB. The entry asserts the budget actually drops members (no
+    vacuous green). Returns the kept representatives + arrival batch."""
+    import shutil
+
+    from aeon_sleap_processing_spark.streaming.watch import (
+        read_semantic_reps, stream_semantic_dedup,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    m_cap = sim._bucket_member_cap(_NEARDUP_BUDGET)
+    # the budget must BIND on this corpus: at least one (table, bucket)
+    # cell of one parity batch holds more members than the cap
+    bucket = sim._bucket_udf(
+        sim._split_tables(_lsh_planes(), _NEARDUP_TABLES)
+    )
+    over = (
+        emb.where("embedding is not null and vec_id % 2 = 0")
+        .select(F.posexplode(bucket(F.col("embedding"))).alias("t", "h"))
+        .groupBy("t", "h").count().where(F.col("count") > m_cap).count()
+    )
+    assert over > 0, (
+        f"budget {_NEARDUP_BUDGET} (m_cap {m_cap}) does not bind at "
+        f"{sf_dir} — the oracle row would be vacuous"
+    )
+    root = _scratch_store("sem_budget", sf_dir)
+    shutil.rmtree(root, ignore_errors=True)  # streams cannot overwrite
+    src = f"{root}/src"
+    emb.where("vec_id % 2 = 0").coalesce(1).write.parquet(f"{src}/f=1")
+    emb.where("vec_id % 2 = 1").coalesce(1).write.parquet(f"{src}/f=2")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_semantic_dedup(
+        stream, f"{root}/out", f"{root}/ckpt", _lsh_planes(),
+        threshold=_NEARDUP_THRESHOLD, n_tables=_NEARDUP_TABLES,
+        max_pairs_per_bucket=_NEARDUP_BUDGET,
+    )
+    q.awaitTermination(600)
+    reps = read_semantic_reps(spark, f"{root}/out")
+    return reps.select(
+        "vec_id", F.pmod("vec_id", F.lit(2)).alias("arrived_batch")
+    )
+
+
+def _semantic_dedup_budgeted_sql() -> str:
+    """Straight-line two-batch restatement of the streaming greedy
+    contract WITH the per-(table, bucket) member caps: batch 0 (even
+    ids) dedups against itself, batch 1 (odd ids) against itself AND
+    batch 0's kept reps; side a = batch members capped by smallest id,
+    side b = (batch ∪ reps) capped reps-FIRST then smallest id — the
+    exact priority stream_semantic_dedup's _cap_side applies. NULL
+    vectors carry no keys and are kept unconditionally."""
+    from aeon_sleap_processing_spark.operators.similarity import (
+        _bucket_member_cap,
+    )
+
+    exprs, _ = _neardup_bucket_sql()
+    m = _bucket_member_cap(_NEARDUP_BUDGET)
+    unnest = " UNION ALL ".join(
+        f"SELECT vec_id, v, {t} AS t, t{t} AS h FROM {{src}}"
+        for t in range(_NEARDUP_TABLES)
+    )
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e0 AS (SELECT vec_id, v, {exprs} FROM c
+               WHERE vec_id % 2 = 0 AND v IS NOT NULL),
+        e1 AS (SELECT vec_id, v, {exprs} FROM c
+               WHERE vec_id % 2 = 1 AND v IS NOT NULL),
+        k0 AS ({unnest.format(src='e0')}),
+        k1 AS ({unnest.format(src='e1')}),
+        -- batch 0 vs itself: both sides capped by smallest id (no reps yet)
+        a0 AS (SELECT vec_id AS id_a, v AS va, t, h FROM (
+                 SELECT *, row_number() OVER (PARTITION BY t, h
+                   ORDER BY vec_id) AS rn FROM k0) WHERE rn <= {m}),
+        drops0 AS (
+          SELECT DISTINCT b2.id_a AS dropped FROM a0 a JOIN a0 b2
+          ON a.t = b2.t AND a.h = b2.h AND a.id_a < b2.id_a
+          WHERE round(list_inner_product(a.va, b2.va)
+                / (sqrt(list_inner_product(a.va, a.va))
+                 * sqrt(list_inner_product(b2.va, b2.va))), 6)
+                >= {_NEARDUP_THRESHOLD}
+        ),
+        kept0 AS (SELECT vec_id, v FROM c WHERE vec_id % 2 = 0
+                  AND vec_id NOT IN (SELECT dropped FROM drops0)),
+        -- batch 1: side b is batch-1 members UNION batch-0 kept reps,
+        -- capped reps-first then smallest id
+        rk AS (SELECT k.vec_id, k.v, k.t, k.h
+               FROM ({unnest.format(src='e0')}) k
+               JOIN kept0 USING (vec_id)),
+        a1 AS (SELECT vec_id AS id_a, v AS va, t, h FROM (
+                 SELECT *, row_number() OVER (PARTITION BY t, h
+                   ORDER BY vec_id) AS rn FROM k1) WHERE rn <= {m}),
+        b1 AS (SELECT id_b, vb, rep_b, t, h FROM (
+                 SELECT vec_id AS id_b, v AS vb, rep_b, t, h,
+                        row_number() OVER (PARTITION BY t, h
+                          ORDER BY rep_b DESC, vec_id) AS rn
+                 FROM (SELECT vec_id, v, FALSE AS rep_b, t, h FROM k1
+                       UNION ALL
+                       SELECT vec_id, v, TRUE, t, h FROM rk))
+               WHERE rn <= {m}),
+        verified1 AS (
+          SELECT DISTINCT a.id_a, b2.id_b, b2.rep_b
+          FROM a1 a JOIN b1 b2
+          ON a.t = b2.t AND a.h = b2.h
+             AND (b2.rep_b OR a.id_a < b2.id_b)
+          WHERE round(list_inner_product(a.va, b2.vb)
+                / (sqrt(list_inner_product(a.va, a.va))
+                 * sqrt(list_inner_product(b2.vb, b2.vb))), 6)
+                >= {_NEARDUP_THRESHOLD}
+        ),
+        drops1 AS (SELECT DISTINCT CASE WHEN rep_b THEN id_a ELSE id_b END
+                   AS dropped FROM verified1),
+        kept1 AS (SELECT vec_id FROM c WHERE vec_id % 2 = 1
+                  AND vec_id NOT IN (SELECT dropped FROM drops1))
+        SELECT vec_id, CAST(0 AS BIGINT) AS arrived_batch
+        FROM kept0
+        UNION ALL
+        SELECT vec_id, CAST(1 AS BIGINT) AS arrived_batch FROM kept1
+    """
+
+
 def _semantic_dedup_sql() -> str:
     exprs, collide = _neardup_bucket_sql()
     cos = _NEARDUP_COS
@@ -3127,6 +3262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dup_span_stats": _q_dup_span_stats,
         "q_dup_span_cut": _q_dup_span_cut,
         "q_semantic_dedup": _q_semantic_dedup,
+        "q_semantic_dedup_budgeted": _q_semantic_dedup_budgeted,  # r15
         # --- rotated in round 7 ------------------------------------------
         "q_cdc_dedup": _q_cdc_dedup,
         "q_cdc_bounded": _q_cdc_bounded,
@@ -4028,6 +4164,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "q_neardup_recall": _neardup_recall_sql(),
         "q_neardup_recall_sampled": _neardup_recall_sampled_sql(),
         "q_semantic_dedup": _semantic_dedup_sql(),
+        "q_semantic_dedup_budgeted": _semantic_dedup_budgeted_sql(),
         "q_decontaminate": _decontaminate_sql(),
         "q_pack_sequences": f"""
             WITH t AS (
