@@ -752,3 +752,68 @@ class TestR15AdviceHardening:
         hit = read_manifested(spark, path, point={"id": 57})
         assert hit.where("id = 57").count() == 1
         assert read_manifested(spark, path).count() == 120
+
+
+class TestCompactVacuumLoop:
+    """r14 VERDICT task 6: compact_bloomsets makes replaced bloomset
+    objects vacuum orphans — repeated compact+vacuum cycles must keep
+    _index/ BOUNDED (objects and bytes), and no unreferenced bloomset
+    object may survive a fenced vacuum."""
+
+    def test_index_bounded_across_cycles_and_no_orphans_survive(
+        self, spark, tmp_path
+    ):
+        import glob as _glob
+        import json
+        import os
+
+        from aeon_sleap_processing_spark.sources import sinks
+
+        path = str(tmp_path / "store")
+
+        def index_state():
+            objs = _glob.glob(f"{path}/_index/bloomset-*.json")
+            return len(objs), sum(os.path.getsize(o) for o in objs)
+
+        def live_objects():
+            fs, Path, root = sinks._hadoop_fs(spark, path)
+            root_str = sinks._canon_uri(fs, root)
+            _, head, _ = sinks._manifest_head(spark, fs, Path, root_str)
+            return {
+                e["bloom"].partition("#")[0]
+                for e in head["files"] if e.get("bloom")
+            }
+
+        sizes = []
+        for cycle in range(3):
+            # 8 fresh micro-commits per cycle, then compact + vacuum
+            for i in range(8):
+                write_manifested(
+                    spark,
+                    spark.range((cycle * 8 + i) * 10,
+                                (cycle * 8 + i + 1) * 10).coalesce(1),
+                    path, bloom_cols=["id"],
+                )
+            rep = sinks.compact_bloomsets(spark, path, target_members=512)
+            assert rep["repacked_rels"] > 0, (cycle, rep)
+            vacuum_manifested(spark, path, keep_versions=1,
+                              orphan_grace_seconds=0.0)
+            n_objs, n_bytes = index_state()
+            sizes.append((n_objs, n_bytes))
+            # on-disk objects == exactly the head's referenced objects:
+            # nothing unreferenced survives the fenced vacuum
+            on_disk = {
+                "_index/" + os.path.basename(o)
+                for o in _glob.glob(f"{path}/_index/bloomset-*.json")
+            }
+            assert on_disk == live_objects(), (cycle, on_disk)
+        # bounded, not accumulating: each cycle ends with ONE compacted
+        # object (all live members fit in 512); bytes grow only with
+        # LIVE members (8 more per cycle), never with commit history
+        assert [n for n, _ in sizes] == [1, 1, 1], sizes
+        assert sizes[2][1] < sizes[0][1] * 4, sizes
+        # the store still answers: every cycle's rows, point read prunes
+        hit = read_manifested(spark, path, point={"id": 117})
+        assert hit.where("id = 117").count() == 1
+        assert len(hit.inputFiles()) == 1
+        assert read_manifested(spark, path).count() == 240

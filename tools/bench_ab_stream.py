@@ -22,6 +22,23 @@ verdict — "stable" only when the worst-case ratio interval
 parity band; otherwise "unstable: spread straddles 1.0" — so a 1.23x
 that re-runs at 0.90x (the r11 bucketed-leg flip) reads as noise ON THE
 ARTIFACT instead of needing a judge to notice.
+
+r15 (r14 VERDICT task 4) — two automations replacing hand diagnosis:
+
+- MACHINE-QUIET GUARD: every measured rep carries an external-CPU
+  fraction ((/proc/stat busy − our reaped children's rusage) / elapsed
+  per-cpu), self-calibrated against the discarded warmup reps so JVM
+  rusage-accounting quirks cancel. A rep whose external fraction
+  exceeds warmup + 10 points is marked CONTAMINATED; its ABBA pair is
+  dropped from the paired-ratio verdict (annotated, never silently),
+  and a session where >1/3 of pairs drop is stamped
+  contaminated-session on every verdict.
+- AUTO A/A: whenever a verdict fires the needs-A/A marker (r14's rule:
+  within-±10%% ratio on a leg with >15%% per-side spread), the harness
+  ITSELF runs the A/A null control (side A's tree on BOTH sides,
+  ABBA, 4 pairs) for those legs and stamps each flagged verdict with
+  whether the A/A interval reproduces the deviation (machine artifact)
+  or not (possibly real). Disable with BENCH_AB_AUTO_AA=0.
 """
 
 import json
@@ -29,6 +46,7 @@ import os
 import statistics
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF10 = os.path.join(REPO, "benchdata", "sf10")
@@ -75,6 +93,45 @@ def prime_page_cache(work: str) -> None:
                 while f.read(1 << 22):
                     n += 1
     print(f"page-cache prime: ~{n * 4} MiB staged source read", flush=True)
+
+
+def _cpu_probe() -> tuple[float, float, float]:
+    """(monotonic s, machine busy cpu-seconds, our reaped-children
+    cpu-seconds) — the delta across a rep splits machine CPU into OURS
+    (the runner subprocess tree, reaped ⇒ rusage-rolled-up) vs EXTERNAL
+    (anything else running on the box)."""
+    import resource
+
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    busy = (sum(vals) - idle) / os.sysconf("SC_CLK_TCK")
+    ru = resource.getrusage(resource.RUSAGE_CHILDREN)
+    return time.monotonic(), busy, ru.ru_utime + ru.ru_stime
+
+
+def _external_frac(before, after) -> float:
+    dt = after[0] - before[0]
+    if dt <= 0:
+        return 0.0
+    ext = (after[1] - before[1]) - (after[2] - before[2])
+    return max(0.0, ext) / (dt * (os.cpu_count() or 1))
+
+
+def _load1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def measured_run(tree: str, work: str, legs: str) -> dict:
+    """One rep with the machine-quiet probe attached (guard keys are
+    underscored so med()/spread() — which read r['legs'] — ignore them)."""
+    p0 = _cpu_probe()
+    load_before = _load1()
+    r = run_side(tree, work, legs)
+    r["_external_busy_frac"] = round(_external_frac(p0, _cpu_probe()), 3)
+    r["_load1_before"] = load_before
+    return r
 
 
 def run_side(tree: str, work: str, legs: str) -> dict:
@@ -136,22 +193,41 @@ def main():
         # run ONE discarded warmup rep per side (JIT/shuffle-dir/scratch
         # allocation paths warmed on both trees symmetrically).
         prime_page_cache(work)
+        warm_fracs = []
         for side in ("A", "B"):
-            run_side(trees[side], work, legs)
-            print(f"{side}: warmup rep discarded", flush=True)
+            w = measured_run(trees[side], work, legs)
+            warm_fracs.append(w["_external_busy_frac"])
+            print(f"{side}: warmup rep discarded "
+                  f"(external_busy_frac={w['_external_busy_frac']})",
+                  flush=True)
+        # quiet-guard baseline: whatever CPU accounting attributes to
+        # "external" on an IDLE box during our own warmups (JVM reaping
+        # quirks, kernel threads) is the floor; a measured rep is
+        # contaminated only when it exceeds the floor by >10 points
+        base_frac = max(warm_fracs)
+        quiet_margin = float(os.environ.get("BENCH_AB_QUIET_MARGIN", "0.10"))
 
         runs = {"A": [], "B": []}
         order = []
         for i in range(reps):
             order += ["A", "B"] if i % 2 == 0 else ["B", "A"]
         for side in order:
-            r = run_side(trees[side], work, legs)
+            r = measured_run(trees[side], work, legs)
+            r["_contaminated"] = (
+                r["_external_busy_frac"] > base_frac + quiet_margin
+            )
             runs[side].append(r)
             line = "  ".join(
                 f"{k}={v['sec']}s" for k, v in r["legs"].items()
             )
-            print(f"{side} ({rev_a if side == 'A' else rev_b}): {line}",
-                  flush=True)
+            mark = (
+                f"  [CONTAMINATED: external_busy_frac="
+                f"{r['_external_busy_frac']} > base {base_frac}+"
+                f"{quiet_margin}]"
+                if r["_contaminated"] else ""
+            )
+            print(f"{side} ({rev_a if side == 'A' else rev_b}): {line}"
+                  f"{mark}", flush=True)
 
         def med(side):
             legs_seen = runs[side][0]["legs"]
@@ -202,14 +278,37 @@ def main():
             # discipline as the batch bench_ab. Below 8 reps the old
             # worst-case cross-product applies unchanged.
             if reps >= 8:
-                pr = sorted(
-                    rb["legs"][leg]["sec"] / ra["legs"][leg]["sec"]
+                # quiet-guard pair filter (r15): a pair with EITHER rep
+                # contaminated is dropped — unless that would leave <4
+                # pairs, in which case all pairs are kept and the
+                # verdict carries the contaminated-session stamp instead
+                all_pairs = [
+                    (ra, rb)
                     for ra, rb in zip(runs["A"], runs["B"])
                     if leg in ra["legs"] and leg in rb["legs"]
+                ]
+                clean = [
+                    (ra, rb) for ra, rb in all_pairs
+                    if not (ra.get("_contaminated") or rb.get("_contaminated"))
+                ]
+                use, dropped = (
+                    (clean, len(all_pairs) - len(clean))
+                    if len(clean) >= 4 else (all_pairs, 0)
+                )
+                pr = sorted(
+                    rb["legs"][leg]["sec"] / ra["legs"][leg]["sec"]
+                    for ra, rb in use
                 )
                 n = len(pr)
                 lo, hi = pr[n // 4], pr[(3 * n) // 4]
                 kind = "paired-iqr"
+                if dropped:
+                    kind += f"; {dropped} contaminated pair(s) dropped"
+                elif len(clean) < len(all_pairs):
+                    kind += (
+                        f"; CONTAMINATED SESSION: only {len(clean)}/"
+                        f"{len(all_pairs)} clean pairs — all kept"
+                    )
             else:
                 sa = leg_spread[leg]["a"]
                 sb = leg_spread[leg]["b"]
@@ -253,6 +352,54 @@ def main():
             )
 
         verdicts = {leg: verdict(leg) for leg in shared}
+
+        # AUTO A/A (r15): the r14 rule left "needs A/A control" to hand
+        # analysis; now the harness runs it itself — side A's tree on
+        # BOTH sides, same staged sources, ABBA, 4 pairs — and stamps
+        # each flagged verdict with whether identical code reproduces
+        # the deviation (machine artifact) or stays at parity (the A/B
+        # ratio may be real).
+        needs_aa = [l for l, v in verdicts.items() if "needs A/A" in v]
+        aa_control = None
+        if needs_aa and os.environ.get("BENCH_AB_AUTO_AA", "1") != "0":
+            aa_legs = ",".join(
+                l for l in legs.split(",") if l in needs_aa
+            )
+            print(f"auto A/A control firing for: {aa_legs}", flush=True)
+            aa_runs = {"A": [], "B": []}
+            for side in ["A", "B", "B", "A", "A", "B", "B", "A"]:
+                aa_runs[side].append(
+                    measured_run(trees["A"], work, aa_legs)
+                )
+            aa_control = {"legs": {}, "tree": rev_a, "pairs": 4}
+            for leg in needs_aa:
+                pr = sorted(
+                    rb["legs"][leg]["sec"] / ra["legs"][leg]["sec"]
+                    for ra, rb in zip(aa_runs["A"], aa_runs["B"])
+                    if leg in ra["legs"] and leg in rb["legs"]
+                )
+                if not pr:
+                    continue
+                aa_lo, aa_hi = pr[0], pr[-1]
+                aa_med = pr[len(pr) // 2]
+                ab_ratio = round(b[leg] / a[leg], 3) if a[leg] > 0 else None
+                reproduced = (
+                    ab_ratio is not None and aa_lo <= ab_ratio <= aa_hi
+                )
+                aa_control["legs"][leg] = {
+                    "aa_ratio_range": [round(aa_lo, 3), round(aa_hi, 3)],
+                    "aa_ratio_median": round(aa_med, 3),
+                    "ab_ratio": ab_ratio,
+                    "deviation_reproduced_on_identical_code": reproduced,
+                }
+                verdicts[leg] += (
+                    " [auto-A/A: identical-code ratio range "
+                    f"{round(aa_lo,3)}..{round(aa_hi,3)} "
+                    + ("CONTAINS the A/B ratio — machine artifact, "
+                       "not code" if reproduced else
+                       "does NOT contain the A/B ratio — may be real")
+                    + "]"
+                )
         reps_pin = {
             leg: sorted(
                 {
@@ -277,6 +424,24 @@ def main():
             "all_runs_a": [r["legs"] for r in runs["A"]],
             "all_runs_b": [r["legs"] for r in runs["B"]],
             "semantic_reps_outcome_pin": reps_pin,
+            "quiet_guard": {
+                "warmup_external_busy_frac": warm_fracs,
+                "base_frac": base_frac,
+                "margin": quiet_margin,
+                "rep_fracs_a": [
+                    {"frac": r["_external_busy_frac"],
+                     "load1_before": r["_load1_before"],
+                     "contaminated": r["_contaminated"]}
+                    for r in runs["A"]
+                ],
+                "rep_fracs_b": [
+                    {"frac": r["_external_busy_frac"],
+                     "load1_before": r["_load1_before"],
+                     "contaminated": r["_contaminated"]}
+                    for r in runs["B"]
+                ],
+            },
+            "aa_control": aa_control,
         }
         outdir = os.path.join(
             REPO, os.environ.get("BENCH_AB_OUTDIR", "bench_runs_r13")
