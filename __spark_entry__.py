@@ -3276,7 +3276,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_est_vs_exact": _q_minhash_est_vs_exact,
         "q_quality_buckets": _q_quality_buckets,
         "q_incremental_dedup": _q_incremental_dedup,
-        "q_sample_per_bin": _q_sample_per_bin,
         # --- similarity search / multimodal -----------------------------
         "q_knn_bruteforce": _q_knn_bruteforce,
         "q_knn_lsh": _q_knn_lsh,
@@ -3314,6 +3313,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
+        # --- rotated out r15 (driver-green r13 AND r14, sampling plan in
+        #     util.py untouched by r15's streaming-budget work; siblings
+        #     q_weighted_sample + q_corpus_split keep the sampling family
+        #     in-window) — makes room for q_semantic_dedup_budgeted ------
+        "q_sample_per_bin": _q_sample_per_bin,
         # --- rotated out r14 (driver-green r12 AND r13, untouched by
         #     r14's storage/similarity work; each keeps in-window
         #     siblings: q_bpe_merges_batched+q_bpe_encode, and

@@ -136,6 +136,10 @@ class TestDriverContract:
             "q_neardup_budgeted",
             "q_cdc_stream_source",
             "q_partition_typed_store",
+            # r15: the streaming pair budget faces the oracle
+            # (q_sample_per_bin rotated out — driver-green r13+r14,
+            # util.py sampling plan untouched by r15)
+            "q_semantic_dedup_budgeted",
         ]:
             assert name in window, name
         assert "q1_pricing_summary" not in window
