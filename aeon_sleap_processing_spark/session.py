@@ -54,6 +54,16 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true) — MEASURED, r15:
+        # flipping it false (coalesce to advisoryPartitionSizeInBytes) was
+        # a net 154 s → 172 s regression on the bench because the
+        # Arrow-kernel verify stages (cosine/Hungarian) carry few BYTES but
+        # heavy per-row compute — byte-based coalescing collapsed them to
+        # one partition and single-threaded the Python kernels
+        # (q_neardup_recall 4.7 → 8.9 s, q_semantic_dedup 4.6 → 7.1 s),
+        # outweighing the ~0.1-0.6 s/query scheduling savings on the pure
+        # relational/text surface. bench_runs_r15/README.md records both
+        # sides.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # --- scans ------------------------------------------------------
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
