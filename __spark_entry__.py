@@ -1163,6 +1163,15 @@ def _q_semantic_dedup_budgeted(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, f"{root}/out", f"{root}/ckpt", _lsh_planes(),
         threshold=_NEARDUP_THRESHOLD, n_tables=_NEARDUP_TABLES,
         max_pairs_per_bucket=_NEARDUP_BUDGET,
+        # flat store layout: the operator's OWN sizing rule
+        # (measure_repstore_layout.py — bucketed two-tier wins only above
+        # its ~300k-vector crossover; below, its ~5 s/batch fixed tax of
+        # per-cell listing + 96-file tier writes dominates). The sf
+        # corpora are ≤2k vectors; test_flat_and_bucketed_layouts_agree +
+        # the parametrized budget tests pin P=0 ≡ P>0 rep sets, and the
+        # budget path under test (_cap_side) is the same code both ways.
+        # r15 measured: P=16 → 14.9 s, P=0 → see bench_runs_r15.
+        store_partitions=0,
     )
     q.awaitTermination(600)
     reps = read_semantic_reps(spark, f"{root}/out")

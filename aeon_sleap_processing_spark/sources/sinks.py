@@ -1392,34 +1392,24 @@ def _stage_files(
     if not staged:
         stats_cols = bloom_cols = None
     stats_by_file: dict[str, dict] = {}
-    if stats_cols:
-        # one scan of the staged write (bounded by it, never the store):
-        # per-file min/max keyed by the staged file URI
-        aggs = []
-        for c in stats_cols:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
-        for row in (
-            spark.read.parquet(stage_str)
-            .groupBy(F.input_file_name().alias("__f"))
-            .agg(*aggs)
-            .collect()
-        ):
-            stats_by_file[row["__f"]] = {
-                c: [_stat_val(row[f"__lo_{c}"]), _stat_val(row[f"__hi_{c}"])]
-                for c in stats_cols
-            }
     bloom_by_file: dict[str, dict] = {}
-    if bloom_cols:
-        # per-file distinct bloom BIT POSITIONS, computed engine-side
-        # (md5-slice hash — see _bloom_position_exprs), collected bounded
-        # by the append; the driver packs them into bitsets
-        aggs = [
+    if stats_cols or bloom_cols:
+        # ONE scan of the staged write (bounded by it, never the store)
+        # computes BOTH sidecar families per file: min/max stats and the
+        # distinct bloom BIT POSITIONS (md5-slice hash — see
+        # _bloom_position_exprs; the driver packs them into bitsets).
+        # r15: these were two separate read+groupBy+collect jobs when a
+        # write asked for both — same aggregation tree, one pass now.
+        aggs = []
+        for c in stats_cols or []:
+            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+        aggs += [
             F.array_distinct(
                 F.flatten(
                     F.collect_list(F.array(*_bloom_position_exprs(c, bloom_bits)))
                 )
             ).alias(f"__bp_{c}")
-            for c in bloom_cols
+            for c in bloom_cols or []
         ]
         for row in (
             spark.read.parquet(stage_str)
@@ -1427,9 +1417,15 @@ def _stage_files(
             .agg(*aggs)
             .collect()
         ):
-            bloom_by_file[row["__f"]] = {
-                c: row[f"__bp_{c}"] for c in bloom_cols
-            }
+            if stats_cols:
+                stats_by_file[row["__f"]] = {
+                    c: [_stat_val(row[f"__lo_{c}"]), _stat_val(row[f"__hi_{c}"])]
+                    for c in stats_cols
+                }
+            if bloom_cols:
+                bloom_by_file[row["__f"]] = {
+                    c: row[f"__bp_{c}"] for c in bloom_cols
+                }
     add_stats: dict[str, dict] = {}
     bloom_positions: dict[str, dict] = {}
     staged_dirs: set[str] = set()
@@ -2177,10 +2173,21 @@ def _dml_read(spark, root_str: str, rels: list[str], head: dict,
     long and re-stages the dir as region=7 — silently RENAMING the
     partition on disk."""
     reader = spark.read.option("basePath", root_str)
-    if merge_schema:
-        reader = reader.option("mergeSchema", "true")
     doc_schema = (head or {}).get("schema")
     doc_parts = (head or {}).get("parts")
+    if merge_schema:
+        if isinstance(doc_schema, dict):
+            # the log records the running-union schema — serve it to the
+            # reader directly (the same zero-footer-I/O rule as
+            # read_manifested's merge path; r15: the DML reads were still
+            # paying one distributed footer-merge job per candidate/touched
+            # read, the term that grows with the store). Files from before
+            # an add-column read NULL, exactly as mergeSchema unions would.
+            from pyspark.sql.types import StructType as _ST
+
+            reader = reader.schema(_ST.fromJson(doc_schema))
+        else:
+            reader = reader.option("mergeSchema", "true")
     typed = _declared_part_types(doc_schema, doc_parts)
     return _cast_partition_types(
         _read_rawpart(
@@ -2316,23 +2323,29 @@ def merge_manifested(
     else:
         ukeys_join = ukeys
     touched_rel: list[str] = []
+    rows_matched = 0
     if candidates:
         cand = _dml_read(
             spark, root_str, [e["path"] for e in candidates], head,
             merge_schema=False,
         )
-        touched_uris = [
-            r["__f"]
-            for r in cand.withColumn("__f", F.input_file_name())
+        # ONE match-scan job yields the touched-file set AND the per-file
+        # matched-row counts (r15: the previous shape re-read the touched
+        # files twice more — old.count() and survivors.count() — just to
+        # report rows_matched; a matched row only exists in a touched
+        # file, so sum(per-file matches) is the same number)
+        matched = (
+            cand.withColumn("__f", F.input_file_name())
             .join(ukeys_join, on=keys, how="leftsemi")
-            .select("__f").distinct().collect()
-        ]
-        touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
-    rows_matched = 0
+            .groupBy("__f").count().collect()
+        )
+        touched_rel = _touched_rel_paths(
+            spark, fs, Path, root_str, [r["__f"] for r in matched]
+        )
+        rows_matched = sum(r["count"] for r in matched)
     if touched_rel:
         old = _dml_read(spark, root_str, touched_rel, head)
         survivors = old.join(ukeys_join, on=keys, how="left_anti")
-        rows_matched = old.count() - survivors.count()
         new_df = survivors.unionByName(updates, allowMissingColumns=True)
     else:
         # pure insert: no survivors to union with, so partition columns
@@ -2444,18 +2457,25 @@ def delete_manifested(
     cand = _dml_read(
         spark, root_str, [e["path"] for e in candidates], head
     )
-    touched_uris = [
-        r["__f"]
-        for r in cand.where(hit)
-        .select(F.input_file_name().alias("__f")).distinct().collect()
-    ]
+    # ONE match-scan job yields both the touched-file set AND the per-file
+    # hit counts (r15: the previous shape re-read the touched files twice
+    # more — old.count() and survivors.count() — just to report
+    # rows_deleted; a WHERE-true row only exists in a touched file, so
+    # sum(per-file hits) is the same number, for two fewer jobs per op)
+    matched = (
+        cand.where(hit)
+        .groupBy(F.input_file_name().alias("__f"))
+        .count()
+        .collect()
+    )
+    touched_uris = [r["__f"] for r in matched]
     if not touched_uris:
         return {"files_rewritten": 0, "rows_deleted": 0, "version": head_v,
                 "files_scanned": len(candidates)}
+    rows_deleted = sum(r["count"] for r in matched)
     touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
     old = _dml_read(spark, root_str, touched_rel, head)
     survivors = old.where(~hit)
-    rows_deleted = old.count() - survivors.count()
     adds, add_stats, _, _ = _stage_files(
         spark, survivors, fs, Path, root_str, partition_by or None, "",
         stats_cols or None,
@@ -2527,17 +2547,20 @@ def update_manifested(
     cand = _dml_read(
         spark, root_str, [e["path"] for e in candidates], head
     )
-    touched_uris = [
-        r["__f"]
-        for r in cand.where(hit)
-        .select(F.input_file_name().alias("__f")).distinct().collect()
-    ]
+    # one job: touched files + per-file hit counts (see delete_manifested)
+    matched = (
+        cand.where(hit)
+        .groupBy(F.input_file_name().alias("__f"))
+        .count()
+        .collect()
+    )
+    touched_uris = [r["__f"] for r in matched]
     if not touched_uris:
         return {"files_rewritten": 0, "rows_updated": 0, "version": head_v,
                 "files_scanned": len(candidates)}
+    rows_updated = sum(r["count"] for r in matched)
     touched_rel = _touched_rel_paths(spark, fs, Path, root_str, touched_uris)
     old = _dml_read(spark, root_str, touched_rel, head)
-    rows_updated = old.where(hit).count()
     # every SET expression (and the predicate) evaluates against the
     # ORIGINAL row — materialize them as temp columns BEFORE any target
     # column changes (sequential withColumn on the targets would let a

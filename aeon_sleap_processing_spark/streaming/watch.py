@@ -1028,12 +1028,21 @@ def stream_semantic_dedup(
     def _verify_and_keep(batch, cand, va, vb):
         # shared verify/drop tail: cand = (id_a batch-row, id_b, rep_b).
         # round-then-compare matches the batch authority
-        # (embedding_near_dups) at threshold-boundary cosines
+        # (embedding_near_dups) at threshold-boundary cosines. Norms are
+        # computed once per side row (r15: the verify kernel previously
+        # re-derived both self-dots per PAIR — cosine_kernel_prenorm is
+        # bit-identical at a third of the LTR dots).
         p = (
             cand.join(va, "id_a")
             .join(vb, "id_b")
             .where(
-                F.round(sim.cosine_kernel(F.col("__va"), F.col("__vb")), 6)
+                F.round(
+                    sim.cosine_kernel_prenorm(
+                        F.col("__va"), F.col("__vb"),
+                        F.col("__na"), F.col("__nb"),
+                    ),
+                    6,
+                )
                 >= threshold
             )
         )
@@ -1106,8 +1115,16 @@ def stream_semantic_dedup(
         # anti-join keeps batch ids disjoint from rep ids) — project the
         # left vectors from the BATCH, not the pool, so the rep store's
         # vectors are scanned once per micro-batch (vb), not twice
-        va = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-        vb = pool.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+        va = batch.select(
+            F.col(id_col).alias("id_a"),
+            F.col(vec_col).alias("__va"),
+            sim.vector_norm(F.col(vec_col)).alias("__na"),
+        )
+        vb = pool.select(
+            F.col(id_col).alias("id_b"),
+            F.col(vec_col).alias("__vb"),
+            sim.vector_norm(F.col(vec_col)).alias("__nb"),
+        )
         kept = _verify_and_keep(batch, cand, va, vb)
         kept.write.mode("overwrite").parquet(f"{reps_root}/batch={batch_id}")
 
@@ -1201,14 +1218,26 @@ def stream_semantic_dedup(
                 .collect()
             }
             rpaths = [u for vp in sorted(rvps) for u in vec_map.get(vp, [])]
-            vb = batch.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+            vb = batch.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("__vb"),
+                sim.vector_norm(F.col(vec_col)).alias("__nb"),
+            )
             if rpaths:
                 vb = vb.unionByName(
                     spark.read.option("basePath", reps_root)
                     .parquet(*rpaths)
-                    .select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+                    .select(
+                        F.col(id_col).alias("id_b"),
+                        F.col(vec_col).alias("__vb"),
+                        sim.vector_norm(F.col(vec_col)).alias("__nb"),
+                    )
                 )
-            va = batch.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+            va = batch.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("__va"),
+                sim.vector_norm(F.col(vec_col)).alias("__na"),
+            )
             kept = pin(_verify_and_keep(batch, cand, va, vb))
             # repartition ON the partition columns before partitionBy:
             # without it every task writes a file into every cell it

@@ -39,6 +39,36 @@ def test_numpy_kernel_matches_lambda(spark, emb):
     assert pairs.where(~F.col("lam").eqNullSafe(F.col("ker"))).count() == 0
 
 
+def test_prenorm_kernel_bit_identical(spark, emb):
+    """cosine_kernel_prenorm (r15: one LTR dot per pair, norms precomputed
+    per side) must be BIT-identical to cosine_kernel — same numerator dot,
+    same sqrt(self-dot) factors multiplied in the same order. Includes the
+    null-vector row (NULL cosine both ways)."""
+    withnull = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(10_000_000, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    a = withnull.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        S.vector_norm("embedding").alias("na"),
+    )
+    b = withnull.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        S.vector_norm("embedding").alias("nb"),
+    )
+    pairs = a.join(b, F.col("ida") % 97 == F.col("idb") % 89).select(
+        S.cosine_kernel(F.col("va"), F.col("vb")).alias("ker"),
+        S.cosine_kernel_prenorm(
+            F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+        ).alias("pre"),
+    )
+    assert pairs.count() > 0
+    assert pairs.where(~F.col("ker").eqNullSafe(F.col("pre"))).count() == 0
+
+
 def test_knn_lsh_recall_vs_bruteforce(spark, emb):
     """OR-amplified sign-LSH must recover most of the exact top-5 sets.
 
