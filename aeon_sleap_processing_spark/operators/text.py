@@ -1308,7 +1308,12 @@ def _bpe_learn(
             f"(got {num_merges} % {batch_size}); the fixed-round "
             "schedule has no partial final round"
         )
-    wc = _word_reps(docs, text_col).localCheckpoint(eager=True)
+    # LAZY checkpoints (r15): each round's candidate-count collect is the
+    # first action over the round's rep table, so it materializes the
+    # checkpoint as a side effect — one Spark job per round instead of a
+    # separate eager-checkpoint job plus the count (the loop is driver-
+    # sequential by nature, so job count IS its wall clock)
+    wc = _word_reps(docs, text_col).localCheckpoint(eager=False)
 
     merges: list[tuple] = []
     rounds = num_merges // batch_size
@@ -1354,7 +1359,7 @@ def _bpe_learn(
         for a, b, n in picked:
             merges.append((len(merges) + 1, a, b, n))
             rep = F.replace(rep, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} "))
-        wc = wc.withColumn("__rep", rep).localCheckpoint(eager=True)
+        wc = wc.withColumn("__rep", rep).localCheckpoint(eager=False)
     return wc, merges
 
 
