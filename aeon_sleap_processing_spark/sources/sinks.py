@@ -2203,6 +2203,13 @@ def _dml_read(spark, root_str: str, rels: list[str], head: dict,
 # broadcast OOM. At ~40 B/key this caps the broadcast near 100 MB.
 _MERGE_BROADCAST_MAX_KEYS = 2_000_000
 
+# Bloom-sidecar pruning probes every distinct update key against each
+# candidate file's bloom; above this many update rows the probe set is
+# no longer cheap to carry on the planning row and pruning is skipped
+# (same 10k bound the key-list collect used before it was fused into
+# the planning aggregate).
+_BLOOM_PRUNE_MAX_KEYS = 10_000
+
 
 def merge_manifested(
     spark: SparkSession,
@@ -2271,8 +2278,28 @@ def merge_manifested(
         partition_by = _infer_partition_cols(entries)
     if stats_cols is None:
         stats_cols = _entry_stats_cols(entries)
-    updates = updates.localCheckpoint(eager=True)  # reuse across 3 legs
-    n_updates = updates.count()
+    # LAZY checkpoint + ONE planning aggregate (r15, guide §5.3): the
+    # previous shape ran four driver-sequential jobs before the match
+    # scan (eager checkpoint, count, key-span agg, distinct-keys
+    # collect). The single agg below materializes the checkpoint as a
+    # side effect and returns row count, key span, and — only when the
+    # count can still be under the bloom guard — the distinct key list,
+    # in one job. collect_set is bounded: _BLOOM_PRUNE_MAX_KEYS distinct
+    # keys at most ride the row (slice(.., limit+1) caps the transfer;
+    # an over-limit set just disables bloom pruning, same as before).
+    updates = updates.localCheckpoint(eager=False)
+    single_key = keys[0] if len(keys) == 1 else None
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if single_key is not None:
+        aggs += [
+            F.min(single_key).alias("__lo"),
+            F.max(single_key).alias("__hi"),
+            F.slice(
+                F.collect_set(single_key), 1, _BLOOM_PRUNE_MAX_KEYS + 1
+            ).alias("__keys"),
+        ]
+    plan_row = updates.agg(*aggs).collect()[0]
+    n_updates = plan_row["__n"]
     if n_updates == 0:
         return {"files_rewritten": 0, "rows_matched": 0,
                 "updates_rows": 0, "version": head_v,
@@ -2283,21 +2310,19 @@ def merge_manifested(
     if prefixes is not None:
         pre = tuple(prefixes)
         candidates = [e for e in candidates if e["path"].startswith(pre)]
-    if len(keys) == 1 and any(
-        keys[0] in (e.get("stats") or {}) for e in candidates
+    if single_key is not None and any(
+        single_key in (e.get("stats") or {}) for e in candidates
     ):
-        k = keys[0]
-        b = updates.agg(F.min(k).alias("lo"), F.max(k).alias("hi")).collect()[0]
-        lo, hi = _stat_val(b["lo"]), _stat_val(b["hi"])
+        lo, hi = _stat_val(plan_row["__lo"]), _stat_val(plan_row["__hi"])
         if lo is not None:
             def _may_match(e) -> bool:
-                st = (e.get("stats") or {}).get(k)
+                st = (e.get("stats") or {}).get(single_key)
                 if not st or st[0] is None or st[1] is None:
                     return True  # no stats — conservative
                 return not (st[1] < lo or st[0] > hi)
 
             candidates = [e for e in candidates if _may_match(e)]
-    if len(keys) == 1 and n_updates <= 10_000:
+    if single_key is not None and n_updates <= _BLOOM_PRUNE_MAX_KEYS:
         # bloom pruning on the key column (any-match over the update
         # keys) — the id-key merge where stats spans prune nothing;
         # key list collection is bounded by the updates contract
@@ -2305,9 +2330,9 @@ def merge_manifested(
             (e["path"], e["bloom"]) for e in candidates if "bloom" in e
         ]
         if with_bloom:
-            kv = [r[0] for r in updates.select(keys[0]).distinct().collect()]
+            kv = list(plan_row["__keys"])
             ok = _bloom_filter_rels(
-                spark, fs, Path, root_str, with_bloom, {keys[0]: kv}
+                spark, fs, Path, root_str, with_bloom, {single_key: kv}
             )
             candidates = [
                 e for e in candidates

@@ -1065,7 +1065,20 @@ def stream_semantic_dedup(
         )
         dirs = _rep_dirs_with_data(spark, reps_root, batch_id)
         if dirs:
-            reps = spark.read.parquet(*dirs).select(id_col, vec_col)
+            # explicit schema (r15): the flat store holds exactly the batch
+            # columns by construction (kept = batch projection), so the
+            # per-batch parquet schema-inference job is driver-serial waste
+            # (guide §5.3). NOTE: pinning (persist) of the batch/keys
+            # subtrees was A/B'd here and REJECTED — with AQE unable to
+            # coalesce under the cache (canChangeCachedPlanOutputPartitioning
+            # false) batches ran 2.1+2.9 s -> 2.9+4.5 s, and with the conf
+            # flipped true the 4-rep steady-state min was still no better
+            # than the unpinned path (5.85 s vs 6.29/6.38 s query total):
+            # the subtrees are small enough that recomputation beats
+            # cache-materialization task overhead at any bench scale.
+            reps = spark.read.schema(batch.schema).parquet(*dirs).select(
+                id_col, vec_col
+            )
             # at-least-once redelivery of an already-kept id: no-op
             batch = batch.join(reps.select(id_col), id_col, "left_anti")
             pool = batch.withColumn("__rep", F.lit(False)).unionByName(
