@@ -72,6 +72,39 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
+def _kernel_parallelism(df: DataFrame) -> int:
+    """Partition target for a CPU-bound Arrow-kernel stage: the larger of
+    cluster parallelism and the session's shuffle-partition setting — the
+    same parallelism any ordinary shuffle in this session gets. Scale-
+    adaptive by construction (defaultParallelism tracks the cluster; the
+    shuffle knob is the operator-tuned production value)."""
+    spark = df.sparkSession
+    try:
+        shuffle_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_n = 0
+    return max(spark.sparkContext.defaultParallelism, shuffle_n)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a kernel input to cluster parallelism when its PLANNED
+    partition count is lower (r15, guide §2.2/§4.4).
+
+    The Python kernels cost far more CPU per row than the row's bytes
+    suggest, and their inputs here are either small parquet scans (an
+    audit corpus splits into fewer file partitions than cores) or
+    byte-coalesced shuffle outputs — both serialize the kernel onto 1-4
+    tasks (measured: q_neardup_recall's verify stage ran 8.1 s of
+    executor time on 4 AQE-coalesced partitions; spread to 32 the query
+    dropped 4.9 -> 3.7 s). At 100 TB the planned count already exceeds
+    the target and this is a no-op — the guard is what keeps the extra
+    round-robin shuffle off the scale path."""
+    n = _kernel_parallelism(df)
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n)
+
+
 def _stack(s: pd.Series) -> np.ndarray:
     """Series of float32 vectors → (n, dim) float64 matrix (exact widening).
     Null vectors (routine in a 100 TB corpus) become NaN rows — they flow
@@ -648,7 +681,13 @@ def embedding_near_dups(
 
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
-    corpus = corpus.where(F.col(vec_col).isNotNull())
+    # project to the two used columns (shuffle/scan narrowing) and spread
+    # to cluster parallelism before any kernel: the bucket/norm kernels
+    # otherwise run on the scan's file-split count. One exchange serves
+    # keys/va/vb (identical subtrees — ReuseExchange).
+    corpus = _spread(
+        corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    )
     if auto_bands:
         # one count + one first() — O(1) driver work against any corpus
         # size; both run on the null-filtered view the plan will hash
@@ -716,7 +755,16 @@ def embedding_near_dups(
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+        # pair dedup with an EXPLICIT partition count (r15): the verify
+        # kernel downstream runs on THIS exchange's partitioning (the
+        # vector joins broadcast), and AQE's byte-based coalescing sees
+        # only scalar id pairs — it packed the kernel onto 4 partitions
+        # at bench scale (8.1 s executor time serialized onto 4 tasks).
+        # repartition(n, keys) + dropDuplicates is the same dedup with
+        # the explicit count AQE must respect; the pair shuffle stays
+        # scalar-cheap at any scale.
+        .repartition(_kernel_parallelism(corpus), "id_a", "id_b")
+        .dropDuplicates()
     )
     # norms ride the vector joins (ONE norm pass per corpus side; the
     # verify kernel then does 1 LTR dot per pair instead of 3 —
@@ -1550,7 +1598,10 @@ def neardup_pairs_bruteforce(
                     }
                 )
 
-    return corpus.select(id_col, vec_col).mapInPandas(
+    # spread before the O(rows x n) sweep kernel: the audit corpus is
+    # small by the max_rows/sample contract, so its scan is 1-2 file
+    # splits — without the spread the whole n² sweep single-threads
+    return _spread(corpus.select(id_col, vec_col)).mapInPandas(
         sweep, schema="id_a long, id_b long"
     )
 

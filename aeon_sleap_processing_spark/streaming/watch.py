@@ -1122,7 +1122,14 @@ def stream_semantic_dedup(
                 & (F.col("rep_b") | (F.col("id_a") < F.col("id_b"))),
             )
             .select("id_a", "id_b", "rep_b")
-            .distinct()
+            # pair dedup with an EXPLICIT partition count (r15, mirrors
+            # embedding_near_dups): the verify kernel runs on this
+            # exchange's partitioning, and AQE's byte-based coalescing
+            # would single-thread it (scalar pair rows, heavy per-row
+            # kernel CPU). rep_b is functionally dependent on id_b, so
+            # dedup over all three columns equals dedup over the pair key.
+            .repartition(sim._kernel_parallelism(batch), "id_a", "id_b")
+            .dropDuplicates()
         )
         # id_a is always a batch row (a is built from ~__rep and the store
         # anti-join keeps batch ids disjoint from rep ids) — project the
@@ -1218,7 +1225,9 @@ def stream_semantic_dedup(
                     & (F.col("rep_b") | (F.col("id_a") < F.col("id_b"))),
                 )
                 .select("id_a", "id_b", "rep_b")
-                .distinct()
+                # explicit-count pair dedup — see _process_flat's cand
+                .repartition(sim._kernel_parallelism(batch), "id_a", "id_b")
+                .dropDuplicates()
             )
             # verify fetch pruned to the COLLIDING reps' vp cells — vp is
             # derivable from the id (pmod(xxhash64,P)), never stored twice.
