@@ -681,13 +681,12 @@ def embedding_near_dups(
 
     Returns (id_a, id_b, cosine) with id_a < id_b — rounded cosine for
     deterministic cross-engine comparison."""
-    # project to the two used columns (shuffle/scan narrowing) and spread
-    # to cluster parallelism before any kernel: the bucket/norm kernels
-    # otherwise run on the scan's file-split count. One exchange serves
-    # keys/va/vb (identical subtrees — ReuseExchange).
-    corpus = _spread(
-        corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
-    )
+    # project to the two used columns (scan narrowing). NOT spread (r15,
+    # measured): the per-row bucket/norm kernels are cheap — repartitioning
+    # the corpus cost 0.5-0.9 s/query in paired A/B while the verify
+    # kernel (the heavy stage) gets its parallelism from the explicit
+    # candidate-dedup exchange below.
+    corpus = corpus.where(F.col(vec_col).isNotNull()).select(id_col, vec_col)
     if auto_bands:
         # one count + one first() — O(1) driver work against any corpus
         # size; both run on the null-filtered view the plan will hash
@@ -1598,12 +1597,18 @@ def neardup_pairs_bruteforce(
                     }
                 )
 
-    # spread before the O(rows x n) sweep kernel: the audit corpus is
-    # small by the max_rows/sample contract, so its scan is 1-2 file
-    # splits — without the spread the whole n² sweep single-threads
-    return _spread(corpus.select(id_col, vec_col)).mapInPandas(
-        sweep, schema="id_a long, id_b long"
-    )
+    # spread before the O(rows x n) sweep kernel ONLY when the n² work
+    # amortizes the extra exchange (r15, measured): at n=2k (bench) the
+    # whole sweep is ~0.3 s single-task and the spread's shuffle+schedule
+    # costs more than it buys (paired A/B: +0.5-0.9 s); at n=200k a 1-2
+    # file-split scan would single-thread a multi-minute kernel. n is
+    # already on the driver (the collected matrix), so the rule is free.
+    # Crossover from the measured sweep rate (~2e9 dim-mults/s/core):
+    # n² x dim exceeds ~10 task-seconds of kernel work around n=10k.
+    inp = corpus.select(id_col, vec_col)
+    if len(pdf) >= 10_000:
+        inp = _spread(inp)
+    return inp.mapInPandas(sweep, schema="id_a long, id_b long")
 
 
 def semantic_dedup(

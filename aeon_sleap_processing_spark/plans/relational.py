@@ -218,17 +218,26 @@ def q_lineitem_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linenumber, then stable rollup."""
     li = load_table(spark, "lineitem", sf_dir)
     # full tiebreak: the data contains duplicate (orderkey, partkey, linenumber)
-    # rows with different payloads
-    w = W.partitionBy("l_orderkey", "l_partkey").orderBy(
-        "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
-    )
+    # rows with different payloads. r15: the row_number()=1 winner under a
+    # total ASC ordering IS the lexicographic minimum of the ordering tuple,
+    # so a min(struct(...)) aggregation replaces Sort+Window — partial_min
+    # combines map-side (shuffles one candidate row per key per partition,
+    # never the full table) and both sort passes disappear. The needed
+    # output columns (quantity, returnflag) are members of the tuple, so
+    # the selected winner row is identical (oracle-verified).
     return (
-        li.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .groupBy("l_returnflag")
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    "l_linenumber", "l_quantity", "l_extendedprice", "l_returnflag"
+                )
+            ).alias("__w")
+        )
+        .groupBy(F.col("__w.l_returnflag").alias("l_returnflag"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("__w.l_quantity"), 2).alias("sum_qty"),
         )
     )
 
