@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -347,29 +348,149 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path, jpath
 
 
-def _list_data_files(fs, jpath) -> list:
-    """Recursive FileStatus list of parquet data files under ``jpath``
-    (skips _metadata/_SUCCESS/hidden, like Spark's own listing)."""
+class _FileInfo:
+    """A FileStatus parsed driver-side from the bulk listing string —
+    plain Python fields, ZERO py4j round trips to inspect. ``uri`` is the
+    :func:`_canon_uri` rendering (``FileStatus.toString`` prints
+    ``Path.toString()``, which is scheme(+authority) plus the DECODED
+    ``URI.getPath()`` — the same form), so slicing against a
+    ``_canon_uri`` root and rebuilding with ``Path(uri)`` both hold."""
+
+    __slots__ = ("uri", "length", "mtime")
+
+    def __init__(self, uri: str, length: int, mtime: int):
+        self.uri = uri
+        self.length = length
+        self.mtime = mtime
+
+    @property
+    def name(self) -> str:
+        return self.uri.rsplit("/", 1)[-1]
+
+    @property
+    def parent_uri(self) -> str:
+        return self.uri.rsplit("/", 1)[0]
+
+    # FileStatus-compatible accessors (getPath deliberately absent: a
+    # Java Path costs a round trip — callers that need one build
+    # ``Path(fi.uri)`` explicitly so the cost is visible)
+    def getLen(self) -> int:
+        return self.length
+
+    def getModificationTime(self) -> int:
+        return self.mtime
+
+
+# One entry of ``ScalaRunTime.stringOf(FileStatus[])``. The class simple
+# name varies (FileStatus / LocatedFileStatus / DeprecatedRawLocalFileStatus)
+# but the field order is fixed in Hadoop's FileStatus.toString; directories
+# print no length/replication/blocksize block. A pathological file name
+# containing "; isDirectory=" would desynchronize the match — the caller
+# compares match count against the Java array length and falls back to the
+# per-element iterator when they disagree, so the fast path can only ever
+# return exactly what the slow path would.
+_FSTAT_RE = re.compile(
+    r"FileStatus\{path=(?P<path>.*?); isDirectory=(?P<dir>true|false); "
+    r"(?:length=(?P<len>\d+); replication=\d+; blocksize=\d+; )?"
+    r"modification_time=(?P<mtime>\d+); access_time=\d+; "
+)
+
+
+def _ls_status(jvm, fs, jpath):
+    """One-round-trip directory listing: (files, dirs) of ``_FileInfo``
+    directly under ``jpath``, or None when the bulk rendering cannot be
+    parsed (caller falls back to per-element iteration). Three py4j calls
+    total (listStatus, len, stringOf) instead of ~4 per entry."""
+    arr = fs.listStatus(jpath)
+    n = len(arr)
+    if n == 0:
+        return [], []
+    s = jvm.scala.runtime.ScalaRunTime.stringOf(arr)
+    ms = list(_FSTAT_RE.finditer(s))
+    if len(ms) != n:
+        return None
+    files, dirs = [], []
+    for m in ms:
+        fi = _FileInfo(
+            m.group("path"), int(m.group("len") or 0), int(m.group("mtime"))
+        )
+        (dirs if m.group("dir") == "true" else files).append(fi)
+    return files, dirs
+
+
+def _list_data_files(fs, jpath) -> list[_FileInfo]:
+    """Recursive ``_FileInfo`` list of parquet data files under ``jpath``
+    (skips _metadata/_SUCCESS/hidden, like Spark's own listing). Bulk
+    string-parsed listing per directory (r15, guide §5.3/§7.3: the
+    RemoteIterator form paid ~4 driver→JVM round trips PER FILE — a
+    10k-file store spent tens of seconds of serial driver latency just
+    listing itself; this form pays 3 per DIRECTORY), with the iterator
+    path kept as the parse-mismatch fallback."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:  # no JVM gateway to bulk-render through
+        return _list_data_files_slow(fs, jpath)
+    jvm = sc._jvm
+    Path = jvm.org.apache.hadoop.fs.Path
+    out: list[_FileInfo] = []
+    stack = [jpath]
+    while stack:
+        cur = stack.pop()
+        res = _ls_status(jvm, fs, cur)
+        if res is None:
+            return _list_data_files_slow(fs, jpath)
+        files, dirs = res
+        for fi in files:
+            if fi.name.endswith(".parquet") and not fi.name.startswith(("_", ".")):
+                out.append(fi)
+        stack.extend(Path(d.uri) for d in dirs if not d.name.startswith(("_", ".")))
+    return out
+
+
+def _list_data_files_slow(fs, jpath) -> list[_FileInfo]:
+    """Per-element RemoteIterator fallback — same result, O(files) round
+    trips. Kept for FileStatus.toString renderings the regex cannot read."""
     out = []
     it = fs.listFiles(jpath, True)
     while it.hasNext():
         st = it.next()
-        name = st.getPath().getName()
+        p = st.getPath()
+        name = p.getName()
         if name.endswith(".parquet") and not name.startswith(("_", ".")):
-            out.append(st)
+            u = p.toUri()
+            auth = u.getAuthority()
+            uri = (
+                f"{u.getScheme()}://{auth}{u.getPath()}"
+                if auth
+                else f"{u.getScheme()}:{u.getPath()}"
+            )
+            out.append(_FileInfo(uri, st.getLen(), st.getModificationTime()))
     return out
 
 
-def _leaf_data_dirs(fs, Path, jpath) -> list:
-    """Directories that directly contain parquet data files — one entry
-    for an unpartitioned store, one per ``col=value`` leaf for a
-    Hive-partitioned store. Compaction runs PER LEAF so partition
-    directory names (and therefore pruning and partition-value types) are
-    preserved byte-for-byte."""
-    leaves = {}
-    for st in _list_data_files(fs, jpath):
-        parent = st.getPath().getParent()
-        leaves[str(parent.toUri().getPath())] = parent
+def _uri_path(uri: str) -> str:
+    """Bare path component of a canonical (decoded) URI string —
+    ``file:/tmp/x`` → ``/tmp/x``, ``hdfs://nn:8020/d/x`` → ``/d/x``. The
+    string twin of ``Path.toUri().getPath()`` for ``_canon_uri``-rendered
+    strings (whose path part is already decoded, so no unquoting here)."""
+    rest = uri.split(":", 1)[1] if ":" in uri else uri
+    if rest.startswith("//"):
+        # scheme://authority/path — drop the authority segment
+        idx = rest.find("/", 2)
+        return rest[idx:] if idx >= 0 else "/"
+    return rest
+
+
+def _leaf_data_dirs(fs, Path, jpath) -> list[str]:
+    """Canonical URIs of directories that directly contain parquet data
+    files — one entry for an unpartitioned store, one per ``col=value``
+    leaf for a Hive-partitioned store. Compaction runs PER LEAF so
+    partition directory names (and therefore pruning and partition-value
+    types) are preserved byte-for-byte."""
+    leaves: dict[str, str] = {}
+    for fi in _list_data_files(fs, jpath):
+        leaves.setdefault(fi.parent_uri, fi.parent_uri)
     return list(leaves.values())
 
 
@@ -455,8 +576,9 @@ def compact_parquet(
             "skipped_concurrent": [],
         }
     bases = set()
-    for leaf in _leaf_data_dirs(fs, Path, root):
-        name = str(leaf.toUri().getPath())
+    for leaf_uri in _leaf_data_dirs(fs, Path, root):
+        # strip scheme(+authority) → bare path, as _recover expects
+        name = _uri_path(leaf_uri)
         for suffix in ("__precompact", "__compacting"):
             if name.endswith(suffix):
                 name = name[: -len(suffix)]
@@ -466,33 +588,31 @@ def compact_parquet(
         _recover(base)
 
     def _file_set(files) -> set:
-        return {(str(st.getPath().toUri()), st.getLen()) for st in files}
+        return {(fi.uri, fi.length) for fi in files}
 
     stats_before = _list_data_files(fs, root)
-    total = sum(st.getLen() for st in stats_before)
+    total = sum(fi.length for fi in stats_before)
     compacted_any = False
     skipped_concurrent: list[str] = []
-    for leaf in _leaf_data_dirs(fs, Path, root):
+    for leaf_uri in _leaf_data_dirs(fs, Path, root):
+        leaf = Path(leaf_uri)
         leaf_files = _list_data_files(fs, leaf)
         if len(leaf_files) < min_files_to_compact:
             continue
-        leaf_bytes = sum(st.getLen() for st in leaf_files)
+        leaf_bytes = sum(fi.length for fi in leaf_files)
         n_out = max(1, math.ceil(leaf_bytes / target_bytes))
-        leaf_uri = str(leaf.toUri())
-        tmp = Path(str(leaf) + "__compacting")
+        tmp = Path(leaf_uri + "__compacting")
         # read the SNAPSHOT file list, not the directory: the rewrite
         # must contain exactly the files compared by the guard below (a
         # directory read lists again at job time and could silently
         # include a concurrent append that the guard then misses)
         snapshot = _file_set(leaf_files)
-        leaf_df = spark.read.parquet(
-            *[str(st.getPath().toUri()) for st in leaf_files]
-        )
+        leaf_df = spark.read.parquet(*[fi.uri for fi in leaf_files])
         planned = (
             _plan_fn(leaf_df, n_out) if _plan_fn is not None
             else leaf_df.repartition(n_out)
         )
-        planned.write.mode("overwrite").parquet(str(tmp.toUri()))
+        planned.write.mode("overwrite").parquet(leaf_uri + "__compacting")
         # concurrent-writer guard: re-list immediately before the
         # stage-out rename; any change since the snapshot means another
         # writer touched the leaf — discard the stage, keep the leaf
@@ -500,7 +620,7 @@ def compact_parquet(
             fs.delete(tmp, True)
             skipped_concurrent.append(leaf_uri)
             continue
-        old = Path(str(leaf) + "__precompact")
+        old = Path(leaf_uri + "__precompact")
         if not fs.rename(leaf, old):
             fs.delete(tmp, True)
             raise IOError(f"compact_parquet: stage-out failed for {leaf_uri}")
@@ -512,8 +632,7 @@ def compact_parquet(
         # closes the window to the rename's own atomicity.
         snap_names = {(u.rsplit("/", 1)[-1], ln) for u, ln in snapshot}
         old_names = {
-            (st.getPath().getName(), st.getLen())
-            for st in _list_data_files(fs, old)
+            (fi.name, fi.length) for fi in _list_data_files(fs, old)
         }
         if old_names != snap_names:
             if not fs.rename(old, leaf):
@@ -681,6 +800,23 @@ def _canon_uri(fs, jpath) -> str:
     )
 
 
+def _canon_uri_str(uri: str) -> str:
+    """Pure-Python :func:`_canon_uri` for an ALREADY-QUALIFIED encoded URI
+    string (e.g. ``input_file_name()`` output, ``file:///tmp/a%20b``):
+    decode the path, normalize the empty-authority local form — zero py4j
+    round trips. Only for qualified inputs; a bare path has no scheme to
+    preserve and must go through the JVM qualifier."""
+    from urllib.parse import unquote
+
+    scheme, rest = uri.split(":", 1)
+    if rest.startswith("//"):
+        idx = rest.find("/", 2)
+        auth = rest[2:idx] if idx >= 0 else rest[2:]
+        p = unquote(rest[idx:]) if idx >= 0 else ""
+        return f"{scheme}://{auth}{p}" if auth else f"{scheme}:{p}"
+    return f"{scheme}:{unquote(rest)}"
+
+
 def _merge_schema_json(a: dict | None, b: dict | None) -> dict | None:
     """Union two ``StructType.jsonValue()`` docs by field name — the
     add-column evolution rule (first occurrence keeps its type, new
@@ -730,6 +866,21 @@ def _manifest_versions(fs, Path, root_str: str) -> list[int]:
     mdir = Path(f"{root_str}/{_MANIFEST_DIR}")
     if not fs.exists(mdir):
         return []
+    # bulk-parsed listing (r15): 3 py4j round trips for the whole log dir
+    # instead of ~3 per version file — _manifest_head runs this on every
+    # public storage op, so a long-lived store paid O(versions) driver
+    # latency per call. Same fallback discipline as _list_data_files.
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    res = _ls_status(sc._jvm, fs, mdir) if sc is not None else None
+    if res is not None:
+        files, _dirs = res
+        return sorted(
+            int(fi.name[:-5])
+            for fi in files
+            if fi.name.endswith(".json") and fi.name[:-5].isdigit()
+        )
     vs = []
     for st in fs.listStatus(mdir):
         name = st.getPath().getName()
@@ -1132,15 +1283,18 @@ def _bloom_position_exprs(col: str, m: int) -> list:
     md5 of the value's STRING form, k disjoint 8-hex-digit slices mod m.
     md5-on-string is the one hash both engines compute identically
     (python: :func:`_bloom_positions_py`); restrict bloom columns to
-    string/integer types so the string form is canonical."""
-    h = F.md5(F.col(col).cast("string"))
-    return [
-        F.pmod(
-            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long"),
-            F.lit(m),
-        )
-        for i in range(_BLOOM_K)
-    ]
+    string/integer types so the string form is canonical. Built as ONE
+    parsed SQL expression per slice (r15): the Column-algebra form paid
+    ~5 py4j round trips per slice per column on every sidecar-computing
+    commit; the parsed trees are the same Catalyst nodes."""
+    return [F.expr(_bloom_position_sql(col, m, i)) for i in range(_BLOOM_K)]
+
+
+def _bloom_position_sql(col: str, m: int, i: int) -> str:
+    return (
+        f"pmod(cast(conv(substring(md5(cast(`{col}` as string)), "
+        f"{1 + 8 * i}, 8), 16, 10) as bigint), {m})"
+    )
 
 
 def _bloom_positions_py(value, m: int) -> list[int]:
@@ -1402,17 +1556,40 @@ def _stage_files(
         # write asked for both — same aggregation tree, one pass now.
         aggs = []
         for c in stats_cols or []:
-            aggs += [F.min(c).alias(f"__lo_{c}"), F.max(c).alias(f"__hi_{c}")]
+            aggs += [
+                F.expr(f"min(`{c}`) as `__lo_{c}`"),
+                F.expr(f"max(`{c}`) as `__hi_{c}`"),
+            ]
         aggs += [
-            F.array_distinct(
-                F.flatten(
-                    F.collect_list(F.array(*_bloom_position_exprs(c, bloom_bits)))
+            F.expr(
+                "array_distinct(flatten(collect_list(array("
+                + ", ".join(
+                    _bloom_position_sql(c, bloom_bits, i)
+                    for i in range(_BLOOM_K)
                 )
-            ).alias(f"__bp_{c}")
+                + f")))) as `__bp_{c}`"
+            )
             for c in bloom_cols or []
         ]
+        # the staged dir was JUST written from ``df`` — its data-file
+        # schema is df minus the partition columns, so serve it to the
+        # reader explicitly and skip the distributed footer-inference
+        # job every sidecar-computing commit otherwise pays (r15, guide
+        # §5.3; the _dml_read log-schema rule applied to staging). Only
+        # when a sidecar col IS a partition col does the read need
+        # partition-dir values — that rare shape keeps the inferring
+        # reader (identical to the pre-r15 path).
+        part = set(partition_by or [])
+        sidecar_cols = set(stats_cols or []) | set(bloom_cols or [])
+        rd = spark.read
+        if not (sidecar_cols & part):
+            from pyspark.sql.types import StructType
+
+            rd = rd.schema(
+                StructType([f for f in df.schema.fields if f.name not in part])
+            )
         for row in (
-            spark.read.parquet(stage_str)
+            rd.parquet(stage_str)
             .groupBy(F.input_file_name().alias("__f"))
             .agg(*aggs)
             .collect()
@@ -1429,39 +1606,42 @@ def _stage_files(
     add_stats: dict[str, dict] = {}
     bloom_positions: dict[str, dict] = {}
     staged_dirs: set[str] = set()
-    # canon the agg keys ONCE (n py4j calls): input_file_name() and
-    # FileStatus render the same file with different scheme spellings,
-    # so matching must be canonical — but the previous inner loop
-    # re-canonized every key per staged file, O(n²) driver→JVM round
-    # trips that dominated large commits (measured: a 640-file commit
-    # spent minutes here; a 10k-file store built at ~3 files/s)
-    stats_by_canon = {
-        _canon_uri(fs, Path(k)): v for k, v in stats_by_file.items()
-    }
-    bloom_by_canon = {
-        _canon_uri(fs, Path(k)): v for k, v in bloom_by_file.items()
-    }
+    # canon the agg keys with ZERO py4j calls (r15): input_file_name()
+    # and FileStatus render the same file with different scheme
+    # spellings, so matching must be canonical. `_canon_uri_str` is the
+    # pure-Python twin of `_canon_uri` (decode + normalize authority);
+    # if any canonized key fails to land on a staged file — an encoding
+    # the Python decode renders differently than Java's URI.getPath() —
+    # rebuild both maps through the JVM canon (the pre-r15 path), so a
+    # mismatch can only ever cost round trips, never drop a sidecar.
+    staged_uris = {fi.uri for fi in staged}
+    stats_by_canon = {_canon_uri_str(k): v for k, v in stats_by_file.items()}
+    bloom_by_canon = {_canon_uri_str(k): v for k, v in bloom_by_file.items()}
+    if not (set(stats_by_canon) <= staged_uris and set(bloom_by_canon) <= staged_uris):
+        stats_by_canon = {
+            _canon_uri(fs, Path(k)): v for k, v in stats_by_file.items()
+        }
+        bloom_by_canon = {
+            _canon_uri(fs, Path(k)): v for k, v in bloom_by_file.items()
+        }
     moves: list[tuple] = []
     made_dirs: set[str] = set()
-    for i, st in enumerate(staged):
-        src = st.getPath()
+    for i, fi in enumerate(staged):
         # partition subpath between the staging root and the file — RAW
         # names (canon strings are decoded, so the slice IS the raw name)
-        rel_dir = _canon_uri(fs, src.getParent())[len(stage_str):].strip("/")
+        rel_dir = fi.parent_uri[len(stage_str):].strip("/")
         staged_dirs.add(f"{rel_dir}/" if rel_dir else "")
         name = f"{filename_prefix}data-{token}-{i:05d}.parquet"
         rel = f"{rel_dir}/{name}" if rel_dir else name
-        dest = Path(f"{root_str}/{rel}")
         if rel_dir not in made_dirs:  # one mkdirs per partition dir
-            fs.mkdirs(dest.getParent())
+            fs.mkdirs(Path(f"{root_str}/{rel}").getParent())
             made_dirs.add(rel_dir)
         if stats_by_canon or bloom_by_canon:
-            src_uri = _canon_uri(fs, src)
-            if src_uri in stats_by_canon:
-                add_stats[rel] = stats_by_canon[src_uri]
-            if src_uri in bloom_by_canon:
-                bloom_positions[rel] = bloom_by_canon[src_uri]
-        moves.append((src, dest, rel, st.getLen()))
+            if fi.uri in stats_by_canon:
+                add_stats[rel] = stats_by_canon[fi.uri]
+            if fi.uri in bloom_by_canon:
+                bloom_positions[rel] = bloom_by_canon[fi.uri]
+        moves.append((fi.uri, f"{root_str}/{rel}", rel, fi.length))
 
     # parallel publish: each rename is one blocking driver→JVM round
     # trip; py4j gives every Python thread its own gateway connection
@@ -1470,8 +1650,8 @@ def _stage_files(
     # O(files / pool). Destinations are token-unique — no two moves
     # conflict.
     def _mv(m) -> None:
-        src, dest, rel, _ = m
-        if not fs.rename(src, dest):
+        src_uri, dest_uri, rel, _ = m
+        if not fs.rename(Path(src_uri), Path(dest_uri)):
             raise IOError(f"_stage_files: rename failed for {rel}")
 
     if len(moves) > 8:
@@ -1918,16 +2098,51 @@ class ManifestCursorExpired(RuntimeError):
     places on log retention."""
 
 
+# parsed-doc cache (r15): the same write-once invariant _STATE_CACHE
+# documents above — an acknowledged version file's bytes never change —
+# makes (store, version) → parsed doc a pure function. Every
+# _manifest_head call was re-reading the head's JSON over py4j (open +
+# IOUtils + close, ~6 round trips plus the whole payload — megabytes for
+# a checkpoint) even when the resolved state below it was cache-hit; a
+# 4-commit write loop paid that dozens of times. A hit is REVALIDATED
+# with one getFileStatus against the cached (length, mtime) — ~3 round
+# trips and no payload — so an out-of-protocol in-place edit (hand-built
+# legacy fixtures, foreign tooling) is still observed; the pure
+# invariant only saves the bytes, it never overrides the filesystem.
+# Only VALID docs are cached — a None (missing file or mid-write corpse)
+# may become readable later and must stay uncached. Consumers never
+# mutate doc dicts (the _STATE_CACHE sharing precedent).
+_DOC_CACHE: dict = {}
+_DOC_CACHE_MAX = 512
+
+
 def _manifest_doc(spark, fs, Path, root_str: str, version: int):
     """Parse one manifest version (checkpoint or delta); None when
     missing/corrupt (a corpse a lost commit race left — it was never an
     acknowledged head)."""
+    key = (root_str, version)
     p = Path(f"{root_str}/{_MANIFEST_DIR}/{version:020d}.json")
+    hit = _DOC_CACHE.get(key)
+    if hit is not None:
+        doc, ln, mt = hit
+        try:
+            st = fs.getFileStatus(p)
+            if st.getLen() == ln and st.getModificationTime() == mt:
+                return doc
+        except Exception:
+            pass  # deleted/unstatable — fall through to the real read
+        _DOC_CACHE.pop(key, None)
     try:
+        st = fs.getFileStatus(p)
         doc = json.loads(_manifest_read_text(spark, fs, p))
-        return doc if _doc_is_valid(doc) else None
+        if not _doc_is_valid(doc):
+            return None
     except Exception:
         return None
+    if len(_DOC_CACHE) >= _DOC_CACHE_MAX:
+        _DOC_CACHE.pop(next(iter(_DOC_CACHE)))
+    _DOC_CACHE[key] = (doc, st.getLen(), st.getModificationTime())
+    return doc
 
 
 def manifest_history(spark: SparkSession, path: str) -> list[dict]:
@@ -2660,14 +2875,19 @@ def reindex_manifested(
         .collect()
     ):
         pos_by_file[row["__f"]] = {c: row[f"__bp_{c}"] for c in bloom_cols}
-    # canon the agg keys ONCE (same O(n²)→O(n) fix as _stage_files: the
-    # per-rel inner loop re-canonized every input_file_name key)
-    pos_by_canon = {
-        _canon_uri(fs, Path(k)): v for k, v in pos_by_file.items()
-    }
+    # canon the agg keys with zero py4j calls (same _canon_uri_str +
+    # JVM-fallback discipline as _stage_files): rel targets are
+    # f"{root_str}/{rel}" which is ALREADY the canonical rendering, so
+    # only the input_file_name keys need decoding
+    pos_by_canon = {_canon_uri_str(k): v for k, v in pos_by_file.items()}
+    targets = {f"{root_str}/{rel}": rel for rel in by_rel}
+    if not (set(pos_by_canon) <= set(targets)):
+        pos_by_canon = {
+            _canon_uri(fs, Path(k)): v for k, v in pos_by_file.items()
+        }
     positions: dict[str, dict] = {}
-    for rel in by_rel:
-        by_col = pos_by_canon.get(_canon_uri(fs, Path(f"{root_str}/{rel}")))
+    for uri, rel in targets.items():
+        by_col = pos_by_canon.get(uri)
         if by_col is not None:  # None: matched no scanned rows (empty)
             positions[rel] = by_col
     if not positions:
@@ -3096,14 +3316,14 @@ def compact_manifested(
             else leaf_df.repartition(n_out)
         )
         planned.write.mode("overwrite").parquet(stage_str)
-        for i, st in enumerate(_list_data_files(fs, Path(stage_str))):
+        for i, fi in enumerate(_list_data_files(fs, Path(stage_str))):
             name = f"data-{token}-{i:05d}.parquet"
             rel = f"{leaf}/{name}" if leaf else name
             dest = Path(f"{root_str}/{rel}")
             fs.mkdirs(dest.getParent())
-            if not fs.rename(st.getPath(), dest):
+            if not fs.rename(Path(fi.uri), dest):
                 raise IOError(f"compact_manifested: rename failed for {rel}")
-            adds.append((rel, st.getLen(), leaf_stats or None))
+            adds.append((rel, fi.length, leaf_stats or None))
         fs.delete(Path(stage_str), True)
         removes.extend(m["path"] for m in members)
     if not removes:
@@ -3206,24 +3426,24 @@ def vacuum_manifested(
     cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
     skipped_in_flight = 0
     doomed: list[tuple] = []
-    for st in _list_data_files(fs, root):
-        rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+    for fi in _list_data_files(fs, root):
+        rel = fi.uri[len(root_str):].strip("/")
         if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")):
             continue
         if rel in live:
             continue
-        if rel not in ever_committed and st.getModificationTime() > cutoff_ms:
+        if rel not in ever_committed and fi.mtime > cutoff_ms:
             skipped_in_flight += 1  # possibly an uncommitted in-flight write
             continue
-        doomed.append((st.getPath(), rel))
+        doomed.append((fi.uri, rel))
 
     # parallel reclaim (same pool discipline as _stage_files' publish):
     # two blocking JVM deletes per dead file — data + its bloom sidecar
     # — serialize a big vacuum otherwise; targets are distinct files, so
     # deletes never conflict
     def _reclaim(item) -> None:
-        jp, rel = item
-        fs.delete(jp, False)
+        uri, rel = item
+        fs.delete(Path(uri), False)
         # a data file's bloom sidecar dies with it
         fs.delete(Path(f"{root_str}/{_BLOOM_DIR}/{rel}.bloom"), False)
 
@@ -3481,11 +3701,11 @@ def maintain(
                 live.update(vstate)
         cutoff_ms = (time.time() - orphan_grace_seconds) * 1000.0
         would_delete = would_skip = 0
-        for st in _list_data_files(fs, root):
-            rel = _canon_uri(fs, st.getPath())[len(root_str):].strip("/")
+        for fi in _list_data_files(fs, root):
+            rel = fi.uri[len(root_str):].strip("/")
             if rel.startswith((f"{_MANIFEST_DIR}/", "_staging/")) or rel in live:
                 continue
-            if rel not in ever and st.getModificationTime() > cutoff_ms:
+            if rel not in ever and fi.mtime > cutoff_ms:
                 would_skip += 1
             else:
                 would_delete += 1
