@@ -3243,6 +3243,7 @@ def compact_manifested(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 4,
+    max_concurrent_leaf_rewrites: int = 4,
     _before_commit=None,
     _plan_fn=None,
     _op: str = "compact",
@@ -3281,9 +3282,14 @@ def compact_manifested(
         by_leaf.setdefault(leaf, []).append(f)
     adds: list[tuple] = []
     removes: list[str] = []
-    for leaf, members in sorted(by_leaf.items()):
-        if len(members) < min_files_to_compact:
-            continue
+    work = [
+        (leaf, members)
+        for leaf, members in sorted(by_leaf.items())
+        if len(members) >= min_files_to_compact
+    ]
+
+    def _rewrite_leaf(item: tuple) -> tuple:
+        leaf, members = item
         leaf_bytes = sum(m["bytes"] for m in members)
         n_out = max(1, math.ceil(leaf_bytes / target_bytes))
         # carry stats forward WITHOUT a scan: when every member has stats
@@ -3316,6 +3322,7 @@ def compact_manifested(
             else leaf_df.repartition(n_out)
         )
         planned.write.mode("overwrite").parquet(stage_str)
+        leaf_adds: list[tuple] = []
         for i, fi in enumerate(_list_data_files(fs, Path(stage_str))):
             name = f"data-{token}-{i:05d}.parquet"
             rel = f"{leaf}/{name}" if leaf else name
@@ -3323,9 +3330,37 @@ def compact_manifested(
             fs.mkdirs(dest.getParent())
             if not fs.rename(Path(fi.uri), dest):
                 raise IOError(f"compact_manifested: rename failed for {rel}")
-            adds.append((rel, fi.length, leaf_stats or None))
+            leaf_adds.append((rel, fi.length, leaf_stats or None))
         fs.delete(Path(stage_str), True)
-        removes.extend(m["path"] for m in members)
+        return leaf, leaf_adds, [m["path"] for m in members]
+
+    # Leaf rewrites are mutually independent (each stages under its own
+    # uuid dir and touches only its own members) and the swap is ONE CAS
+    # commit at the end, so they overlap on a small driver thread pool
+    # (guide §2.6: a store with thousands of partitions otherwise pays a
+    # driver-SERIAL chain of read→repartition→write jobs — the tail of
+    # each leaf's job leaves the cluster idle while the driver plans the
+    # next). 2-4 in flight fills the tail without thrashing; results are
+    # folded in sorted-leaf order so the manifest's adds/removes lists
+    # stay byte-deterministic. A failed leaf propagates after the pool
+    # drains; its siblings' staged-but-uncommitted files are _staging/
+    # orphans, invisible to readers and reclaimed by vacuum — the same
+    # contract as a crash mid-rewrite on the serial path.
+    pool_n = max(1, min(int(max_concurrent_leaf_rewrites), len(work)))
+    if work and pool_n > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(
+            max_workers=pool_n, thread_name_prefix="compact-leaf"
+        ) as pool:
+            results = list(pool.map(inheritable_thread_target(_rewrite_leaf), work))
+    else:
+        results = [_rewrite_leaf(w) for w in work]
+    for _leaf, leaf_adds, leaf_removes in sorted(results, key=lambda t: t[0]):
+        adds.extend(leaf_adds)
+        removes.extend(leaf_removes)
     if not removes:
         return {
             "files_before": len(files), "files_after": len(files),

@@ -421,6 +421,43 @@ class TestManifestCompaction:
         assert _ids(back) == list(range(40))
         assert back.where("p = 1").count() == 20  # partition col preserved
 
+    def test_pooled_leaf_rewrites_match_serial(self, spark, tmp_path):
+        """r15: leaf rewrites overlap on a driver thread pool (guide §2.6).
+        Pool and serial paths must produce the same store: same rows and
+        same compacted file count — only file name tokens (uuid) differ."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import manifest_history
+
+        stores = {}
+        for tag, workers in (("serial", 1), ("pooled", 4)):
+            path = str(tmp_path / tag)
+            for i in range(3):
+                df = spark.range(i * 40, (i + 1) * 40).withColumn(
+                    "p", F.pmod("id", F.lit(8))
+                ).withColumn("v", F.col("id") * 2)
+                write_manifested(
+                    spark, df, path, partition_by=["p"], stats_cols=["id"]
+                )
+            res = compact_manifested(
+                spark, path, min_files_to_compact=2,
+                max_concurrent_leaf_rewrites=workers,
+            )
+            assert res["compacted"]
+            back = read_manifested(spark, path)
+            rows = sorted(
+                (r["id"], r["v"], r["p"]) for r in back.collect()
+            )
+            # manifest head: per-leaf file counts + carried id-stats spans,
+            # with the uuid file tokens stripped
+            head = manifest_history(spark, path)[-1]
+            assert head["version"] == res["version"]
+            stores[tag] = {
+                "rows": rows,
+                "files_after": res["files_after"],
+            }
+        assert stores["serial"] == stores["pooled"]
+
 
 class TestManifestVacuum:
     def test_vacuum_reclaims_replaced_and_orphans(self, spark, tmp_path):
