@@ -499,6 +499,7 @@ def compact_parquet(
     path: str,
     target_bytes: int = 128 * 1024 * 1024,
     min_files_to_compact: int = 4,
+    max_concurrent_leaf_rewrites: int = 4,
     _plan_fn=None,
 ) -> dict:
     """Small-file compaction — the perpetual housekeeping op of a streaming
@@ -592,13 +593,16 @@ def compact_parquet(
 
     stats_before = _list_data_files(fs, root)
     total = sum(fi.length for fi in stats_before)
-    compacted_any = False
-    skipped_concurrent: list[str] = []
-    for leaf_uri in _leaf_data_dirs(fs, Path, root):
+
+    def _compact_leaf(leaf_uri: str) -> tuple[str, bool, bool]:
+        """One leaf's stage-and-swap; returns (leaf_uri, compacted,
+        skipped_concurrent). Leaf-local throughout — every path, guard,
+        and rename touches only this leaf's dir and its __compacting /
+        __precompact siblings."""
         leaf = Path(leaf_uri)
         leaf_files = _list_data_files(fs, leaf)
         if len(leaf_files) < min_files_to_compact:
-            continue
+            return leaf_uri, False, False
         leaf_bytes = sum(fi.length for fi in leaf_files)
         n_out = max(1, math.ceil(leaf_bytes / target_bytes))
         tmp = Path(leaf_uri + "__compacting")
@@ -618,8 +622,7 @@ def compact_parquet(
         # writer touched the leaf — discard the stage, keep the leaf
         if _file_set(_list_data_files(fs, leaf)) != snapshot:
             fs.delete(tmp, True)
-            skipped_concurrent.append(leaf_uri)
-            continue
+            return leaf_uri, False, True
         old = Path(leaf_uri + "__precompact")
         if not fs.rename(leaf, old):
             fs.delete(tmp, True)
@@ -641,13 +644,40 @@ def compact_parquet(
                     "original data is intact under __precompact"
                 )
             fs.delete(tmp, True)
-            skipped_concurrent.append(leaf_uri)
-            continue
+            return leaf_uri, False, True
         if not fs.rename(tmp, leaf):
             fs.rename(old, leaf)  # restore; staged dir left for inspection
             raise IOError(f"compact_parquet: swap failed for {leaf_uri}")
         fs.delete(old, True)
-        compacted_any = True
+        return leaf_uri, True, False
+
+    # Leaves compact independently (leaf-local staging, guards, swap), so
+    # overlap them on a small driver pool (guide §2.6) exactly like
+    # compact_manifested: the streaming chunk store this op maintains
+    # accumulates one leaf per batch dir, and a serial loop pays one
+    # driver-sequential read→write job per leaf. A failed leaf propagates
+    # after the pool drains; its own crash contract (__precompact /
+    # __compacting recovery on next entry) is unchanged, and sibling
+    # leaves are untouched or already swapped — the same states a serial
+    # crash leaves behind. Results fold in sorted-leaf order.
+    leaf_uris = sorted(_leaf_data_dirs(fs, Path, root))
+    pool_n = max(1, min(int(max_concurrent_leaf_rewrites), len(leaf_uris)))
+    if leaf_uris and pool_n > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark import inheritable_thread_target
+
+        with ThreadPoolExecutor(
+            max_workers=pool_n, thread_name_prefix="compact-leaf"
+        ) as pool:
+            results = list(
+                pool.map(inheritable_thread_target(_compact_leaf), leaf_uris)
+            )
+    else:
+        results = [_compact_leaf(u) for u in leaf_uris]
+    results.sort(key=lambda t: t[0])
+    compacted_any = any(c for _, c, _ in results)
+    skipped_concurrent = [u for u, _, s in results if s]
     return {
         "files_before": len(stats_before),
         "files_after": len(_list_data_files(fs, root)),

@@ -358,6 +358,33 @@ class TestCompaction:
         assert leaf.columns == ["v"]
         assert sorted(after.toPandas().v) == sorted(before.v)
 
+    def test_pooled_leaf_compaction_matches_serial(self, spark, tmp_path):
+        """r15: leaf stage-and-swaps overlap on a driver thread pool
+        (guide §2.6). Pool and serial must produce the same store: same
+        rows, same per-leaf dirs, same compacted file count."""
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import compact_parquet
+
+        stores = {}
+        for tag, workers in (("serial", 1), ("pooled", 4)):
+            path = str(tmp_path / tag)
+            for i in range(3):
+                (spark.range(i * 40, (i + 1) * 40)
+                 .withColumn("p", F.pmod("id", F.lit(6)))
+                 .write.mode("append").partitionBy("p").parquet(path))
+            res = compact_parquet(
+                spark, path, min_files_to_compact=2,
+                max_concurrent_leaf_rewrites=workers,
+            )
+            assert res["compacted"] and not res["skipped_concurrent"]
+            back = spark.read.parquet(path)
+            stores[tag] = {
+                "rows": sorted((r["id"], r["p"]) for r in back.collect()),
+                "files_after": res["files_after"],
+            }
+        assert stores["serial"] == stores["pooled"]
+
     def test_optimize_parquet_clusters_and_preserves(self, spark, tmp_path):
         """OPTIMIZE-with-clustering on a Hive-partitioned store: rows and
         partition dirs preserved, and within each leaf the Hilbert layout
