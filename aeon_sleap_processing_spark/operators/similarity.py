@@ -278,29 +278,12 @@ def knn_bruteforce(
     Queries are broadcast (small side); the corpus side never shuffles until
     the per-query top-k. Ranking uses the ROUNDED similarity plus id
     tie-break so results are deterministic across engines."""
-    # norms ride each SIDE (one pass per row) — the re-rank kernel then
-    # does 1 LTR dot per (query, neighbor) pair instead of 3;
-    # bit-identical, see cosine_kernel_prenorm
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        _norm_kernel(F.col(vec_col)).alias("__qn"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        _norm_kernel(F.col(vec_col)).alias("__cn"),
-    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"))
     sims = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
         "query_id",
         "neighbor_id",
-        F.round(
-            cosine_kernel_prenorm(
-                F.col("__qvec"), F.col("__cvec"),
-                F.col("__qn"), F.col("__cn"),
-            ),
-            6,
-        ).alias("cosine"),
+        F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
     )
     return _topk(sims, k)
 
@@ -352,31 +335,22 @@ def knn_lsh(
     hitting the new error should pick a divisor-friendly ``n_tables``."""
     bucket = _bucket_udf(_split_tables(hyperplanes, n_tables))
 
-    def membered(df: DataFrame, out_id: str, out_vec: str, out_n: str) -> DataFrame:
-        # norm per row BEFORE the bucket explode/join — the re-rank kernel
-        # then does 1 LTR dot per collision instead of 3 (bit-identical)
+    def membered(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(out_id),
             F.col(vec_col).alias(out_vec),
-            _norm_kernel(F.col(vec_col)).alias(out_n),
             F.posexplode(bucket(F.col(vec_col))).alias("t", "h"),
         )
 
-    c = membered(corpus, "neighbor_id", "__cvec", "__cn")
-    q = membered(queries, "query_id", "__qvec", "__qn")
+    c = membered(corpus, "neighbor_id", "__cvec")
+    q = membered(queries, "query_id", "__qvec")
     sims = (
         c.join(F.broadcast(q), ["t", "h"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_kernel_prenorm(
-                    F.col("__qvec"), F.col("__cvec"),
-                    F.col("__qn"), F.col("__cn"),
-                ),
-                6,
-            ).alias("cosine"),
+            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
         )
         # a pair colliding in several tables appears once per table: dedup on
         # the pair key (cheap scalar shuffle; cosines are identical)
@@ -451,23 +425,13 @@ def _cell_rerank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
     corpus) and :func:`knn_ivf_clustered` (physical store) — each has its
     own DuckDB oracle, so a tie-rule change must land in both in lockstep;
     a single tail makes divergence impossible."""
-    # norms per side row BEFORE the cell join (1 LTR dot per pair in the
-    # re-rank kernel instead of 3 — bit-identical, cosine_kernel_prenorm)
-    c = c.withColumn("__cn", _norm_kernel(F.col("__cvec")))
-    q = q.withColumn("__qn", _norm_kernel(F.col("__qvec")))
     sims = (
         c.join(F.broadcast(q), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
-                cosine_kernel_prenorm(
-                    F.col("__qvec"), F.col("__cvec"),
-                    F.col("__qn"), F.col("__cn"),
-                ),
-                6,
-            ).alias("cosine"),
+            F.round(cosine_kernel(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine"),
         )
     )
     return _topk(sims, k)
