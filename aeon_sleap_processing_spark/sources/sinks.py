@@ -2527,11 +2527,14 @@ def merge_manifested(
     # previous shape ran four driver-sequential jobs before the match
     # scan (eager checkpoint, count, key-span agg, distinct-keys
     # collect). The single agg below materializes the checkpoint as a
-    # side effect and returns row count, key span, and — only when the
-    # count can still be under the bloom guard — the distinct key list,
-    # in one job. collect_set is bounded: _BLOOM_PRUNE_MAX_KEYS distinct
-    # keys at most ride the row (slice(.., limit+1) caps the transfer;
-    # an over-limit set just disables bloom pruning, same as before).
+    # side effect and returns the row count and key span in one job.
+    # The distinct-key list for bloom pruning is fetched in a SECOND
+    # job, gated on n ≤ _BLOOM_PRUNE_MAX_KEYS (r16, guide §5): the r15
+    # fused slice(collect_set(...)) capped the DRIVER transfer but not
+    # the aggregation buffer — a single-group collect_set on a 100 TB
+    # merge with a high-cardinality key accumulates every distinct key
+    # in executor memory. One extra job on small merges is the correct
+    # trade; huge merges never build the set at all.
     updates = updates.localCheckpoint(eager=False)
     single_key = keys[0] if len(keys) == 1 else None
     aggs = [F.count(F.lit(1)).alias("__n")]
@@ -2539,9 +2542,6 @@ def merge_manifested(
         aggs += [
             F.min(single_key).alias("__lo"),
             F.max(single_key).alias("__hi"),
-            F.slice(
-                F.collect_set(single_key), 1, _BLOOM_PRUNE_MAX_KEYS + 1
-            ).alias("__keys"),
         ]
     plan_row = updates.agg(*aggs).collect()[0]
     n_updates = plan_row["__n"]
@@ -2569,13 +2569,19 @@ def merge_manifested(
             candidates = [e for e in candidates if _may_match(e)]
     if single_key is not None and n_updates <= _BLOOM_PRUNE_MAX_KEYS:
         # bloom pruning on the key column (any-match over the update
-        # keys) — the id-key merge where stats spans prune nothing;
-        # key list collection is bounded by the updates contract
+        # keys) — the id-key merge where stats spans prune nothing.
+        # The key list is fetched here, only when it can matter (some
+        # candidate carries a bloom) and only under the n ≤ 10k guard,
+        # so the collect is bounded by the contract: ≤ n_updates scalar
+        # keys off a checkpointed relation.
         with_bloom = [
             (e["path"], e["bloom"]) for e in candidates if "bloom" in e
         ]
         if with_bloom:
-            kv = list(plan_row["__keys"])
+            kv = [
+                r[0]
+                for r in updates.select(single_key).dropDuplicates().collect()
+            ]
             ok = _bloom_filter_rels(
                 spark, fs, Path, root_str, with_bloom, {single_key: kv}
             )

@@ -206,6 +206,98 @@ class TestMultiValueAndMerge:
         assert back.count() == 400
 
 
+class TestMergePlanningBounded:
+    def test_merge_over_bloom_guard_never_builds_key_list(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A merge with MORE than _BLOOM_PRUNE_MAX_KEYS distinct keys must
+        never materialize the update-key list (r16, guide §5): the r15
+        fused ``slice(collect_set(...))`` capped the DRIVER transfer but
+        the single-group aggregation buffer still accumulated every
+        distinct key in executor memory — an OOM risk on a 100 TB merge.
+        Above the guard, bloom pruning is skipped outright (no
+        _bloom_filter_rels call, no key collect); the merge itself must
+        still be correct."""
+        from aeon_sleap_processing_spark.sources import sinks
+
+        calls: list = []
+        real = sinks._bloom_filter_rels
+
+        def spy(*a, **k):
+            calls.append(1)
+            return real(*a, **k)
+
+        monkeypatch.setattr(sinks, "_bloom_filter_rels", spy)
+
+        path = str(tmp_path / "store")
+        df = spark.range(0, 20_000).select(
+            F.col("id"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            F.lit("old").alias("v"),
+        )
+        for lo in (0, 10_000):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 10_000}").coalesce(1),
+                path, bloom_cols=["doc_id"],
+            )
+        n_over = sinks._BLOOM_PRUNE_MAX_KEYS + 1  # 10_001 distinct keys
+        updates = spark.range(0, n_over).select(
+            F.col("id"),
+            F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+            F.lit("new").alias("v"),
+        )
+        res = sinks.merge_manifested(spark, updates, path, key="doc_id")
+        assert calls == [], (
+            "over-guard merge must skip bloom pruning entirely — the key "
+            "list must never be collected or aggregated"
+        )
+        assert res["rows_matched"] == n_over
+        back = read_manifested(spark, path)
+        assert back.count() == 20_000
+        got = {r.doc_id: r.v for r in back.where(
+            F.col("id").isin(0, n_over - 1, n_over)
+        ).collect()}
+        assert got == {
+            "doc-0": "new",
+            f"doc-{n_over - 1}": "new",
+            f"doc-{n_over}": "old",
+        }
+
+    def test_small_merge_key_fetch_still_prunes(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Below the guard the distinct-key list is fetched in a second,
+        bounded job and bloom pruning still bounds the rewrite — and the
+        fetch only happens when some candidate actually carries a bloom."""
+        from aeon_sleap_processing_spark.sources import sinks
+
+        calls: list = []
+        real = sinks._bloom_filter_rels
+
+        def spy(*a, **k):
+            calls.append(k or a)
+            return real(*a, **k)
+
+        monkeypatch.setattr(sinks, "_bloom_filter_rels", spy)
+
+        path = str(tmp_path / "store")
+        rows = [(i, f"doc-{i:04d}", "old") for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, doc_id string, v string")
+        for lo in (0, 100, 200, 300):
+            write_manifested(
+                spark,
+                df.where(f"id >= {lo} AND id < {lo + 100}").coalesce(1),
+                path, bloom_cols=["doc_id"],
+            )
+        updates = spark.createDataFrame(
+            [(999, "doc-0250", "new")], "id long, doc_id string, v string"
+        )
+        res = sinks.merge_manifested(spark, updates, path, key="doc_id")
+        assert len(calls) == 1, "bloom pruning must run for a small merge"
+        assert res["files_rewritten"] == 1
+
+
 class TestReindex:
     def test_reindex_restores_point_pruning_after_compaction(
         self, spark, tmp_path
