@@ -661,6 +661,25 @@ def compact_parquet(
     # leaves are untouched or already swapped — the same states a serial
     # crash leaves behind. Results fold in sorted-leaf order.
     leaf_uris = sorted(_leaf_data_dirs(fs, Path, root))
+    # Degenerate layouts (ADVICE r15): data files directly in a
+    # NON-LEAF dir (e.g. the root) alongside partition leaf dirs make
+    # that dir itself a "leaf" — but its rewrite would recursively
+    # absorb every nested leaf's files (losing their dir-derived
+    # partition values) and its stage-and-swap renames the whole
+    # subtree away under concurrently-swapping descendants. Such
+    # ancestor leaves are SKIPPED untouched (their files stay
+    # uncompacted; descendants compact normally): a descendant of `a`
+    # sorts at the insertion point of "a/", so one bisect per leaf
+    # finds the nesting.
+    import bisect
+
+    ancestors = {
+        a
+        for a in leaf_uris
+        if (i := bisect.bisect_left(leaf_uris, a + "/")) < len(leaf_uris)
+        and leaf_uris[i].startswith(a + "/")
+    }
+    leaf_uris = [u for u in leaf_uris if u not in ancestors]
     pool_n = max(1, min(int(max_concurrent_leaf_rewrites), len(leaf_uris)))
     if leaf_uris and pool_n > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -3379,9 +3398,13 @@ def compact_manifested(
     # next). 2-4 in flight fills the tail without thrashing; results are
     # folded in sorted-leaf order so the manifest's adds/removes lists
     # stay byte-deterministic. A failed leaf propagates after the pool
-    # drains; its siblings' staged-but-uncommitted files are _staging/
-    # orphans, invisible to readers and reclaimed by vacuum — the same
-    # contract as a crash mid-rewrite on the serial path.
+    # drains; sibling leaves still mid-rewrite leave _staging/ orphans,
+    # while a sibling whose _rewrite_leaf COMPLETED before the failure
+    # has already renamed its token-named outputs into the live leaf
+    # dirs — uncommitted either way, so invisible to manifest readers,
+    # and vacuum_manifested reclaims both (the no-manifest fence /
+    # orphan grace) — the same states as a crash mid-rewrite on the
+    # serial path.
     pool_n = max(1, min(int(max_concurrent_leaf_rewrites), len(work)))
     if work and pool_n > 1:
         from concurrent.futures import ThreadPoolExecutor

@@ -74,6 +74,13 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    # ONE compact JSON line (r16): compact separators roughly halve the
+    # 151-query line (~5 KB -> ~3.5 KB) so the driver's tail capture
+    # keeps the whole line (the r13/r14 artifacts were tail-truncated
+    # and unparseable — VERDICT r15 "what's wrong" #3). Kept as a single
+    # line because downstream parsers (driver, tools/bench_ab.py) take
+    # the LAST json line of stdout; splitting queries and summary across
+    # lines would risk the wrong line being parsed.
     print(
         json.dumps(
             {
@@ -82,7 +89,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -449,12 +449,29 @@ class TestManifestCompaction:
                 (r["id"], r["v"], r["p"]) for r in back.collect()
             )
             # manifest head: per-leaf file counts + carried id-stats spans,
-            # with the uuid file tokens stripped
+            # with the uuid file tokens stripped (data-<token>-00000 →
+            # (leaf, 00000)) — the pooled fold must carry the same
+            # stats to the same leaves as the serial path
             head = manifest_history(spark, path)[-1]
             assert head["version"] == res["version"]
+            from aeon_sleap_processing_spark.sources import sinks
+
+            fs, Path, root = sinks._hadoop_fs(spark, path)
+            _, head_doc, _ = sinks._manifest_head(
+                spark, fs, Path, sinks._canon_uri(fs, root)
+            )
+            leaf_entries = sorted(
+                (
+                    e["path"].rsplit("/", 1)[0],
+                    e["path"].rsplit("-", 1)[-1],
+                    json.dumps(e.get("stats"), sort_keys=True),
+                )
+                for e in head_doc["files"]
+            )
             stores[tag] = {
                 "rows": rows,
                 "files_after": res["files_after"],
+                "leaf_entries": leaf_entries,
             }
         assert stores["serial"] == stores["pooled"]
 

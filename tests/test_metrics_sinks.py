@@ -385,6 +385,53 @@ class TestCompaction:
             }
         assert stores["serial"] == stores["pooled"]
 
+    def test_mixed_root_and_leaf_layout_skips_the_ancestor(
+        self, spark, tmp_path
+    ):
+        """ADVICE r15: data files directly in root ALONGSIDE partition
+        leaf dirs make the root itself a 'leaf' — but its (recursive)
+        rewrite would absorb every nested leaf's files, losing their
+        dir-derived partition values, and its swap renames the whole
+        tree away under concurrently-swapping descendants. The ancestor
+        leaf must be SKIPPED untouched while descendants compact
+        normally — no lost rows, partition values preserved."""
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from aeon_sleap_processing_spark.sources.sinks import compact_parquet
+
+        path = str(tmp_path / "store")
+        # partitioned leaf dirs ...
+        for i in range(2):
+            (spark.range(i * 20, (i + 1) * 20)
+             .withColumn("p", F.pmod("id", F.lit(2)).cast("string"))
+             .write.mode("append").partitionBy("p").parquet(path))
+        # ... AND bare data files in the root itself (degenerate layout)
+        for i in range(2):
+            (spark.range(100 + i * 20, 100 + (i + 1) * 20)
+             .coalesce(1).write.mode("append").parquet(path))
+        root_before = sorted(glob.glob(f"{path}/*.parquet"))
+        leaf_before = sorted(glob.glob(f"{path}/p=*/*.parquet"))
+        assert len(root_before) == 2 and len(leaf_before) >= 4
+        res = compact_parquet(
+            spark, path, min_files_to_compact=2,
+            max_concurrent_leaf_rewrites=4,
+        )
+        assert res["compacted"] and not res["skipped_concurrent"]
+        # ancestor (root) files untouched; descendants compacted
+        assert sorted(glob.glob(f"{path}/*.parquet")) == root_before
+        assert len(glob.glob(f"{path}/p=*/*.parquet")) == 2
+        # no lost rows, partition values preserved
+        leaves = spark.read.parquet(f"{path}/p=0", f"{path}/p=1")
+        assert sorted(
+            int(r["id"]) for r in leaves.collect()
+        ) == list(range(40))
+        root_rows = spark.read.parquet(*root_before)
+        assert sorted(
+            int(r["id"]) for r in root_rows.collect()
+        ) == list(range(100, 140))
+
     def test_optimize_parquet_clusters_and_preserves(self, spark, tmp_path):
         """OPTIMIZE-with-clustering on a Hive-partitioned store: rows and
         partition dirs preserved, and within each leaf the Hilbert layout
