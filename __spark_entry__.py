@@ -553,11 +553,13 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact top-5 (all-pairs cosine + per-query top-k) feeds one
     # hits + n_exact plan reference pair PER METHOD LEG; localCheckpoint
     # runs it once instead of once per leg (same pattern as
-    # minhash_est_vs_exact)
+    # minhash_est_vs_exact). EAGER (r16): the five method legs below run
+    # on concurrent driver threads, and a lazy checkpoint would race —
+    # every leg's first job would recompute the exact sweep.
     exact = (
         sim.knn_bruteforce(emb, queries, k=5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     approx = {
         "lsh": sim.knn_lsh(emb, queries, _lsh_planes(), k=5, n_tables=_LSH_TABLES),
@@ -576,18 +578,28 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             refine_factor=_PQ_REFINE,
         ),
     }
-    # per-(method, query) hit counts, unioned and reduced with ONE keyed
-    # aggregation — no unkeyed (single-partition) aggs; the top-k result
-    # sets are n_queries x k rows (tiny by the audit's design), so they
-    # broadcast
-    per_q = None
-    for method, df in approx.items():
+    # per-(method, query) hit counts. r16 (guide §2.6/§3.3): the old
+    # 11-leg UNION was one mega-plan — Catalyst optimized it single-
+    # threaded for ~1.7 s of dead driver time before any task ran (REST
+    # timeline: a 46.9→48.6 s gap with zero active jobs), then ~30 AQE
+    # micro-jobs. The five method legs are structurally independent
+    # (each builds its own index; only the checkpointed exact result is
+    # shared), so each leg is now planned AND executed on its own driver
+    # thread — planning parallelizes across threads and leg jobs
+    # back-fill each other's stragglers. Results fold in method order
+    # into a tiny local relation (5 methods × n_queries rows) feeding
+    # the same final aggregation, so the output is row-identical.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def leg_rows(method: str, df: DataFrame) -> list:
         hits = exact.join(
             F.broadcast(df.select("query_id", "neighbor_id")),
             ["query_id", "neighbor_id"],
             "left_semi",
         )
-        leg = (
+        return (
             exact.groupBy("query_id")
             .agg(F.count(F.lit(1)).alias("n_exact"))
             .join(
@@ -602,8 +614,18 @@ def _q_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_exact"),
                 F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
             )
+            .collect()
         )
-        per_q = leg if per_q is None else per_q.unionByName(leg)
+
+    with ThreadPoolExecutor(max_workers=len(approx)) as pool:
+        futs = [
+            pool.submit(inheritable_thread_target(leg_rows), m, df)
+            for m, df in approx.items()
+        ]
+        rows = [r for f in futs for r in f.result()]  # method order
+    per_q = spark.createDataFrame(
+        rows, "method string, n_exact long, n_hit long"
+    )
     return per_q.groupBy("method").agg(
         F.sum("n_exact").alias("n_pairs"),
         F.sum("n_hit").alias("n_recovered"),
