@@ -145,10 +145,15 @@ def connected_components(
         ).first()
         return (row["n"], row["sig"])
 
-    e = e.localCheckpoint(eager=True)
+    # LAZY checkpoints (r16, guide §5.3): the fingerprint aggregate is the
+    # first (and only) consumer of each iteration's edge set — it
+    # materializes the checkpoint as a side effect, so every iteration is
+    # ONE job instead of two (count + agg). Later consumers (the next
+    # iteration's stars) read the persisted rows.
+    e = e.localCheckpoint(eager=False)
     prev = fingerprint(e)
     for _ in range(max_iterations):
-        e2 = small_star(large_star(e)).localCheckpoint(eager=True)
+        e2 = small_star(large_star(e)).localCheckpoint(eager=False)
         # converged when every edge already points at the component minimum:
         # large_star+small_star is then a no-op (same edge set)
         cur = fingerprint(e2)
@@ -284,11 +289,14 @@ def curate_corpus(
 
     # quality scores feed both the entry filter and the final re-join —
     # materialize the tiny (id, score) table so the corpus is scanned for
-    # stats exactly once
+    # stats exactly once. LAZY (r16, guide §5.3): the clustering probe's
+    # broadcast build is the first consumer and materializes it as a side
+    # effect (its in-job consumers are dependency-ordered), removing the
+    # dedicated count() job from the serial driver chain.
     stats = (
         text_stats(docs, text_col, id_col)
         .select(id_col, "quality_score")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     good = docs.join(
         stats.where(F.col("quality_score") >= min_quality), id_col

@@ -569,7 +569,12 @@ def _fight_condition_frames(
         "cond3",
         "is_empty",
     ]
-    return out.select(*keep).localCheckpoint(eager=True)
+    # LAZY (r16, guide §5.3): phase-1's first job materializes this as a
+    # side effect — its consumers inside that job are dependency-ordered
+    # (the chunk-offset broadcast must build before the join stage reads
+    # the rows again), so the subtree still computes exactly once and
+    # the dedicated count() job disappears from the serial driver chain.
+    return out.select(*keep).localCheckpoint(eager=False)
 
 
 def _fight_sessions(fr: DataFrame, p: dict, fc: int | None = None) -> DataFrame:
@@ -586,8 +591,11 @@ def _fight_sessions(fr: DataFrame, p: dict, fc: int | None = None) -> DataFrame:
         # anti-join below) — un-truncated, the whole phase-1 window/join
         # chain replicates in the DAG and every phase-2 transformation
         # re-analyzes it. Bounded: candidate frame ids only, two slim
-        # columns, a small subset of the stream.
-        kept = kept.localCheckpoint(eager=True)
+        # columns, a small subset of the stream. LAZY (r16): phase-2's
+        # anti-join broadcast build is the first consumer and
+        # materializes it; the union side then reads the persisted rows
+        # — one fewer dedicated count() job in the serial chain.
+        kept = kept.localCheckpoint(eager=False)
 
     # phase-2: union empty frames near contact, regroup with gap 100, keep
     # sessions containing >= 1 surviving candidate and > min frames
