@@ -873,6 +873,46 @@ def _part_dirs(spark, root: str, before_batch: int, levels: int):
     return fs, leaves
 
 
+def _budget_cap_sides(
+    pool_keys: DataFrame, idc: str, repc: str, m_cap: int
+):
+    """BOTH pair-budget candidate-join side caps in ONE window pass
+    (r16, guide §2.4 — see the budget contract in
+    :func:`stream_semantic_dedup`). The former shape ranked each side
+    with its own window: two exchanges of the keys relation, and (flat
+    path) two full evaluations of the bucket-UDF subtree feeding them,
+    because the side filters below the exchanges made the subtrees
+    differ. One ranking over the POOL ordered by (rep DESC, id) serves
+    both: side b keeps rank ≤ m_cap verbatim (reps first, then smallest
+    id — its contract ordering); and because every rep sorts before
+    every batch row within a (t, h) cell, a non-rep row's rank among
+    non-reps (side a's contract: plain id order) is exactly its pool
+    rank minus the cell's rep count. Identical row sets to the per-side
+    windows (pinned by test_fused_side_caps_match_two_window_reference
+    and the flat≡bucketed budget tests); the two branch filters sit
+    ABOVE a now-identical exchange subtree, so it computes once
+    (ReusedExchange). Returns (a, b): a = (id_a, t, h),
+    b = (id_b, rep_b, t, h)."""
+    from pyspark.sql.window import Window
+
+    seq = Window.partitionBy("t", "h").orderBy(
+        F.col(repc).desc(), F.col(idc)
+    )
+    cell = Window.partitionBy("t", "h")
+    ranked = pool_keys.withColumn(
+        "__rnb", F.row_number().over(seq)
+    ).withColumn(
+        "__nrep", F.sum(F.when(F.col(repc), 1).otherwise(0)).over(cell)
+    )
+    b = ranked.where(F.col("__rnb") <= m_cap).select(
+        F.col(idc).alias("id_b"), F.col(repc).alias("rep_b"), "t", "h"
+    )
+    a = ranked.where(
+        (~F.col(repc)) & ((F.col("__rnb") - F.col("__nrep")) <= m_cap)
+    ).select(F.col(idc).alias("id_a"), "t", "h")
+    return a, b
+
+
 def stream_semantic_dedup(
     stream: DataFrame,
     out_path: str,
@@ -1011,19 +1051,8 @@ def stream_semantic_dedup(
         else sim._bucket_member_cap(max_pairs_per_bucket)
     )
 
-    def _cap_side(keys_df: DataFrame, order_cols) -> DataFrame:
-        # per-(table, bucket) member cap — see the pair-budget contract
-        # in the docstring; no-op when unbudgeted
-        if m_cap is None:
-            return keys_df
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("t", "h").orderBy(*order_cols)
-        return (
-            keys_df.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= m_cap)
-            .drop("__rn")
-        )
+    def _cap_sides(pool_keys: DataFrame, idc: str, repc: str):
+        return _budget_cap_sides(pool_keys, idc, repc, m_cap)
 
     def _verify_and_keep(batch, cand, va, vb):
         # shared verify/drop tail: cand = (id_a batch-row, id_b, rep_b).
@@ -1100,20 +1129,19 @@ def stream_semantic_dedup(
         )
         # cap the two join SIDES separately (batch-left, pool-right with
         # rep priority) — capping the union could evict a bucket's batch
-        # rows entirely behind its reps, silencing the store comparison
-        a = _cap_side(
-            keys.where(~F.col("__rep")).select(
+        # rows entirely behind its reps, silencing the store comparison.
+        # Budgeted: both caps ride ONE window pass over the pool keys
+        # (r16 — see _cap_sides); unbudgeted: plain side projections.
+        if m_cap is None:
+            a = keys.where(~F.col("__rep")).select(
                 F.col("__kid").alias("id_a"), "t", "h"
-            ),
-            [F.col("id_a")],
-        )
-        b = _cap_side(
-            keys.select(
+            )
+            b = keys.select(
                 F.col("__kid").alias("id_b"),
                 F.col("__rep").alias("rep_b"), "t", "h",
-            ),
-            [F.col("rep_b").desc(), F.col("id_b")],
-        )
+            )
+        else:
+            a, b = _cap_sides(keys, "__kid", "__rep")
         cand = (
             a.join(
                 b,
@@ -1215,8 +1243,15 @@ def stream_semantic_dedup(
                     )
                 )
                 right = right.unionByName(rkeys)
-            right = _cap_side(right, [F.col("rep_b").desc(), F.col("id_b")])
-            a = _cap_side(bkeys.select("id_a", "t", "h"), [F.col("id_a")])
+            if m_cap is None:
+                a = bkeys.select("id_a", "t", "h")
+            else:
+                # one ranking of the pool serves both side caps (r16 —
+                # see _cap_sides): the non-rep slice of `right` IS
+                # bkeys (rep_b=False rows), so deriving side a from the
+                # ranked pool keeps the row sets identical while
+                # dropping the second window exchange
+                a, right = _cap_sides(right, "id_b", "rep_b")
             cand = pin(
                 a.join(
                     right,

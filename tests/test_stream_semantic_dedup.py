@@ -439,3 +439,59 @@ class TestStreamPairBudget:
                 r.vec_id for r in read_semantic_reps(spark, out).collect()
             )
             assert kept2 == kept, (p, kept2)
+
+
+def test_fused_side_caps_match_two_window_reference(spark):
+    """r16: _budget_cap_sides computes both pair-budget side caps from
+    ONE ranking (rank minus per-cell rep count). Pin its row sets
+    against the former shape — an independent window per side — on a
+    pool with the adversarial cell mixes: more reps than the cap, reps
+    exactly at the cap, rep-free cells, batch-free cells, and a cell
+    where batch ids interleave below/above the rep ids."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from aeon_sleap_processing_spark.streaming.watch import (
+        _budget_cap_sides,
+    )
+
+    rows = [
+        # (id, rep, t, h) — cell (0,0): 4 reps, 3 batch rows
+        (1, True, 0, 0), (2, True, 0, 0), (3, True, 0, 0), (4, True, 0, 0),
+        (10, False, 0, 0), (11, False, 0, 0), (12, False, 0, 0),
+        # cell (0,1): reps only
+        (5, True, 0, 1), (6, True, 0, 1), (7, True, 0, 1),
+        # cell (1,0): batch only
+        (20, False, 1, 0), (21, False, 1, 0), (22, False, 1, 0),
+        # cell (1,1): batch ids BELOW the rep ids (ordering must still
+        # put reps first)
+        (30, True, 1, 1), (31, True, 1, 1),
+        (8, False, 1, 1), (9, False, 1, 1), (13, False, 1, 1),
+    ]
+    pool = spark.createDataFrame(
+        rows, "id_b long, rep_b boolean, t int, h int"
+    )
+    for m_cap in (1, 2, 3, 5):
+        a, b = _budget_cap_sides(pool, "id_b", "rep_b", m_cap)
+        # reference: the pre-r16 per-side windows, verbatim
+        wa = Window.partitionBy("t", "h").orderBy(F.col("id_a"))
+        ref_a = (
+            pool.where(~F.col("rep_b"))
+            .select(F.col("id_b").alias("id_a"), "t", "h")
+            .withColumn("__rn", F.row_number().over(wa))
+            .where(F.col("__rn") <= m_cap)
+            .drop("__rn")
+        )
+        wb = Window.partitionBy("t", "h").orderBy(
+            F.col("rep_b").desc(), F.col("id_b")
+        )
+        ref_b = (
+            pool.withColumn("__rn", F.row_number().over(wb))
+            .where(F.col("__rn") <= m_cap)
+            .drop("__rn")
+            .select("id_b", "rep_b", "t", "h")
+        )
+        got_a = sorted(map(tuple, a.collect()))
+        got_b = sorted(map(tuple, b.collect()))
+        assert got_a == sorted(map(tuple, ref_a.collect())), m_cap
+        assert got_b == sorted(map(tuple, ref_b.collect())), m_cap
