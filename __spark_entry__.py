@@ -3323,7 +3323,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_embedding_stats": _q_embedding_stats,
         # --- multimodal codec wing (rotated in r11) ----------------------
         "q_video_frame_stats": _q_video_frame_stats,  # DIB path, back in (r10 touched decode_avi)
-        "q_mjpeg_frame_stats": _q_mjpeg_frame_stats,  # new r11: MJPEG chain vs oracle
+        # --- rotated back in r16 (r15 VERDICT task 9: keep the rotation
+        #     ledger's union-of-green-windows argument live) — swapped
+        #     against q_mjpeg_frame_stats below ---------------------------
+        "q_sample_per_bin": _q_sample_per_bin,
         # --- manifest storage wing behind the oracle (new r11) -----------
         "q_manifest_dml": _q_manifest_dml,
         "q_manifest_time_travel": _q_manifest_time_travel,
@@ -3344,11 +3347,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_fight_sessions_chunked": _q_fight_sessions_chunked,
         "q_tube_events": _q_tube_events,  # full pipeline incl. kernel (recursive-CTE oracle)
         # ================= end of the driver's 50-query window ===========
-        # --- rotated out r15 (driver-green r13 AND r14, sampling plan in
-        #     util.py untouched by r15's streaming-budget work; siblings
-        #     q_weighted_sample + q_corpus_split keep the sampling family
-        #     in-window) — makes room for q_semantic_dedup_budgeted ------
-        "q_sample_per_bin": _q_sample_per_bin,
+        # --- rotated out r16 (driver-green r11 THROUGH r15 — five
+        #     consecutive windows; the codec chain is untouched by r16's
+        #     streaming/window/checkpoint work and sibling
+        #     q_video_frame_stats keeps the codec family in-window) —
+        #     makes room for q_sample_per_bin's return (r15 VERDICT #9) --
+        "q_mjpeg_frame_stats": _q_mjpeg_frame_stats,  # new r11: MJPEG chain vs oracle
         # --- rotated out r14 (driver-green r12 AND r13, untouched by
         #     r14's storage/similarity work; each keeps in-window
         #     siblings: q_bpe_merges_batched+q_bpe_encode, and

@@ -118,7 +118,12 @@ class TestDriverContract:
             # r11: the codec wing rotates (back) in — q_sessionize_unkeyed
             # rotated out (driver-green r9+r10, temporal plan untouched)
             "q_video_frame_stats",
-            "q_mjpeg_frame_stats",
+            # r16: q_mjpeg_frame_stats rotated out (driver-green r11
+            # through r15, codec chain untouched by r16; sibling
+            # q_video_frame_stats stays in) for q_sample_per_bin's
+            # return (r15 VERDICT task 9 — the rotation ledger's
+            # union-of-green-windows argument stays live)
+            "q_sample_per_bin",
             # r11 late: the manifest storage wing earns driver rows —
             # q_simhash/q_simhash_pairs/q_curate_corpus rotated out
             # (driver-green r6..r10, text plans untouched by r11)
